@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.{Dims, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flagship currency-conversion operator (SURVEY.md §2.1 R7–R12, R17;
+  * §2.3 q03_convert_currency).
+  *
+  * Re-expresses the reference's row-wise pandas loop
+  * (`dags/order_currency_conversion_dag.py:105-124`) as pure native column
+  * expressions on a broadcast lookup join — no UDF, fully codegen'd,
+  * shuffle-free on the rates side:
+  *
+  *   - rate lookup with default: LEFT broadcast join + `coalesce(rate, 1.0)`
+  *     (reference `:108` — unknown currency silently treated as EUR);
+  *   - base-currency identity branch: `when(currency === "EUR", amount)`
+  *     which also SKIPS rounding, as the reference does (`:106-107`);
+  *   - decimal conversion + 2dp round (`:109`);
+  *   - batch-constant conversion timestamp (`:74,:116`) — one literal, never
+  *     per-row `current_timestamp()`;
+  *   - projection/rename to the target shape (`:120-124`).
+  *
+  * At 100 TB the orders→customer→nation joins shuffle on their keys (AQE
+  * re-plans if skewed); the two dimension joins are explicit broadcasts, so
+  * adding the conversion to a scan costs no extra exchange.
+  */
+object Convert {
+
+  /** Fixed batch timestamp for declared queries (determinism rule D4). */
+  val BatchTs = "2026-01-01 00:00:00"
+
+  /** Reference-exact conversion for semantics unit tests (NOT the oracle
+    * path): decimal divide by units-per-EUR rate, banker's rounding
+    * (`round(Decimal, 2)` == ROUND_HALF_EVEN => Spark `bround`), EUR branch
+    * skips both division and rounding (`dags/order_currency_conversion_dag.py:106-109`).
+    */
+  def convertExact(amount: Column, currency: Column, rate: Column): Column =
+    when(currency === "EUR", amount)
+      .otherwise(bround(amount.cast("decimal(28,8)") / coalesce(rate, lit(1.0)), 2))
+
+  /** Declared-query conversion (oracle-parity path): multiply by the exact
+    * reciprocal DECIMAL(10,6) from the dim, HALF_UP round — identical decimal
+    * arithmetic in Spark and DuckDB (SURVEY.md §2.2 D3, §7.5.1).
+    */
+  def convertDeclared(amount: Column, currency: Column, eurPerUnit: Column): Column = {
+    val r = coalesce(eurPerUnit, lit("1.000000").cast("decimal(10,6)"))
+    when(currency === "EUR", amount)
+      .otherwise(round((amount * r).cast("decimal(28,8)"), 2))
+  }
+
+  /** q03_convert_currency: orders ⋈ customer ⋈ nation give each order a
+    * currency attribute; broadcast dims supply the rate; convert; project to
+    * the `orders_eur` target shape (FIXTURES.md §A/§C).
+    */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+
+    val withCur = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(Dims.nationCurrencyDf(spark)),
+        nation("n_name") === col("n_name_key"))
+
+    val joined = withCur.join(broadcast(Dims.ratesDf(spark)),
+      Seq("currency"), "left")
+
+    val amount = col("o_totalprice").cast("decimal(18,2)")
+    joined.select(
+      col("o_orderkey").as("order_id"),
+      col("c_name").as("customer"),
+      col("o_orderdate").as("order_date"),
+      amount.cast("double").as("original_amount"),
+      col("currency").as("original_currency"),
+      Convert.convertDeclared(amount, col("currency"), col("eur_per_unit"))
+        .cast("double").as("amount_eur"),
+      coalesce(col("eur_per_unit"), lit("1.000000").cast("decimal(10,6)"))
+        .cast("double").as("exchange_rate"),
+      expr(s"TIMESTAMP '$BatchTs'").as("exchange_rate_date")
+    ).orderBy("order_id")
+  }
+
+  val q03Sql: String =
+    s"""SELECT o.o_orderkey AS order_id,
+       |       c.c_name AS customer,
+       |       o.o_orderdate AS order_date,
+       |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS original_amount,
+       |       nc.currency AS original_currency,
+       |       CAST(CASE WHEN nc.currency = 'EUR' THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+       |                 ELSE round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DECIMAL(28,8)), 2)
+       |            END AS DOUBLE) AS amount_eur,
+       |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
+       |       TIMESTAMP '${BatchTs}' AS exchange_rate_date
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key
+       |LEFT JOIN ${Dims.ratesSql()} ON nc.currency = r.currency
+       |ORDER BY order_id""".stripMargin
+}
