@@ -15,11 +15,43 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.3. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q03_convert_currency" -> ((s, d) => ops.Convert.q03(s, d))
+    "q01_scan_project"     -> ((s, d) => ops.Relational.q01(s, d)),
+    "q02_filter_limit"     -> ((s, d) => ops.Relational.q02(s, d)),
+    "q03_convert_currency" -> ((s, d) => ops.Convert.q03(s, d)),
+    "q04_join_multiway"    -> ((s, d) => ops.Relational.q04(s, d)),
+    "q05_join_left_default" -> ((s, d) => ops.Relational.q05(s, d)),
+    "q06_join_semi"        -> ((s, d) => ops.Relational.q06(s, d)),
+    "q07_join_anti"        -> ((s, d) => ops.Relational.q07(s, d)),
+    "q08_agg_group"        -> ((s, d) => ops.Aggregates.q08(s, d)),
+    "q09_agg_distinct"     -> ((s, d) => ops.Aggregates.q09(s, d)),
+    "q10_rollup"           -> ((s, d) => ops.Aggregates.q10(s, d)),
+    "q11_window_rank"      -> ((s, d) => ops.Aggregates.q11(s, d)),
+    "q12_window_frame"     -> ((s, d) => ops.Aggregates.q12(s, d)),
+    "q13_topk"             -> ((s, d) => ops.Relational.q13(s, d)),
+    "q14_set_ops"          -> ((s, d) => ops.Relational.q14(s, d)),
+    "q19_window_tumbling"  -> ((s, d) => ops.Aggregates.q19(s, d)),
+    "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
+    "q24_udaf_weighted_avg" -> ((s, d) => functions.WeightedAvg.q24(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
   def oracleSql: Map[String, String] = Map(
-    "q03_convert_currency" -> ops.Convert.q03Sql
+    "q01_scan_project"     -> ops.Relational.q01Sql,
+    "q02_filter_limit"     -> ops.Relational.q02Sql,
+    "q03_convert_currency" -> ops.Convert.q03Sql,
+    "q04_join_multiway"    -> ops.Relational.q04Sql,
+    "q05_join_left_default" -> ops.Relational.q05Sql,
+    "q06_join_semi"        -> ops.Relational.q06Sql,
+    "q07_join_anti"        -> ops.Relational.q07Sql,
+    "q08_agg_group"        -> ops.Aggregates.q08Sql,
+    "q09_agg_distinct"     -> ops.Aggregates.q09Sql,
+    "q10_rollup"           -> ops.Aggregates.q10Sql,
+    "q11_window_rank"      -> ops.Aggregates.q11Sql,
+    "q12_window_frame"     -> ops.Aggregates.q12Sql,
+    "q13_topk"             -> ops.Relational.q13Sql,
+    "q14_set_ops"          -> ops.Relational.q14Sql,
+    "q19_window_tumbling"  -> ops.Aggregates.q19Sql,
+    "q20_sessionize"       -> ops.Aggregates.q20Sql,
+    "q24_udaf_weighted_avg" -> functions.WeightedAvg.q24Sql
   )
 }

@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Aggregation + window operator set (SURVEY.md §2.3 q08–q12, q19, q20).
+  *
+  * All money/measure aggregation follows determinism rule D2: cast doubles to
+  * DECIMAL before any sum (exact, order-independent), cast the final value to
+  * DOUBLE. Averages are computed as sum/count explicitly, because DuckDB's
+  * `avg(DECIMAL)` returns DOUBLE while Spark's stays DECIMAL.
+  *
+  * Scale notes (100 TB):
+  *  - q08/q09: hash aggregates with map-side partial aggregation; the shuffle
+  *    carries one row per group per mapper, not per input row.
+  *  - exact count-distinct (q09) shuffles expanded keys; at 100 TB prefer
+  *    `approx_count_distinct` (see XQueries) unless exactness is required.
+  *  - q11/q12/q20: window functions shuffle once on the partition key and
+  *    sort within partitions; skewed users/customers are handled by AQE.
+  *  - q19: tumbling window is a plain groupBy on a derived bucket column —
+  *    no special operator needed in batch; streaming variant in graft.streaming.
+  */
+object Aggregates {
+
+  /** q08_agg_group: TPC-H Q1-shaped hash aggregate. */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty   = col("l_quantity").cast("decimal(18,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    val disc  = col("l_discount").cast("decimal(18,2)")
+    val tax   = col("l_tax").cast("decimal(18,2)")
+    val one   = lit(1).cast("decimal(18,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1)).cast("double")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q08Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q09_agg_distinct: exact count-distinct per group. */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q09Sql: String =
+    """SELECT o_orderstatus,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q10_rollup: rollup with grouping indicators. NULLS FIRST is pinned
+    * explicitly — Spark's ASC default, DuckDB's default is NULLS LAST.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  val q10Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q11_window_rank: latest order per customer (keep-first dedup pattern —
+    * the incremental/dedup primitive behind R14/R15).
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q12_window_frame: running per-customer spend with an explicit row frame. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val q12Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** q19_window_tumbling: hourly tumbling-window aggregate over events —
+    * batch analog of the streaming window (R24's hourly cadence). The window
+    * is a derived bucket column, so this is a plain hash aggregate.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour_start", "event_type")
+
+  val q19Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  /** q20_sessionize: gap-based sessionization (30-min gap) via lag + running
+    * sum — the batch form of a streaming session window. Gap comparison runs
+    * on microsecond epochs, identical in both engines.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val sessionFrame = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(sessionFrame))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, session_seq,
+      |       min(ts) AS session_start,
+      |       max(ts) AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_session
+      |    FROM (
+      |      SELECT *, lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+}

@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator set (SURVEY.md §2.3 q01–q07, q13, q14).
+  *
+  * Mirrors the reference's scan/filter/limit/projection surface
+  * (`dags/order_currency_conversion_dag.py:87-95` — R1, R2, R3, R5) and
+  * generalizes its incremental-pickup pattern (NULL-marker filter, R2/R14)
+  * into the full join family.
+  *
+  * Scale notes (100 TB):
+  *  - q01/q02: filters + projections sit directly on the parquet scan —
+  *    Catalyst pushes both (check `PushedFilters`/`ReadSchema` in explain);
+  *    ORDER BY ... LIMIT n compiles to TakeOrderedAndProject (no global sort).
+  *  - q04: star join — fact tables join on keys (shuffle), nation/region are
+  *    broadcast by AQE/threshold automatically; revenue aggregated partially
+  *    map-side before the final shuffle.
+  *  - q05–q07: left/semi/anti joins all reduce to hash joins on the join key;
+  *    the aggregate side of q05 is pre-aggregated before the join, so the
+  *    shuffle carries one row per customer, not per order.
+  */
+object Relational {
+
+  /** q01_scan_project: scan + explicit projection (R1, R5). */
+  def q01(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |       l_returnflag, l_linestatus, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q02_filter_limit: predicate + deterministic limit (R2, R3 with D1's
+    * total order replacing the reference's nondeterministic bare LIMIT).
+    */
+  def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") < expr("TIMESTAMP '1998-06-01 00:00:00'")
+        && col("l_quantity") > 25)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity",
+        "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(30000)
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00' AND l_quantity > 25
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 30000""".stripMargin
+
+  /** q04_join_multiway: 5-table star — revenue by region/nation (exact
+    * decimal arithmetic per D2: cast each double measure before multiply).
+    */
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q04Sql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q05_join_left_default: left outer + coalesce defaults (R7's
+    * lookup-with-default generalized; customers with no orders get 0s).
+    */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("order_cnt_raw"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend_raw"))
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("order_cnt_raw"), lit(0L)).as("order_cnt"),
+        coalesce(col("spend_raw"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(COALESCE(t.order_cnt_raw, 0) AS BIGINT) AS order_cnt,
+      |       CAST(COALESCE(t.spend_raw, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM customer
+      |LEFT JOIN (
+      |  SELECT o_custkey,
+      |         CAST(count(*) AS BIGINT) AS order_cnt_raw,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_raw
+      |  FROM orders GROUP BY o_custkey
+      |) t ON c_custkey = t.o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06_join_semi: EXISTS — customers having at least one 'F' order. */
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val f = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q07_join_anti: NOT EXISTS — parts never shipped (the reference's
+    * "unprocessed rows" pickup, R2/R14, as a declarative anti join).
+    */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val p  = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 48)
+      .select(col("l_partkey"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  val q07Sql: String =
+    """SELECT p_partkey, p_name, p_brand
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 48)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q13_topk: global top-k with a unique tiebreak (R3 made deterministic,
+    * D1). Compiles to TakeOrderedAndProject — per-partition heaps, no
+    * global sort at scale.
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  val q13Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** q14_set_ops: UNION (distinct) / INTERSECT / EXCEPT over customer-key
+    * sets drawn from different order-status predicates.
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val both  = keys("F").intersect(keys("O"))
+    val fOnly = keys("F").except(keys("P"))
+    both.union(fOnly).distinct().orderBy("o_custkey")
+  }
+
+  val q14Sql: String =
+    """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |UNION
+      |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      | EXCEPT
+      | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |ORDER BY o_custkey""".stripMargin
+}
