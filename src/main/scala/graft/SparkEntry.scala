@@ -29,9 +29,21 @@ object SparkEntry {
     "q12_window_frame"     -> ((s, d) => ops.Aggregates.q12(s, d)),
     "q13_topk"             -> ((s, d) => ops.Relational.q13(s, d)),
     "q14_set_ops"          -> ((s, d) => ops.Relational.q14(s, d)),
+    "q15_string_funcs"     -> ((s, d) => ops.Functions.q15(s, d)),
+    "q16_date_funcs"       -> ((s, d) => ops.Functions.q16(s, d)),
+    "q17_decimal_round"    -> ((s, d) => ops.Functions.q17(s, d)),
+    "q18_json_extract"     -> ((s, d) => ops.Functions.q18(s, d)),
     "q19_window_tumbling"  -> ((s, d) => ops.Aggregates.q19(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
-    "q24_udaf_weighted_avg" -> ((s, d) => functions.WeightedAvg.q24(s, d))
+    "q21_dedup_exact"      -> ((s, d) => ops.Text.q21(s, d)),
+    "q22_text_tokens"      -> ((s, d) => ops.Text.q22(s, d)),
+    "q23_array_ops"        -> ((s, d) => ops.Functions.q23(s, d)),
+    "q24_udaf_weighted_avg" -> ((s, d) => functions.WeightedAvg.q24(s, d)),
+    // Non-declared extensions: no SQL oracle (LSH bucketing / double scores /
+    // sketches) => driver records rows-only; semantics covered by ScalaTest.
+    "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
+    "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
+    "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -50,8 +62,15 @@ object SparkEntry {
     "q12_window_frame"     -> ops.Aggregates.q12Sql,
     "q13_topk"             -> ops.Relational.q13Sql,
     "q14_set_ops"          -> ops.Relational.q14Sql,
+    "q15_string_funcs"     -> ops.Functions.q15Sql,
+    "q16_date_funcs"       -> ops.Functions.q16Sql,
+    "q17_decimal_round"    -> ops.Functions.q17Sql,
+    "q18_json_extract"     -> ops.Functions.q18Sql,
     "q19_window_tumbling"  -> ops.Aggregates.q19Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
+    "q21_dedup_exact"      -> ops.Text.q21Sql,
+    "q22_text_tokens"      -> ops.Text.q22Sql,
+    "q23_array_ops"        -> ops.Functions.q23Sql,
     "q24_udaf_weighted_avg" -> functions.WeightedAvg.q24Sql
   )
 }

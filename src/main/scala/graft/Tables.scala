@@ -25,13 +25,14 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
-    * a timestamp. Read it as a raw long (legacy conf) and truncate to
-    * microseconds with integer division — the same floor DuckDB applies when
-    * it narrows ns→µs, so both engines see identical values. `div` keeps the
-    * arithmetic in Long (a double roundtrip would lose precision at 1.7e18).
+    * a timestamp. With `spark.sql.legacy.parquet.nanosAsLong=true` (set once
+    * in the session builders — Verify/Bench/tests — not mutated here) it
+    * arrives as a raw long; truncate to microseconds with integer division —
+    * the same floor DuckDB applies when it narrows ns→µs, so both engines
+    * see identical values. `div` keeps the arithmetic in Long (a double
+    * roundtrip would lose precision at 1.7e18).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

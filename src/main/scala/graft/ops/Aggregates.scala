@@ -89,7 +89,8 @@ object Aggregates {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy(
         asc_nulls_first("o_orderstatus"),
-        asc_nulls_first("o_orderpriority"))
+        asc_nulls_first("o_orderpriority"),
+        asc("g_status"), asc("g_priority"))
 
   val q10Sql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -99,7 +100,8 @@ object Aggregates {
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |         g_status ASC, g_priority ASC""".stripMargin
 
   /** q11_window_rank: latest order per customer (keep-first dedup pattern —
     * the incremental/dedup primitive behind R14/R15).

@@ -185,8 +185,9 @@ object Relational {
     val o = Tables.orders(spark, dir)
     def keys(status: String) =
       o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
-    val both  = keys("F").intersect(keys("O"))
-    val fOnly = keys("F").except(keys("P"))
+    val f = keys("F") // shared subtree: one scan per status-key set
+    val both  = f.intersect(keys("O"))
+    val fOnly = f.except(keys("P"))
     both.union(fOnly).distinct().orderBy("o_custkey")
   }
 

@@ -1,0 +1,33 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregates (SURVEY.md §2.3 x05).
+  *
+  * The scale escape hatch for q09/q19's exact `countDistinct`: HLL++ merges
+  * per-partition sketches, so the shuffle carries one fixed-size sketch per
+  * group per mapper instead of every distinct key — the difference between
+  * O(distinct) and O(groups) network at 100 TB.
+  */
+object Sketches {
+
+  /** x05_approx_distinct: HLL++ distinct counts next to the exact answer
+    * (sketch layout differs from DuckDB's, so no SQL oracle; rows-only
+    * check + unit test asserting relative error).
+    *
+    * Default rsd (5%) deliberately: the HLL buffer is `numWords` separate
+    * long slots in the aggregation buffer, so rsd=0.01 (p=14, ~1.6k words)
+    * next to a distinct-Expand blows the hash-agg row to ~26 KB and ran
+    * 50× slower measured at sf0.1 — precision is not free at scale.
+    */
+  def x05(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+}

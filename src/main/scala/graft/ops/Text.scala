@@ -1,0 +1,166 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text / LLM-data-pipeline operator set (SURVEY.md §2.3 q21, q22, x02).
+  *
+  * The reference's only dedup is the target PK rejecting replayed batches
+  * (`init/postgres-2/init.sql:2`, SURVEY §2.1.6); this file makes content
+  * dedup explicit and adds the near-dup detection a training-data pipeline
+  * needs at 100 TB.
+  *
+  * Scale notes (100 TB):
+  *  - q21: dedup is one shuffle on the content fingerprint; the fingerprint
+  *    is computed map-side so only (fp, doc_id) widths shuffle, not text.
+  *  - q22: explode → map-side partial count → shuffle carries one row per
+  *    (mapper, word), bounded by vocabulary, not corpus size.
+  *  - x02 minhash LSH: never all-pairs. Candidates come from a self-join on
+  *    (band, band-signature) buckets — cost is Σ bucket² which LSH keeps
+  *    small for any non-degenerate corpus; exact Jaccard verification runs
+  *    only on candidates. Run exact dedup (q21) FIRST at scale: identical
+  *    documents form k² bucket cliques that verification cannot prune.
+  */
+object Text {
+
+  /** Distinct word-n-gram shingles of lowercased `text`, as an array column.
+    * Pure higher-order functions — no UDF, stays in codegen.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), " ")
+    if (n == 1) array_distinct(words)
+    else array_distinct(
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+  }
+
+  /** Sorted-distinct-word fingerprint — normalized content identity. */
+  def wordSetFingerprint(text: Column): Column =
+    concat_ws(" ", array_sort(array_distinct(split(lower(text), " "))))
+
+  /** q21_dedup_exact: exact dedup keep-first (lowest doc_id) on the
+    * normalized word-set fingerprint — the PK-dedup of the reference made an
+    * explicit operator (row_number over the content key).
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(asc("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("fp", wordSetFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q21Sql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+      |        ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q22_text_tokens: tokenize + explode + corpus word frequency. */
+  def q22(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word"))
+
+  val q22Sql: String =
+    """SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      |WHERE word <> ''
+      |GROUP BY word
+      |ORDER BY freq DESC, word ASC""".stripMargin
+
+  // ---- x02: MinHash + banded LSH near-duplicate detection ----
+
+  /** Near-duplicate pairs via minhash + banded LSH + exact verification.
+    *
+    * Pipeline (all native column expressions, three shuffles total):
+    *   1. shingle: distinct word-n-grams per doc (map-side);
+    *   2. signature: `numHashes` independent hash functions
+    *      h_i(s) = xxhash64(i, s), min-aggregated per doc (shuffle on doc id
+    *      with map-side partial min);
+    *   3. banding: signature split into `bands` bands of `rows` hashes;
+    *      each band hashed to one bucket key; explode to (band, sig, doc);
+    *   4. candidates: self-join on (band, sig) with doc_a < doc_b (shuffle
+    *      on bucket key — the LSH step that replaces the O(n²) cross join);
+    *   5. verify: exact Jaccard on candidates only, keep >= `threshold`.
+    *
+    * Detection probability for a pair at Jaccard J is 1-(1-J^rows)^bands —
+    * 0.9998 at J=0.9 with the 8×4 default.
+    *
+    * @param docs (id, text) input
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("sh"))
+
+    val sig = tok.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
+
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), col("n_sh"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("n_sh"),
+        col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val a = buckets.select(
+      col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val b = buckets.select(
+      col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    val cand = a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .distinct()
+
+    val ta = tok.select(col("doc_id").as("doc_a"), col("sh"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("sh"))
+    cand
+      .join(ta, Seq("doc_a"))
+      .join(tb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** x02_minhash_dedup: near-dup document pairs over `documents` (bigram
+    * shingles, J >= 0.9). Non-declared (LSH bucketing has no SQL oracle);
+    * rows-only check + unit tests. Exact-verified Jaccard makes the output
+    * deterministic.
+    */
+  def x02(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+}
