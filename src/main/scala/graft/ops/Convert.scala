@@ -35,9 +35,18 @@ object Convert {
     * (`round(Decimal, 2)` == ROUND_HALF_EVEN => Spark `bround`), EUR branch
     * skips both division and rounding (`dags/order_currency_conversion_dag.py:106-109`).
     */
-  def convertExact(amount: Column, currency: Column, rate: Column): Column =
+  def convertExact(amount: Column, currency: Column, rate: Column): Column = {
+    // Decimal(str(rate)): pin the float rate to an exact decimal before
+    // dividing — decimal/double in Spark would silently promote BOTH sides
+    // to double and run IEEE division instead of exact decimal division.
+    val decRate = coalesce(rate, lit(1.0)).cast("decimal(20,10)")
+    // cast the rounded branch up to scale 8 BEFORE the when: otherwise the
+    // type unification coerces the EUR pass-through to the division's
+    // clamped scale and silently rounds it (caught by ConvertSpec)
     when(currency === "EUR", amount)
-      .otherwise(bround(amount.cast("decimal(28,8)") / coalesce(rate, lit(1.0)), 2))
+      .otherwise(bround(amount.cast("decimal(28,8)") / decRate, 2)
+        .cast("decimal(38,8)"))
+  }
 
   /** Declared-query conversion (oracle-parity path): multiply by the exact
     * reciprocal DECIMAL(10,6) from the dim, HALF_UP round — identical decimal

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY.md §5.3), run through the real column
+  * expressions on a local session — not a scala-side reimplementation.
+  * Generators are raw scalacheck `Gen`s sampled under fixed seeds (the
+  * scalatest<->scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertiesSpec extends SparkSuite {
+  import ops.Convert
+
+  private val schema = StructType(Seq(
+    StructField("amount", DecimalType(18, 2)),
+    StructField("currency", StringType),
+    StructField("rate", DoubleType)))
+
+  // 2-dp money amounts in the generator's range (dags/order_generator_dag.py:69)
+  private val amounts: Gen[java.math.BigDecimal] =
+    Gen.chooseNum(1000L, 100000000L)
+      .map(c => java.math.BigDecimal.valueOf(c, 2))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator exhausted at seed $seed"))
+
+  private def runExact(rows: Seq[Row]): Seq[java.math.BigDecimal] =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .select(Convert.convertExact(
+        col("amount"), col("currency"), col("rate")).as("out"))
+      .collect().toSeq.map(_.getDecimal(0))
+
+  test("property: convert(amount, EUR) == amount for any amount/rate") {
+    (1L to 10L).foreach { seed =>
+      val as   = sample(Gen.listOfN(20, amounts), seed)
+      val rate = sample(Gen.chooseNum(0.01, 100.0), seed)
+      val out  = runExact(as.map(a => Row(a, "EUR", rate)))
+      out.zip(as).foreach { case (o, a) =>
+        assert(o.compareTo(a) == 0, s"seed=$seed a=$a out=$o")
+      }
+    }
+  }
+
+  test("property: rate 1.0 (or missing) is the identity on 2-dp amounts") {
+    (11L to 20L).foreach { seed =>
+      val as = sample(Gen.listOfN(20, amounts), seed)
+      val known   = runExact(as.map(a => Row(a, "USD", 1.0)))
+      val missing = runExact(as.map(a => Row(a, "ZZZ", null)))
+      known.zip(as).foreach { case (o, a) => assert(o.compareTo(a) == 0) }
+      missing.zip(as).foreach { case (o, a) => assert(o.compareTo(a) == 0) }
+    }
+  }
+
+  test("property: round-trip convert(convert(x, r), 1/r) within rounding") {
+    (21L to 30L).foreach { seed =>
+      val as   = sample(Gen.listOfN(10, amounts), seed)
+      val rate = sample(Gen.chooseNum(0.1, 10.0), seed)
+      val once = runExact(as.map(a => Row(a, "USD", rate)))
+      val back = runExact(once.map(o => Row(o.setScale(2), "USD", 1.0 / rate)))
+      back.zip(as).foreach { case (b, a) =>
+        // leg 1 rounds a/r by <=0.005; the return leg multiplies that error
+        // back by r and adds its own <=0.005 final round
+        val bound = 0.005 * (1 + rate) + 0.005
+        assert(b.subtract(a).abs.doubleValue <= bound + 1e-9,
+          s"seed=$seed a=$a back=$b rate=$rate bound=$bound")
+      }
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Text pipeline semantics: shingling, fingerprint dedup, and the minhash
+  * LSH near-dup detector (SURVEY.md §2.3 q21/q22/x02).
+  */
+class TextSpec extends SparkSuite {
+  import ops.Text
+  import spark.implicits._
+
+  test("bigram shingles of a known sentence") {
+    val out = Seq("the quick brown fox").toDF("text")
+      .select(Text.shingles(col("text"), 2).as("sh"))
+      .collect().head.getSeq[String](0).toSet
+    assert(out == Set("the quick", "quick brown", "brown fox"))
+  }
+
+  test("word-set fingerprint normalizes order, case and multiplicity") {
+    val out = Seq("B a b C a", "a b c").toDF("text")
+      .select(Text.wordSetFingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "a b c" && out(1) == "a b c")
+  }
+
+  test("minhash LSH finds planted near-dup, not the unrelated doc") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Text.minhashPairs(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("identical docs detected with jaccard exactly 1.0") {
+    val t = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = Text.minhashPairs(docs).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("x02 finds the planted near-dup pairs in the sf0.01 corpus") {
+    val pairs = Text.x02(spark, sf001).collect()
+    assert(pairs.length >= 20, s"expected >=20 near-dup pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getDouble(2) >= 0.9))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("fingerprint dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val once = Text.q21(spark, sf001)
+    // applying the same keep-first rule to an already-deduped set is a no-op
+    val docs = Tables.documents(spark, sf001)
+    val kept = once.select("doc_id")
+    val deduped = docs.join(kept, Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(asc("doc_id"))
+    val twice = deduped
+      .withColumn("fp", Text.wordSetFingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(twice.count() == once.count())
+  }
+
+  test("q22 token frequencies sum to the corpus token count") {
+    val freqSum = Text.q22(spark, sf001).agg(sum("freq")).collect().head.getLong(0)
+    val tokens = Tables.documents(spark, sf001)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(freqSum == tokens)
+  }
+}
