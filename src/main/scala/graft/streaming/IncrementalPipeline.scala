@@ -1,0 +1,147 @@
+package graft.streaming
+
+import graft.ops.Convert
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.sql.Timestamp
+
+/** x04_stream_incremental: the reference pipeline's core semantics —
+  * "pick up unprocessed rows, convert, append, mark processed, exactly
+  * once" (`dags/order_currency_conversion_dag.py:87-157`) — re-expressed
+  * for Spark's execution model (SURVEY.md §7.4).
+  *
+  * The reference's machinery maps as:
+  *  - `SELECT ... WHERE processed_at IS NULL ... FOR UPDATE` (:87-95)
+  *    → LEFT ANTI join against a processed-ids LEDGER (q07's primitive);
+  *  - `UPDATE orders SET processed_at = ...` writeback (:141-150)
+  *    → append the picked ids to the ledger;
+  *  - two-phase cross-DB commit (:156-157) → the same commit ORDER (target
+  *    append first, ledger second): a crash between the two re-delivers the
+  *    batch (at-least-once), and the target PK that deduped replays in the
+  *    reference (`init/postgres-2/init.sql:2`, §2.1.6) → [[targetView]]'s
+  *    keep-first dedup on order_id (exactly-once effect via idempotency);
+  *  - `LIMIT 30000` batch cap (:91) → deterministic `orderBy.limit` pick;
+  *  - hourly schedule (:14) → either driver-looped [[runBatch]] or the
+  *    [[stream]] form with a micro-batch trigger + checkpoint.
+  *
+  * Scale notes (100 TB): pickup is one anti hash-join of source against
+  * the ledger keyed by order_id; conversion is the broadcast-join kernel
+  * (shuffle-free); both appends are partition-parallel writes. The ledger
+  * stays O(processed ids); compact it periodically (or age it out once
+  * source partitions are immutable-and-complete) exactly like any
+  * streaming state store.
+  */
+object IncrementalPipeline {
+
+  final case class BatchResult(picked: Long, appended: Long)
+
+  private def readParquetOrEmpty(spark: SparkSession, dir: String, like: DataFrame): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        like.schema)
+
+  /** Convert one picked batch to the orders_eur target shape
+    * (`init/postgres-2/init.sql:1-11`): reference-exact semantics — EUR
+    * branch skips conversion and rounding, missing rate defaults to 1.0,
+    * HALF_EVEN 2-dp round, one batch-constant timestamp.
+    */
+  def convertBatch(batch: DataFrame, rates: DataFrame, batchTs: Timestamp): DataFrame = {
+    val joined = batch.join(broadcast(rates), Seq("currency"), "left")
+    joined.select(
+      col("order_id"),
+      col("customer_email"),
+      col("order_date"),
+      col("amount").as("original_amount"),
+      col("currency").as("original_currency"),
+      Convert.convertExact(col("amount"), col("currency"), col("rate"))
+        .cast("decimal(12,2)").as("amount_eur"),
+      coalesce(col("rate"), lit(1.0)).cast("decimal(16,6)").as("exchange_rate"),
+      lit(batchTs).as("exchange_rate_date"),
+      lit(batchTs).as("processed_at"))
+  }
+
+  /** One incremental run. Idempotent under re-delivery: pickup anti-joins
+    * the ledger, so an already-ledgered order is never converted twice, and
+    * a crash after the target append but before the ledger append only
+    * duplicates rows that [[targetView]] dedups by order_id.
+    */
+  def runBatch(
+      spark: SparkSession,
+      sourceDir: String,
+      targetDir: String,
+      ledgerDir: String,
+      rates: DataFrame,
+      batchTs: Timestamp,
+      maxBatch: Int = 30000): BatchResult = {
+    val source = spark.read.parquet(sourceDir)
+    val ledger = readParquetOrEmpty(spark, ledgerDir,
+      source.select(col("order_id"), lit(batchTs).as("processed_at")))
+
+    // R2+R3: unprocessed pickup, capped — deterministic order (D1) instead
+    // of the reference's bare LIMIT
+    val picked = source
+      .join(ledger.select("order_id"), Seq("order_id"), "left_anti")
+      .orderBy("order_id")
+      .limit(maxBatch)
+      .cache()
+    val nPicked = picked.count()
+    if (nPicked == 0) return BatchResult(0, 0) // R6 early exit
+
+    // commit order mirrors the reference (:156-157): target THEN ledger
+    convertBatch(picked, rates, batchTs)
+      .write.mode("append").parquet(targetDir)
+    picked.select(col("order_id"), lit(batchTs).as("processed_at"))
+      .write.mode("append").parquet(ledgerDir)
+    picked.unpersist()
+    BatchResult(nPicked, nPicked)
+  }
+
+  /** The target with PK semantics enforced on read: keep-first per
+    * order_id (earliest processed_at wins) — the explicit form of the
+    * reference target's PRIMARY KEY dedup guard.
+    */
+  def targetView(spark: SparkSession, targetDir: String): DataFrame = {
+    val w = Window.partitionBy(col("order_id"))
+      .orderBy(asc("processed_at"), asc("exchange_rate_date"))
+    spark.read.parquet(targetDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Streaming form: micro-batches through foreachBatch with the same
+    * idempotent append. The checkpoint replays an unacknowledged batch on
+    * restart (at-least-once); the ledger anti-join inside the batch makes
+    * the replay a no-op (exactly-once effect).
+    */
+  def stream(
+      orders: DataFrame,
+      targetDir: String,
+      ledgerDir: String,
+      rates: DataFrame,
+      checkpointDir: String): StreamingQuery =
+    orders.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val ts = new Timestamp(0L) // deterministic per-test; prod: trigger time
+        val ledger = readParquetOrEmpty(spark, ledgerDir,
+          batch.select(col("order_id"), lit(ts).as("processed_at")))
+        val fresh = batch
+          .join(ledger.select("order_id"), Seq("order_id"), "left_anti")
+          .cache()
+        if (!fresh.isEmpty) {
+          convertBatch(fresh, rates, ts)
+            .write.mode("append").parquet(targetDir)
+          fresh.select(col("order_id"), lit(ts).as("processed_at"))
+            .write.mode("append").parquet(ledgerDir)
+        }
+        fresh.unpersist()
+        ()
+      }
+      .start()
+}

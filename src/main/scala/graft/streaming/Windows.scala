@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** x03_stream_tumbling: Structured Streaming tumbling window + watermark
+  * (SURVEY.md §2.3 x03).
+  *
+  * The streaming form of q19: the reference's hourly batch cadence
+  * (`dags/order_currency_conversion_dag.py:14`) becomes a tumbling event-time
+  * window, and its daily rate-cache cutoff (R18) generalizes to the
+  * watermark — the declared bound on how late data may arrive before it is
+  * dropped. Append output mode emits each window exactly once, when the
+  * watermark passes the window end.
+  *
+  * At scale this is a streaming hash aggregate: state is one row per
+  * (window, event_type) kept in the state store, pruned by the watermark —
+  * bounded state, no unbounded replay.
+  */
+object Windows {
+
+  /** Watermarked tumbling-window aggregate over a (ts, event_type, value)
+    * stream. Works identically on a batch DataFrame (watermark is a no-op
+    * there), which is how the batch/stream parity test pins semantics.
+    */
+  def tumbling(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import java.nio.file.Files
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class SrcOrder(
+    order_id: String, customer_email: String, order_date: Timestamp,
+    amount: java.math.BigDecimal, currency: String)
+
+/** Streaming semantics (SURVEY.md §5.4): watermark late-data drop (x03) and
+  * no-duplicate-on-redelivery for the incremental pipeline (x04).
+  */
+class StreamingSpec extends SparkSuite {
+  import graft.streaming.{Windows, IncrementalPipeline => IP}
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("x03: tumbling window emits once; late event beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Windows.tumbling(input.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("x03out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2026-01-01 10:05:00"), "A", 1.0),
+        Ev(ts("2026-01-01 10:20:00"), "A", 2.0),
+        Ev(ts("2026-01-01 11:05:00"), "B", 3.0))
+      q.processAllAvailable()
+      // watermark 10:55 — the 10:00 window is still open, nothing emitted
+      assert(spark.table("x03out").count() == 0)
+
+      input.addData(Ev(ts("2026-01-01 12:00:00"), "A", 9.0))
+      q.processAllAvailable()
+      // watermark 11:50 closes the 10:00 window: A x2, total 3.0
+      val w10 = spark.table("x03out")
+        .filter(col("window_start") === ts("2026-01-01 10:00:00")).collect()
+      assert(w10.length == 1)
+      assert(w10.head.getAs[String]("event_type") == "A")
+      assert(w10.head.getAs[Long]("n_events") == 2)
+
+      // a late event 80 min behind the watermark must be DROPPED, and the
+      // already-emitted window must not re-emit
+      input.addData(
+        Ev(ts("2026-01-01 10:30:00"), "A", 100.0), // late
+        Ev(ts("2026-01-01 13:00:00"), "C", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("x03out").collect()
+      val w10rows = out.filter(_.getAs[Timestamp]("window_start") ==
+        ts("2026-01-01 10:00:00"))
+      assert(w10rows.length == 1, "late data must not re-open the window")
+      assert(w10rows.head.getAs[java.math.BigDecimal]("total_value")
+        .doubleValue == 3.0, "late value must not be counted")
+      // watermark 12:50 closed the 11:00 window with exactly the B event
+      val w11 = out.filter(_.getAs[Timestamp]("window_start") ==
+        ts("2026-01-01 11:00:00"))
+      assert(w11.length == 1 && w11.head.getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  private def ratesDf = {
+    import spark.implicits._
+    Seq(("EUR", 1.0), ("USD", 1.1), ("GBP", 0.85), ("JPY", 163.0),
+      ("CNY", 7.85), ("INR", 91.2), ("BRL", 5.47), ("CAD", 1.48),
+      ("CHF", 0.95), ("SEK", 11.4)).toDF("currency", "rate")
+    // XXX and AUD deliberately absent -> default 1.0 path
+  }
+
+  test("x04 batch: incremental pickup drains the source exactly once") {
+    val root = Files.createTempDirectory("graft_x04_").toString
+    val (src, tgt, led) = (s"$root/src", s"$root/tgt", s"$root/ledger")
+    gen.OrderGen.orders(spark, 50, seed = 7).write.parquet(src)
+
+    val r1 = IP.runBatch(spark, src, tgt, led, ratesDf, ts("2026-01-02 00:00:00"), maxBatch = 30)
+    assert(r1 == IP.BatchResult(30, 30))
+    val r2 = IP.runBatch(spark, src, tgt, led, ratesDf, ts("2026-01-02 01:00:00"), maxBatch = 30)
+    assert(r2 == IP.BatchResult(20, 20))
+    // drained: the next run is the reference's early-exit empty batch (R6)
+    val r3 = IP.runBatch(spark, src, tgt, led, ratesDf, ts("2026-01-02 02:00:00"), maxBatch = 30)
+    assert(r3 == IP.BatchResult(0, 0))
+
+    val tv = IP.targetView(spark, tgt)
+    assert(tv.count() == 50)
+    assert(tv.select("order_id").distinct().count() == 50)
+    // conversion semantics spot check: EUR rows keep their amount
+    val eur = tv.filter(col("original_currency") === "EUR")
+      .filter(col("amount_eur") =!= col("original_amount"))
+    assert(eur.count() == 0)
+  }
+
+  test("x04 batch: replayed append is invisible through the PK view") {
+    val root = Files.createTempDirectory("graft_x04r_").toString
+    val (src, tgt, led) = (s"$root/src", s"$root/tgt", s"$root/ledger")
+    gen.OrderGen.orders(spark, 20, seed = 11).write.parquet(src)
+    IP.runBatch(spark, src, tgt, led, ratesDf, ts("2026-01-02 00:00:00"))
+    // crash between target append and ledger append, then re-run: the same
+    // rows land in the target twice (at-least-once) with a later timestamp
+    val replay = spark.read.parquet(src).orderBy("order_id").limit(10)
+    IP.convertBatch(replay, ratesDf, ts("2026-01-02 05:00:00"))
+      .write.mode("append").parquet(tgt)
+    assert(spark.read.parquet(tgt).count() == 30) // raw: duplicates present
+    val tv = IP.targetView(spark, tgt)
+    assert(tv.count() == 20) // PK view: exactly once
+    // keep-first: the original (earlier) conversion wins, as the reference's
+    // PK insert-reject does
+    val kept = tv.filter(col("order_id").isin(
+        replay.select("order_id").collect().map(_.getString(0)).toSeq: _*))
+      .select("processed_at").distinct().collect()
+    assert(kept.length == 1 &&
+      kept.head.getTimestamp(0) == ts("2026-01-02 00:00:00"))
+  }
+
+  test("x04 stream: checkpoint-lost redelivery does not duplicate output") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_x04s_").toString
+    val (tgt, led) = (s"$root/tgt", s"$root/ledger")
+    val input = MemoryStream[SrcOrder]
+    def order(i: Int) = SrcOrder(f"ord$i%04d", s"a$i@example.com",
+      ts("2026-01-01 00:00:00"), new java.math.BigDecimal(s"$i.50"),
+      if (i % 2 == 0) "EUR" else "USD")
+    input.addData((1 to 5).map(order): _*)
+
+    val q1 = IP.stream(input.toDF(), tgt, led, ratesDf, s"$root/ckpt1")
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(tgt).count() == 5)
+
+    // lose the checkpoint -> the source replays from scratch (worst-case
+    // at-least-once); the ledger anti-join must make the replay a no-op
+    val q2 = IP.stream(input.toDF(), tgt, led, ratesDf, s"$root/ckpt2")
+    q2.processAllAvailable()
+    input.addData(order(6)) // and new data still flows
+    q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(tgt)
+    assert(out.count() == 6, "replayed batch must not append duplicates")
+    assert(out.select("order_id").distinct().count() == 6)
+  }
+}
