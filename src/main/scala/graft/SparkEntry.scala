@@ -39,11 +39,17 @@ object SparkEntry {
     "q22_text_tokens"      -> ((s, d) => ops.Text.q22(s, d)),
     "q23_array_ops"        -> ((s, d) => ops.Functions.q23(s, d)),
     "q24_udaf_weighted_avg" -> ((s, d) => functions.WeightedAvg.q24(s, d)),
+    "q25_lang_id"          -> ((s, d) => ops.TextAnalysis.q25(s, d)),
+    "q26_quality_score"    -> ((s, d) => ops.TextAnalysis.q26(s, d)),
+    "q27_token_count"      -> ((s, d) => ops.TextAnalysis.q27(s, d)),
+    "q28_fingerprint"      -> ((s, d) => ops.TextAnalysis.q28(s, d)),
     // Non-declared extensions: no SQL oracle (LSH bucketing / double scores /
     // sketches) => driver records rows-only; semantics covered by ScalaTest.
     "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
     "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
-    "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d))
+    "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d)),
+    "x06_ann_simhash"      -> ((s, d) => ops.Vector.x06(s, d)),
+    "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -71,6 +77,10 @@ object SparkEntry {
     "q21_dedup_exact"      -> ops.Text.q21Sql,
     "q22_text_tokens"      -> ops.Text.q22Sql,
     "q23_array_ops"        -> ops.Functions.q23Sql,
-    "q24_udaf_weighted_avg" -> functions.WeightedAvg.q24Sql
+    "q24_udaf_weighted_avg" -> functions.WeightedAvg.q24Sql,
+    "q25_lang_id"          -> ops.TextAnalysis.q25Sql,
+    "q26_quality_score"    -> ops.TextAnalysis.q26Sql,
+    "q27_token_count"      -> ops.TextAnalysis.q27Sql,
+    "q28_fingerprint"      -> ops.TextAnalysis.q28Sql
   )
 }

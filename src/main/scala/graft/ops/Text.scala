@@ -163,4 +163,76 @@ object Text {
   def x02(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
       .orderBy("doc_a", "doc_b")
+
+  // ---- x07: SimHash near-duplicate detection ----
+
+  /** 64-bit SimHash signature per document: each word's xxhash64 votes
+    * +1/-1 on every bit position; the sign of the per-bit sum becomes the
+    * bit. One explode + one shuffle on doc id (64 map-side partial sums).
+    */
+  def simhashText(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 2): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val h = xxhash64(col("sh"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a + b).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance <= maxHamming. Candidates
+    * come from a self-join on signature chunks: with `numChunks` chunks,
+    * any pair within Hamming (numChunks - 1) shares at least one identical
+    * chunk (pigeonhole), so recall is exact — never an all-pairs
+    * comparison. More/smaller chunks widen the guaranteed radius but grow
+    * the candidate set (each chunk bucket holds ~n/2^chunkBits docs);
+    * 8×8-bit suits a near-dup radius of 7, drop to 4×16-bit at corpus
+    * sizes where 8-bit buckets get too dense.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 7,
+      numChunks: Int = 8): DataFrame = {
+    require(64 % numChunks == 0 && maxHamming < numChunks)
+    val chunkBits = 64 / numChunks
+    val mask = (1L << chunkBits) - 1
+    val sig = simhashText(docs, idCol, textCol)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until numChunks).map(j =>
+        struct(lit(j).as("j"),
+          shiftright(col("simhash"), j * chunkBits).bitwiseAND(mask).as("c"))): _*))
+        .as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.j").as("j"), col("ch.c").as("c"))
+    val a = chunks.select(col("j"), col("c"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunks.select(col("j"), col("c"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("j", "c"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** x07_simhash_dedup: SimHash near-dup pairs over `documents` —
+    * rows-only check; agreement with the minhash detector is pinned in
+    * TextSpec.
+    */
+  def x07(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
 }

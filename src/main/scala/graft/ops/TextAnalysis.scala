@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator set for the training-data pipeline (north-star;
+  * SURVEY.md §2.3 q25–q28): language-ID heuristic, quality scoring, token
+  * counting, and document fingerprinting.
+  *
+  * Everything is native column expressions over higher-order functions —
+  * one parquet scan, zero shuffles except the final oracle ORDER BY; the
+  * per-document work is map-side and codegen-friendly, which is exactly
+  * what you want when the corpus is 100 TB: these ops cost one pass.
+  *
+  * Cross-engine notes: ratios are single IEEE divisions of exact integer
+  * counts (bit-identical in Spark and DuckDB); regexes are character-class
+  * only (identical under Java regex and RE2, rule D6); the fingerprint is
+  * a polynomial rolling hash in exact Long arithmetic mod 1e9+7, folded
+  * left-to-right in both engines.
+  */
+object TextAnalysis {
+
+  /** English function words present in the fixture vocabulary. A real
+    * deployment would carry one profile per language; the operator shape
+    * (set intersect over distinct tokens / ratio / threshold) is the same.
+    */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** q25_lang_id: stopword-ratio language heuristic. ratio = |distinct
+    * tokens ∩ profile| / |distinct tokens|; classify 'en' above threshold.
+    */
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    val types = array_distinct(words(col("text")))
+    val hits  = size(array_intersect(types, array(stopwordsEn.map(lit): _*)))
+    val ratio = hits.cast("double") / size(types).cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        size(types).cast("int").as("n_types"),
+        hits.cast("int").as("n_stopwords"),
+        ratio.as("stopword_ratio"),
+        when(ratio >= 0.05, lit("en")).otherwise(lit("und")).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  val q25Sql: String = {
+    val set = stopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_types,
+       |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $set)) AS INTEGER) AS n_stopwords,
+       |       CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $set)) AS DOUBLE)
+       |         / CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) AS stopword_ratio,
+       |       CASE WHEN CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $set)) AS DOUBLE)
+       |                 / CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE) >= 0.05
+       |            THEN 'en' ELSE 'und' END AS predicted
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q26_quality_score: length/type-token-ratio/word-length quality
+    * signals with a composite keep/drop flag — the standard cheap filters
+    * before expensive pipeline stages.
+    */
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    val ws      = words(col("text"))
+    val nTokens = size(ws)
+    val nTypes  = size(array_distinct(ws))
+    val ttr     = nTypes.cast("double") / nTokens.cast("double")
+    val awl     = (length(col("text")) - (nTokens - 1)).cast("double") /
+      nTokens.cast("double")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        nTokens.cast("int").as("n_tokens"),
+        nTypes.cast("int").as("n_types"),
+        ttr.as("type_token_ratio"),
+        awl.as("avg_word_len"),
+        (nTokens.between(20, 90) && ttr >= lit(0.25)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q26Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+      |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_types,
+      |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS type_token_ratio,
+      |       CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+      |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len,
+      |       (len(string_split(lower(text), ' ')) BETWEEN 20 AND 90)
+      |         AND (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.25) AS keep
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** q27_token_count: whitespace tokens vs regex (BPE-ish pre-tokenizer)
+    * tokens vs characters — the three budget units a training pipeline
+    * tracks. The regex splits letter runs, digit runs, and single symbols.
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("int").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("int")
+          .as("re_tokens"),
+        length(col("text")).cast("int").as("n_chars"))
+      .orderBy("doc_id")
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS re_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Polynomial rolling hash of a string, base 31 mod 1e9+7, folded over
+    * code points left-to-right — engine-portable exact Long arithmetic
+    * (unlike xxhash64/DuckDB hash, whose implementations differ).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(text, lit("."), lit(0)),
+        c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => pmod(h * 31L + c, lit(1000000007L)))
+
+  /** q28_fingerprint: rolling-hash document fingerprint, both raw and
+    * content-normalized (sorted distinct words) — the cheap equality key
+    * for exact and normalized dedup at scale.
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        rollingHash(col("text")).as("fp_raw"),
+        rollingHash(Text.wordSetFingerprint(col("text"))).as("fp_normalized"))
+      .orderBy("doc_id")
+
+  val q28Sql: String = {
+    def fold(e: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(regexp_extract_all($e, '.'), c -> CAST(unicode(c) AS BIGINT))),
+         |  (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+    s"""SELECT doc_id,
+       |       ${fold("text")} AS fp_raw,
+       |       ${fold("array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')")} AS fp_normalized
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+}

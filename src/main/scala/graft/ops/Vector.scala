@@ -93,4 +93,90 @@ object Vector {
     cosineTopK(emb, emb.filter(col("vec_id") < 8))
       .orderBy("probe_id", "rank")
   }
+
+  /** LSH-bucketed approximate top-k — the scale path when the probe set is
+    * too large to broadcast against a full corpus scan: both sides key by
+    * SimHash bucket, the join touches only same-bucket (plus, with
+    * `multiProbe`, Hamming-1-adjacent) candidates, and cosine is computed
+    * per candidate instead of per corpus row. Trades recall for a
+    * candidate set ~`2^-bits` of the corpus per probed bucket.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bits: Int = 4,
+      k: Int = 10,
+      multiProbe: Boolean = true): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .withColumn("bucket", simhashBucket(col("c_vec"), dim, bits))
+    val p0 = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
+      .withColumn("p_norm", l2Norm(col("p_vec")))
+      .withColumn("home", simhashBucket(col("p_vec"), dim, bits))
+    // multi-probe: also search every bucket one sign-flip away (Hamming 1)
+    val p =
+      if (!multiProbe) p0.withColumn("bucket", col("home"))
+      else p0.withColumn("bucket",
+        explode(array(col("home") +:
+          (0 until bits).map(i => col("home").bitwiseXOR(lit(1L << i))): _*)))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(p, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosine(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .distinct() // a candidate can surface via several probed buckets
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket (plus Hamming-1) candidate
+    * join, exact cosine verification at `minCosine` — the vector analog of
+    * Text.minhashPairs, never all-pairs. Returns (id_a, id_b, cosine) with
+    * id_a < id_b.
+    */
+  def cosinePairs(
+      corpus: DataFrame,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      bits: Int = 4,
+      minCosine: Double = 0.95): DataFrame = {
+    val v = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", l2Norm(col("vec")))
+      .withColumn("home", simhashBucket(col("vec"), dim, bits))
+    // near-identical vectors may still straddle a hyperplane: probe the
+    // Hamming-1 neighborhood of one side so boundary pairs are not lost
+    val a = v.withColumn("bucket",
+        explode(array(col("home") +:
+          (0 until bits).map(i => col("home").bitwiseXOR(lit(1L << i))): _*)))
+      .select(col("bucket"), col("id").as("id_a"),
+        col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = v.select(col("home").as("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b"))
+          .as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** x06_ann_simhash: the LSH-bucketed variant of x01 on the same probe
+    * set — rows-only check; recall vs the brute-force baseline is pinned
+    * in VectorSpec.
+    */
+  def x06(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annTopK(emb, emb.filter(col("vec_id") < 8), dim = 64)
+      .orderBy("probe_id", "rank")
+  }
 }

@@ -48,6 +48,28 @@ class TextSpec extends SparkSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("simhash LSH finds the planted near-dup, not the unrelated doc") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Text.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("x07 simhash agrees with the minhash detector on the sf0.01 corpus") {
+    val mh = Text.x02(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Text.x07(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.size >= 20, s"expected >=20 simhash pairs, got ${sh.size}")
+    // two independent detectors over the same corpus: simhash radius 7 is
+    // the stricter criterion, so its pairs must be a subset of minhash's
+    assert((sh -- mh).isEmpty, s"simhash-only pairs: ${sh -- mh}")
+  }
+
   test("fingerprint dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Text.q21(spark, sf001)
     // applying the same keep-first rule to an already-deduped set is a no-op

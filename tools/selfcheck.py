@@ -56,8 +56,9 @@ def main():
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            odf = con.sql(sql).fetchall()
-            ocols = [d[0] for d in con.sql(sql).description]
+            rel = con.sql(sql)
+            ocols = [d[0] for d in rel.description]
+            odf = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
         sdf_rel = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
