@@ -1,0 +1,163 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Multimodal asset handling for the training-data pipeline (north-star):
+  * images / audio / video as opaque BINARY columns with typed metadata,
+  * processed per-partition with typed Datasets.
+  *
+  * The container has no media codecs, so the CODEC layer is a clearly
+  * marked deterministic STUB ([[Codec]]): media bytes are treated as
+  * already-decoded raw planes (RGB for images, PCM for audio, stacked
+  * grayscale frames for video). Everything Spark-side is real and tested —
+  * the schema, the `mapPartitions`/`flatMap` batch shape (one iterator per
+  * partition, no per-row task overhead, bounded memory), the metadata
+  * propagation, and the composition with the vector ops (featurize →
+  * `graft.ops.Vector.cosineTopK`).
+  *
+  * Scale notes (100 TB of media): assets are the classic "few KB to few MB
+  * per row" blob table — size partitions by bytes, not rows
+  * (`spark.sql.files.maxPartitionBytes`), keep blobs OUT of shuffles
+  * (featurize first, shuffle the 256-float vector, never the media), and
+  * push frame sampling into the scan partition so dropped frames are never
+  * materialized downstream.
+  */
+object Multimodal {
+
+  case class AssetMeta(
+      width: Int, height: Int, sampleRate: Int, nFrames: Int, format: String)
+  case class Asset(
+      asset_id: Long, kind: String, media: Array[Byte], meta: AssetMeta)
+  case class AssetFeature(asset_id: Long, kind: String, embedding: Array[Float])
+  case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB codec boundary. A real deployment replaces these bodies with an
+    * image/audio library call (JPEG/PNG decode, PCM resample, H.264 frame
+    * extraction); signatures and call sites are the production shape.
+    */
+  object Codec {
+    /** "Decode" an image: the fixture bytes ARE the raw W*H*3 RGB plane. */
+    def decodeImage(media: Array[Byte], meta: AssetMeta): Array[Byte] = media
+
+    /** "Decode" one video frame: frame f is the f-th W*H slice. */
+    def decodeFrame(media: Array[Byte], meta: AssetMeta, f: Int): Array[Byte] = {
+      val sz = meta.width * meta.height
+      java.util.Arrays.copyOfRange(media, f * sz, (f + 1) * sz)
+    }
+  }
+
+  /** Deterministic synthetic assets (splitmix64 stream per (seed, id)) —
+    * the fixture generator for tests; distributed, reproducible at any
+    * parallelism like gen.OrderGen.
+    */
+  def syntheticAssets(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val meta = kind match {
+        case "image" => AssetMeta(16, 16, 0, 1, "raw-rgb")
+        case "audio" => AssetMeta(0, 0, 8000, 1, "raw-pcm")
+        case _       => AssetMeta(8, 8, 0, 12, "raw-gray-frames")
+      }
+      val len = kind match {
+        case "image" => meta.width * meta.height * 3
+        case "audio" => meta.sampleRate / 4 // 250ms clip
+        case _       => meta.width * meta.height * meta.nFrames
+      }
+      Asset(id, kind, bytes(seed, id, len), meta)
+    }
+  }
+
+  private def bytes(seed: Long, id: Long, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var x = seed * 0x9E3779B97F4A7C15L + id
+    var i = 0
+    while (i < n) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(i) = (z ^ (z >>> 31)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Feature-extract every asset into a `dim`-float embedding: decode
+    * (stub), then bucket-pool byte intensities. Runs as one iterator pass
+    * per partition; only (id, kind, vector) leaves the operator, so
+    * downstream shuffles never carry media bytes.
+    */
+  def featurize(assets: Dataset[Asset], dim: Int = 64): Dataset[AssetFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val decoded = a.kind match {
+          case "image" => Codec.decodeImage(a.media, a.meta)
+          case _       => a.media
+        }
+        val acc = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < decoded.length) {
+          val b = decoded(i) & 0xFF
+          val k = (i * dim) / math.max(decoded.length, 1)
+          acc(k) += b / 255.0f
+          cnt(k) += 1
+          i += 1
+        }
+        var k = 0
+        while (k < dim) { if (cnt(k) > 0) acc(k) /= cnt(k); k += 1 }
+        AssetFeature(a.asset_id, a.kind, acc)
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of raw RGB images; non-images pass through.
+    * The resample itself is real (it runs on the raw plane); only the
+    * codec decode/encode on either side is the stub.
+    */
+  def resizeImages(assets: Dataset[Asset], outW: Int, outH: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map {
+        case a if a.kind == "image" =>
+          val src = Codec.decodeImage(a.media, a.meta)
+          val (w, h) = (a.meta.width, a.meta.height)
+          val out = new Array[Byte](outW * outH * 3)
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              var c = 0
+              while (c < 3) {
+                out((y * outW + x) * 3 + c) = src((sy * w + sx) * 3 + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          a.copy(media = out, meta = a.meta.copy(width = outW, height = outH))
+        case other => other
+      }
+    }
+  }
+
+  /** Sample every `everyN`-th frame of each video into its own row —
+    * a flatMap, so skipped frames are never materialized downstream.
+    */
+  def sampleFrames(assets: Dataset[Asset], everyN: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap {
+      case a if a.kind == "video" =>
+        (0 until a.meta.nFrames by everyN).map(f =>
+          Frame(a.asset_id, f, Codec.decodeFrame(a.media, a.meta, f)))
+      case _ => Seq.empty[Frame]
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, determinism, batch-shape operators, and
+  * composition with the vector search ops. The codec layer is the
+  * documented stub; everything asserted here is the real Spark surface.
+  */
+class MultimodalSpec extends SparkSuite {
+  import graft.multimodal.Multimodal
+  import graft.ops.Vector
+
+  test("synthetic assets: deterministic, typed schema, sized payloads") {
+    val a = Multimodal.syntheticAssets(spark, 12, seed = 5).collect()
+    val b = Multimodal.syntheticAssets(spark, 12, seed = 5).collect()
+    assert(a.map(_.asset_id).toSeq == b.map(_.asset_id).toSeq)
+    assert(a.zip(b).forall { case (x, y) => x.media.sameElements(y.media) })
+    a.foreach { as =>
+      as.kind match {
+        case "image" =>
+          assert(as.media.length == as.meta.width * as.meta.height * 3)
+        case "video" =>
+          assert(as.media.length ==
+            as.meta.width * as.meta.height * as.meta.nFrames)
+        case "audio" => assert(as.media.length == as.meta.sampleRate / 4)
+      }
+    }
+  }
+
+  test("featurize: fixed-dim vectors in [0,1], media bytes do not leave") {
+    val feats = Multimodal.featurize(
+      Multimodal.syntheticAssets(spark, 9, seed = 1), dim = 32)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("asset_id", "kind", "embedding"))
+    val rows = feats.collect()
+    assert(rows.length == 9)
+    rows.foreach { f =>
+      assert(f.embedding.length == 32)
+      assert(f.embedding.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+  }
+
+  test("resizeImages: raw-plane nearest-neighbor, meta updated, others untouched") {
+    val out = Multimodal.resizeImages(
+      Multimodal.syntheticAssets(spark, 9, seed = 2), 4, 4).collect()
+    out.foreach {
+      case a if a.kind == "image" =>
+        assert(a.meta.width == 4 && a.meta.height == 4)
+        assert(a.media.length == 4 * 4 * 3)
+      case a if a.kind == "video" =>
+        assert(a.meta.width == 8 && a.media.length == 8 * 8 * 12)
+      case _ => ()
+    }
+    // corner pixel of the resize is the source corner pixel (sx=sy=0)
+    val src = Multimodal.syntheticAssets(spark, 9, seed = 2).collect()
+      .filter(_.kind == "image").head
+    val dst = out.filter(_.asset_id == src.asset_id).head
+    assert(dst.media(0) == src.media(0) && dst.media(2) == src.media(2))
+  }
+
+  test("sampleFrames: every Nth frame, correct slice, nothing for non-video") {
+    val assets = Multimodal.syntheticAssets(spark, 9, seed = 3)
+    val frames = Multimodal.sampleFrames(assets, everyN = 5).collect()
+    val videos = assets.collect().filter(_.kind == "video")
+    // 12 frames, stride 5 -> frames 0, 5, 10
+    assert(frames.groupBy(_.asset_id).keySet == videos.map(_.asset_id).toSet)
+    frames.groupBy(_.asset_id).values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == Seq(0, 5, 10))
+    }
+    val v = videos.head
+    val f5 = frames.filter(f => f.asset_id == v.asset_id && f.frame_idx == 5).head
+    val sz = v.meta.width * v.meta.height
+    assert(f5.frame.sameElements(v.media.slice(5 * sz, 6 * sz)))
+  }
+
+  test("end to end: featurize -> cosine top-k over asset embeddings") {
+    val feats = Multimodal.featurize(
+      Multimodal.syntheticAssets(spark, 30, seed = 4), dim = 16).toDF()
+      .withColumnRenamed("asset_id", "vec_id")
+    val probes = feats.filter(col("vec_id") < 2)
+    val topk = Vector.cosineTopK(feats, probes, k = 5).collect()
+    assert(topk.groupBy(_.getLong(0)).size == 2)
+    assert(topk.length == 10)
+  }
+}
