@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan audit: the scale properties the engine promises (SURVEY.md
+  * §4) must be visible in the executed plans, not just intended — pruned
+  * scans, pushed filters, broadcast dimension joins, top-k without a global
+  * sort, and no accidental cartesian products anywhere.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: projection prunes the parquet scan to the selected columns") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"))
+    assert(!readSchema.contains("l_shipdate"), "unused column must be pruned")
+    assert(!readSchema.contains("l_quantity"), "unused column must be pruned")
+  }
+
+  test("q02: filters are pushed down to the parquet scan") {
+    val p = plan("q02_filter_limit")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_quantity"),
+      s"expected both predicates pushed, got: $pushed")
+  }
+
+  test("q03: rate and currency dims join as broadcasts, no shuffle for them") {
+    val p = plan("q03_convert_currency")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "both dimension joins must be broadcast hash joins")
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q13_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("no declared or extension query contains a cartesian product") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name has a cartesian product — never acceptable at scale")
+    }
+  }
+
+  test("x01/x06: the only nested-loop join is against the broadcast probes") {
+    // brute-force ANN is allowed a BroadcastNestedLoopJoin (bounded by the
+    // tiny probe side); everything else must be hash/sort-merge joins
+    SparkEntry.queries.keys.filterNot(Set("x01_vector_cosine")).foreach { n =>
+      assert(!plan(n).contains("BroadcastNestedLoopJoin"),
+        s"$n uses a nested-loop join")
+    }
+    assert(plan("x01_vector_cosine").contains("BroadcastNestedLoopJoin"))
+  }
+}
