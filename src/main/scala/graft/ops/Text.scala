@@ -83,19 +83,25 @@ object Text {
 
   /** Near-duplicate pairs via minhash + banded LSH + exact verification.
     *
-    * Pipeline (all native column expressions, three shuffles total):
-    *   1. shingle: distinct word-n-grams per doc (map-side);
+    * Pipeline (all native column expressions, ONE wide shuffle total):
+    *   1. shingle: distinct word-n-grams per doc, kept as an array column
+    *      (map-side);
     *   2. signature: `numHashes` independent hash functions
-    *      h_i(s) = xxhash64(i, s), min-aggregated per doc (shuffle on doc id
-    *      with map-side partial min);
+    *      h_i(s) = xxhash64(i, s), each `array_min(transform(...))` — a pure
+    *      per-row projection, NO groupBy shuffle: signature computation is
+    *      embarrassingly parallel, exactly what you want on 100 TB;
     *   3. banding: signature split into `bands` bands of `rows` hashes;
     *      each band hashed to one bucket key; explode to (band, sig, doc);
-    *   4. candidates: self-join on (band, sig) with doc_a < doc_b (shuffle
-    *      on bucket key — the LSH step that replaces the O(n²) cross join);
-    *   5. verify: exact Jaccard on candidates only, keep >= `threshold`.
+    *   4. candidates: self-join on (band, sig) with doc_a < doc_b — the one
+    *      shuffle, and the LSH step that replaces the O(n²) cross join;
+    *   5. verify: exact Jaccard per candidate via `array_intersect` of the
+    *      two shingle arrays — two broadcast-scale joins back to the
+    *      (id, shingles) projection, no token explosion.
     *
     * Detection probability for a pair at Jaccard J is 1-(1-J^rows)^bands —
-    * 0.9998 at J=0.9 with the 8×4 default.
+    * 0.9998 at J=0.9 with the 8×4 default. Run exact dedup (q21) first at
+    * scale: identical documents form k² bucket cliques that verification
+    * cannot prune.
     *
     * @param docs (id, text) input
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b
@@ -111,43 +117,41 @@ object Text {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val tok = docs
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), shingleN)).as("sh"))
+    val sh = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), shingleN).as("sh"))
 
-    val sig = tok.groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_sh"),
-        (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i")): _*)
+    val minhashes = (0 until numHashes).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"m$i"))
+    // one explicit exchange after the (expensive, map-side) signature
+    // projection: every consumer below — both sides of the bucket
+    // self-join and both verification joins — hangs off the SAME shuffle
+    // subtree, so ReuseExchange computes signatures exactly once instead
+    // of once per plan branch
+    val sig = sh.select(col("doc_id") +: col("sh") +: minhashes: _*)
+      .repartition(col("doc_id"))
 
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
     }
     val buckets = sig
-      .select(col("doc_id"), col("n_sh"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("n_sh"),
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.sig").as("sig"))
 
-    val a = buckets.select(
-      col("band"), col("sig"),
-      col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val b = buckets.select(
-      col("band"), col("sig"),
-      col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    val cand = a.join(b, Seq("band", "sig"))
+    val cand = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(buckets.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "n_a", "n_b")
+      .select("doc_a", "doc_b")
       .distinct()
 
-    val ta = tok.select(col("doc_id").as("doc_a"), col("sh"))
-    val tb = tok.select(col("doc_id").as("doc_b"), col("sh"))
     cand
-      .join(ta, Seq("doc_a"))
-      .join(tb, Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .select(
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
@@ -166,27 +170,28 @@ object Text {
 
   // ---- x07: SimHash near-duplicate detection ----
 
-  /** 64-bit SimHash signature per document: each word's xxhash64 votes
+  /** 64-bit SimHash signature per document: each shingle's xxhash64 votes
     * +1/-1 on every bit position; the sign of the per-bit sum becomes the
-    * bit. One explode + one shuffle on doc id (64 map-side partial sums).
+    * bit. Computed entirely per-row over the shingle array (no explode, no
+    * groupBy shuffle): bit i's vote is 2·|{h : bit i set}| − |hashes|.
     */
   def simhashText(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 2): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
-    val h = xxhash64(col("sh"))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    val withHashes = docs.select(col(idCol).as("doc_id"),
+      transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
+    val bits = (0 until 64).map { i =>
+      val ones = size(filter(col("hs"),
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 >= size(col("hs")), lit(1L << i)).otherwise(lit(0L))
     }
-    tok.groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a + b).as("simhash"))
+    // explicit exchange for the same ReuseExchange reason as minhashPairs:
+    // the chunk self-join below must not recompute 64 bit-votes per branch
+    withHashes.select(col("doc_id"),
+      bits.reduce((a, b) => a + b).as("simhash"))
+      .repartition(col("doc_id"))
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming. Candidates
