@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DecimalType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: a conversion whose currency is literally 'EUR' is the
+  * identity — fold it to a widening cast at plan time so the per-row branch
+  * (and the division machinery behind it) never reaches the executors.
+  * The Catalyst-rule half of the §7.5 extension demo.
+  */
+object EliminateIdentityConvert extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EurConvert(amount, Literal(c: UTF8String, StringType), _)
+          if c.toString == "EUR" =>
+        Cast(amount, DecimalType(38, 8))
+    }
+}
+
+object GraftFunctions {
+  /** `eur_convert(amount, currency, rate)` SQL builder: widens the amount,
+    * applies the missing-rate default (null -> 1.0,
+    * `dags/order_currency_conversion_dag.py:108`), then the native kernel.
+    */
+  def eurConvertBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "eur_convert(amount, currency, rate)")
+    EurConvert(
+      Cast(args(0), DecimalType(28, 8)),
+      args(1),
+      new org.apache.spark.sql.catalyst.expressions.Coalesce(
+        Seq(Cast(args(2), org.apache.spark.sql.types.DoubleType),
+          Literal(1.0))))
+  }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("eur_convert")
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[EurConvert].getName, "eur_convert")
+}
+
+/** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
+  * any session; tests also register on a live session directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (GraftFunctions.identifier, GraftFunctions.info,
+        GraftFunctions.eurConvertBuilder _))
+    ext.injectOptimizerRule(_ => EliminateIdentityConvert)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Catalyst extension demo (SURVEY.md §7.5): the codegen'd EurConvert
+  * expression must match the pure-DataFrame kernel exactly, and the
+  * identity-conversion rule must fold the EUR-literal case out of the plan.
+  */
+class ExtSpec extends SparkSuite {
+  import graft.ext.{EliminateIdentityConvert, GraftFunctions}
+
+  private def registered(): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      GraftFunctions.identifier, GraftFunctions.info,
+      GraftFunctions.eurConvertBuilder _)
+
+  private val schema = StructType(Seq(
+    StructField("amount", DecimalType(18, 2)),
+    StructField("currency", StringType),
+    StructField("rate", DoubleType)))
+
+  private def bd(s: String) = new java.math.BigDecimal(s)
+
+  private val fixtures = Seq(
+    Row(bd("10.12"), "EUR", 2.0),       // identity branch
+    Row(bd("2.35"), "USD", 1.0),        // rate-1 round-trip
+    Row(bd("4.69"), "USD", 2.0),        // 2.345 -> HALF_EVEN -> 2.34
+    Row(bd("4.71"), "USD", 2.0),        // 2.355 -> HALF_EVEN -> 2.36
+    Row(bd("42.73"), "XXX", null),      // missing rate -> 1.0
+    Row(bd("100.00"), "JPY", 163.0))
+
+  test("eur_convert expression == pure-DataFrame kernel, under codegen") {
+    registered()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtures, 1), schema)
+    val out = df.select(
+      call_function("eur_convert",
+        col("amount"), col("currency"), col("rate")).as("native"),
+      ops.Convert.convertExact(
+        col("amount").cast("decimal(28,8)"), col("currency"), col("rate"))
+        .as("composed")).collect()
+    out.foreach { r =>
+      assert(r.getDecimal(0).compareTo(r.getDecimal(1)) == 0,
+        s"native=${r.getDecimal(0)} composed=${r.getDecimal(1)}")
+    }
+    // spot-check the banker's boundary through the native path
+    val vals = out.map(_.getDecimal(0).setScale(2).toString)
+    assert(vals(2) == "2.34" && vals(3) == "2.36")
+  }
+
+  test("results identical with whole-stage codegen disabled (interpreted eval)") {
+    registered()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtures, 1), schema)
+    def run() = df.select(call_function("eur_convert",
+      col("amount"), col("currency"), col("rate"))).collect().map(_.getDecimal(0))
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = run()
+      withCodegen.zip(interpreted).foreach { case (a, b) =>
+        assert(a.compareTo(b) == 0)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("optimizer rule folds the EUR-literal conversion to a cast") {
+    registered()
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ EliminateIdentityConvert
+    try {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(fixtures, 1), schema)
+        .select(call_function("eur_convert",
+          col("amount"), lit("EUR"), col("rate")).as("out"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("eur_convert"),
+        s"rule should have folded the conversion:\n$optimized")
+      // and the fold preserves values: identity on every amount
+      df.collect().zip(fixtures).foreach { case (r, f) =>
+        assert(r.getDecimal(0).compareTo(f.getDecimal(0)) == 0)
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == EliminateIdentityConvert)
+    }
+  }
+}
