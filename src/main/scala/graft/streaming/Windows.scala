@@ -37,4 +37,23 @@ object Windows {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+
+  /** Native session windows (the streaming form of q20's lag+cumsum
+    * sessionization): a session closes `gap` after its last event, and the
+    * watermark finalizes it. State per open session, pruned on close.
+    */
+  def sessionized(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_type"), col("n_events"), col("total_value"))
 }

@@ -16,6 +16,8 @@ object SparkSuite {
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[2]")
     .appName("graft-test")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh_").toString)
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

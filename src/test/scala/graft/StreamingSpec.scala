@@ -62,6 +62,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("x03 extra: native session_window splits on the gap, closes via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Windows.sessionized(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("x03sess")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2026-01-01 10:00:00"), "A", 1.0),
+        Ev(ts("2026-01-01 10:10:00"), "A", 2.0), // same session (gap 10m < 30m)
+        Ev(ts("2026-01-01 11:30:00"), "A", 5.0)) // new session (gap 80m)
+      q.processAllAvailable()
+      input.addData(Ev(ts("2026-01-01 13:00:00"), "B", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("x03sess")
+        .filter(col("event_type") === "A")
+        .orderBy("session_start").collect()
+      assert(rows.length == 2, s"expected two closed sessions, got ${rows.length}")
+      assert(rows(0).getAs[Long]("n_events") == 2)
+      // a session extends `gap` past its last event
+      assert(rows(0).getAs[Timestamp]("session_end") == ts("2026-01-01 10:40:00"))
+      assert(rows(1).getAs[Long]("n_events") == 1)
+      assert(rows(1).getAs[Timestamp]("session_start") == ts("2026-01-01 11:30:00"))
+    } finally q.stop()
+  }
+
   private def ratesDf = {
     import spark.implicits._
     Seq(("EUR", 1.0), ("USD", 1.1), ("GBP", 0.85), ("JPY", 163.0),
