@@ -81,6 +81,11 @@ object SparkEntry {
     "q25_lang_id"          -> ops.TextAnalysis.q25Sql,
     "q26_quality_score"    -> ops.TextAnalysis.q26Sql,
     "q27_token_count"      -> ops.TextAnalysis.q27Sql,
-    "q28_fingerprint"      -> ops.TextAnalysis.q28Sql
+    "q28_fingerprint"      -> ops.TextAnalysis.q28Sql,
+    // x01/x02 oracles restate the definition by brute force (cross join /
+    // all-pairs list_intersect) — viable at oracle scale, which is exactly
+    // the O(n^2) the engine-side broadcast scan + LSH avoid at data scale.
+    "x01_vector_cosine"    -> ops.Vector.x01Sql,
+    "x02_minhash_dedup"    -> ops.Text.x02Sql
   )
 }

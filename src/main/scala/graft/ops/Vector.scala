@@ -85,14 +85,40 @@ object Vector {
   }
 
   /** x01_vector_cosine: top-10 cosine neighbors for a fixed probe set
-    * (vec_id < 8). Non-declared (double-valued scores have no stable SQL
-    * oracle); rows-only check + unit tests.
+    * (vec_id < 8). Oracle-checked: the DuckDB oracle folds the dot product
+    * left-to-right exactly like [[dot]]'s sequential `aggregate`, and IEEE
+    * mul/add/div/sqrt are correctly-rounded single operations — identical
+    * operand order means bit-identical doubles in both engines.
     */
   def x01(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     cosineTopK(emb, emb.filter(col("vec_id") < 8))
       .orderBy("probe_id", "rank")
   }
+
+  /** Brute-force restatement of [[x01]] for the DuckDB oracle — the same
+    * fold order (0-prepended, left to right) the Spark kernel uses.
+    */
+  val x01Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)
+      |SELECT probe_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y) / (c.nrm * p.nrm) AS cosine,
+      |         row_number() OVER (PARTITION BY p.vec_id
+      |           ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
+      |  FROM v p, v c
+      |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
 
   /** LSH-bucketed approximate top-k — the scale path when the probe set is
     * too large to broadcast against a full corpus scan: both sides key by
