@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation helpers (SURVEY.md §4; the 100 TB power-law reality).
+  *
+  * AQE rebalances skewed SHUFFLE JOINS at runtime, but a skewed GROUP BY
+  * still funnels every row of a hot key through one task's hash-map slot
+  * before partial aggregation saves it — and when the aggregate's partial
+  * state is large (collect-style aggs, many distinct buffer cols), one
+  * reducer still owns the hot key. Salting splits each key into `buckets`
+  * sub-keys for a first exact partial pass, then combines the partials in
+  * a second, tiny pass. Works for any algebraic aggregate (sum/count/min/
+  * max here); exact because decimal/long addition is associative.
+  */
+object Skew {
+
+  /** Two-phase salted sum/count: exact results, hot keys spread over
+    * `buckets` reducers in phase 1; phase 2 aggregates `buckets` rows per
+    * key instead of the raw row count.
+    *
+    * The salt is derived from the VALUE column's hash — deterministic (D4:
+    * no rand()) and uniform regardless of how the hot key's rows are laid
+    * out across input partitions.
+    */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: Column,
+      buckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("_v", valueCol)
+      .withColumn("_salt", pmod(xxhash64(col("_v")), lit(buckets)))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(sum(col("_v")).as("_partial_sum"), count(lit(1)).as("_partial_cnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_partial_sum")).as("total"),
+        sum(col("_partial_cnt")).as("n_rows"))
+  }
+}

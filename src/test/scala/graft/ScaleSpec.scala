@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Scale-mechanics checks that don't fit a declared query: salted
+  * aggregation correctness + shape, and partition-pruned reads.
+  */
+class ScaleSpec extends SparkSuite {
+
+  test("saltedSum: exact on skewed data, two aggregate phases in the plan") {
+    import spark.implicits._
+    // power-law: one hot key with 50k rows, 100 cold keys
+    val hot  = (1 to 50000).map(i => ("hot", i.toLong))
+    val cold = (1 to 100).flatMap(k => (1 to 10).map(i => (s"k$k", i.toLong)))
+    val df = (hot ++ cold).toDF("key", "v")
+
+    val salted = ops.Skew.saltedSum(df, Seq("key"), col("v"), buckets = 8)
+    val direct = df.groupBy("key")
+      .agg(sum("v").as("total"), count(lit(1)).as("n_rows"))
+
+    val s = salted.orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d = direct.orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(s.toSeq == d.toSeq)
+
+    // two-phase: the plan must contain two distinct shuffles (salted + final)
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(salted.queryExecution.executedPlan.toString).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
+  test("partitionBy write + filter read prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part_").toString + "/orders"
+    Tables.orders(spark, sf0001)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("yr") === 1998)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("yr"), s"expected a partition filter on yr, plan line: $pf")
+
+    val expected = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) === 1998).count()
+    assert(pruned.count() == expected)
+    // control: directory layout actually split by year
+    val years = new java.io.File(dir).list().count(_.startsWith("yr="))
+    assert(years >= 3, s"expected one subdir per year, got $years")
+  }
+}
