@@ -100,6 +100,28 @@ object IncrementalPipeline {
     BatchResult(nPicked, nPicked)
   }
 
+  /** Rewrite the append-only ledger as one sorted file. The ledger grows a
+    * file per batch (like any streaming state spilled to storage); compact
+    * on a maintenance cadence so the pickup anti-join scans file counts,
+    * not file mountains. Write-then-swap keeps a crash from losing ids.
+    */
+  def compactLedger(spark: SparkSession, ledgerDir: String): Unit = {
+    val dir = new java.io.File(ledgerDir)
+    if (!dir.exists()) return
+    val tmp = ledgerDir + ".compact"
+    spark.read.parquet(ledgerDir)
+      .orderBy("order_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val bak = new java.io.File(ledgerDir + ".old")
+    dir.renameTo(bak)
+    new java.io.File(tmp).renameTo(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(bak)
+  }
+
   /** The target with PK semantics enforced on read: keep-first per
     * order_id (earliest processed_at wins) — the explicit form of the
     * reference target's PRIMARY KEY dedup guard.

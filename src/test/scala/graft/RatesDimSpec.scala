@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+/** Rates-dimension acquisition semantics (R16-R20, R25): the daily memo
+  * budget, EUR re-basing, and the missing-base failure mode.
+  */
+class RatesDimSpec extends SparkSuite {
+  import graft.sources.RatesDim
+  import graft.streaming.{IncrementalPipeline => IP}
+
+  private def cache(provider: RatesDim.RatesProvider) =
+    new RatesDim.DailyCachedRates(spark,
+      Files.createTempDirectory("graft_rates_").toString, provider)
+
+  test("provider is hit at most once per day; next day refetches") {
+    val c = cache(RatesDim.StaticProvider)
+    val d1 = LocalDate.parse("2026-01-01")
+    c.resolve(d1); c.resolve(d1); c.broadcastable(d1)
+    assert(c.fetchCount == 1, "same-day resolves must reuse the memo")
+    c.resolve(LocalDate.parse("2026-01-02"))
+    assert(c.fetchCount == 2)
+  }
+
+  test("rates are re-based to units-per-EUR (EUR exactly 1.0)") {
+    val c = cache(RatesDim.StaticProvider)
+    val rates = c.resolve(LocalDate.parse("2026-01-01"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("EUR") == 1.0)
+    assert(math.abs(rates("USD") - 1.0 / 0.92) < 1e-12)
+    assert(math.abs(rates("JPY") - 151.0 / 0.92) < 1e-12)
+  }
+
+  test("missing EUR in the response fails fast, nothing memoized") {
+    val broken = new RatesDim.RatesProvider {
+      override def fetch(day: LocalDate): Map[String, Double] =
+        Map("USD" -> 1.0)
+    }
+    val c = cache(broken)
+    intercept[IllegalStateException] {
+      c.resolve(LocalDate.parse("2026-01-01"))
+    }
+  }
+
+  test("cached dim feeds the incremental pipeline end to end") {
+    val root = Files.createTempDirectory("graft_e2e_").toString
+    gen.OrderGen.orders(spark, 25, seed = 13).write.parquet(s"$root/src")
+    val rates = cache(RatesDim.StaticProvider)
+      .broadcastable(LocalDate.parse("2026-01-01"))
+    val r = IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
+      rates, java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))
+    assert(r.picked == 25)
+    assert(IP.targetView(spark, s"$root/tgt").count() == 25)
+  }
+
+  test("ledger compaction preserves ids and pickup behavior") {
+    val root = Files.createTempDirectory("graft_compact_").toString
+    gen.OrderGen.orders(spark, 40, seed = 17).write.parquet(s"$root/src")
+    val rates = cache(RatesDim.StaticProvider)
+      .broadcastable(LocalDate.parse("2026-01-01"))
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    // 4 batches of 10 -> 4 ledger appends
+    (1 to 4).foreach { _ =>
+      IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
+        rates, ts, maxBatch = 10)
+    }
+    val before = spark.read.parquet(s"$root/ledger").count()
+    IP.compactLedger(spark, s"$root/ledger")
+    assert(spark.read.parquet(s"$root/ledger").count() == before)
+    // after compaction the source is still seen as fully drained
+    val r = IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
+      rates, ts, maxBatch = 10)
+    assert(r == IP.BatchResult(0, 0))
+  }
+}
