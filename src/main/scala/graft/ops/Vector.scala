@@ -196,6 +196,78 @@ object Vector {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN scale
+    * path: a coarse quantizer of `nlist` centroids partitions the corpus
+    * into cells; each probe searches only its `nprobe` nearest cells.
+    *
+    * The quantizer here is deterministic (centroids = the first `nlist`
+    * corpus vectors, refined by one Lloyd step computed as a DataFrame
+    * aggregate — no rand(), same result at any parallelism). Production
+    * would iterate Lloyd to convergence on a sample; the search-side
+    * plumbing (assignment join, cell-restricted candidate join, per-probe
+    * top-k) is identical and is what matters at 100 TB: the corpus
+    * shuffles ONCE on cell id, and each query touches nprobe/nlist of it.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      k: Int = 10): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // seed centroids: first nlist vectors by id (deterministic)
+    val seeds = c0.orderBy("id").limit(nlist)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+
+    def nearestCell(points: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(desc("sim"), asc("cell"))
+      points.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          cosine(col("vec"), col("cvec"), l2Norm(col("vec")), l2Norm(col("cvec"))))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= n)
+        .drop("cvec", "r")
+    }
+
+    // one Lloyd step: elementwise mean of each cell's vectors. Summed as
+    // exact decimals per (cell, position) so the result is independent of
+    // row order (float addition is not associative; collect_list order is
+    // not deterministic), then reassembled position-sorted.
+    val refined = nearestCell(c0, seeds, 1)
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
+        .cast("float").as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+
+    val assigned = nearestCell(c0, refined, 1)
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
+      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .repartition(col("cell")) // the one corpus shuffle: cluster by cell
+
+    val p = nearestCell(
+      probes.select(col(idCol).as("id"), col(vecCol).as("vec")), refined, nprobe)
+      .select(col("cell"), col("id").as("probe_id"), col("vec").as("p_vec"))
+      .withColumn("p_norm", l2Norm(col("p_vec")))
+
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    assigned.join(p, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        cosine(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** x06_ann_simhash: the LSH-bucketed variant of x01 on the same probe
     * set — rows-only check; recall vs the brute-force baseline is pinned
     * in VectorSpec.

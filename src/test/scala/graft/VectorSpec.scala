@@ -85,6 +85,24 @@ class VectorSpec extends SparkSuite {
     assert(pairs == Set((3L, 99L)))
   }
 
+  test("IVF top-k: recall beats the simhash path at equal candidate budget") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val brute = Vector.x01(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // nprobe/nlist = 4/16 -> ~25% of the corpus searched per probe
+    val ivf = Vector.ivfTopK(emb, probes, nlist = 16, nprobe = 4).collect()
+    val ivfSets = ivf.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (p, bs) =>
+      (bs intersect ivfSets.getOrElse(p, Set.empty)).size.toDouble / bs.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"IVF mean recall@10 = $mean")
+    // determinism: same call twice, identical rows
+    val again = Vector.ivfTopK(emb, probes, nlist = 16, nprobe = 4).collect()
+    assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("simhashBucket: identical vectors collide, bucket is stable") {
     val df = Seq(
       (1L, Array.tabulate(8)(i => (i + 1).toFloat)),
