@@ -10,6 +10,16 @@ class PlanSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** Plan after execution — collect() drives THIS queryExecution, so AQE
+    * finalizes in place and codegen stage markers become visible. (A write
+    * would build a separate execution and leave this plan un-finalized.)
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q01: projection prunes the parquet scan to the selected columns") {
     val p = plan("q01_scan_project")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
@@ -33,6 +43,24 @@ class PlanSpec extends SparkSuite {
 
   test("q13: top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan("q13_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q08: map-side partial aggregation before the shuffle, inside codegen") {
+    val p = finalPlan("q08_agg_group")
+    assert(p.contains("partial_sum"),
+      "the hash aggregate must combine map-side — the shuffle carries " +
+        "one row per (mapper, group), not per input row")
+    // simple-mode plan strings mark codegen'd operators with a "*(stage)"
+    // prefix; the partial aggregate must carry one
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      s"the partial hash aggregate must run generated code:\n$p")
+  }
+
+  test("q04: small dims broadcast; fact-side aggregation is partial-first") {
+    val p = plan("q04_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "nation and region must broadcast, not shuffle")
+    assert(p.contains("partial_sum") || p.contains("Partial"))
   }
 
   test("no declared or extension query contains a cartesian product") {
