@@ -24,21 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** q01_scan_project: scan + explicit projection (R1, R5). */
+  /** q01_scan_project: scan + explicit projection (R1, R5). ORDER BY spans
+    * every projected column: (l_orderkey, l_linenumber) is NOT unique in
+    * the fixtures at sf0.1+, and a partial order hash-mismatches on tie
+    * groups (D1 requires the full column set when no unique key exists).
+    */
   def q01(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus", "l_extendedprice")
 
   val q01Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
       |       l_returnflag, l_linestatus, l_extendedprice
       |FROM lineitem
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |         l_returnflag, l_linestatus, l_extendedprice""".stripMargin
 
   /** q02_filter_limit: predicate + deterministic limit (R2, R3 with D1's
     * total order replacing the reference's nondeterministic bare LIMIT).
+    * The order spans all projected columns (see q01): boundary ties then
+    * carry identical projected tuples, so the emitted 30 000 rows are
+    * value-deterministic whichever source rows win the tie.
     */
   def q02(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -46,14 +55,15 @@ object Relational {
         && col("l_quantity") > 25)
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity",
         "l_returnflag")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity",
+        "l_returnflag")
       .limit(30000)
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity, l_returnflag
       |FROM lineitem
       |WHERE l_shipdate < TIMESTAMP '1998-06-01 00:00:00' AND l_quantity > 25
-      |ORDER BY l_orderkey, l_linenumber
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity, l_returnflag
       |LIMIT 30000""".stripMargin
 
   /** q04_join_multiway: 5-table star — revenue by region/nation (exact
