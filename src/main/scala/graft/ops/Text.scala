@@ -25,15 +25,30 @@ import org.apache.spark.sql.expressions.Window
   */
 object Text {
 
+  /** Let-binding via a single-element transform: binds `e` to a lambda
+    * variable so the references inside `f` read an evaluated value. Without
+    * this, Catalyst inlines projected expressions at every use site and
+    * interpreted lambdas get no common-subexpression elimination — an
+    * expression referenced per array element is re-evaluated per element.
+    */
+  def bound(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** Distinct word-n-gram shingles of lowercased `text`, as an array column.
-    * Pure higher-order functions — no UDF, stays in codegen.
+    * Pure higher-order functions — no UDF. The word array is let-bound:
+    * with a bare reference, each of the ~2·|words| element accesses would
+    * re-run the split, making shingling O(|words|²) per document (measured
+    * 4× slower over the corpus).
     */
   def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), " ")
-    if (n == 1) array_distinct(words)
-    else array_distinct(
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+    if (n == 1) array_distinct(split(lower(text), " "))
+    else bound(split(lower(text), " ")) { words =>
+      when(size(words) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), size(words) - n),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+    }
   }
 
   /** Sorted-distinct-word fingerprint — normalized content identity. */
@@ -117,16 +132,22 @@ object Text {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
+    // materialize the shingle arrays BEFORE fanning out into 32 minhash
+    // expressions: projection collapsing would otherwise inline the
+    // shingle computation into every signature column
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .repartition(col("doc_id"))
 
     val minhashes = (0 until numHashes).map(i =>
       array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"m$i"))
-    // one explicit exchange after the (expensive, map-side) signature
-    // projection: every consumer below — both sides of the bucket
-    // self-join and both verification joins — hangs off the SAME shuffle
-    // subtree, so ReuseExchange computes signatures exactly once instead
-    // of once per plan branch
+    // second explicit exchange after the signature projection: every
+    // consumer below — both sides of the bucket self-join and both
+    // verification joins — hangs off the SAME shuffle subtree, so
+    // ReuseExchange computes signatures exactly once instead of once per
+    // plan branch. Two small exchanges of (id, arrays) beat recomputing
+    // either stage per branch; at 100 TB you would persist the signature
+    // table outright.
     val sig = sh.select(col("doc_id") +: col("sh") +: minhashes: _*)
       .repartition(col("doc_id"))
 
@@ -199,15 +220,18 @@ object Text {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 2): DataFrame = {
+    // materialize the hash arrays before the 64 bit-vote expressions —
+    // projection collapsing would otherwise inline shingling+hashing into
+    // every one of them (64× recompute per row)
     val withHashes = docs.select(col(idCol).as("doc_id"),
       transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
+      .repartition(col("doc_id"))
     val bits = (0 until 64).map { i =>
       val ones = size(filter(col("hs"),
         h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
       when(ones * 2 >= size(col("hs")), lit(1L << i)).otherwise(lit(0L))
     }
-    // explicit exchange for the same ReuseExchange reason as minhashPairs:
-    // the chunk self-join below must not recompute 64 bit-votes per branch
+    // second exchange shared by the chunk self-join branches (ReuseExchange)
     withHashes.select(col("doc_id"),
       bits.reduce((a, b) => a + b).as("simhash"))
       .repartition(col("doc_id"))
