@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytics operator set (SURVEY.md §2.3 q31, q33, q34): pivot,
+  * moment-based statistics, and ordered array aggregation — the everyday
+  * reshaping/statistics surface beyond plain aggregates.
+  *
+  * Determinism notes: the pivot value list is explicit (a data-driven
+  * pivot would make the output schema depend on scan order); statistics
+  * come from exact decimal Σx / Σx² with ONE final double expression per
+  * statistic, because Spark's and DuckDB's native stddev/variance merge
+  * float moments in partition order — not reproducible cross-engine (D2);
+  * array_agg is sorted, since collect order is undefined in both engines.
+  */
+object Analytics {
+
+  /** q31_pivot: order counts and revenue per priority, pivoted across the
+    * (explicit) status values — compiles to one hash aggregate with
+    * conditional aggregation, same as the oracle's CASE sums.
+    */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val q31Sql: String =
+    """SELECT o_orderpriority,
+      |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+      |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+      |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q33_stats: mean / variance / stddev per group from exact decimal
+    * Σx and Σx² — the order-independent way to compute moments (native
+    * float stddev aggregates are partition-order-dependent and differ
+    * across engines). One IEEE expression per statistic at the end.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val x  = col("o_totalprice").cast("decimal(18,2)")
+    val sx  = sum(x).cast("double")
+    val sx2 = sum((x * x).cast("decimal(38,4)")).cast("double")
+    val n   = count(lit(1)).cast("double")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sx / n).as("mean_price"),
+        ((sx2 - sx * sx / n) / (n - lit(1.0))).as("var_price"),
+        sqrt((sx2 - sx * sx / n) / (n - lit(1.0))).as("stddev_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderstatus,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_price,
+      |       (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+      |         - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |         / (CAST(count(*) AS DOUBLE) - 1.0) AS var_price,
+      |       sqrt((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+      |         - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |         / (CAST(count(*) AS DOUBLE) - 1.0)) AS stddev_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q34_array_agg: ordered array aggregation — sorted distinct priority
+    * list per status (collect order is undefined in both engines, so the
+    * sort is the determinism contract).
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("o_orderstatus")
+
+  val q34Sql: String =
+    """SELECT o_orderstatus,
+      |       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+}
