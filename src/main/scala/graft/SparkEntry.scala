@@ -43,9 +43,9 @@ object SparkEntry {
     "q26_quality_score"    -> ((s, d) => ops.TextAnalysis.q26(s, d)),
     "q27_token_count"      -> ((s, d) => ops.TextAnalysis.q27(s, d)),
     "q28_fingerprint"      -> ((s, d) => ops.TextAnalysis.q28(s, d)),
-    "q31_pivot"            -> ((s, d) => ops.Analytics.q31(s, d)),
-    "q33_stats"            -> ((s, d) => ops.Analytics.q33(s, d)),
-    "q34_array_agg"        -> ((s, d) => ops.Analytics.q34(s, d)),
+    "q29_pivot"            -> ((s, d) => ops.Analytics.q29(s, d)),
+    "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
+    "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Non-declared extensions: no SQL oracle (LSH bucketing / double scores /
     // sketches) => driver records rows-only; semantics covered by ScalaTest.
     "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
@@ -85,9 +85,9 @@ object SparkEntry {
     "q26_quality_score"    -> ops.TextAnalysis.q26Sql,
     "q27_token_count"      -> ops.TextAnalysis.q27Sql,
     "q28_fingerprint"      -> ops.TextAnalysis.q28Sql,
-    "q31_pivot"            -> ops.Analytics.q31Sql,
-    "q33_stats"            -> ops.Analytics.q33Sql,
-    "q34_array_agg"        -> ops.Analytics.q34Sql,
+    "q29_pivot"            -> ops.Analytics.q29Sql,
+    "q30_stats"            -> ops.Analytics.q30Sql,
+    "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /
     // all-pairs list_intersect) — viable at oracle scale, which is exactly
     // the O(n^2) the engine-side broadcast scan + LSH avoid at data scale.

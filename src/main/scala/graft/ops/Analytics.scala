@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Analytics operator set (SURVEY.md §2.3 q31, q33, q34): pivot,
+/** Analytics operator set (SURVEY.md §2.3 q29–q31): pivot,
   * moment-based statistics, and ordered array aggregation — the everyday
   * reshaping/statistics surface beyond plain aggregates.
   *
@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** q31_pivot: order counts and revenue per priority, pivoted across the
+  /** q29_pivot: order counts and revenue per priority, pivoted across the
     * (explicit) status values — compiles to one hash aggregate with
     * conditional aggregation, same as the oracle's CASE sums.
     */
-  def q31(spark: SparkSession, dir: String): DataFrame =
+  def q29(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
@@ -29,7 +29,7 @@ object Analytics {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
-  val q31Sql: String =
+  val q29Sql: String =
     """SELECT o_orderpriority,
       |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
       |       CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
@@ -38,12 +38,12 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** q33_stats: mean / variance / stddev per group from exact decimal
+  /** q30_stats: mean / variance / stddev per group from exact decimal
     * Σx and Σx² — the order-independent way to compute moments (native
     * float stddev aggregates are partition-order-dependent and differ
     * across engines). One IEEE expression per statistic at the end.
     */
-  def q33(spark: SparkSession, dir: String): DataFrame = {
+  def q30(spark: SparkSession, dir: String): DataFrame = {
     val x  = col("o_totalprice").cast("decimal(18,2)")
     val sx  = sum(x).cast("double")
     val sx2 = sum((x * x).cast("decimal(38,4)")).cast("double")
@@ -58,7 +58,7 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
-  val q33Sql: String =
+  val q30Sql: String =
     """SELECT o_orderstatus,
       |       CAST(count(*) AS BIGINT) AS n_orders,
       |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_price,
@@ -72,11 +72,11 @@ object Analytics {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
-  /** q34_array_agg: ordered array aggregation — sorted distinct priority
+  /** q31_array_agg: ordered array aggregation — sorted distinct priority
     * list per status (collect order is undefined in both engines, so the
     * sort is the determinism contract).
     */
-  def q34(spark: SparkSession, dir: String): DataFrame =
+  def q31(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -84,7 +84,7 @@ object Analytics {
         countDistinct(col("o_orderpriority")).as("n_priorities"))
       .orderBy("o_orderstatus")
 
-  val q34Sql: String =
+  val q31Sql: String =
     """SELECT o_orderstatus,
       |       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
       |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
