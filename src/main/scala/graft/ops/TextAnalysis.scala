@@ -153,4 +153,38 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q32_train_split: deterministic train/val/test assignment by CONTENT
+    * hash (80/10/10). Hashing the text, not the id, keeps a document in the
+    * same split across re-ingestions and dedup passes — the property that
+    * prevents train/test leakage when the corpus is rebuilt. Uses the
+    * engine-portable rolling hash ([[rollingHash]]); engine-native hashes
+    * (xxhash64 / DuckDB hash) differ by implementation and could not be
+    * oracle-checked.
+    */
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(rollingHash(col("text")), lit(100L))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        bucket.cast("int").as("bucket"),
+        when(bucket < 80, lit("train"))
+          .when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String =
+    """SELECT doc_id,
+      |       CAST(h % 100 AS INTEGER) AS bucket,
+      |       CASE WHEN h % 100 < 80 THEN 'train'
+      |            WHEN h % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
