@@ -242,16 +242,17 @@ object Text {
     * any pair within Hamming (numChunks - 1) shares at least one identical
     * chunk (pigeonhole), so recall is exact — never an all-pairs
     * comparison. More/smaller chunks widen the guaranteed radius but grow
-    * the candidate set (each chunk bucket holds ~n/2^chunkBits docs);
-    * 8×8-bit suits a near-dup radius of 7, drop to 4×16-bit at corpus
-    * sizes where 8-bit buckets get too dense.
+    * the candidate set roughly as chunks·n²/2^chunkBits: the DEFAULT is the
+    * scale-safe 4×16-bit / radius-3 configuration (Manku-style); 8×8-bit /
+    * radius-7 is appropriate only while n/256 docs per bucket stays small —
+    * opt in explicitly, as [[x07]] does for this fixture corpus.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 7,
-      numChunks: Int = 8): DataFrame = {
+      maxHamming: Int = 3,
+      numChunks: Int = 4): DataFrame = {
     require(64 % numChunks == 0 && maxHamming < numChunks)
     val chunkBits = 64 / numChunks
     val mask = (1L << chunkBits) - 1
@@ -281,6 +282,6 @@ object Text {
     * TextSpec.
     */
   def x07(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+    simhashPairs(Tables.documents(spark, dir), maxHamming = 7, numChunks = 8)
       .orderBy("doc_a", "doc_b")
 }
