@@ -54,9 +54,17 @@ class TextSpec extends SparkSuite {
     val unrelated = (100 to 140).map(i => s"v$i").mkString(" ")
     val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
       .toDF("doc_id", "text")
-    val pairs = Text.simhashPairs(docs)
+    // radius-7 (x07's config): the one-word edit lands within the radius
+    val wide = Text.simhashPairs(docs, maxHamming = 7, numChunks = 8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(pairs == Set((1L, 2L)))
+    assert(wide == Set((1L, 2L)))
+    // scale-safe default (radius 3): an exact duplicate still collides,
+    // the unrelated doc still doesn't
+    val dup = docs.union(Seq((4L, base)).toDF("doc_id", "text"))
+    val tight = Text.simhashPairs(dup)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tight.contains((1L, 4L)))
+    assert(!tight.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("x07 simhash agrees with the minhash detector on the sf0.01 corpus") {
