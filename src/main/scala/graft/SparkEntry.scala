@@ -47,8 +47,9 @@ object SparkEntry {
     "q32_train_split"      -> ((s, d) => ops.TextAnalysis.q32(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
-    // Non-declared extensions: no SQL oracle (LSH bucketing / double scores /
-    // sketches) => driver records rows-only; semantics covered by ScalaTest.
+    // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
+    // x05/x06/x07 have none (sketch layouts / LSH recall are not
+    // SQL-restatable) => driver records rows-only; ScalaTest covers them.
     "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
     "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
     "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d)),
