@@ -89,6 +89,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful dedup suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.Keyed
+    val input = MemoryStream[Keyed]
+    val q = StatefulDedup.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fp1 arrives twice in one batch -> min doc_id wins
+      input.addData(
+        Keyed("fp1", 10L, "a"), Keyed("fp2", 11L, "b"), Keyed("fp1", 5L, "a'"))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(b1 == Set(("fp1", 5L), ("fp2", 11L)))
+
+      // batch 2: fp1 again (state suppresses), fp3 new (emitted)
+      input.addData(Keyed("fp1", 99L, "a''"), Keyed("fp3", 12L, "c"))
+      q.processAllAvailable()
+      val all = spark.table("dedup_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(all == Set(("fp1", 5L), ("fp2", 11L), ("fp3", 12L)))
+    } finally q.stop()
+  }
+
   private def ratesDf = {
     import spark.implicits._
     Seq(("EUR", 1.0), ("USD", 1.1), ("GBP", 0.85), ("JPY", 163.0),
