@@ -40,6 +40,28 @@ object GraftFunctions {
   val identifier: FunctionIdentifier = FunctionIdentifier("eur_convert")
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[EurConvert].getName, "eur_convert")
+
+  /** `vec_dot(a, b)` SQL builder: casts both sides to `array<float>`. */
+  def vecDotBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "vec_dot(a, b)")
+    val t = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    VecDot(Cast(args(0), t), Cast(args(1), t))
+  }
+
+  val vecDotIdentifier: FunctionIdentifier = FunctionIdentifier("vec_dot")
+  val vecDotInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[VecDot].getName, "vec_dot")
+
+  /** Idempotently register `vec_dot` on a live session (library entry
+    * points call this; `spark.sql.extensions` covers new sessions).
+    */
+  def ensureVecDot(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(vecDotIdentifier)) {
+      reg.registerFunction(vecDotIdentifier, vecDotInfo, vecDotBuilder _)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
@@ -50,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.identifier, GraftFunctions.info,
         GraftFunctions.eurConvertBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.vecDotIdentifier, GraftFunctions.vecDotInfo,
+        GraftFunctions.vecDotBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

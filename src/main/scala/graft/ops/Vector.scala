@@ -8,10 +8,12 @@ import org.apache.spark.sql.expressions.Window
 /** Vector similarity search over the `embeddings` table (SURVEY.md §2.3 x01;
   * north-star similarity search).
   *
-  * All kernels are higher-order column functions (`zip_with`, `aggregate`,
-  * `transform`) — no UDF, no driver-side math. Per-row folds evaluate
-  * left-to-right, so a given row's cosine is bit-deterministic; doubles stay
-  * out of declared oracle queries per SURVEY §2.2 D2 (x01 is rows-only).
+  * The hot dot-product kernel runs as the codegen'd [[graft.ext.VecDot]]
+  * expression; [[dot]]/[[l2Norm]]/[[cosine]] remain as the portable
+  * higher-order-function reference implementation (bit-identical results —
+  * same IEEE operation order — pinned in ExtSpec). Per-row folds evaluate
+  * left-to-right, so every cosine is bit-deterministic and x01 is
+  * oracle-checkable despite being double-valued.
   *
   * Scale notes (100 TB):
   *  - brute-force top-k against a BROADCAST probe set is the right baseline:
@@ -37,6 +39,15 @@ object Vector {
     * once per probe). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  // Native-kernel forms: the codegen'd graft.ext.VecDot expression instead
+  // of the interpreted higher-order fold — bit-identical results (same IEEE
+  // operation order, pinned in ExtSpec), one tight loop per row. Entry
+  // points register the function idempotently on the input's session.
+  private def nDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  private def nNorm(a: Column): Column = sqrt(nDot(a, a))
+  private def nCos(a: Column, b: Column, na: Column, nb: Column): Column =
+    nDot(a, b) / (na * nb)
 
   /** SimHash-style bucket id: sign bits of the vector against `bits`
     * deterministic pseudo-random hyperplanes (coordinates derived from
@@ -67,18 +78,19 @@ object Vector {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       k: Int = 10): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .withColumn("c_norm", nNorm(col("c_vec")))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-      .withColumn("p_norm", l2Norm(col("p_vec")))
+      .withColumn("p_norm", nNorm(col("p_vec")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine",
-        cosine(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+        nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -136,13 +148,14 @@ object Vector {
       bits: Int = 4,
       k: Int = 10,
       multiProbe: Boolean = true): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .withColumn("c_norm", nNorm(col("c_vec")))
       .withColumn("bucket", simhashBucket(col("c_vec"), dim, bits))
     val p0 = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
-      .withColumn("p_norm", l2Norm(col("p_vec")))
+      .withColumn("p_norm", nNorm(col("p_vec")))
       .withColumn("home", simhashBucket(col("p_vec"), dim, bits))
     // multi-probe: also search every bucket one sign-flip away (Hamming 1)
     val p =
@@ -155,7 +168,7 @@ object Vector {
     c.join(p, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine",
-        cosine(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+        nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .distinct() // a candidate can surface via several probed buckets
       .withColumn("rank", row_number().over(w))
@@ -174,9 +187,10 @@ object Vector {
       vecCol: String = "embedding",
       bits: Int = 4,
       minCosine: Double = 0.95): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     val v = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("norm", l2Norm(col("vec")))
+      .withColumn("norm", nNorm(col("vec")))
       .withColumn("home", simhashBucket(col("vec"), dim, bits))
     // near-identical vectors may still straddle a hyperplane: probe the
     // Hamming-1 neighborhood of one side so boundary pairs are not lost
@@ -190,7 +204,7 @@ object Vector {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b"))
+        nCos(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b"))
           .as("cosine"))
       .distinct()
       .filter(col("cosine") >= minCosine)
@@ -216,6 +230,7 @@ object Vector {
       nlist: Int = 16,
       nprobe: Int = 4,
       k: Int = 10): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
     // seed centroids: first nlist vectors by id (deterministic)
@@ -226,7 +241,7 @@ object Vector {
       val w = Window.partitionBy(col("id")).orderBy(desc("sim"), asc("cell"))
       points.crossJoin(broadcast(cents))
         .withColumn("sim",
-          cosine(col("vec"), col("cvec"), l2Norm(col("vec")), l2Norm(col("cvec"))))
+          nCos(col("vec"), col("cvec"), nNorm(col("vec")), nNorm(col("cvec"))))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= n)
         .drop("cvec", "r")
@@ -248,20 +263,20 @@ object Vector {
 
     val assigned = nearestCell(c0, refined, 1)
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
-      .withColumn("c_norm", l2Norm(col("c_vec")))
+      .withColumn("c_norm", nNorm(col("c_vec")))
       .repartition(col("cell")) // the one corpus shuffle: cluster by cell
 
     val p = nearestCell(
       probes.select(col(idCol).as("id"), col(vecCol).as("vec")), refined, nprobe)
       .select(col("cell"), col("id").as("probe_id"), col("vec").as("p_vec"))
-      .withColumn("p_norm", l2Norm(col("p_vec")))
+      .withColumn("p_norm", nNorm(col("p_vec")))
 
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     assigned.join(p, Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .withColumn("cosine",
-        cosine(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+        nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .distinct()
       .withColumn("rank", row_number().over(w))

@@ -70,6 +70,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("vec_dot native kernel is bit-identical to the higher-order fold") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val df = (1 to 50).map { i =>
+      (Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat),
+        Array.tabulate(64)(d => math.cos(i * 64 + d).toFloat))
+    }.toDF("a", "b")
+    val out = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      ops.Vector.dot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      // bit-identical, not approximately equal: same IEEE operation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("optimizer rule folds the EUR-literal conversion to a cast") {
     registered()
     spark.experimental.extraOptimizations =
