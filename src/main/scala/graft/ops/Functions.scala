@@ -120,14 +120,25 @@ object Functions {
         col("event_id"),
         col("event_type"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        // the reference's object parse is dict-shaped (R16's {"rates":{...}},
+        // R19's key listing) — from_json to MapType + element_at/map_keys
+        element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)), "k").as("map_k"),
+        array_sort(map_keys(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))).as("json_keys"))
       .filter(col("k_int") > 50)
       .orderBy("event_id")
 
   val q18Sql: String =
     """SELECT event_id, event_type,
       |       json_extract_string(props, '$.k') AS k_str,
-      |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_k,
+      |       list_sort(json_keys(props)) AS json_keys
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
       |ORDER BY event_id""".stripMargin
