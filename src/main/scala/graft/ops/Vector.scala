@@ -89,6 +89,9 @@ object Vector {
       .orderBy(desc("cosine"), asc("neighbor_id"))
     c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
+      // zero-norm guard: cosine would be NaN, and Spark's descending sort
+      // places NaN FIRST — a zero vector would outrank every real neighbor
+      .filter(col("c_norm") > 0 && col("p_norm") > 0)
       .withColumn("cosine",
         nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
@@ -167,6 +170,7 @@ object Vector {
       .orderBy(desc("cosine"), asc("neighbor_id"))
     c.join(p, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("probe_id"))
+      .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
       .withColumn("cosine",
         nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
@@ -203,6 +207,7 @@ object Vector {
       col("vec").as("vec_b"), col("norm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("norm_a") > 0 && col("norm_b") > 0) // NaN-cosine guard
       .select(col("id_a"), col("id_b"),
         nCos(col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b"))
           .as("cosine"))
@@ -275,6 +280,7 @@ object Vector {
       .orderBy(desc("cosine"), asc("neighbor_id"))
     assigned.join(p, Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
+      .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
       .withColumn("cosine",
         nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))

@@ -93,6 +93,17 @@ class TextSpec extends SparkSuite {
     assert(twice.count() == once.count())
   }
 
+  test("texts shorter than the shingle width yield empty shingles, no junk") {
+    val out = Seq("one", "two words", "three word text").toDF("text")
+      .select(Text.shingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(out(0) == Nil && out(1) == Nil)
+    assert(out(2) == List("three word text"))
+    // and the detectors tolerate such docs end to end
+    val docs = Seq((1L, "tiny"), (2L, "also tiny")).toDF("doc_id", "text")
+    assert(Text.minhashPairs(docs).count() == 0)
+  }
+
   test("q22 token frequencies sum to the corpus token count") {
     val freqSum = Text.q22(spark, sf001).agg(sum("freq")).collect().head.getLong(0)
     val tokens = Tables.documents(spark, sf001)

@@ -103,6 +103,17 @@ class VectorSpec extends SparkSuite {
     assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("zero-norm vectors are excluded, not ranked first by NaN") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero vector: cosine undefined
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val out = Vector.cosineTopK(corpus, probes, k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(3L), "the zero vector must not appear in results")
+  }
+
   test("simhashBucket: identical vectors collide, bucket is stable") {
     val df = Seq(
       (1L, Array.tabulate(8)(i => (i + 1).toFloat)),
