@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: the flagship kernels over a generated order volume far
+  * beyond the fixtures (default 10M rows ≈ 300× the reference's hourly
+  * cap), all in one JVM. Generation is distributed and fused into each
+  * measured plan, so figures are end-to-end including the synthetic scan.
+  *
+  *   SPARK_GRAFT_STRESS_ROWS=10000000 sbt "runMain graft.Stress"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_ROWS", "10000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rates = Seq(("EUR", 1.0), ("USD", 1.1), ("GBP", 0.85),
+      ("JPY", 163.0), ("CNY", 7.85), ("INR", 91.2), ("BRL", 5.47),
+      ("CAD", 1.48), ("CHF", 0.95), ("SEK", 11.4)).toDF("currency", "rate")
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    def orders = gen.OrderGen.orders(spark, n, seed = 1)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    noop(spark.range(1000).toDF()) // session warmup
+    val results = Seq(
+      time("generate_only") { noop(orders) },
+      time("convert") {
+        noop(streaming.IncrementalPipeline.convertBatch(orders, rates, ts))
+      },
+      time("agg_by_currency") {
+        noop(orders.groupBy("currency")
+          .agg(sum(col("amount")).as("total"), count(lit(1)).as("n")))
+      },
+      time("dedup_latest_per_email") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("customer_email")
+          .orderBy(desc("order_date"), desc("order_id"))
+        noop(orders.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn"))
+      })
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"stress","rows":$n,"timings":$qs}""")
+    spark.stop()
+  }
+}
