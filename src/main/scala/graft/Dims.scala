@@ -46,6 +46,26 @@ object Dims {
   val nationCurrency: Seq[(String, String)] =
     (0 until 25).map(i => s"NATION_$i" -> nationCodes(i % nationCodes.size))
 
+  /** Dated rate versions for the as-of join (q33): each currency's
+    * eur_per_unit revalued at four known instants. Versions derive from the
+    * base rate by exact BigDecimal arithmetic at scale 6, so the literal
+    * set is identical in both engines.
+    */
+  val ratesHistory: Seq[(String, String, String)] = {
+    val revals = Seq(
+      "1995-01-01 00:00:00" -> "1.000000",
+      "1996-07-01 00:00:00" -> "1.050000",
+      "1998-01-01 00:00:00" -> "0.950000",
+      "2000-06-01 00:00:00" -> "1.100000")
+    for {
+      (cur, base) <- rates
+      (ts, factor) <- revals
+    } yield (cur, ts,
+      new java.math.BigDecimal(base)
+        .multiply(new java.math.BigDecimal(factor))
+        .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString)
+  }
+
   // ---- DataFrame renderings (broadcast-sized dims) ----
 
   def ratesDf(spark: SparkSession): DataFrame = {
@@ -68,6 +88,17 @@ object Dims {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  def ratesHistoryDf(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("currency", StringType, nullable = false),
+      StructField("valid_from", TimestampType, nullable = false),
+      StructField("rate", DecimalType(10, 6), nullable = false)))
+    val rows = ratesHistory.map { case (c, ts, r) =>
+      Row(c, java.sql.Timestamp.valueOf(ts), new java.math.BigDecimal(r))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   // ---- SQL renderings (identical literals for the DuckDB oracle) ----
 
   /** `(VALUES ('EUR', CAST(1.000000 AS DECIMAL(10,6))), ...) AS <alias>(currency, eur_per_unit)` */
@@ -78,4 +109,9 @@ object Dims {
   def nationCurrencySql(alias: String = "nc"): String =
     nationCurrency.map { case (n, c) => s"('$n', '$c')" }
       .mkString("(VALUES ", ", ", s") AS $alias(n_name_key, currency)")
+
+  def ratesHistorySql(alias: String = "h"): String =
+    ratesHistory.map { case (c, ts, r) =>
+      s"('$c', TIMESTAMP '$ts', CAST($r AS DECIMAL(10,6)))"
+    }.mkString("(VALUES ", ", ", s") AS $alias(currency, valid_from, rate)")
 }

@@ -45,6 +45,7 @@ object SparkEntry {
     "q28_fingerprint"      -> ((s, d) => ops.TextAnalysis.q28(s, d)),
     "q29_pivot"            -> ((s, d) => ops.Analytics.q29(s, d)),
     "q32_train_split"      -> ((s, d) => ops.TextAnalysis.q32(s, d)),
+    "q33_asof_join"        -> ((s, d) => ops.AsOf.q33(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -89,6 +90,7 @@ object SparkEntry {
     "q28_fingerprint"      -> ops.TextAnalysis.q28Sql,
     "q29_pivot"            -> ops.Analytics.q29Sql,
     "q32_train_split"      -> ops.TextAnalysis.q32Sql,
+    "q33_asof_join"        -> ops.AsOf.q33Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Dims, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join — the canonical time-series operator Spark
+  * has no built-in for (SURVEY.md §2.3 q33; the "custom operator" ladder's
+  * compose-existing-ops tier).
+  *
+  * Implemented with the scalable union+window pattern, NOT a range join:
+  * version rows and probe rows union into one stream, sorted within each
+  * key by (time, version-first); `last(value, ignoreNulls)` over the
+  * running frame gives every probe the most recent version at-or-before
+  * its timestamp. One shuffle on the key, linear in |probes| + |versions|
+  * — a theta/range join would rescan versions per probe and falls off a
+  * cliff at scale.
+  */
+object AsOf {
+
+  /** Generic as-of: for each row of `probes`, the latest `valueCols` from
+    * `versions` with `versions.tsCol <= probes.tsCol` (inclusive), matched
+    * on `keyCol`. Probes with no prior version get nulls (left semantics).
+    */
+  def asOfJoin(
+      probes: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val pCols = probes.columns.toSeq
+    val vNull = valueCols.map(c => lit(null).cast(
+      versions.schema(c).dataType).as(c))
+    val p = probes
+      .withColumn("_is_probe", lit(1))
+      .select(col(keyCol) +: col(tsCol) +: lit(1).as("_is_probe") +:
+        (pCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++ vNull): _*)
+    val v = versions
+      .select(col(keyCol) +: col(tsCol) +: lit(0).as("_is_probe") +:
+        (pCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+          valueCols.map(col)): _*)
+    // versions sort before probes at the same instant => ties are inclusive
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(asc(tsCol), asc("_is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(p.unionByName(v)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_probe") === 1).drop("_is_probe")
+      .select(pCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /** q33_asof_join: each order picks the exchange rate prevailing at its
+    * order date from the dated rate history (Dims.ratesHistory); unknown
+    * currencies fall back to 1.0 (the reference's missing-rate default).
+    * Oracle: DuckDB's native ASOF LEFT JOIN over the identical literals.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val withCur = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(Dims.nationCurrencyDf(spark)),
+        nation("n_name") === col("n_name_key"))
+      .select(col("o_orderkey"), col("currency"),
+        col("o_orderdate").as("valid_from"))
+
+    asOfJoin(withCur, Dims.ratesHistoryDf(spark),
+        keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate"))
+      .select(
+        col("o_orderkey"),
+        col("currency"),
+        col("valid_from").as("order_date"),
+        coalesce(col("rate"), lit("1.000000").cast("decimal(10,6)"))
+          .cast("double").as("used_rate"))
+      .orderBy("o_orderkey")
+  }
+
+  val q33Sql: String =
+    s"""SELECT o.o_orderkey, nc.currency, o.o_orderdate AS order_date,
+       |       CAST(COALESCE(h.rate, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS used_rate
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key
+       |ASOF LEFT JOIN ${Dims.ratesHistorySql()}
+       |  ON nc.currency = h.currency AND o.o_orderdate >= h.valid_from
+       |ORDER BY o_orderkey""".stripMargin
+}

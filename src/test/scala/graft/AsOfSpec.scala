@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Generic as-of join semantics: latest version at-or-before, inclusive
+  * ties, null before the first version, keys isolated.
+  */
+class AsOfSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks the prevailing version; ties inclusive; pre-history null") {
+    val versions = Seq(
+      ("USD", ts("2020-01-01 00:00:00"), 10),
+      ("USD", ts("2020-06-01 00:00:00"), 20),
+      ("GBP", ts("2020-03-01 00:00:00"), 77))
+      .toDF("k", "valid_from", "v")
+    val probes = Seq(
+      (1L, "USD", ts("2019-12-31 00:00:00")), // before history -> null
+      (2L, "USD", ts("2020-01-01 00:00:00")), // exact tie -> inclusive (10)
+      (3L, "USD", ts("2020-05-31 00:00:00")), // between versions -> 10
+      (4L, "USD", ts("2020-06-02 00:00:00")), // after reval -> 20
+      (5L, "GBP", ts("2021-01-01 00:00:00")), // other key -> 77
+      (6L, "JPY", ts("2021-01-01 00:00:00"))) // unknown key -> null
+      .toDF("id", "k", "valid_from")
+    val out = ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(10), 3L -> Some(10),
+      4L -> Some(20), 5L -> Some(77), 6L -> None))
+  }
+
+  test("as-of join plan shuffles once on the key, no range/theta join") {
+    val versions = Seq(("USD", ts("2020-01-01 00:00:00"), 1))
+      .toDF("k", "valid_from", "v")
+    val probes = Seq((1L, "USD", ts("2020-02-01 00:00:00")))
+      .toDF("id", "k", "valid_from")
+    val plan = ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the union+window as-of must not degrade to a product join")
+  }
+}
