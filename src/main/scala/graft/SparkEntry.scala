@@ -46,6 +46,7 @@ object SparkEntry {
     "q29_pivot"            -> ((s, d) => ops.Analytics.q29(s, d)),
     "q32_train_split"      -> ((s, d) => ops.TextAnalysis.q32(s, d)),
     "q33_asof_join"        -> ((s, d) => ops.AsOf.q33(s, d)),
+    "q34_median"           -> ((s, d) => ops.Analytics.q34(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -91,6 +92,7 @@ object SparkEntry {
     "q29_pivot"            -> ops.Analytics.q29Sql,
     "q32_train_split"      -> ops.TextAnalysis.q32Sql,
     "q33_asof_join"        -> ops.AsOf.q33Sql,
+    "q34_median"           -> ops.Analytics.q34Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Analytics operator set (SURVEY.md §2.3 q29–q31): pivot,
   * moment-based statistics, and ordered array aggregation — the everyday
@@ -89,6 +90,53 @@ object Analytics {
       |       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
       |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
       |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q34_median: exact median and discrete p90 per group via deterministic
+    * rank arithmetic — NOT percentile()/quantile_cont(), whose interpolation
+    * formulas differ across engines. Median = mean of the one or two middle
+    * rows of the (value, unique-key)-sorted group; p90 = the value at rank
+    * ceil(0.9·n). Integer index logic + exact decimal values ⇒ identical
+    * in both engines; one window shuffle then a tiny aggregate.
+    */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+    val w = byStatus.orderBy(asc("o_totalprice_d"), asc("o_orderkey"))
+    val ranked = Tables.orders(spark, dir)
+      .withColumn("o_totalprice_d", col("o_totalprice").cast("decimal(18,2)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byStatus))
+    val lo  = (col("cnt") + 1) / lit(2)
+    val hi  = (col("cnt") + 2) / lit(2)
+    val p90 = (col("cnt") * 9 + 9) / lit(10)
+    ranked.groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(when(col("rn") === floor(lo).cast("long") ||
+            col("rn") === floor(hi).cast("long"), col("o_totalprice_d")))
+          .cast("double") /
+          sum(when(col("rn") === floor(lo).cast("long") ||
+            col("rn") === floor(hi).cast("long"), 1).otherwise(0))
+            .cast("double")).as("median_price"),
+        max(when(col("rn") === floor(p90).cast("long"), col("o_totalprice_d")))
+          .cast("double").as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderstatus,
+      |       CAST(sum(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN p END) AS DOUBLE)
+      |         / CAST(sum(CASE WHEN rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 THEN 1 ELSE 0 END) AS DOUBLE) AS median_price,
+      |       CAST(max(CASE WHEN rn = (cnt * 9 + 9) // 10 THEN p END) AS DOUBLE) AS p90_price,
+      |       CAST(count(*) AS BIGINT) AS n_orders
+      |FROM (
+      |  SELECT o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM orders)
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 }
