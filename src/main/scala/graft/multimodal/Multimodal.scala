@@ -103,7 +103,9 @@ object Multimodal {
         var i = 0
         while (i < decoded.length) {
           val b = decoded(i) & 0xFF
-          val k = (i * dim) / math.max(decoded.length, 1)
+          // long arithmetic: i * dim overflows Int past ~2^31/dim bytes
+          // (a ~33 MB asset at dim=64), which would index negatively
+          val k = ((i.toLong * dim) / math.max(decoded.length, 1)).toInt
           acc(k) += b / 255.0f
           cnt(k) += 1
           i += 1

@@ -33,7 +33,6 @@ object AsOf {
     val vNull = valueCols.map(c => lit(null).cast(
       versions.schema(c).dataType).as(c))
     val p = probes
-      .withColumn("_is_probe", lit(1))
       .select(col(keyCol) +: col(tsCol) +: lit(1).as("_is_probe") +:
         (pCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++ vNull): _*)
     val v = versions

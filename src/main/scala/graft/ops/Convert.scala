@@ -39,12 +39,18 @@ object Convert {
     // Decimal(str(rate)): pin the float rate to an exact decimal before
     // dividing — decimal/double in Spark would silently promote BOTH sides
     // to double and run IEEE division instead of exact decimal division.
-    val decRate = coalesce(rate, lit(1.0)).cast("decimal(20,10)")
+    // DECIMAL(24,17) holds a double's full 17 significant digits (a
+    // narrower cast would truncate rebased rates like 1/0.92 and diverge
+    // from the ext.EurConvert kernel); the amount at DECIMAL(18,8) keeps
+    // the division's derived scale at 11 after Spark's precision clamp, so
+    // the pre-bround quotient is exact to 1e-11 — a narrower-than-reference
+    // window only for quotients within 5e-12 of a half-cent boundary.
+    val decRate = coalesce(rate, lit(1.0)).cast("decimal(24,17)")
     // cast the rounded branch up to scale 8 BEFORE the when: otherwise the
     // type unification coerces the EUR pass-through to the division's
     // clamped scale and silently rounds it (caught by ConvertSpec)
     when(currency === "EUR", amount)
-      .otherwise(bround(amount.cast("decimal(28,8)") / decRate, 2)
+      .otherwise(bround(amount.cast("decimal(18,8)") / decRate, 2)
         .cast("decimal(38,8)"))
   }
 

@@ -20,9 +20,14 @@ object Skew {
     * `buckets` reducers in phase 1; phase 2 aggregates `buckets` rows per
     * key instead of the raw row count.
     *
-    * The salt is derived from the VALUE column's hash — deterministic (D4:
-    * no rand()) and uniform regardless of how the hot key's rows are laid
-    * out across input partitions.
+    * The salt comes from the row's position (`monotonically_increasing_id`
+    * mod buckets — sequential within each input partition, so perfectly
+    * uniform), NOT from any column's hash: a hot key whose rows all carry
+    * one constant value would collapse a value-derived salt into a single
+    * bucket, defeating the mitigation exactly when it is needed. Salt
+    * values are partitioning-dependent, but the final result is exact
+    * regardless — grouping keys are untouched and the aggregates are
+    * associative.
     */
   def saltedSum(
       df: DataFrame,
@@ -31,7 +36,7 @@ object Skew {
       buckets: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     df.withColumn("_v", valueCol)
-      .withColumn("_salt", pmod(xxhash64(col("_v")), lit(buckets)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets)))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(sum(col("_v")).as("_partial_sum"), count(lit(1)).as("_partial_cnt"))
       .groupBy(keyCols: _*)

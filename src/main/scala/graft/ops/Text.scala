@@ -134,9 +134,14 @@ object Text {
 
     // materialize the shingle arrays BEFORE fanning out into 32 minhash
     // expressions: projection collapsing would otherwise inline the
-    // shingle computation into every signature column
+    // shingle computation into every signature column. Shingle-less docs
+    // (shorter than the shingle width) are excluded: their all-null
+    // signatures would otherwise all collide into one bucket and emit
+    // NaN-jaccard pairs (0/0, and Spark sorts NaN above every threshold) —
+    // route such docs through exact dedup (q21) instead.
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
       .repartition(col("doc_id"))
 
     val minhashes = (0 until numHashes).map(i =>
@@ -222,9 +227,13 @@ object Text {
       shingleN: Int = 2): DataFrame = {
     // materialize the hash arrays before the 64 bit-vote expressions —
     // projection collapsing would otherwise inline shingling+hashing into
-    // every one of them (64× recompute per row)
+    // every one of them (64× recompute per row). Shingle-less docs are
+    // excluded: with zero votes every bit test is 0 >= 0, so ALL such docs
+    // would share the all-ones signature and pair up at Hamming 0 — route
+    // them through exact dedup (q21) instead.
     val withHashes = docs.select(col(idCol).as("doc_id"),
       transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
       .repartition(col("doc_id"))
     val bits = (0 until 64).map { i =>
       val ones = size(filter(col("hs"),

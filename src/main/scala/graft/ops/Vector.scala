@@ -244,12 +244,14 @@ object Vector {
 
     def nearestCell(points: DataFrame, cents: DataFrame, n: Int): DataFrame = {
       val w = Window.partitionBy(col("id")).orderBy(desc("sim"), asc("cell"))
-      points.crossJoin(broadcast(cents))
-        .withColumn("sim",
-          nCos(col("vec"), col("cvec"), nNorm(col("vec")), nNorm(col("cvec"))))
+      // norms precomputed per side — inline, the point norm would be
+      // re-evaluated once per centroid in the cross join
+      points.withColumn("p_n", nNorm(col("vec")))
+        .crossJoin(broadcast(cents.withColumn("c_n", nNorm(col("cvec")))))
+        .withColumn("sim", nCos(col("vec"), col("cvec"), col("p_n"), col("c_n")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= n)
-        .drop("cvec", "r")
+        .drop("cvec", "r", "p_n", "c_n")
     }
 
     // one Lloyd step: elementwise mean of each cell's vectors. Summed as

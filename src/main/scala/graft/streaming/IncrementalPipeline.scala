@@ -77,6 +77,7 @@ object IncrementalPipeline {
       rates: DataFrame,
       batchTs: Timestamp,
       maxBatch: Int = 30000): BatchResult = {
+    recoverLedger(ledgerDir) // repair an interrupted compaction swap
     val source = spark.read.parquet(sourceDir)
     val ledger = readParquetOrEmpty(spark, ledgerDir,
       source.select(col("order_id"), lit(batchTs).as("processed_at")))
@@ -103,23 +104,45 @@ object IncrementalPipeline {
   /** Rewrite the append-only ledger as one sorted file. The ledger grows a
     * file per batch (like any streaming state spilled to storage); compact
     * on a maintenance cadence so the pickup anti-join scans file counts,
-    * not file mountains. Write-then-swap keeps a crash from losing ids.
+    * not file mountains.
+    *
+    * Crash safety: the compacted copy is fully written to a side directory
+    * before the two-rename swap, every rename result is CHECKED, and
+    * [[recoverLedger]] (invoked by both this method and [[runBatch]])
+    * repairs the one non-atomic window — ledger renamed away but the new
+    * one not yet in place — by restoring the backup. Losing the ledger
+    * would silently re-deliver the entire source; duplicates would still
+    * collapse in [[targetView]], but the recompute is the failure to avoid.
     */
   def compactLedger(spark: SparkSession, ledgerDir: String): Unit = {
+    recoverLedger(ledgerDir)
     val dir = new java.io.File(ledgerDir)
     if (!dir.exists()) return
-    val tmp = ledgerDir + ".compact"
-    spark.read.parquet(ledgerDir)
-      .orderBy("order_id")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    val bak = new java.io.File(ledgerDir + ".old")
-    dir.renameTo(bak)
-    new java.io.File(tmp).renameTo(dir)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
+    val tmp = new java.io.File(ledgerDir + ".compact")
+    val bak = new java.io.File(ledgerDir + ".old")
+    rm(tmp); rm(bak) // stale leftovers from an interrupted prior attempt
+    spark.read.parquet(ledgerDir)
+      .orderBy("order_id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.getPath)
+    require(dir.renameTo(bak), s"could not move $ledgerDir aside")
+    require(tmp.renameTo(dir), s"could not activate compacted ledger; " +
+      s"backup preserved at $bak")
     rm(bak)
+  }
+
+  /** Repair an interrupted [[compactLedger]] swap: if the live ledger is
+    * missing but its backup exists, the backup IS the ledger — restore it.
+    */
+  def recoverLedger(ledgerDir: String): Unit = {
+    val dir = new java.io.File(ledgerDir)
+    val bak = new java.io.File(ledgerDir + ".old")
+    if (!dir.exists() && bak.exists()) {
+      require(bak.renameTo(dir), s"could not restore ledger backup $bak")
+    }
   }
 
   /** The target with PK semantics enforced on read: keep-first per

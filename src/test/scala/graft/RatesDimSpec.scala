@@ -72,5 +72,15 @@ class RatesDimSpec extends SparkSuite {
     val r = IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
       rates, ts, maxBatch = 10)
     assert(r == IP.BatchResult(0, 0))
+
+    // crash simulation: ledger renamed aside, replacement never activated
+    // (the one non-atomic window) — the next batch must recover the backup
+    // instead of re-delivering the whole source
+    val dir = new java.io.File(s"$root/ledger")
+    assert(dir.renameTo(new java.io.File(s"$root/ledger.old")))
+    val r2 = IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
+      rates, ts, maxBatch = 10)
+    assert(r2 == IP.BatchResult(0, 0), "recovery must restore the ledger")
+    assert(spark.read.parquet(s"$root/ledger").count() == before)
   }
 }

@@ -10,8 +10,9 @@ class ScaleSpec extends SparkSuite {
 
   test("saltedSum: exact on skewed data, two aggregate phases in the plan") {
     import spark.implicits._
-    // power-law: one hot key with 50k rows, 100 cold keys
-    val hot  = (1 to 50000).map(i => ("hot", i.toLong))
+    // power-law: one hot key with 50k rows — all carrying the SAME value,
+    // the case where a value-derived salt would collapse to one bucket
+    val hot  = (1 to 50000).map(_ => ("hot", 1L))
     val cold = (1 to 100).flatMap(k => (1 to 10).map(i => (s"k$k", i.toLong)))
     val df = (hot ++ cold).toDF("key", "v")
 

@@ -99,9 +99,13 @@ class TextSpec extends SparkSuite {
       .collect().map(_.getSeq[String](0).toList)
     assert(out(0) == Nil && out(1) == Nil)
     assert(out(2) == List("three word text"))
-    // and the detectors tolerate such docs end to end
-    val docs = Seq((1L, "tiny"), (2L, "also tiny")).toDF("doc_id", "text")
+    // two shingle-less docs must NOT pair with each other in either
+    // detector: degenerate signatures (all-null minhash -> NaN jaccard;
+    // zero-vote simhash -> shared all-ones signature) are filtered out
+    val docs = Seq((1L, "tiny"), (2L, "small"), (3L, "also tiny"))
+      .toDF("doc_id", "text")
     assert(Text.minhashPairs(docs).count() == 0)
+    assert(Text.simhashPairs(docs, maxHamming = 7, numChunks = 8).count() == 0)
   }
 
   test("q22 token frequencies sum to the corpus token count") {
