@@ -7,21 +7,60 @@ import org.apache.spark.sql.expressions.Window
 
 /** As-of (point-in-time) join — the canonical time-series operator Spark
   * has no built-in for (SURVEY.md §2.3 q33; the "custom operator" ladder's
-  * compose-existing-ops tier).
+  * compose-existing-ops tier). Two implementations by version-table size:
   *
-  * Implemented with the scalable union+window pattern, NOT a range join:
-  * version rows and probe rows union into one stream, sorted within each
-  * key by (time, version-first); `last(value, ignoreNulls)` over the
-  * running frame gives every probe the most recent version at-or-before
-  * its timestamp. One shuffle on the key, linear in |probes| + |versions|
-  * — a theta/range join would rescan versions per probe and falls off a
-  * cliff at scale.
+  *  - [[asOfJoinBroadcast]] (small version dims — rate histories, config
+  *    versions): broadcast theta join + latest-per-probe-row `max_by`.
+  *    No skew regardless of key cardinality: the one shuffle groups by a
+  *    per-row id, which is uniform by construction.
+  *  - [[asOfJoin]] (large version tables): union+window — version and
+  *    probe rows union into one stream per key, sorted (time,
+  *    version-first), `last(value, ignoreNulls)` over the running frame.
+  *    Linear, no per-probe rescans, BUT partitioned by the raw key: with
+  *    few distinct keys each reducer sorts that key's whole history, so
+  *    at that scale extend the partition key with a time bucket and
+  *    carry each bucket's last version into the next (the standard
+  *    carry-in refinement) — or, if versions fit in memory, just use the
+  *    broadcast form.
   */
 object AsOf {
 
-  /** Generic as-of: for each row of `probes`, the latest `valueCols` from
-    * `versions` with `versions.tsCol <= probes.tsCol` (inclusive), matched
-    * on `keyCol`. Probes with no prior version get nulls (left semantics).
+  private def checkCols(probes: DataFrame, valueCols: Seq[String]): Unit = {
+    val clash = probes.columns.toSet
+      .intersect(valueCols.toSet + "_is_probe" + "_pid")
+    require(clash.isEmpty,
+      s"probe columns collide with value/internal columns: $clash")
+  }
+
+  /** As-of against a BROADCAST version table: for each probe row, the
+    * latest `valueCols` with `versions.tsCol <= probes.tsCol` (inclusive).
+    * Probes with no prior version get nulls (left semantics).
+    */
+  def asOfJoinBroadcast(
+      probes: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    checkCols(probes, valueCols)
+    val pCols = probes.columns.toSeq
+    val p = probes.withColumn("_pid", monotonically_increasing_id())
+    val v = versions.select(
+      col(keyCol).as("_vk") +: col(tsCol).as("_vts") +: valueCols.map(col): _*)
+    val aggs = pCols.map(c => first(col(c)).as(c)) ++
+      valueCols.map(c => max_by(col(c), col("_vts")).as(c))
+    p.join(broadcast(v),
+        p(keyCol) === col("_vk") && col("_vts") <= p(tsCol), "left")
+      .groupBy(col("_pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("_pid")
+  }
+
+  /** Generic as-of for non-broadcastable version tables: for each row of
+    * `probes`, the latest `valueCols` from `versions` with
+    * `versions.tsCol <= probes.tsCol` (inclusive), matched on `keyCol`.
+    * Probes with no prior version get nulls (left semantics). See the
+    * object doc for the key-cardinality caveat.
     */
   def asOfJoin(
       probes: DataFrame,
@@ -29,6 +68,7 @@ object AsOf {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String]): DataFrame = {
+    checkCols(probes, valueCols)
     val pCols = probes.columns.toSeq
     val vNull = valueCols.map(c => lit(null).cast(
       versions.schema(c).dataType).as(c))
@@ -68,7 +108,9 @@ object AsOf {
       .select(col("o_orderkey"), col("currency"),
         col("o_orderdate").as("valid_from"))
 
-    asOfJoin(withCur, Dims.ratesHistoryDf(spark),
+    // the rate history is a 40-row dim: the broadcast form's uniform
+    // per-row grouping beats union+window's 10-currency partitioning
+    asOfJoinBroadcast(withCur, Dims.ratesHistoryDf(spark),
         keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate"))
       .select(
         col("o_orderkey"),

@@ -262,9 +262,12 @@ object Text {
       textCol: String = "text",
       maxHamming: Int = 3,
       numChunks: Int = 4): DataFrame = {
-    require(64 % numChunks == 0 && maxHamming < numChunks)
+    // numChunks >= 2: a single 64-bit "chunk" would need mask 2^64-1
+    // (1L << 64 wraps to mask 0, collapsing all docs into one bucket —
+    // the all-pairs blowup), and pigeonhole needs maxHamming < numChunks
+    require(numChunks >= 2 && 64 % numChunks == 0 && maxHamming < numChunks)
     val chunkBits = 64 / numChunks
-    val mask = (1L << chunkBits) - 1
+    val mask = -1L >>> (64 - chunkBits)
     val sig = simhashText(docs, idCol, textCol)
     val chunks = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until numChunks).map(j =>

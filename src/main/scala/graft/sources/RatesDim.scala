@@ -53,7 +53,15 @@ object RatesDim {
 
     def resolve(day: LocalDate): DataFrame = {
       val path = memoPath(day)
-      if (!new java.io.File(path).exists()) {
+      val dir = new java.io.File(path)
+      // a memo hit requires the COMMITTED marker, not mere dir existence:
+      // Spark creates the directory at job start, so a crash mid-write
+      // would otherwise wedge the whole day on an unreadable partial memo
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir) // clear any partial write from a crashed attempt
         val usdRates = provider.fetch(day)
         fetchCount += 1
         // R25: fail fast if the base currency is missing from the response

@@ -89,16 +89,18 @@ object IncrementalPipeline {
       .orderBy("order_id")
       .limit(maxBatch)
       .cache()
-    val nPicked = picked.count()
-    if (nPicked == 0) return BatchResult(0, 0) // R6 early exit
+    try {
+      val nPicked = picked.count()
+      if (nPicked == 0) return BatchResult(0, 0) // R6 early exit
 
-    // commit order mirrors the reference (:156-157): target THEN ledger
-    convertBatch(picked, rates, batchTs)
-      .write.mode("append").parquet(targetDir)
-    picked.select(col("order_id"), lit(batchTs).as("processed_at"))
-      .write.mode("append").parquet(ledgerDir)
-    picked.unpersist()
-    BatchResult(nPicked, nPicked)
+      // commit order mirrors the reference (:156-157): target THEN ledger
+      convertBatch(picked, rates, batchTs)
+        .write.mode("append").parquet(targetDir)
+      picked.select(col("order_id"), lit(batchTs).as("processed_at"))
+        .write.mode("append").parquet(ledgerDir)
+      BatchResult(nPicked, nPicked)
+    } finally picked.unpersist() // incl. early return — a scheduler polling
+    // a drained source must not leak one cache entry per tick
   }
 
   /** Rewrite the append-only ledger as one sorted file. The ledger grows a

@@ -25,14 +25,24 @@ class AsOfSpec extends SparkSuite {
       (5L, "GBP", ts("2021-01-01 00:00:00")), // other key -> 77
       (6L, "JPY", ts("2021-01-01 00:00:00"))) // unknown key -> null
       .toDF("id", "k", "valid_from")
-    val out = ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v"))
-      .orderBy("id")
-      .collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getInt(3))))
-      .toMap
-    assert(out == Map(
+    val expected = Map(
       1L -> None, 2L -> Some(10), 3L -> Some(10),
-      4L -> Some(20), 5L -> Some(77), 6L -> None))
+      4L -> Some(20), 5L -> Some(77), 6L -> None)
+    // both implementations must agree on the semantics
+    Seq(
+      ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v")),
+      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v"))
+    ).foreach { df =>
+      val out = df.orderBy("id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+      assert(out == expected)
+    }
+    // colliding probe/value column names are rejected, not mis-selected
+    intercept[IllegalArgumentException] {
+      ops.AsOf.asOfJoin(probes.withColumn("v", lit(0)), versions,
+        "k", "valid_from", Seq("v"))
+    }
   }
 
   test("as-of join plan shuffles once on the key, no range/theta join") {
