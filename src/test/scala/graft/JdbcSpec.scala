@@ -60,4 +60,17 @@ class JdbcSpec extends SparkSuite {
     assert(Jdbc.readTable(spark, url, "orders_src")
       .filter(col("processed_at") === ts).count() == 100)
   }
+
+  test("partitioned parallel read: range-bounded queries, one per partition") {
+    // scale-read shape: partitionColumn splits the scan into independent
+    // range queries each executor issues on its own connection
+    val df = spark.read
+      .option("partitionColumn", "original_amount")
+      .option("lowerBound", "10")
+      .option("upperBound", "1000")
+      .option("numPartitions", "4")
+      .jdbc(url, "orders_eur", new java.util.Properties())
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100) // partition bounds must not drop rows
+  }
 }

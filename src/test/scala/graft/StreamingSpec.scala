@@ -89,6 +89,21 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Windows.tumbling on a batch frame matches the q19-style aggregate") {
+    import spark.implicits._
+    val batch = Seq(
+      Ev(ts("2026-01-01 10:05:00"), "A", 1.0),
+      Ev(ts("2026-01-01 10:20:00"), "A", 2.0),
+      Ev(ts("2026-01-01 11:05:00"), "B", 3.0)).toDF()
+    val out = Windows.tumbling(batch, "1 hour", "10 minutes")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Timestamp]("window_start") == ts("2026-01-01 10:00:00"))
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[java.math.BigDecimal]("total_value").doubleValue == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
   test("stateful dedup suppresses duplicates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
