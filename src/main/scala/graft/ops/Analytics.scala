@@ -59,18 +59,24 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** The oracle converts the exact decimal sums to DOUBLE through VARCHAR:
+    * DuckDB's direct wide-decimal→double conversion goes through the
+    * int128 storage and double-rounds (observed 1 ulp off at sf0.1), while
+    * decimal→string is exact and string→double is a correctly-rounded
+    * parse — matching Spark's correctly-rounded BigDecimal→double.
+    */
   val q30Sql: String =
     """SELECT o_orderstatus,
-      |       CAST(count(*) AS BIGINT) AS n_orders,
-      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_price,
-      |       (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
-      |         - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-      |         / (CAST(count(*) AS DOUBLE) - 1.0) AS var_price,
-      |       sqrt((CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
-      |         - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-      |         / (CAST(count(*) AS DOUBLE) - 1.0)) AS stddev_price
-      |FROM orders
-      |GROUP BY o_orderstatus
+      |       CAST(n AS BIGINT) AS n_orders,
+      |       sx / nd AS mean_price,
+      |       (sx2 - sx * sx / nd) / (nd - 1.0) AS var_price,
+      |       sqrt((sx2 - sx * sx / nd) / (nd - 1.0)) AS stddev_price
+      |FROM (
+      |  SELECT o_orderstatus, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sx2
+      |  FROM orders
+      |  GROUP BY o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
   /** q31_array_agg: ordered array aggregation — sorted distinct priority
