@@ -24,22 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
-    * a timestamp. With `spark.sql.legacy.parquet.nanosAsLong=true` (set once
-    * in the session builders — Verify/Bench/tests — not mutated here) it
-    * arrives as a raw long; truncate to microseconds with integer division —
-    * the same floor DuckDB applies when it narrows ns→µs, so both engines
-    * see identical values. `div` keeps the arithmetic in Long (a double
-    * roundtrip would lose precision at 1.7e18).
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to infer
+    * as a timestamp (PARQUET_TYPE_ILLEGAL) unless the session sets
+    * `spark.sql.legacy.parquet.nanosAsLong`. This reader is SELF-CONTAINED
+    * in any session, flag or no flag: it supplies an explicit user schema
+    * with `ts` as LongType — the INT64 physical read is always legal, only
+    * schema INFERENCE trips on the nanos annotation — then truncates to
+    * microseconds with integer division, the same floor DuckDB applies when
+    * it narrows ns→µs, so both engines see identical values. `div` keeps
+    * the arithmetic in Long (a double roundtrip would lose precision at
+    * 1.7e18). Pinned in FormatsSpec against a default-config session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      case _ => raw
-    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw int64
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    s.read.schema(schema).parquet(s"$d/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DecimalType, StringType}
@@ -12,13 +12,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * identity — fold it to a widening cast at plan time so the per-row branch
   * (and the division machinery behind it) never reaches the executors.
   * The Catalyst-rule half of the §7.5 extension demo.
+  *
+  * Semantics-preserving for ANY plan shape, not just the registered builder
+  * (which coalesces rate to non-null): EurConvert is null-propagating, so
+  * when the rate child can be null the fold keeps an `If(IsNull(rate),
+  * null, cast)` guard instead of silently turning a NULL result into a
+  * pass-through. The rate expression is dropped entirely only when it is
+  * provably non-null AND deterministic.
   */
 object EliminateIdentityConvert extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case EurConvert(amount, Literal(c: UTF8String, StringType), _)
+      case EurConvert(amount, Literal(c: UTF8String, StringType), rate)
           if c.toString == "EUR" =>
-        Cast(amount, DecimalType(38, 8))
+        val cast = Cast(amount, DecimalType(38, 8))
+        if (!rate.nullable && rate.deterministic) cast
+        else If(IsNull(rate), Literal(null, DecimalType(38, 8)), cast)
     }
 }
 

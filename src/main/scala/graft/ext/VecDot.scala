@@ -14,18 +14,27 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Accumulation is float→double widening then left-to-right double adds —
   * the SAME IEEE operation order as [[graft.ops.Vector.dot]]'s fold and the
   * DuckDB oracle's `list_reduce`, so all three produce bit-identical
-  * doubles (pinned in ExtSpec). Inputs must be non-null `array<float>` of
-  * equal length (the embedding contract); the builder casts.
+  * doubles (pinned in ExtSpec). Malformed inputs match the fold too: a
+  * length mismatch or a null element yields NULL (exactly what
+  * `zip_with`+`aggregate` produce), never a silently-truncated score.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.VecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.ext.VecDot.dot($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -33,11 +42,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Boxed on purpose: `null` is the defined result for a length mismatch
+    * or a null element, mirroring the higher-order-function fold.
+    */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -193,6 +193,68 @@ object Aggregates {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Skew-safe sessionization: same output as [[q20]], computed with the
+    * salt-then-merge pattern (SCALE.md; the as-of join's two-variant
+    * precedent). [[q20]] windows over raw `user_id`, so one power-law user
+    * (a bot with a billion events) serializes onto a single reducer. Here:
+    *
+    *  1. events window over (user_id, time-bucket) — the bucket is the
+    *     salt, so a heavy user's history spreads across reducers; partial
+    *     sessions are aggregated per bucket (map-side-sized rows out);
+    *  2. per-bucket session SUMMARIES (start, end, count, value — not
+    *     events) merge across bucket boundaries with the same gap rule,
+    *     then renumber. Chain-merges collapse under the running sum
+    *     because buckets partition time: partials sorted by start are
+    *     disjoint, so lag(end) is the true previous end.
+    *
+    * Pass 2 still partitions by raw user, but over per-bucket session
+    * summaries — volume reduced from |events| to ≈|sessions touching
+    * bucket edges|; the degenerate every-event-its-own-session user
+    * reduces nothing, which is inherent to exact sessionization.
+    * Equivalence with [[q20]] is pinned in ScaleSpec at a bucket width
+    * chosen to force boundary merges.
+    */
+  def q20Salted(
+      spark: SparkSession,
+      dir: String,
+      bucketUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val byUserBucket = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val frame1 = byUserBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partials = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket", floor(col("us") / bucketUs))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUserBucket))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("part_seq", sum(col("new_session")).over(frame1))
+      .groupBy(col("user_id"), col("bucket"), col("part_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("value_d"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(asc("session_start"), asc("session_end"))
+    val frame2 = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    partials
+      .withColumn("prev_end", lag(unix_micros(col("session_end")), 1).over(byUser))
+      .withColumn("new_merge",
+        when(col("prev_end").isNull ||
+          unix_micros(col("session_start")) - col("prev_end") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_merge")).over(frame2))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("session_start")).as("session_start"),
+        max(col("session_end")).as("session_end"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_d")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
   val q20Sql: String =
     """SELECT user_id, session_seq,
       |       min(ts) AS session_start,

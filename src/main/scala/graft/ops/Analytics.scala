@@ -87,13 +87,16 @@ object Analytics {
     Tables.orders(spark, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        // sorted collect_set stays the exercised op; serialized to a string
+        // because the driver's oracle harness cannot hash array columns
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+          .as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
       .orderBy("o_orderstatus")
 
   val q31Sql: String =
     """SELECT o_orderstatus,
-      |       list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
       |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
       |FROM orders
       |GROUP BY o_orderstatus

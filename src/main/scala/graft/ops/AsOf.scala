@@ -70,8 +70,15 @@ object AsOf {
       valueCols: Seq[String]): DataFrame = {
     checkCols(probes, valueCols)
     val pCols = probes.columns.toSeq
-    val vNull = valueCols.map(c => lit(null).cast(
-      versions.schema(c).dataType).as(c))
+    // carry struct(v) rather than the bare value: a version row whose value
+    // is legitimately NULL must still WIN the as-of race (matching
+    // asOfJoinBroadcast's max_by, which returns that NULL) — last(value,
+    // ignoreNulls) would skip it and resurrect an older version's value.
+    // The struct is non-null exactly on version rows, so ignoreNulls skips
+    // only probe rows.
+    def boxed(c: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", versions.schema(c).dataType)))
+    val vNull = valueCols.map(c => lit(null).cast(boxed(c)).as(c))
     val p = probes
       .select(col(keyCol) +: col(tsCol) +: lit(1).as("_is_probe") +:
         (pCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++ vNull): _*)
@@ -79,7 +86,7 @@ object AsOf {
       .select(col(keyCol) +: col(tsCol) +: lit(0).as("_is_probe") +:
         (pCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
-          valueCols.map(col)): _*)
+          valueCols.map(c => struct(col(c).as("v")).as(c))): _*)
     // versions sort before probes at the same instant => ties are inclusive
     val w = Window.partitionBy(col(keyCol))
       .orderBy(asc(tsCol), asc("_is_probe"))
@@ -88,7 +95,7 @@ object AsOf {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.filter(col("_is_probe") === 1).drop("_is_probe")
-      .select(pCols.map(col) ++ valueCols.map(col): _*)
+      .select(pCols.map(col) ++ valueCols.map(c => col(c).getField("v").as(c)): _*)
   }
 
   /** q33_asof_join: each order picks the exchange rate prevailing at its

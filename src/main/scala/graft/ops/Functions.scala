@@ -126,10 +126,13 @@ object Functions {
         element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.IntegerType)), "k").as("map_k"),
-        array_sort(map_keys(from_json(col("props"),
+        // the array op (map_keys + array_sort) stays; serialize to a string
+        // so the driver's oracle harness can sort/hash the column (arrays
+        // are unhashable in its pandas compare)
+        concat_ws(",", array_sort(map_keys(from_json(col("props"),
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)))).as("json_keys"))
+            org.apache.spark.sql.types.StringType))))).as("json_keys"))
       .filter(col("k_int") > 50)
       .orderBy("event_id")
 
@@ -138,7 +141,7 @@ object Functions {
       |       json_extract_string(props, '$.k') AS k_str,
       |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
       |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_k,
-      |       list_sort(json_keys(props)) AS json_keys
+      |       array_to_string(list_sort(json_keys(props)), ',') AS json_keys
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
       |ORDER BY event_id""".stripMargin

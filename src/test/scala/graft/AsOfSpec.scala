@@ -45,6 +45,31 @@ class AsOfSpec extends SparkSuite {
     }
   }
 
+  test("a NULL value on the latest version carries as NULL in both forms") {
+    // a version row whose value is legitimately NULL must WIN the as-of
+    // race (not be skipped in favor of an older version's value) — the
+    // union+window form boxes values in a struct so last(ignoreNulls)
+    // skips only probe rows, matching the broadcast form's max_by
+    val versions = Seq(
+      ("USD", ts("2020-01-01 00:00:00"), Some(10)),
+      ("USD", ts("2020-06-01 00:00:00"), None)) // latest: value is NULL
+      .toDF("k", "valid_from", "v")
+    val probes = Seq(
+      (1L, "USD", ts("2020-03-01 00:00:00")), // before the null reval -> 10
+      (2L, "USD", ts("2020-07-01 00:00:00"))) // after -> NULL, not 10
+      .toDF("id", "k", "valid_from")
+    val expected = Map(1L -> Some(10), 2L -> None)
+    Seq(
+      ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v")),
+      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v"))
+    ).foreach { df =>
+      val out = df.orderBy("id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+      assert(out == expected)
+    }
+  }
+
   test("as-of join plan shuffles once on the key, no range/theta join") {
     val versions = Seq(("USD", ts("2020-01-01 00:00:00"), 1))
       .toDF("k", "valid_from", "v")

@@ -87,6 +87,29 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("vec_dot yields NULL on malformed embeddings, exactly like the fold") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    // length mismatch: a plausible-but-wrong truncated score would be the
+    // silent-corruption failure mode; the contract is NULL, as the
+    // zip_with/aggregate fold produces
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)), // mismatch -> NULL
+      (Array(1f, 2f), Array(3f, 4f)))     // control  -> 11.0
+      .toDF("a", "b")
+    val out = df.select(
+      call_function("vec_dot", col("a"), col("b")).as("native"),
+      ops.Vector.dot(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).getDouble(0) == 11.0 && out(1).getDouble(1) == 11.0)
+    // null element -> NULL through both the interpreted and codegen paths
+    val r = spark.sql(
+      """SELECT vec_dot(cast(array(1.0, null) as array<float>),
+        |               cast(array(1.0, 2.0) as array<float>)) AS s""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("optimizer rule folds the EUR-literal conversion to a cast") {
     registered()
     spark.experimental.extraOptimizations =
@@ -102,6 +125,44 @@ class ExtSpec extends SparkSuite {
       // and the fold preserves values: identity on every amount
       df.collect().zip(fixtures).foreach { case (r, f) =>
         assert(r.getDecimal(0).compareTo(f.getDecimal(0)) == 0)
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == EliminateIdentityConvert)
+    }
+  }
+
+  test("fold preserves NULL-propagation for a directly-built nullable rate") {
+    // the registered builder coalesces rate to non-null; a hand-built
+    // EurConvert keeps a nullable rate child, and EurConvert propagates
+    // that NULL — the fold must too (If(IsNull(rate), null, cast)), not
+    // silently turn NULL results into pass-through amounts
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+    val rawId = FunctionIdentifier("eur_convert_raw")
+    if (!spark.sessionState.functionRegistry.functionExists(rawId)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        rawId,
+        new ExpressionInfo(classOf[graft.ext.EurConvert].getName, "eur_convert_raw"),
+        (args: Seq[Expression]) => graft.ext.EurConvert(
+          Cast(args(0), DecimalType(28, 8)), args(1),
+          Cast(args(2), DoubleType)))
+    }
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ EliminateIdentityConvert
+    try {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(fixtures, 1), schema)
+        .select(col("rate"), call_function("eur_convert_raw",
+          col("amount"), lit("EUR"), col("rate")).as("out"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("eur_convert"),
+        s"rule should still fold the nullable-rate case:\n$optimized")
+      df.collect().zip(fixtures).foreach { case (r, f) =>
+        if (r.isNullAt(0)) assert(r.isNullAt(1),
+          "NULL rate must stay NULL after the fold")
+        else assert(r.getDecimal(1).compareTo(f.getDecimal(0)) == 0)
       }
     } finally {
       spark.experimental.extraOptimizations =

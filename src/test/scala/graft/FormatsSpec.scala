@@ -25,4 +25,22 @@ class FormatsSpec extends SparkSuite {
     val fromJson = spark.read.schema(schema).json(s"$root/json")
     assert(fromJson.except(orders).isEmpty && orders.except(fromJson).isEmpty)
   }
+
+  test("events reads in a default-config session (no nanosAsLong flag)") {
+    // a user session without spark.sql.legacy.parquet.nanosAsLong must
+    // still read the TIMESTAMP(NANOS) events fixture: Tables.events
+    // supplies an explicit long schema, so only INFERENCE needs the flag
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // control: schema inference indeed fails without the flag
+    intercept[Exception] { fresh.read.parquet(s"$sf0001/events.parquet") }
+    val df = Tables.events(fresh, sf0001)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // identical values to the flag-enabled session's read
+    val a = df.orderBy("event_id").limit(20).collect().map(_.toSeq)
+    val b = Tables.events(spark, sf0001)
+      .orderBy("event_id").limit(20).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  }
 }

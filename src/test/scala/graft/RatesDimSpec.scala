@@ -68,6 +68,11 @@ class RatesDimSpec extends SparkSuite {
     val before = spark.read.parquet(s"$root/ledger").count()
     IP.compactLedger(spark, s"$root/ledger")
     assert(spark.read.parquet(s"$root/ledger").count() == before)
+    // compaction is parallel multi-file output (range-partitioned), never
+    // the coalesce(1) single-task/single-file shape
+    val dataFiles = new java.io.File(s"$root/ledger").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles > 1, s"expected multi-file compacted ledger, got $dataFiles")
     // after compaction the source is still seen as fully drained
     val r = IP.runBatch(spark, s"$root/src", s"$root/tgt", s"$root/ledger",
       rates, ts, maxBatch = 10)

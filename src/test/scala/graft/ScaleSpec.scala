@@ -30,6 +30,25 @@ class ScaleSpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
   }
 
+  test("salted sessionization == raw-key q20, with boundary merges forced") {
+    // 1-hour buckets against a 30-min gap: sessions routinely span bucket
+    // edges, so the cross-bucket merge pass is genuinely exercised
+    val bucketUs = 3600L * 1000000
+    val base = ops.Aggregates.q20(spark, sf0001)
+      .collect().map(_.toSeq)
+    val salted = ops.Aggregates.q20Salted(spark, sf0001, bucketUs)
+      .collect().map(_.toSeq)
+    assert(salted.toSeq == base.toSeq,
+      "salt-then-merge sessionization must reproduce the raw-key output")
+    // guard: the fixture actually contains bucket-spanning sessions —
+    // otherwise this test would pass without testing the merge
+    val spanning = ops.Aggregates.q20(spark, sf0001)
+      .filter(floor(unix_micros(col("session_start")) / bucketUs) =!=
+        floor(unix_micros(col("session_end")) / bucketUs))
+      .count()
+    assert(spanning > 0, "fixture has no bucket-spanning sessions")
+  }
+
   test("partitionBy write + filter read prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part_").toString + "/orders"
     Tables.orders(spark, sf0001)

@@ -10,6 +10,7 @@ trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   lazy val sf0001 = "/root/testdata/sf0.001"
   lazy val sf001  = "/root/testdata/sf0.01"
+  lazy val sf01   = "/root/testdata/sf0.1"
 }
 
 object SparkSuite {

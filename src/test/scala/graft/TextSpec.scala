@@ -78,6 +78,42 @@ class TextSpec extends SparkSuite {
     assert((sh -- mh).isEmpty, s"simhash-only pairs: ${sh -- mh}")
   }
 
+  test("sf0.1: every simhash/minhash disagreement is a criterion-boundary case",
+      org.scalatest.tagobjects.Slow) {
+    // the sf0.01 agreement test above cross-checks the two detectors at
+    // oracle scale; this pins the same invariant at BENCH scale (the
+    // corpus the per-round numbers are measured on), so a banding or
+    // signature regression that only shows up at volume can't hide.
+    // The detectors measure DIFFERENT similarities — 64-bit hamming vs
+    // exact shingle Jaccard — so on short documents radius-7 simhash
+    // legitimately admits pairs just under x02's J>=0.9 bar (observed:
+    // one 9-vs-11-shingle pair at J=0.82). The sound cross-check is:
+    // every simhash-only pair must sit BELOW the threshold (minhash was
+    // right to exclude it — anything at J>=0.9 missed by minhash would
+    // be a banding recall bug) yet still be genuinely related (a random
+    // pair would mean a simhash signature bug).
+    val mh = Text.x02(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Text.x07(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.size >= 20, s"expected >=20 simhash pairs at sf0.1, got ${sh.size}")
+    assert(mh.size >= 20, s"expected >=20 minhash pairs at sf0.1, got ${mh.size}")
+    val only = (sh -- mh).toSeq
+    if (only.nonEmpty) {
+      val docs = Tables.documents(spark, sf01)
+        .select(col("doc_id"), Text.shingles(col("text"), 2).as("s"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      val jac = only.toDF("doc_a", "doc_b")
+        .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+        .select((inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter).cast("double")).as("j"))
+        .collect().map(_.getDouble(0))
+      assert(jac.forall(j => j >= 0.5 && j < 0.9),
+        s"simhash-only pairs must be sub-threshold-but-related, jaccards: ${jac.toSeq}")
+    }
+  }
+
   test("fingerprint dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
     val once = Text.q21(spark, sf001)
     // applying the same keep-first rule to an already-deduped set is a no-op
