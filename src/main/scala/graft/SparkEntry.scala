@@ -35,6 +35,9 @@ object SparkEntry {
     "q18_json_extract"     -> ((s, d) => ops.Functions.q18(s, d)),
     "q19_window_tumbling"  -> ((s, d) => ops.Aggregates.q19(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
+    // same output as q20 via the skew-safe salt-then-merge plan — shares
+    // q20's oracle, so the equivalence is driver-verified at every SF
+    "q20b_sessionize_salted" -> ((s, d) => ops.Aggregates.q20Salted(s, d)),
     "q21_dedup_exact"      -> ((s, d) => ops.Text.q21(s, d)),
     "q22_text_tokens"      -> ((s, d) => ops.Text.q22(s, d)),
     "q23_array_ops"        -> ((s, d) => ops.Functions.q23(s, d)),
@@ -46,6 +49,9 @@ object SparkEntry {
     "q29_pivot"            -> ((s, d) => ops.Analytics.q29(s, d)),
     "q32_train_split"      -> ((s, d) => ops.TextAnalysis.q32(s, d)),
     "q33_asof_join"        -> ((s, d) => ops.AsOf.q33(s, d)),
+    // same query through the union+window as-of (the large-version-table
+    // path) — shares q33's native-ASOF oracle
+    "q33b_asof_window"     -> ((s, d) => ops.AsOf.q33b(s, d)),
     "q34_median"           -> ((s, d) => ops.Analytics.q34(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
@@ -81,6 +87,7 @@ object SparkEntry {
     "q18_json_extract"     -> ops.Functions.q18Sql,
     "q19_window_tumbling"  -> ops.Aggregates.q19Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
+    "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,
     "q21_dedup_exact"      -> ops.Text.q21Sql,
     "q22_text_tokens"      -> ops.Text.q22Sql,
     "q23_array_ops"        -> ops.Functions.q23Sql,
@@ -92,6 +99,7 @@ object SparkEntry {
     "q29_pivot"            -> ops.Analytics.q29Sql,
     "q32_train_split"      -> ops.TextAnalysis.q32Sql,
     "q33_asof_join"        -> ops.AsOf.q33Sql,
+    "q33b_asof_window"     -> ops.AsOf.q33Sql,
     "q34_median"           -> ops.Analytics.q34Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

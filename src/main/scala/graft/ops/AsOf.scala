@@ -103,30 +103,43 @@ object AsOf {
     * currencies fall back to 1.0 (the reference's missing-rate default).
     * Oracle: DuckDB's native ASOF LEFT JOIN over the identical literals.
     */
-  def q33(spark: SparkSession, dir: String): DataFrame = {
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    // the rate history is a 40-row dim: the broadcast form's uniform
+    // per-row grouping beats union+window's 10-currency partitioning
+    q33Finish(asOfJoinBroadcast(q33Probes(spark, dir), Dims.ratesHistoryDf(spark),
+      keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate")))
+
+  /** q33b_asof_window: the SAME query through the generic union+window
+    * form ([[asOfJoin]], the non-broadcastable-versions path) — both
+    * variants are oracle-checked against the identical DuckDB ASOF JOIN,
+    * so their documented equivalence is driver-verified at every SF, not
+    * only on the AsOfSpec fixtures.
+    */
+  def q33b(spark: SparkSession, dir: String): DataFrame =
+    q33Finish(asOfJoin(q33Probes(spark, dir), Dims.ratesHistoryDf(spark),
+      keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate")))
+
+  private def q33Probes(spark: SparkSession, dir: String): DataFrame = {
     val orders   = Tables.orders(spark, dir)
     val customer = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name")
-    val withCur = orders
+    orders
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(nation, customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(Dims.nationCurrencyDf(spark)),
         nation("n_name") === col("n_name_key"))
       .select(col("o_orderkey"), col("currency"),
         col("o_orderdate").as("valid_from"))
+  }
 
-    // the rate history is a 40-row dim: the broadcast form's uniform
-    // per-row grouping beats union+window's 10-currency partitioning
-    asOfJoinBroadcast(withCur, Dims.ratesHistoryDf(spark),
-        keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate"))
-      .select(
+  private def q33Finish(joined: DataFrame): DataFrame =
+    joined.select(
         col("o_orderkey"),
         col("currency"),
         col("valid_from").as("order_date"),
         coalesce(col("rate"), lit("1.000000").cast("decimal(10,6)"))
           .cast("double").as("used_rate"))
       .orderBy("o_orderkey")
-  }
 
   val q33Sql: String =
     s"""SELECT o.o_orderkey, nc.currency, o.o_orderdate AS order_date,
