@@ -62,7 +62,8 @@ object SparkEntry {
     "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
     "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d)),
     "x06_ann_simhash"      -> ((s, d) => ops.Vector.x06(s, d)),
-    "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d))
+    "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d)),
+    "x08_cosine_blocked"   -> ((s, d) => ops.Vector.x08(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -107,6 +108,7 @@ object SparkEntry {
     // all-pairs list_intersect) — viable at oracle scale, which is exactly
     // the O(n^2) the engine-side broadcast scan + LSH avoid at data scale.
     "x01_vector_cosine"    -> ops.Vector.x01Sql,
-    "x02_minhash_dedup"    -> ops.Text.x02Sql
+    "x02_minhash_dedup"    -> ops.Text.x02Sql,
+    "x08_cosine_blocked"   -> ops.Vector.x08Sql
   )
 }

@@ -300,4 +300,67 @@ object Vector {
     annTopK(emb, emb.filter(col("vec_id") < 8), dim = 64)
       .orderBy("probe_id", "rank")
   }
+
+  /** x08_cosine_blocked: metadata-blocked pairwise cosine — every
+    * same-`label` pair of embeddings with cosine ≥ 0.35 (this corpus has
+    * no true near-dups; cosinePairs' 0.95 path is planted-pair tested).
+    * Blocking is the standard scale pattern when candidate pairs must be
+    * EXACT within a business partition (same customer, same shard, same
+    * label): the pair source is an equi-join on the block key — a plain
+    * hash join, never a cartesian — so cost is Σ (block size)², and when
+    * a block outgrows quadratic reach the LSH candidate path
+    * ([[cosinePairs]]) takes over inside it. Oracle-checked: same fold
+    * order as x01 ⇒ bit-identical doubles.
+    */
+  def x08(spark: SparkSession, dir: String): DataFrame =
+    blockedCosinePairs(Tables.embeddings(spark, dir),
+        blockCol = "label", minCosine = 0.35)
+      .orderBy("vec_id_a", "vec_id_b")
+
+  /** The generic blocked form behind [[x08]]: exact pairwise cosine within
+    * each `blockCol` group, pairs at or above `minCosine`, id_a < id_b.
+    * Pairs NEVER cross blocks — that is the contract, not a shortcut.
+    */
+  def blockedCosinePairs(
+      corpus: DataFrame,
+      blockCol: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosine: Double = 0.95): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
+    val v = corpus
+      .select(col(idCol).as("vec_id"), col(blockCol).as("block"), col(vecCol).as("vec"))
+      .withColumn("nrm", nNorm(col("vec")))
+      .filter(col("nrm") > 0) // NaN-cosine guard
+    val a = v.select(col("block"), col("vec_id").as("vec_id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = v.select(col("block"), col("vec_id").as("vec_id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("block"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cosine", nCos(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        col("block").as(blockCol), col("cosine"))
+  }
+
+  /** Brute-force restatement of [[x08]] for the DuckDB oracle — same
+    * blocked join, same 0-prepended left-to-right fold as [[x01Sql]].
+    */
+  val x08Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)
+      |SELECT vec_id_a, vec_id_b, label, cosine FROM (
+      |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE a.nrm > 0 AND b.nrm > 0)
+      |WHERE cosine >= 0.35
+      |ORDER BY vec_id_a, vec_id_b""".stripMargin
 }

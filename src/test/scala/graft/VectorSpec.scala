@@ -85,6 +85,27 @@ class VectorSpec extends SparkSuite {
     assert(pairs == Set((3L, 99L)))
   }
 
+  test("blockedCosinePairs: pairs only within a block, never across") {
+    import spark.implicits._
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(16)(d => math.sin(i * 16 + d).toFloat)
+    // identical vectors planted in the SAME block (1,2) and across
+    // DIFFERENT blocks (3,4): blocking must pair the former only
+    val corpus = Seq(
+      (1L, "blockA", vec(7)), (2L, "blockA", vec(7)),
+      (3L, "blockA", vec(7)), (4L, "blockB", vec(7)),
+      (5L, "blockB", vec(50))).toDF("vec_id", "label", "embedding")
+    val pairs = Vector.blockedCosinePairs(corpus, "label", minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"cross-block pair must not appear, got $pairs")
+    // the pair source is an equi-join on the block key, not a product
+    val plan = Vector.blockedCosinePairs(corpus, "label", minCosine = 0.999)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("IVF top-k: recall beats the simhash path at equal candidate budget") {
     val emb = Tables.embeddings(spark, sf001)
     val probes = emb.filter(col("vec_id") < 8)
