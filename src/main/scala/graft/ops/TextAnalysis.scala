@@ -187,4 +187,49 @@ object TextAnalysis {
       |           (a, b) -> (a * 31 + b) % 1000000007) AS h
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** q35_repetition_filter: duplicate-bigram ratio per document — the
+    * standard repetition rule of LLM data-cleaning pipelines (excessive
+    * repeated n-grams mark boilerplate/template/spam text). ratio =
+    * (bigrams − distinct bigrams) / bigrams over the RAW (multiplicity-
+    * preserving) bigram list; shingle-less docs (<2 words) score 0.0 —
+    * no repetition evidence, keep. The ratio is one IEEE division of
+    * exact integer counts ⇒ bit-identical cross-engine, and the whole op
+    * is per-row map-side column math: one corpus pass at any scale.
+    */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+    Tables.documents(spark, dir)
+      .withColumn("bg", bigrams)
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("int").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("int").as("n_distinct"),
+        when(size(col("bg")) > 0,
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+            size(col("bg")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .withColumn("keep", col("dup_ratio") <= 0.05)
+      .orderBy("doc_id")
+  }
+
+  val q35Sql: String =
+    """SELECT doc_id,
+      |       CAST(len(bg) AS INTEGER) AS n_bigrams,
+      |       CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
+      |       CASE WHEN len(bg) > 0
+      |            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |            ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
+      |       (CASE WHEN len(bg) > 0
+      |            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |            ELSE CAST(0 AS DOUBLE) END) <= 0.05 AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |         list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1]) AS bg
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -144,6 +144,22 @@ class TextSpec extends SparkSuite {
     assert(Text.simhashPairs(docs, maxHamming = 7, numChunks = 8).count() == 0)
   }
 
+  test("q35 repetition filter: ratio bounds, keep rule, repetition detected") {
+    val rows = ops.TextAnalysis.q35(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, ratio, keep) =
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
+      assert(d <= n && ratio >= 0.0 && ratio <= 1.0)
+      assert(keep == (ratio <= 0.05))
+      if (n > 0) assert(math.abs(ratio - (n - d).toDouble / n) == 0.0)
+    }
+    // the word-token corpus genuinely contains repeated bigrams
+    assert(rows.exists(_.getDouble(3) > 0.0), "no repetition found in corpus")
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "threshold must actually split the corpus")
+  }
+
   test("q22 token frequencies sum to the corpus token count") {
     val freqSum = Text.q22(spark, sf001).agg(sum("freq")).collect().head.getLong(0)
     val tokens = Tables.documents(spark, sf001)
