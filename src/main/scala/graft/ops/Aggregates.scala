@@ -124,6 +124,41 @@ object Aggregates {
       |WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** q37_window_ranks: the rank family — rank / dense_rank / percent_rank /
+    * cume_dist over a TIE-RICH ordering (order month within priority), the
+    * semantics q11's row_number cannot show (row_number breaks ties
+    * arbitrarily; these are functions of the ORDER KEY VALUE alone, so
+    * every peer row gets the same deterministic result regardless of
+    * physical row order — which is also why ntile is excluded: it splits
+    * peer groups by physical position). percent_rank = (rank−1)/(N−1) and
+    * cume_dist = peers≤/N are single IEEE divisions of exact counts ⇒
+    * bit-identical cross-engine (SQL-standard definitions in both).
+    */
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(asc("order_mo"))
+    Tables.orders(spark, dir)
+      .withColumn("order_mo", month(col("o_orderdate")).cast("int"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("order_mo"),
+        rank().over(w).cast("int").as("rnk"),
+        dense_rank().over(w).cast("int").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderkey")
+  }
+
+  val q37Sql: String =
+    """SELECT o_orderkey, o_orderpriority, order_mo,
+      |       CAST(rank()         OVER w AS INTEGER) AS rnk,
+      |       CAST(dense_rank()   OVER w AS INTEGER) AS drnk,
+      |       percent_rank() OVER w AS prnk,
+      |       cume_dist()    OVER w AS cdist
+      |FROM (SELECT o_orderkey, o_orderpriority,
+      |             CAST(month(o_orderdate) AS INTEGER) AS order_mo
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_mo ASC)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q12_window_frame: running per-customer spend with an explicit row frame. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -210,4 +210,49 @@ object Relational {
       | EXCEPT
       | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
       |ORDER BY o_custkey""".stripMargin
+
+  /** q36_join_full: FULL OUTER join — year-over-year customer spend, where
+    * customers active in only one of the two years surface as unmatched
+    * rows on EITHER side (the one outer-join shape q05's left form cannot
+    * express). Exact decimal sums and delta; one final double conversion
+    * per money column (D2). A shuffled full-outer hash join on the
+    * aggregate keys — both inputs are already aggregates, so the join
+    * input is |customers|, not |orders|.
+    */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def spend(yr: Int) = o
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val z = lit(0).cast("decimal(28,2)")
+    val a = spend(1995).select(col("o_custkey").as("ck_a"), col("spend").as("sp_a"))
+    val b = spend(1996).select(col("o_custkey").as("ck_b"), col("spend").as("sp_b"))
+    a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+      .select(
+        coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("sp_a"), z).cast("double").as("spend_1995"),
+        coalesce(col("sp_b"), z).cast("double").as("spend_1996"),
+        (coalesce(col("sp_b"), z) - coalesce(col("sp_a"), z)).cast("double")
+          .as("delta"))
+      .orderBy("custkey")
+  }
+
+  /** The decimal→double conversions route through VARCHAR on the DuckDB
+    * side (q30 precedent): DuckDB's direct wide-decimal→double double-
+    * rounds via int128, while string→double is a correctly-rounded parse
+    * matching Spark's BigDecimal→double.
+    */
+  val q36Sql: String =
+    """SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+      |       CAST(CAST(coalesce(a.spend, 0) AS VARCHAR) AS DOUBLE) AS spend_1995,
+      |       CAST(CAST(coalesce(b.spend, 0) AS VARCHAR) AS DOUBLE) AS spend_1996,
+      |       CAST(CAST(coalesce(b.spend, 0) - coalesce(a.spend, 0) AS VARCHAR) AS DOUBLE) AS delta
+      |FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey) a
+      |FULL OUTER JOIN
+      |     (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey) b
+      |ON a.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin
 }
