@@ -71,6 +71,25 @@ object GraftFunctions {
       reg.registerFunction(vecDotIdentifier, vecDotInfo, vecDotBuilder _)
     }
   }
+
+  /** `simhash_sig(hashes)` SQL builder over an `array<long>` column. */
+  def simHashSigBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "simhash_sig(hashes)")
+    SimHashSig(Cast(args(0), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType)))
+  }
+
+  val simHashSigIdentifier: FunctionIdentifier = FunctionIdentifier("simhash_sig")
+  val simHashSigInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHashSig].getName, "simhash_sig")
+
+  /** Idempotently register `simhash_sig` on a live session. */
+  def ensureSimHashSig(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(simHashSigIdentifier)) {
+      reg.registerFunction(simHashSigIdentifier, simHashSigInfo, simHashSigBuilder _)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
@@ -84,6 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.vecDotIdentifier, GraftFunctions.vecDotInfo,
         GraftFunctions.vecDotBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
+        GraftFunctions.simHashSigBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

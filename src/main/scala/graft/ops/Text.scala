@@ -231,19 +231,32 @@ object Text {
     // excluded: with zero votes every bit test is 0 >= 0, so ALL such docs
     // would share the all-ones signature and pair up at Hamming 0 — route
     // them through exact dedup (q21) instead.
+    graft.ext.GraftFunctions.ensureSimHashSig(docs.sparkSession)
     val withHashes = docs.select(col(idCol).as("doc_id"),
       transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
       .filter(size(col("hs")) > 0)
       .repartition(col("doc_id"))
-    val bits = (0 until 64).map { i =>
-      val ones = size(filter(col("hs"),
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      when(ones * 2 >= size(col("hs")), lit(1L << i)).otherwise(lit(0L))
-    }
+    // the 64 bit votes run in the codegen'd graft.ext.SimHashSig kernel —
+    // one pass over the hash array; the interpreted 64×filter formulation
+    // ([[hofSimhash]], kept for the parity test) was the dominant cost of
+    // x07 at sf0.1
     // second exchange shared by the chunk self-join branches (ReuseExchange)
     withHashes.select(col("doc_id"),
-      bits.reduce((a, b) => a + b).as("simhash"))
+      call_function("simhash_sig", col("hs")).as("simhash"))
       .repartition(col("doc_id"))
+  }
+
+  /** The higher-order-function formulation of the SimHash bit vote —
+    * superseded by the native kernel in [[simhashText]]; retained so
+    * ExtSpec can pin the two bit-for-bit equal.
+    */
+  private[graft] def hofSimhash(hs: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val ones = size(filter(hs,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 >= size(hs), lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
   }
 
   /** SimHash near-dup pairs at Hamming distance <= maxHamming. Candidates

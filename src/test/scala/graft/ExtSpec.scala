@@ -110,6 +110,19 @@ class ExtSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("simhash_sig native kernel == the 64-filter HOF formulation, per bit") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureSimHashSig(spark)
+    val rows = (1 to 40).map(i =>
+      Array.tabulate(1 + i % 23)(j => scala.util.hashing.byteswap64(i * 131 + j)))
+    val df = (rows :+ Array.empty[Long]).toDF("hs") // empty = all-ones, both
+    val out = df.select(
+      call_function("simhash_sig", col("hs")).as("native"),
+      ops.Text.hofSimhash(col("hs")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+  }
+
   test("optimizer rule folds the EUR-literal conversion to a cast") {
     registered()
     spark.experimental.extraOptimizations =
