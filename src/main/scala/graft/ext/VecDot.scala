@@ -23,16 +23,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (!VecDot.valid(x, y)) null else VecDot.dot(x, y)
+  }
 
+  // validity split from the kernel so the VALID path stays primitive and
+  // allocation-free in codegen (the hot path of every vector operator);
+  // only the two cold error cases branch to isNull
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.ext.VecDot.dot($a, $b);
-      if (${ev.value}_r == null) {
+      if (!graft.ext.VecDot.valid($a, $b)) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = ${ev.value}_r.doubleValue();
+        ${ev.value} = graft.ext.VecDot.dot($a, $b);
       }
     """)
 
@@ -42,16 +47,28 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
-  /** Boxed on purpose: `null` is the defined result for a length mismatch
-    * or a null element, mirroring the higher-order-function fold.
+  /** The defined-result precondition: equal lengths, no null elements.
+    * When false the expression yields NULL, mirroring the higher-order
+    * fold. Null-bit probes on primitive float arrays are bitset lookups —
+    * this pre-pass is far cheaper than boxing every valid result.
     */
-  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def valid(a: ArrayData, b: ArrayData): Boolean = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
+    if (n != b.numElements()) return false
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Primitive dot kernel — callers must check [[valid]] first. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }

@@ -40,16 +40,23 @@ object Text {
     * re-run the split, making shingling O(|words|²) per document (measured
     * 4× slower over the corpus).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(split(lower(text), " "))
-    else bound(split(lower(text), " ")) { words =>
+    else array_distinct(ngrams(text, n))
+
+  /** Multiplicity-preserving word n-grams of lowercased `text` (shingles
+    * without the distinct — q35's repetition ratio needs the duplicates).
+    * Same let-binding discipline as [[shingles]]: an unbound word array
+    * would re-run the split per element access, O(|words|²) per document.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    bound(split(lower(text), " ")) { words =>
       when(size(words) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(
+        .otherwise(
           transform(sequence(lit(0), size(words) - n),
             i => concat_ws(" ",
-              (0 until n).map(j => element_at(words, i + j + 1)): _*))))
+              (0 until n).map(j => element_at(words, i + j + 1)): _*)))
     }
-  }
 
   /** Sorted-distinct-word fingerprint — normalized content identity. */
   def wordSetFingerprint(text: Column): Column =
@@ -232,17 +239,20 @@ object Text {
     // would share the all-ones signature and pair up at Hamming 0 — route
     // them through exact dedup (q21) instead.
     graft.ext.GraftFunctions.ensureSimHashSig(docs.sparkSession)
-    val withHashes = docs.select(col(idCol).as("doc_id"),
-      transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .repartition(col("doc_id"))
     // the 64 bit votes run in the codegen'd graft.ext.SimHashSig kernel —
     // one pass over the hash array; the interpreted 64×filter formulation
     // ([[hofSimhash]], kept for the parity test) was the dominant cost of
-    // x07 at sf0.1
-    // second exchange shared by the chunk self-join branches (ReuseExchange)
-    withHashes.select(col("doc_id"),
-      call_function("simhash_sig", col("hs")).as("simhash"))
+    // x07 at sf0.1. With `hs` referenced once by the signature projection
+    // (plus once by the degenerate-doc filter), the materialization
+    // exchange the 64-expression form needed is gone: recomputing one
+    // in-memory transform beats shuffling the full (doc_id, hash-array)
+    // rows. The one remaining exchange is shared by the chunk self-join
+    // branches (ReuseExchange).
+    docs.select(col(idCol).as("doc_id"),
+        transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        call_function("simhash_sig", col("hs")).as("simhash"))
       .repartition(col("doc_id"))
   }
 

@@ -198,28 +198,22 @@ object TextAnalysis {
     * is per-row map-side column math: one corpus pass at any scale.
     */
   def q35(spark: SparkSession, dir: String): DataFrame = {
-    // the word array MUST be let-bound (Text.bound): a bare `words(...)`
-    // reference inside the per-element lambda re-runs the split per
-    // element — O(|words|²) per document (measured 5× on this query)
-    val bigrams = graft.ops.Text.bound(words(col("text"))) { ws =>
-      when(size(ws) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(ws) - 2),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-    }
-    // bind bg + its distinct once; the collapsed projection still inlines
-    // `m` per extracted field (no CSE for interpreted lambdas), but each
-    // inline is one O(n) pass, not the quadratic above
-    val m = graft.ops.Text.bound(bigrams) { bg =>
+    // bind the bigram array, its distinct, and the ratio once each (the
+    // collapsed projection still inlines `m` per extracted field — no CSE
+    // for interpreted lambdas — but each inline is one O(n) pass, not the
+    // O(n²) an unbound word array would cost; see Text.ngrams)
+    val m = graft.ops.Text.bound(graft.ops.Text.ngrams(col("text"), 2)) { bg =>
       graft.ops.Text.bound(array_distinct(bg)) { dbg =>
-        struct(
-          size(bg).cast("int").as("n_bigrams"),
-          size(dbg).cast("int").as("n_distinct"),
+        graft.ops.Text.bound(
           when(size(bg) > 0,
             (size(bg) - size(dbg)).cast("double") / size(bg).cast("double"))
-            .otherwise(lit(0.0)).as("dup_ratio"),
-          (when(size(bg) > 0,
-            (size(bg) - size(dbg)).cast("double") / size(bg).cast("double"))
-            .otherwise(lit(0.0)) <= 0.05).as("keep"))
+            .otherwise(lit(0.0))) { ratio =>
+          struct(
+            size(bg).cast("int").as("n_bigrams"),
+            size(dbg).cast("int").as("n_distinct"),
+            ratio.as("dup_ratio"),
+            (ratio <= 0.05).as("keep"))
+        }
       }
     }
     Tables.documents(spark, dir)

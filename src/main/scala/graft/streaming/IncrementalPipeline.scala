@@ -143,13 +143,14 @@ object IncrementalPipeline {
     val bak = new org.apache.hadoop.fs.Path(ledgerDir + ".old")
     // stale leftovers from an interrupted prior attempt
     fs.delete(tmp, true); fs.delete(bak, true)
-    val ledger = spark.read.parquet(ledgerDir)
-    val rows = ledger.count()
-    // ~8M ids per output file (~128 MB at ledger row width); ≥2 files so
-    // compaction never regresses to the single-task/single-file shape
+    // size from filesystem METADATA, not a count() job — a billions-of-ids
+    // ledger should not be scanned twice per compaction. Target ~128 MB of
+    // parquet per output file; ≥2 files so compaction never regresses to
+    // the single-task/single-file shape
+    val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
-      (rows / 8000000L).toInt + 1))
-    ledger
+      (bytes / (128L << 20)).toInt + 1))
+    spark.read.parquet(ledgerDir)
       .repartitionByRange(nFiles, col("order_id"))
       .sortWithinPartitions("order_id")
       .write.mode("overwrite").parquet(tmp.toString)
