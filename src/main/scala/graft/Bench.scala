@@ -48,8 +48,10 @@ object Bench {
             None
         }
       }
-      if (times.size < runs) { failed ::= name; name -> -1.0 }
-      else name -> times.sorted.apply(runs / 2)
+      // failed only when EVERY run fails: a single transient error must
+      // not discard two valid timings and fail the round
+      if (times.isEmpty) { failed ::= name; name -> -1.0 }
+      else name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -20,19 +20,46 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class SimHashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash_sig"
 
-  override protected def nullSafeEval(hs: Any): Any =
-    SimHashSig.sig(hs.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(hs: Any): Any = {
+    val a = hs.asInstanceOf[ArrayData]
+    if (!SimHashSig.valid(a)) null else SimHashSig.sig(a)
+  }
 
+  // same valid/kernel split as VecDot: a null element (possible through
+  // the public SQL registration — any array casts to array<long>) yields
+  // NULL identically under interpreted and codegen eval, never an NPE or
+  // a storage-format-dependent wrong signature
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.ext.SimHashSig.sig($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (!graft.ext.SimHashSig.valid($c)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.ext.SimHashSig.sig($c);
+      }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): SimHashSig =
     copy(child = newChild)
 }
 
 object SimHashSig {
+  /** False iff the array contains a null element — the one undefined-input
+    * case. Null-bit probes are bitset lookups, far cheaper than the vote.
+    */
+  def valid(hs: ArrayData): Boolean = {
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Single-pass 64-counter vote — callers must check [[valid]] first. */
   def sig(hs: ArrayData): Long = {
     val n = hs.numElements()
     val cnt = new Array[Int](64)

@@ -121,6 +121,12 @@ class ExtSpec extends SparkSuite {
       ops.Text.hofSimhash(col("hs")).as("hof")).collect()
     out.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+    // a null ELEMENT (reachable via the public SQL cast) yields NULL, not
+    // an NPE or a storage-dependent wrong signature
+    val nul = spark.sql(
+      "SELECT simhash_sig(cast(array(1, null) as array<bigint>)) AS s")
+      .collect()(0)
+    assert(nul.isNullAt(0))
   }
 
   test("optimizer rule folds the EUR-literal conversion to a cast") {

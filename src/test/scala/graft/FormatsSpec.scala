@@ -37,10 +37,16 @@ class FormatsSpec extends SparkSuite {
     val df = Tables.events(fresh, sf0001)
     assert(df.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampType)
-    // identical values to the flag-enabled session's read
+    // value parity against the LEGACY path, reconstructed inline: a
+    // flag-enabled inference read (SparkSuite's session sets nanosAsLong,
+    // so ts infers as raw long) plus the same ns→µs floor. Comparing two
+    // calls of the explicit-schema reader would be vacuous.
     val a = df.orderBy("event_id").limit(20).collect().map(_.toSeq)
-    val b = Tables.events(spark, sf0001)
-      .orderBy("event_id").limit(20).collect().map(_.toSeq)
+    val legacy = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+      .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
+    val b = legacy.orderBy("event_id").limit(20).collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq && a.nonEmpty)
   }
 }
