@@ -90,6 +90,32 @@ object GraftFunctions {
       reg.registerFunction(simHashSigIdentifier, simHashSigInfo, simHashSigBuilder _)
     }
   }
+
+  /** `minhash_bands(shingles, numHashes, bands)` SQL builder — the hash
+    * counts must be literal ints (they size the kernel's state).
+    */
+  def minHashBandsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "minhash_bands(shingles, numHashes, bands)")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+    }
+    MinHashBands(
+      Cast(args(0), org.apache.spark.sql.types.ArrayType(StringType)),
+      intLit(args(1), "numHashes"), intLit(args(2), "bands"))
+  }
+
+  val minHashBandsIdentifier: FunctionIdentifier = FunctionIdentifier("minhash_bands")
+  val minHashBandsInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashBands].getName, "minhash_bands")
+
+  /** Idempotently register `minhash_bands` on a live session. */
+  def ensureMinHashBands(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(minHashBandsIdentifier)) {
+      reg.registerFunction(minHashBandsIdentifier, minHashBandsInfo, minHashBandsBuilder _)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
@@ -106,6 +132,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
         GraftFunctions.simHashSigBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.minHashBandsIdentifier, GraftFunctions.minHashBandsInfo,
+        GraftFunctions.minHashBandsBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

@@ -137,40 +137,37 @@ object Text {
       bands: Int = 8,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
 
-    // materialize the shingle arrays BEFORE fanning out into 32 minhash
-    // expressions: projection collapsing would otherwise inline the
-    // shingle computation into every signature column. Shingle-less docs
-    // (shorter than the shingle width) are excluded: their all-null
-    // signatures would otherwise all collide into one bucket and emit
-    // NaN-jaccard pairs (0/0, and Spark sorts NaN above every threshold) —
-    // route such docs through exact dedup (q21) instead.
+    // materialize the shingle arrays before the signature/filter consumers
+    // (projection collapsing would re-run shingling per reference).
+    // Shingle-less docs (shorter than the shingle width) are excluded:
+    // their all-null signatures would otherwise all collide into one
+    // bucket and emit NaN-jaccard pairs (0/0, and Spark sorts NaN above
+    // every threshold) — route such docs through exact dedup (q21) instead.
     val sh = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(col("doc_id"))
 
-    val minhashes = (0 until numHashes).map(i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"m$i"))
-    // second explicit exchange after the signature projection: every
+    // the numHashes minhash minima and the per-band folds run in ONE pass
+    // of the codegen'd graft.ext.MinHashBands kernel (hash-exact with the
+    // interpreted array_min(transform(...)) formulation — [[hofBandSigs]],
+    // kept for the parity test — so the candidate set cannot shift).
+    // Second explicit exchange after the signature projection: every
     // consumer below — both sides of the bucket self-join and both
     // verification joins — hangs off the SAME shuffle subtree, so
     // ReuseExchange computes signatures exactly once instead of once per
     // plan branch. Two small exchanges of (id, arrays) beat recomputing
     // either stage per branch; at 100 TB you would persist the signature
     // table outright.
-    val sig = sh.select(col("doc_id") +: col("sh") +: minhashes: _*)
+    graft.ext.GraftFunctions.ensureMinHashBands(docs.sparkSession)
+    val sig = sh.select(col("doc_id"), col("sh"),
+        call_function("minhash_bands",
+          col("sh"), lit(numHashes), lit(bands)).as("bsig"))
       .repartition(col("doc_id"))
 
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: cols: _*).as("sig"))
-    }
     val buckets = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"),
-        col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "sig")))
 
     val cand = buckets.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(buckets.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -254,6 +251,19 @@ object Text {
       .select(col("doc_id"),
         call_function("simhash_sig", col("hs")).as("simhash"))
       .repartition(col("doc_id"))
+  }
+
+  /** The higher-order-function formulation of the banded minhash
+    * signatures — superseded by the native MinHashBands kernel in
+    * [[minhashPairs]]; retained so ExtSpec can pin the two hash-for-hash
+    * equal (a mismatch would silently shift the LSH candidate set).
+    */
+  private[graft] def hofBandSigs(sh: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    val m = (0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))))
+    array((0 until bands).map(b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => m(b * rows + r)): _*)): _*)
   }
 
   /** The higher-order-function formulation of the SimHash bit vote —

@@ -129,6 +129,25 @@ class ExtSpec extends SparkSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("minhash_bands native kernel == the HOF band signatures, per band") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureMinHashBands(spark)
+    // real shingle-ish strings plus edge rows: empty array (every minhash
+    // "null" -> band sig folds nothing past its seed) and a null element
+    // (hashes as the bare seed, since xxhash64 skips null children)
+    val rows: Seq[Seq[String]] = (1 to 30).map(i =>
+      (0 to i % 7).map(j => s"w${i * 13 + j} w${i * 13 + j + 1}")) ++
+      Seq(Seq.empty[String], Seq("alpha beta", null, "beta gamma"))
+    val df = rows.toDF("sh")
+    val out = df.select(
+      call_function("minhash_bands", col("sh"), lit(32), lit(8)).as("native"),
+      ops.Text.hofBandSigs(col("sh"), 32, 8).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native=${r.getSeq[Long](0)} hof=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("optimizer rule folds the EUR-literal conversion to a cast") {
     registered()
     spark.experimental.extraOptimizations =
