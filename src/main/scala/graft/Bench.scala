@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSession
   * compilation (the r2 q24 outlier) made single-shot per-query numbers too
   * noisy to gate on. The median drops the first-use compile run; `"runs":3`
   * is recorded in the JSON line.
+  *
+  * Observability (VERDICT r3 #1 + ADVICE r3): the JSON also carries the raw
+  * per-run `"times"` arrays — so an environment-noise outlier (all three
+  * runs landing in a bad window, like q08-r3) is self-diagnosing — and a
+  * `"flaky"` map of queries that failed SOME runs (a deterministic
+  * first-run-only failure is otherwise invisible when the median is green).
+  * The headline `"queries"` medians keep the original flat shape the driver
+  * parses.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,14 +58,22 @@ object Bench {
       }
       // failed only when EVERY run fails: a single transient error must
       // not discard two valid timings and fail the round
-      if (times.isEmpty) { failed ::= name; name -> -1.0 }
-      else name -> times.sorted.apply(times.size / 2)
+      if (times.isEmpty) { failed ::= name; (name, -1.0, times) }
+      else (name, times.sorted.apply(times.size / 2), times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val rawTimes = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // queries where 1-2 of the 3 runs failed: green median, but the partial
+    // failure must be machine-visible (ADVICE r3) — name -> successful runs
+    val flaky = results.collect { case (k, _, ts) if ts.nonEmpty && ts.size < runs =>
+      "\"" + k + "\":" + ts.size
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"times":$rawTimes,"flaky":$flaky,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -43,14 +43,29 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 }
 
 object MinHashBands {
+  // numHashes is a plan-time literal, so the per-hash seed array is pure
+  // constant work — memoize it per distinct numHashes instead of recomputing
+  // numHashes XxHash64 calls on every row (ADVICE r3). ConcurrentHashMap:
+  // executor threads share the JVM-wide cache; the map stays tiny (one entry
+  // per distinct numHashes literal ever planned).
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  private def seedsFor(numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent(numHashes, { nh =>
+      val a = new Array[Long](nh)
+      var j = 0
+      while (j < nh) {
+        a(j) = XxHash64Function.hash(j, IntegerType, 42L)
+        j += 1
+      }
+      a
+    })
+
   def bandsOf(sh: ArrayData, numHashes: Int, nBands: Int): ArrayData = {
     val rows = numHashes / nBands
-    val seeds = new Array[Long](numHashes)
+    val seeds = seedsFor(numHashes)
     var j = 0
-    while (j < numHashes) {
-      seeds(j) = XxHash64Function.hash(j, IntegerType, 42L)
-      j += 1
-    }
     val n = sh.numElements()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)

@@ -88,7 +88,10 @@ object Analytics {
       .groupBy(col("o_orderstatus"))
       .agg(
         // sorted collect_set stays the exercised op; serialized to a string
-        // because the driver's oracle harness cannot hash array columns
+        // because the driver's oracle harness cannot hash array columns.
+        // ',' is unambiguous HERE because o_orderpriority is a closed enum
+        // ('1-URGENT'..'5-LOW', comma-free by construction — gen/OrderGen);
+        // for user-ish data use a non-occurring separator (q18 uses \\u0001)
         concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
           .as("priorities"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))

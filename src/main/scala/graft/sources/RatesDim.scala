@@ -53,15 +53,19 @@ object RatesDim {
 
     def resolve(day: LocalDate): DataFrame = {
       val path = memoPath(day)
-      val dir = new java.io.File(path)
+      // All memo-store probes go through the Hadoop FileSystem API so the
+      // store may be hdfs://, s3a:// or file: — a java.io.File check against
+      // a scheme-qualified URI always reports "missing", which would silently
+      // re-fetch every resolve (blowing the 2-calls/day budget this class
+      // exists to enforce) and never clear a partial write. Same fix class
+      // as IncrementalPipeline.fsFor (VERDICT r3 #2).
+      val dir = new org.apache.hadoop.fs.Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a memo hit requires the COMMITTED marker, not mere dir existence:
       // Spark creates the directory at job start, so a crash mid-write
       // would otherwise wedge the whole day on an unreadable partial memo
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(dir) // clear any partial write from a crashed attempt
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+        fs.delete(dir, true) // clear any partial write from a crashed attempt
         val usdRates = provider.fetch(day)
         fetchCount += 1
         // R25: fail fast if the base currency is missing from the response

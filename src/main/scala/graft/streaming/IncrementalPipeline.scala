@@ -150,15 +150,23 @@ object IncrementalPipeline {
     val bytes = fs.getContentSummary(dir).getLength
     val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (bytes / (128L << 20)).toInt + 1))
-    spark.read.parquet(ledgerDir)
-      .repartitionByRange(nFiles, col("order_id"))
-      .sortWithinPartitions("order_id")
+    compactionLayout(spark.read.parquet(ledgerDir), nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(dir, bak), s"could not move $ledgerDir aside")
     require(fs.rename(tmp, dir), s"could not activate compacted ledger; " +
       s"backup preserved at $bak")
     fs.delete(bak, true)
   }
+
+  /** The compacted ledger's physical layout: range-partitioned and sorted
+    * on order_id, never the coalesce(1) single-task shape. Factored out so
+    * tests can pin the RangePartitioning(≥2) in the PLAN — an empty range
+    * emits no parquet file, so counting output files is not a reliable
+    * proxy for the partitioning (ADVICE r3).
+    */
+  private[graft] def compactionLayout(ledger: DataFrame, nFiles: Int): DataFrame =
+    ledger.repartitionByRange(nFiles, col("order_id"))
+      .sortWithinPartitions("order_id")
 
   /** Repair an interrupted [[compactLedger]] swap: if the live ledger is
     * missing but its backup exists, the backup IS the ledger — restore it.
