@@ -53,9 +53,15 @@ object SparkEntry {
     // path) — shares q33's native-ASOF oracle
     "q33b_asof_window"     -> ((s, d) => ops.AsOf.q33b(s, d)),
     "q34_median"           -> ((s, d) => ops.Analytics.q34(s, d)),
+    // same output through the scale-safe histogram-rank plan (no full sort
+    // on the 3-value status key) — shares q34's oracle
+    "q34b_median_hist"     -> ((s, d) => ops.Analytics.q34Hist(s, d)),
     "q35_repetition_filter" -> ((s, d) => ops.TextAnalysis.q35(s, d)),
     "q36_join_full"        -> ((s, d) => ops.Relational.q36(s, d)),
     "q37_window_ranks"     -> ((s, d) => ops.Aggregates.q37(s, d)),
+    // same output through the histogram + broadcast-join-back plan (the
+    // fact side never sorts on the 5-value priority key) — shares q37's oracle
+    "q37b_ranks_hist"      -> ((s, d) => ops.Aggregates.q37Hist(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -105,9 +111,11 @@ object SparkEntry {
     "q33_asof_join"        -> ops.AsOf.q33Sql,
     "q33b_asof_window"     -> ops.AsOf.q33Sql,
     "q34_median"           -> ops.Analytics.q34Sql,
+    "q34b_median_hist"     -> ops.Analytics.q34Sql,
     "q35_repetition_filter" -> ops.TextAnalysis.q35Sql,
     "q36_join_full"        -> ops.Relational.q36Sql,
     "q37_window_ranks"     -> ops.Aggregates.q37Sql,
+    "q37b_ranks_hist"      -> ops.Aggregates.q37Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -147,6 +147,56 @@ object Aggregates {
       .orderBy("o_orderkey")
   }
 
+  /** q37b_ranks_hist: q37's rank family through the scale-safe histogram
+    * plan (VERDICT r3 #1). q37's direct window partitions on o_orderpriority
+    * — 5 distinct values — so five reducers sort the whole fact table
+    * regardless of cluster size: correct at sf0.1, a serialization point at
+    * 100×. Because rank/dense_rank/percent_rank/cume_dist over a tie-rich
+    * ordering are functions of the ORDER-KEY VALUE alone (see q37's note),
+    * they are all derivable from the (priority, month) count histogram:
+    *
+    *   1. one shuffle on the COMPOSITE (priority, month) key with map-side
+    *      partial aggregation — full parallelism, ≤ 5×12 rows out;
+    *   2. rank math over that ≤60-row histogram (rank = preceding-count+1,
+    *      dense_rank = month index, percent_rank/cume_dist = one IEEE
+    *      division of exact counts, identical to the window definitions) —
+    *      the only priority-partitioned window in the plan runs on
+    *      pre-aggregated data, so the 5-value key is harmless;
+    *   3. broadcast the 60-row rank table back onto the fact rows — the
+    *      fact side never shuffles and never sorts.
+    *
+    * Shares q37's oracle, so the plan equivalence is driver-verified at
+    * every SF (the q20b/q33b precedent); ScaleSpec pins that no exchange
+    * hash-partitions raw fact rows on the bare priority key.
+    */
+  def q37Hist(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .withColumn("order_mo", month(col("o_orderdate")).cast("int"))
+    val hist = base.groupBy(col("o_orderpriority"), col("order_mo"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("o_orderpriority")).orderBy(asc("order_mo"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val ranks = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .select(
+        col("o_orderpriority"), col("order_mo"),
+        (col("cum") - col("c") + 1).cast("int").as("rnk"),
+        row_number().over(wOrd).cast("int").as("drnk"),
+        // SQL-standard (rank−1)/(N−1) with the single-row-partition guard
+        // (0/0 would be NaN; the window function defines it as 0)
+        when(col("n") === 1, lit(0.0))
+          .otherwise((col("cum") - col("c")).cast("double") /
+            (col("n") - 1).cast("double")).as("prnk"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cdist"))
+    base.select("o_orderkey", "o_orderpriority", "order_mo")
+      .join(broadcast(ranks), Seq("o_orderpriority", "order_mo"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("order_mo"),
+        col("rnk"), col("drnk"), col("prnk"), col("cdist"))
+      .orderBy("o_orderkey")
+  }
+
   val q37Sql: String =
     """SELECT o_orderkey, o_orderpriority, order_mo,
       |       CAST(rank()         OVER w AS INTEGER) AS rnk,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -133,6 +133,70 @@ object Analytics {
         max(when(col("rn") === floor(p90).cast("long"), col("o_totalprice_d")))
           .cast("double").as("p90_price"),
         count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q34b_median_hist: q34's exact median/p90 through the scale-safe
+    * histogram plan (VERDICT r3 #1). q34's direct window partitions on
+    * o_orderstatus — 3 distinct values — so three reducers sort the whole
+    * table at any cluster size. The value at a global rank is a function of
+    * the per-(status, price) count histogram alone, so the full sort is
+    * replaced by counting:
+    *
+    *   1. histogram: one shuffle on the high-cardinality (status, price)
+    *      composite with map-side partial agg — full parallelism;
+    *   2. coarse price buckets (fixed width: bucket = floor(price/512),
+    *      ~10³ buckets over the TPC-H price domain — the count stays ~10³
+    *      at ANY data scale, so the per-(status, bucket) subtotal table is
+    *      always tiny) → running bucket offsets + group totals, the only
+    *      status-partitioned window, over ≤ statuses×10³ pre-aggregated
+    *      rows;
+    *   3. within-bucket running counts: window partitioned by the COMPOSITE
+    *      (status, bucket) key — thousands of independent partitions, no
+    *      serialization point; global cumulative rank = bucket offset +
+    *      within-bucket running count (the q20b salt-then-merge idea
+    *      applied to rank);
+    *   4. a price row covers global ranks (cum−c, cum]; the median/p90
+    *      boundary ranks select their covering rows in one final partial
+    *      agg on status.
+    *
+    * Rank-interval selection is arithmetically identical to q34's
+    * rank-equality selection (a tied price covering both middle ranks
+    * contributes p once with weight 1 here vs 2p/2 there — same IEEE double,
+    * division by 2 is exact). Shares q34's oracle (q20b/q33b precedent);
+    * ScaleSpec pins that no exchange hash-partitions raw rows on the bare
+    * status key.
+    */
+  def q34Hist(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.orders(spark, dir)
+      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+      .groupBy(col("o_orderstatus"), col("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", floor(col("p") / 512).cast("long"))
+    val wB = Window.partitionBy(col("o_orderstatus")).orderBy(asc("bkt"))
+    val bucketOffsets = hist.groupBy(col("o_orderstatus"), col("bkt"))
+      .agg(sum(col("c")).as("bc"))
+      .select(
+        col("o_orderstatus"), col("bkt"),
+        coalesce(sum(col("bc")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+        sum(col("bc")).over(Window.partitionBy(col("o_orderstatus"))).as("cnt"))
+    val wIn = Window.partitionBy(col("o_orderstatus"), col("bkt"))
+      .orderBy(asc("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.join(broadcast(bucketOffsets), Seq("o_orderstatus", "bkt"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
+    val lo  = floor((col("cnt") + 1) / lit(2)).cast("long")
+    val hi  = floor((col("cnt") + 2) / lit(2)).cast("long")
+    val p90 = floor((col("cnt") * 9 + 9) / lit(10)).cast("long")
+    def covers(k: Column) = col("cum") - col("c") < k && k <= col("cum")
+    cum.groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(when(covers(lo) || covers(hi), col("p"))).cast("double") /
+          sum(when(covers(lo) || covers(hi), 1).otherwise(0)).cast("double"))
+          .as("median_price"),
+        max(when(covers(p90), col("p"))).cast("double").as("p90_price"),
+        max(col("cnt")).as("n_orders"))
       .orderBy("o_orderstatus")
   }
 

@@ -49,6 +49,54 @@ class ScaleSpec extends SparkSuite {
     assert(spanning > 0, "fixture has no bucket-spanning sessions")
   }
 
+  /** Shuffles that hash-partition on EXACTLY the given key must carry
+    * pre-aggregated rows (an aggregate somewhere below the exchange): a
+    * 3–5-value key is a serialization point when raw fact rows shuffle on
+    * it, but harmless once the data under it is a count histogram.
+    */
+  private def rawKeyShuffles(
+      df: org.apache.spark.sql.DataFrame, key: String) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // executedPlan: ENSURE_REQUIREMENTS exchanges (the window/agg shuffles
+    // under test) only exist after plan preparation — sparkPlan has none.
+    // Callers disable AQE so the tree isn't an opaque AdaptiveSparkPlanExec.
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.nonEmpty &&
+          h.expressions.flatMap(_.references.toSeq.map(_.name)).toSet == Set(key)
+      case _ => false
+    }).filterNot(_.child.collectFirst { case a: BaseAggregateExec => a }.isDefined)
+  }
+
+  test("q34b/q37b: no shuffle of raw rows on the low-cardinality key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assertRawKeyShuffleShapes()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def assertRawKeyShuffleShapes(): Unit = {
+    // the direct window forms DO shuffle raw rows on the 3/5-value key —
+    // the control proving the detector distinguishes the two plan shapes
+    assert(rawKeyShuffles(ops.Analytics.q34(spark, sf0001), "o_orderstatus").nonEmpty,
+      "control: q34's full-partition window should shuffle raw rows on status")
+    assert(rawKeyShuffles(ops.Aggregates.q37(spark, sf0001), "o_orderpriority").nonEmpty,
+      "control: q37's window should shuffle raw rows on priority")
+    // the histogram plans never shuffle un-aggregated rows on the bare key
+    assert(rawKeyShuffles(ops.Analytics.q34Hist(spark, sf0001), "o_orderstatus").isEmpty,
+      "q34b must only hash-partition on o_orderstatus above an aggregate")
+    assert(rawKeyShuffles(ops.Aggregates.q37Hist(spark, sf0001), "o_orderpriority").isEmpty,
+      "q37b must only hash-partition on o_orderpriority above an aggregate")
+    // and the fact side re-attaches by BROADCAST join — no fact shuffle/sort
+    val q37bPlan = ops.Aggregates.q37Hist(spark, sf0001)
+      .queryExecution.sparkPlan.toString
+    assert(q37bPlan.contains("BroadcastHashJoin"),
+      "q37b must broadcast the rank histogram back onto fact rows")
+  }
+
   test("partitionBy write + filter read prunes partitions at the scan") {
     val dir = Files.createTempDirectory("graft_part_").toString + "/orders"
     Tables.orders(spark, sf0001)
