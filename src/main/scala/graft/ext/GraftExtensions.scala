@@ -91,6 +91,24 @@ object GraftFunctions {
     }
   }
 
+  /** `rolling_hash(text)` SQL builder over a string column. */
+  def rollingHashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "rolling_hash(text)")
+    RollingHash(Cast(args(0), StringType))
+  }
+
+  val rollingHashIdentifier: FunctionIdentifier = FunctionIdentifier("rolling_hash")
+  val rollingHashInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[RollingHash].getName, "rolling_hash")
+
+  /** Idempotently register `rolling_hash` on a live session. */
+  def ensureRollingHash(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(rollingHashIdentifier)) {
+      reg.registerFunction(rollingHashIdentifier, rollingHashInfo, rollingHashBuilder _)
+    }
+  }
+
   /** `minhash_bands(shingles, numHashes, bands)` SQL builder — the hash
     * counts must be literal ints (they size the kernel's state).
     */
@@ -135,6 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.minHashBandsIdentifier, GraftFunctions.minHashBandsInfo,
         GraftFunctions.minHashBandsBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.rollingHashIdentifier, GraftFunctions.rollingHashInfo,
+        GraftFunctions.rollingHashBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

@@ -121,9 +121,23 @@ object TextAnalysis {
 
   /** Polynomial rolling hash of a string, base 31 mod 1e9+7, folded over
     * code points left-to-right — engine-portable exact Long arithmetic
-    * (unlike xxhash64/DuckDB hash, whose implementations differ).
+    * (unlike xxhash64/DuckDB hash, whose implementations differ). Runs as
+    * the codegen'd [[graft.ext.RollingHash]] kernel: one pass per string
+    * instead of a regex match + expression-tree walk per CHARACTER
+    * (VERDICT r3 #4; value-exact with [[hofRollingHash]], pinned in
+    * ExtSpec).
     */
-  def rollingHash(text: Column): Column =
+  def rollingHash(spark: SparkSession, text: Column): Column = {
+    graft.ext.GraftFunctions.ensureRollingHash(spark)
+    call_function("rolling_hash", text)
+  }
+
+  /** The higher-order-function formulation of [[rollingHash]] — superseded
+    * by the native kernel; retained so ExtSpec can pin the two value-exact
+    * (a mismatch would silently shift every memoized fingerprint and the
+    * q32 split assignment).
+    */
+  private[graft] def hofRollingHash(text: Column): Column =
     aggregate(
       transform(regexp_extract_all(text, lit("."), lit(0)),
         c => ascii(c).cast("long")),
@@ -138,8 +152,8 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        rollingHash(col("text")).as("fp_raw"),
-        rollingHash(Text.wordSetFingerprint(col("text"))).as("fp_normalized"))
+        rollingHash(spark, col("text")).as("fp_raw"),
+        rollingHash(spark, Text.wordSetFingerprint(col("text"))).as("fp_normalized"))
       .orderBy("doc_id")
 
   val q28Sql: String = {
@@ -163,7 +177,7 @@ object TextAnalysis {
     * oracle-checked.
     */
   def q32(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(rollingHash(col("text")), lit(100L))
+    val bucket = pmod(rollingHash(spark, col("text")), lit(100L))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),

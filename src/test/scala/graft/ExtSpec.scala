@@ -148,6 +148,27 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("rolling_hash native kernel == the per-character HOF fold") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureRollingHash(spark)
+    // ordinary text plus the quirk cases the kernel must reproduce exactly:
+    // empty string (hash 0), line terminators (Java-regex '.' skips them),
+    // multi-byte BMP text, and a supplementary code point (ascii() yields
+    // the HIGH SURROGATE unit of the matched character, not the code point)
+    val rows = Seq(
+      "the quick brown fox", "a", "", "line one\nline two\r\nthree",
+      "uv w x", "café über straße",
+      "你好 world", "emoji 😀 tail", "  double  spaces  ",
+      "punct: 1,2;3!") ++ (1 to 30).map(i => s"doc $i body " * (i % 5 + 1))
+    val out = rows.toDF("t").select(
+      call_function("rolling_hash", col("t")).as("native"),
+      ops.TextAnalysis.hofRollingHash(col("t")).as("hof")).collect()
+    out.zip(rows).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native=${r.getLong(0)} hof=${r.getLong(1)} for '$t'")
+    }
+  }
+
   test("optimizer rule folds the EUR-literal conversion to a cast") {
     registered()
     spark.experimental.extraOptimizations =
