@@ -25,6 +25,8 @@ object SparkEntry {
     "q08_agg_group"        -> ((s, d) => ops.Aggregates.q08(s, d)),
     "q09_agg_distinct"     -> ((s, d) => ops.Aggregates.q09(s, d)),
     "q10_rollup"           -> ((s, d) => ops.Aggregates.q10(s, d)),
+    "q10b_cube"            -> ((s, d) => ops.Aggregates.q10Cube(s, d)),
+    "q10c_grouping_sets"   -> ((s, d) => ops.Aggregates.q10GroupingSets(s, d)),
     "q11_window_rank"      -> ((s, d) => ops.Aggregates.q11(s, d)),
     "q12_window_frame"     -> ((s, d) => ops.Aggregates.q12(s, d)),
     "q13_topk"             -> ((s, d) => ops.Relational.q13(s, d)),
@@ -62,6 +64,7 @@ object SparkEntry {
     // same output through the histogram + broadcast-join-back plan (the
     // fact side never sorts on the 5-value priority key) — shares q37's oracle
     "q37b_ranks_hist"      -> ((s, d) => ops.Aggregates.q37Hist(s, d)),
+    "q38_window_nav"       -> ((s, d) => ops.Aggregates.q38(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -87,6 +90,8 @@ object SparkEntry {
     "q08_agg_group"        -> ops.Aggregates.q08Sql,
     "q09_agg_distinct"     -> ops.Aggregates.q09Sql,
     "q10_rollup"           -> ops.Aggregates.q10Sql,
+    "q10b_cube"            -> ops.Aggregates.q10CubeSql,
+    "q10c_grouping_sets"   -> ops.Aggregates.q10GroupingSetsSql,
     "q11_window_rank"      -> ops.Aggregates.q11Sql,
     "q12_window_frame"     -> ops.Aggregates.q12Sql,
     "q13_topk"             -> ops.Relational.q13Sql,
@@ -116,6 +121,7 @@ object SparkEntry {
     "q36_join_full"        -> ops.Relational.q36Sql,
     "q37_window_ranks"     -> ops.Aggregates.q37Sql,
     "q37b_ranks_hist"      -> ops.Aggregates.q37Sql,
+    "q38_window_nav"       -> ops.Aggregates.q38Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

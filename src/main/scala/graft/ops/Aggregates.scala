@@ -103,6 +103,67 @@ object Aggregates {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
       |         g_status ASC, g_priority ASC""".stripMargin
 
+  /** q10b_cube: full cube over the same two dimensions — all four grouping
+    * sets ((s,p),(s),(p),()) where rollup produces three; the remaining
+    * cross-tab margin ((p) alone) is what a pivot-table consumer reads.
+    * Same determinism contract as q10 (explicit NULLS FIRST, grouping ids
+    * disambiguate real NULLs from subtotal rows).
+    */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"),
+        asc("g_status"), asc("g_priority"))
+
+  val q10CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |         g_status ASC, g_priority ASC""".stripMargin
+
+  /** q10c_grouping_sets: explicit GROUPING SETS — the general form rollup
+    * and cube are shorthands of, with a set list neither shorthand can
+    * express (the two one-dimension margins plus the grand total, no
+    * finest-grain set). Uses the native Dataset.groupingSets operator.
+    */
+  def q10GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(
+        asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"),
+        asc("g_status"), asc("g_priority"))
+
+  val q10GroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST,
+      |         g_status ASC, g_priority ASC""".stripMargin
+
   /** q11_window_rank: latest order per customer (keep-first dedup pattern —
     * the incremental/dedup primitive behind R14/R15).
     */
@@ -208,6 +269,44 @@ object Aggregates {
       |      FROM orders)
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY order_mo ASC)
       |ORDER BY o_orderkey""".stripMargin
+
+  /** q38_window_nav: the navigation window family — lead / first_value /
+    * nth_value / ntile — over a UNIQUE per-partition ordering (orderdate
+    * with an orderkey tiebreak), which is what makes every one of them
+    * deterministic: lag is exercised by q20, and ntile is legitimately
+    * excluded from the tie-rich q37 (it splits peer groups by physical
+    * position) but is well-defined here where no peers exist. Partitioning
+    * is by o_custkey — high cardinality, so the window parallelizes at any
+    * scale (the q34/q37 low-cardinality concern doesn't apply).
+    * first_value/nth_value run under the default standard frame (RANGE
+    * UNBOUNDED PRECEDING..CURRENT ROW, identical in both engines); lead is
+    * frame-less by definition; values are picked, never computed, so the
+    * double column round-trips bit-identically.
+    */
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        lead(col("o_totalprice"), 1).over(w).as("next_spend"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       lead(o_orderkey, 1) OVER w AS next_key,
+      |       lead(o_totalprice, 1) OVER w AS next_spend,
+      |       first_value(o_orderkey) OVER w AS first_key,
+      |       nth_value(o_orderkey, 2) OVER w AS second_key,
+      |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** q12_window_frame: running per-customer spend with an explicit row frame. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
