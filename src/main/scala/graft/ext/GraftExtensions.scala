@@ -91,6 +91,33 @@ object GraftFunctions {
     }
   }
 
+  /** `simhash_bucket(vec, dim, bits)` SQL builder — dim/bits must be int
+    * literals (they size the plan-time coordinate table).
+    */
+  def simHashBucketBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "simhash_bucket(vec, dim, bits)")
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+    }
+    SimHashBucket(
+      Cast(args(0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      intLit(args(1), "dim"), intLit(args(2), "bits"))
+  }
+
+  val simHashBucketIdentifier: FunctionIdentifier = FunctionIdentifier("simhash_bucket")
+  val simHashBucketInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHashBucket].getName, "simhash_bucket")
+
+  /** Idempotently register `simhash_bucket` on a live session. */
+  def ensureSimHashBucket(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(simHashBucketIdentifier)) {
+      reg.registerFunction(simHashBucketIdentifier, simHashBucketInfo, simHashBucketBuilder _)
+    }
+  }
+
   /** `rolling_hash(text)` SQL builder over a string column. */
   def rollingHashBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, "rolling_hash(text)")
@@ -156,6 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.rollingHashIdentifier, GraftFunctions.rollingHashInfo,
         GraftFunctions.rollingHashBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.simHashBucketIdentifier, GraftFunctions.simHashBucketInfo,
+        GraftFunctions.simHashBucketBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

@@ -56,6 +56,19 @@ object Vector {
     * pre-join prune when probes don't fit in a broadcast.
     */
   def simhashBucket(vec: Column, dim: Int, bits: Int = 8): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.ext.GraftFunctions.ensureSimHashBucket)
+    call_function("simhash_bucket", vec, lit(dim), lit(bits))
+  }
+
+  /** The higher-order-function formulation of [[simhashBucket]] —
+    * superseded by the one-pass native [[graft.ext.SimHashBucket]] kernel
+    * (this form re-walks the vector once PER PLANE, `bits` interpreted
+    * O(dim) folds per row; VERDICT r3 #5); retained so VectorSpec can pin
+    * the two value-identical (a mismatch would silently shift every ANN
+    * bucket and x06's recall).
+    */
+  private[graft] def hofSimhashBucket(vec: Column, dim: Int, bits: Int = 8): Column = {
     val planes = (0 until bits).map { p =>
       // hyperplane p coordinate i in [-1, 1): hash → uniform via modulus
       val proj = aggregate(
@@ -152,6 +165,7 @@ object Vector {
       k: Int = 10,
       multiProbe: Boolean = true): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
+    graft.ext.GraftFunctions.ensureSimHashBucket(corpus.sparkSession)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", nNorm(col("c_vec")))
@@ -192,6 +206,7 @@ object Vector {
       bits: Int = 4,
       minCosine: Double = 0.95): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
+    graft.ext.GraftFunctions.ensureSimHashBucket(corpus.sparkSession)
     val v = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", nNorm(col("vec")))
@@ -328,6 +343,7 @@ object Vector {
       vecCol: String = "embedding",
       minCosine: Double = 0.95): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
+    graft.ext.GraftFunctions.ensureSimHashBucket(corpus.sparkSession)
     val v = corpus
       .select(col(idCol).as("vec_id"), col(blockCol).as("block"), col(vecCol).as("vec"))
       .withColumn("nrm", nNorm(col("vec")))

@@ -146,4 +146,25 @@ class VectorSpec extends SparkSuite {
     assert(b(1L) == b(2L))
     assert(b(1L) != b(3L)) // opposite vector flips every sign bit
   }
+
+  test("simhash_bucket native kernel == the per-plane HOF folds") {
+    graft.ext.GraftFunctions.ensureSimHashBucket(spark)
+    // realistic vectors plus every edge the HOF defines: exact-dim, a
+    // shorter vector and an empty one (value side null-padded -> bucket 0),
+    // a LONGER one (index side null-padded -> per-plane constant tail
+    // coordinate), and a null element (every projection nulled -> bucket 0)
+    val rows = (1 to 30).map(i =>
+      s"(cast(array(${Array.tabulate(8)(j =>
+        math.sin(i * 8 + j)).mkString(",")}) as array<float>))") ++ Seq(
+      "(cast(array(1.0, -2.0) as array<float>))",
+      "(cast(array() as array<float>))",
+      "(cast(array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, -10.0) as array<float>))",
+      "(cast(array(1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0) as array<float>))")
+    val df = spark.sql(s"SELECT * FROM VALUES ${rows.mkString(",")} AS t(v)")
+    val out = df.select(
+      Vector.simhashBucket(col("v"), dim = 8).as("native"),
+      Vector.hofSimhashBucket(col("v"), dim = 8).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
+  }
 }
