@@ -168,14 +168,26 @@ object Analytics {
     * status key.
     */
   def q34Hist(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.orders(spark, dir)
-      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val bktOfP = floor(col("p") / 512).cast("long")
+    val hist = base
       .groupBy(col("o_orderstatus"), col("p"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("bkt", floor(col("p") / 512).cast("long"))
+      .withColumn("bkt", bktOfP)
+    // offsets aggregate STRAIGHT off a second pruned scan, not off `hist`:
+    // deriving them from `hist` re-runs the whole (status, price) shuffle a
+    // second time (the two plan branches diverge after filter pushdown, so
+    // ReuseExchange cannot merge them — verified on the executed plan).
+    // This way the heavy shuffle happens exactly once; the offsets branch
+    // is a map-side partial agg collapsing to ~|statuses|·10³ rows before
+    // its (tiny) exchange. A real deployment materializing `hist` would
+    // persist it instead of re-scanning.
     val wB = Window.partitionBy(col("o_orderstatus")).orderBy(asc("bkt"))
-    val bucketOffsets = hist.groupBy(col("o_orderstatus"), col("bkt"))
-      .agg(sum(col("c")).as("bc"))
+    val bucketOffsets = base
+      .groupBy(col("o_orderstatus"), bktOfP.as("bkt"))
+      .agg(count(lit(1)).as("bc"))
       .select(
         col("o_orderstatus"), col("bkt"),
         coalesce(sum(col("bc")).over(
