@@ -73,6 +73,7 @@ object SparkEntry {
     "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
     "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
     "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d)),
+    "x09_approx_percentile" -> ((s, d) => ops.Sketches.x09(s, d)),
     "x06_ann_simhash"      -> ((s, d) => ops.Vector.x06(s, d)),
     "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d)),
     "x08_cosine_blocked"   -> ((s, d) => ops.Vector.x08(s, d))

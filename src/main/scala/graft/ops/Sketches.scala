@@ -30,4 +30,26 @@ object Sketches {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
+
+  /** x09_approx_percentile: quantile SKETCH next to q34/q34b's exact ranks
+    * — the third point on the median-at-scale spectrum. q34 sorts whole
+    * groups on 3 reducers (correct, serializes at 100×); q34b counts
+    * instead of sorting (exact AND parallel, ~4 stages); this one merges
+    * fixed-size Greenwald-Khanna sketches, so the shuffle carries one
+    * sketch per group per mapper — O(groups), like x05 vs exact distinct —
+    * at the price of a bounded rank error (accuracy parameter 10⁴ ⇒ rank
+    * error ≤ n/10⁴). Sketch layout differs from DuckDB's t-digest, so no
+    * SQL oracle (x05 precedent): rows-only check here, error bound pinned
+    * against the exact q34 answers in SketchesSpec.
+    */
+  def x09(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+          .as("approx_median"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000))
+          .as("approx_p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
 }

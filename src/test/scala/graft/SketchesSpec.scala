@@ -12,4 +12,22 @@ class SketchesSpec extends SparkSuite {
         s"flag=${r.getString(0)} approx=$approx exact=$exact")
     }
   }
+
+  test("x09 approx percentiles track q34's exact median/p90 per group") {
+    // GK sketch guarantees a RANK error <= n/accuracy; on this near-uniform
+    // price distribution a tiny rank slip moves the value very little, so a
+    // 1% VALUE tolerance is a conservative pin that still catches a wrong
+    // accuracy parameter, a wrong percentile argument, or group mixups
+    val exact = ops.Analytics.q34(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = ops.Sketches.x09(spark, sf001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (m, p90) = exact(r.getString(0))
+      assert(math.abs(r.getDouble(1) - m) / m < 0.01,
+        s"status=${r.getString(0)} approx_median=${r.getDouble(1)} exact=$m")
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.01,
+        s"status=${r.getString(0)} approx_p90=${r.getDouble(2)} exact=$p90")
+    }
+  }
 }
