@@ -63,6 +63,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"))
   }
 
+  test("q10b/q10c: grouping-set expansion aggregates partial-first") {
+    // cube/grouping-sets compile to Expand (one row per set per input row)
+    // feeding a hash aggregate — the partial agg must combine map-side so
+    // the shuffle carries groups, not the expanded fact
+    Seq("q10b_cube", "q10c_grouping_sets").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("Expand"), s"$n must use the Expand operator")
+      assert(p.contains("partial_count") || p.contains("Partial"),
+        s"$n must aggregate map-side before the shuffle")
+    }
+  }
+
+  test("q38: one window pass — all four navigation functions share one sort") {
+    val p = plan("q38_window_nav")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"lead/first_value/nth_value/ntile share a spec, so one Window op:\n$p")
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1,
+      "exactly one shuffle on the partition key")
+  }
+
   test("no declared or extension query contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
