@@ -31,6 +31,7 @@ object SparkEntry {
     "q12_window_frame"     -> ((s, d) => ops.Aggregates.q12(s, d)),
     "q13_topk"             -> ((s, d) => ops.Relational.q13(s, d)),
     "q14_set_ops"          -> ((s, d) => ops.Relational.q14(s, d)),
+    "q14b_set_ops_all"     -> ((s, d) => ops.Relational.q14bAll(s, d)),
     "q15_string_funcs"     -> ((s, d) => ops.Functions.q15(s, d)),
     "q16_date_funcs"       -> ((s, d) => ops.Functions.q16(s, d)),
     "q17_decimal_round"    -> ((s, d) => ops.Functions.q17(s, d)),
@@ -65,6 +66,7 @@ object SparkEntry {
     // fact side never sorts on the 5-value priority key) — shares q37's oracle
     "q37b_ranks_hist"      -> ((s, d) => ops.Aggregates.q37Hist(s, d)),
     "q38_window_nav"       -> ((s, d) => ops.Aggregates.q38(s, d)),
+    "q39_subquery"         -> ((s, d) => ops.Relational.q39(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -97,6 +99,7 @@ object SparkEntry {
     "q12_window_frame"     -> ops.Aggregates.q12Sql,
     "q13_topk"             -> ops.Relational.q13Sql,
     "q14_set_ops"          -> ops.Relational.q14Sql,
+    "q14b_set_ops_all"     -> ops.Relational.q14bAllSql,
     "q15_string_funcs"     -> ops.Functions.q15Sql,
     "q16_date_funcs"       -> ops.Functions.q16Sql,
     "q17_decimal_round"    -> ops.Functions.q17Sql,
@@ -123,6 +126,7 @@ object SparkEntry {
     "q37_window_ranks"     -> ops.Aggregates.q37Sql,
     "q37b_ranks_hist"      -> ops.Aggregates.q37Sql,
     "q38_window_nav"       -> ops.Aggregates.q38Sql,
+    "q39_subquery"         -> ops.Relational.q39Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -211,6 +211,62 @@ object Relational {
       | SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
       |ORDER BY o_custkey""".stripMargin
 
+  /** q14b_set_ops_all: the BAG-semantics set family — UNION ALL /
+    * INTERSECT ALL / EXCEPT ALL — which q14's distinct forms cannot
+    * express (multiplicities: min(m,n) for intersect-all, max(m−n,0) for
+    * except-all). The result bag is made deterministic by aggregating to
+    * (key, multiplicity) pairs; Spark's `intersectAll`/`exceptAll` are the
+    * SQL-standard operators, so the oracle is a literal restatement.
+    */
+  def q14bAll(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(status: String) =
+      o.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    val fo = keys("F").union(keys("O")) // UNION ALL (Spark union is bag)
+    fo.intersectAll(keys("O"))
+      .union(fo.exceptAll(keys("P")))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  val q14bAllSql: String =
+    """WITH fo AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |            UNION ALL
+      |            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     oo AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     pp AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+      |FROM ((SELECT * FROM fo INTERSECT ALL SELECT * FROM oo)
+      |      UNION ALL
+      |      (SELECT * FROM fo EXCEPT ALL SELECT * FROM pp))
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q39_subquery: scalar and CORRELATED scalar subqueries — the operator
+    * class the join family doesn't cover: Catalyst decorrelates the inner
+    * aggregate into a join, and the uncorrelated scalar executes once as a
+    * subquery stage reused as a literal. Orders at their status's maximum
+    * price, above the global minimum; max/min of doubles are SELECTIONS
+    * (order-independent), so both subqueries are deterministic
+    * cross-engine, and the SQL text is dialect-free (identical oracle).
+    */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("q39_orders")
+    spark.sql(q39Text("q39_orders"))
+  }
+
+  private def q39Text(t: String): String =
+    s"""SELECT o1.o_orderstatus, o1.o_orderkey,
+       |       CAST(o1.o_totalprice AS DOUBLE) AS price
+       |FROM $t o1
+       |WHERE o1.o_totalprice = (SELECT max(o2.o_totalprice)
+       |                         FROM $t o2
+       |                         WHERE o2.o_orderstatus = o1.o_orderstatus)
+       |  AND o1.o_totalprice > (SELECT min(o3.o_totalprice) FROM $t o3)
+       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  val q39Sql: String = q39Text("orders")
+
   /** q36_join_full: FULL OUTER join — year-over-year customer spend, where
     * customers active in only one of the two years surface as unmatched
     * rows on EITHER side (the one outer-join shape q05's left form cannot
