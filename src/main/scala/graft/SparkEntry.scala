@@ -67,6 +67,8 @@ object SparkEntry {
     "q37b_ranks_hist"      -> ((s, d) => ops.Aggregates.q37Hist(s, d)),
     "q38_window_nav"       -> ((s, d) => ops.Aggregates.q38(s, d)),
     "q39_subquery"         -> ((s, d) => ops.Relational.q39(s, d)),
+    "q40_redact"           -> ((s, d) => ops.TextAnalysis.q40(s, d)),
+    "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -127,6 +129,8 @@ object SparkEntry {
     "q37b_ranks_hist"      -> ops.Aggregates.q37Sql,
     "q38_window_nav"       -> ops.Aggregates.q38Sql,
     "q39_subquery"         -> ops.Relational.q39Sql,
+    "q40_redact"           -> ops.TextAnalysis.q40Sql,
+    "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

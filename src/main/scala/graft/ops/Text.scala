@@ -217,6 +217,99 @@ object Text {
       |WHERE jaccard >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Connected components over a near-dup pair list by min-label
+    * propagation: every document in a duplicate cluster gets the cluster's
+    * smallest doc id as its component label — the canonical-pick step that
+    * turns PAIRS (x02/x07 output) into deduplicable CLUSTERS.
+    *
+    * Pregel-style driver-controlled loop: each iteration joins labels
+    * across edges and keeps the per-node minimum; iteration count is
+    * bounded by the component DIAMETER, and near-dup components are
+    * near-cliques (every pair passed the same similarity threshold), so
+    * 2-3 iterations converge in practice. The driver does loop CONTROL
+    * only (a has-anything-changed probe per iteration) — all data work is
+    * distributed joins/aggregations on (id, comp) pairs, never the corpus.
+    * `localCheckpoint` truncates the growing lineage each round. At
+    * 100 TB-scale pair lists, swap the propagation for the
+    * large-star/small-star algorithm (alternating min-joins with the same
+    * driver-loop shape) — the hand-off is this function.
+    */
+  def dupComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty // no label moved
+      labels = next
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** q41_dedup_clusters: x02's near-dup pairs resolved into canonical
+    * clusters — (doc_id, component, cluster_size) for every document that
+    * has at least one near-duplicate. The oracle restates min-label
+    * reachability as a DuckDB RECURSIVE CTE over the same brute-force pair
+    * definition; both sides are exact integer computations.
+    */
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupComponents(minhashPairs(Tables.documents(spark, dir)))
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** `AS MATERIALIZED` on every non-recursive CTE is load-bearing: DuckDB
+    * inlines plain CTEs, so the recursive member would otherwise re-run
+    * the full all-pairs shingle join on EVERY fixpoint iteration.
+    */
+  val q41Sql: String =
+    """WITH RECURSIVE sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS s
+      |  FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9),
+      |und AS MATERIALIZED (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
+      |SELECT id AS doc_id, comp AS component,
+      |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+      |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---- x07: SimHash near-duplicate detection ----
 
   /** 64-bit SimHash signature per document: each shingle's xxhash64 votes

@@ -202,6 +202,41 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q40_redact: PII scrubbing — the redaction pass an LLM data pipeline
+    * runs before training: emails and digit runs are replaced with typed
+    * placeholder tokens, and per-document redaction counts are kept for
+    * audit. Patterns are character-class + bounded-quantifier only
+    * (RE2-safe, rule D6 — identical under Java regex and DuckDB's RE2);
+    * counts come from `regexp_extract_all` lengths, replacement from
+    * global `regexp_replace` (Spark is global by default, DuckDB pins the
+    * 'g' flag). Pure per-row map-side column math: one corpus pass.
+    */
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    val nums  = "[0-9][0-9][0-9]+"
+    val t = col("text")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(t, email, "<EMAIL>"), nums, "<NUM>")
+          .as("redacted"),
+        size(regexp_extract_all(t, lit(email), lit(0))).cast("int")
+          .as("n_emails"),
+        size(regexp_extract_all(t, lit(nums), lit(0))).cast("int")
+          .as("n_nums"))
+      .orderBy("doc_id")
+  }
+
+  val q40Sql: String =
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(text,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |         '[0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INTEGER) AS n_emails,
+      |       CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS INTEGER) AS n_nums
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** q35_repetition_filter: duplicate-bigram ratio per document — the
     * standard repetition rule of LLM data-cleaning pipelines (excessive
     * repeated n-grams mark boilerplate/template/spam text). ratio =

@@ -167,4 +167,37 @@ class TextSpec extends SparkSuite {
       .filter(col("w") =!= "").count()
     assert(freqSum == tokens)
   }
+
+  test("dupComponents labels a CHAIN correctly (multi-iteration propagation)") {
+    // 10-20-30-40-50 is a path, not a clique: the min label must propagate
+    // hop by hop (diameter 4), exercising the loop beyond one round; plus a
+    // separate 2-clique and the pair (7,8) sharing no nodes with the chain
+    val pairs = Seq(
+      (10L, 20L), (20L, 30L), (30L, 40L), (40L, 50L),
+      (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Text.dupComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("q41 clusters are consistent with x02's pair list at sf0.001") {
+    val pairs = Text.x02(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Text.q41(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every paired doc appears, both ends share a component, and the
+    // component label is the smallest member of its cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    clusters.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.keys.min == comp,
+        s"component $comp is not its cluster's min id")
+      members.values.foreach { case (_, size) =>
+        assert(size == members.size.toLong)
+      }
+    }
+  }
 }
