@@ -68,6 +68,9 @@ object SparkEntry {
     "q38_window_nav"       -> ((s, d) => ops.Aggregates.q38(s, d)),
     "q39_subquery"         -> ((s, d) => ops.Relational.q39(s, d)),
     "q40_redact"           -> ((s, d) => ops.TextAnalysis.q40(s, d)),
+    // gap sessions via the NATIVE session_window operator — cross-checked
+    // against the q20-style lag+cumsum oracle definition
+    "q42_session_window"   -> ((s, d) => ops.Aggregates.q42(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
@@ -130,6 +133,7 @@ object SparkEntry {
     "q38_window_nav"       -> ops.Aggregates.q38Sql,
     "q39_subquery"         -> ops.Relational.q39Sql,
     "q40_redact"           -> ops.TextAnalysis.q40Sql,
+    "q42_session_window"   -> ops.Aggregates.q42Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -308,6 +308,52 @@ object Aggregates {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q42_session_window: gap sessionization through Spark's NATIVE
+    * `session_window` operator — the declarative form of q20's manual
+    * lag + cumulative-sum plan (and the shared batch/streaming session
+    * primitive: the same expression drives a streaming query with state).
+    * The window START is the session's first event time (exact min), so
+    * it cross-checks against the q20-style oracle; the window END is
+    * last-event + gap by definition — derived, not compared, as
+    * `max(ts) + interval` on both sides. One shuffle on user_id, then
+    * Spark's session merge; counts/sums are exact.
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Oracle restates gap sessions the q20 way (lag + running sum), then
+    * aggregates per session — the cross-engine-checkable definition the
+    * native operator must reproduce.
+    */
+  val q42Sql: String =
+    """SELECT user_id,
+      |       min(ts) AS session_start,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |           CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 30 * 60 * 1000000
+      |                THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, event_id, ts, value,
+      |             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** q12_window_frame: running per-customer spend with an explicit row frame. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
