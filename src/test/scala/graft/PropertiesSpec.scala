@@ -70,4 +70,47 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: rolling_hash kernel == HOF fold on arbitrary unicode") {
+    graft.ext.GraftFunctions.ensureRollingHash(spark)
+    // full-range strings: BMP text, supplementary planes, line terminators,
+    // control chars — far beyond the fixture corpus's ASCII
+    val anyString: Gen[String] = Gen.listOf(Gen.frequency[String](
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf('\n', '\r', '\u0085', '\u2028', '\u2029', '\t').map(_.toString),
+      2 -> Gen.chooseNum(0x20, 0xFFFD).map(_.toChar.toString),
+      1 -> Gen.chooseNum(0x10000, 0x1FFFF).map(cp => new String(Character.toChars(cp)))
+    )).map(_.mkString)
+    (31L to 40L).foreach { seed =>
+      val rows = sample(Gen.listOfN(40, anyString), seed).map(Row(_))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("t", StringType))))
+      df.select(
+          call_function("rolling_hash", col("t")).as("native"),
+          ops.TextAnalysis.hofRollingHash(col("t")).as("hof"))
+        .collect().foreach { r =>
+          assert(r.getLong(0) == r.getLong(1),
+            s"seed=$seed native=${r.getLong(0)} hof=${r.getLong(1)}")
+        }
+    }
+  }
+
+  test("property: simhash_bucket kernel == HOF planes on random vectors") {
+    graft.ext.GraftFunctions.ensureSimHashBucket(spark)
+    val dim = 8
+    val vec: Gen[Seq[Float]] = Gen.chooseNum(0, dim + 2).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0).map(_.toFloat)))
+    (41L to 50L).foreach { seed =>
+      val rows = sample(Gen.listOfN(30, vec), seed).map(v => Row(v))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("v", ArrayType(FloatType)))))
+      df.select(
+          ops.Vector.simhashBucket(col("v"), dim).as("native"),
+          ops.Vector.hofSimhashBucket(col("v"), dim).as("hof"))
+        .collect().foreach { r =>
+          assert(r.getLong(0) == r.getLong(1),
+            s"seed=$seed native=${r.getLong(0)} hof=${r.getLong(1)}")
+        }
+    }
+  }
 }
