@@ -71,6 +71,7 @@ object SparkEntry {
     // gap sessions via the NATIVE session_window operator — cross-checked
     // against the q20-style lag+cumsum oracle definition
     "q42_session_window"   -> ((s, d) => ops.Aggregates.q42(s, d)),
+    "q43_unpivot"          -> ((s, d) => ops.Analytics.q43(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
@@ -134,6 +135,7 @@ object SparkEntry {
     "q39_subquery"         -> ops.Relational.q39Sql,
     "q40_redact"           -> ops.TextAnalysis.q40Sql,
     "q42_session_window"   -> ops.Aggregates.q42Sql,
+    "q43_unpivot"          -> ops.Analytics.q43Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

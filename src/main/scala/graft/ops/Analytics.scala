@@ -39,6 +39,37 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q43_unpivot: wide→long reshaping through the NATIVE Dataset.unpivot
+    * (melt) operator — the inverse of q29's pivot, closing the reshaping
+    * pair. Unpivots q29's per-status count columns back to
+    * (priority, status, n) rows; zero cells survive the round trip (q29
+    * fills absent combinations), which a plain re-aggregation would drop —
+    * exactly the semantics unpivot exists for. The oracle restates the melt
+    * as CASE-sums + UNION ALL, dialect-free.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    q29(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n_orders")
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  val q43Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f,
+      |         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o,
+      |         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p
+      |  FROM orders
+      |  GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, 'F' AS o_orderstatus, f AS n_orders FROM w
+      |UNION ALL
+      |SELECT o_orderpriority, 'O' AS o_orderstatus, o AS n_orders FROM w
+      |UNION ALL
+      |SELECT o_orderpriority, 'P' AS o_orderstatus, p AS n_orders FROM w
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   /** q30_stats: mean / variance / stddev per group from exact decimal
     * Σx and Σx² — the order-independent way to compute moments (native
     * float stddev aggregates are partition-order-dependent and differ
