@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scale-correct session_window plan: merge sessions inside each map
+      // partition before the shuffle, so partial SESSIONS shuffle instead
+      // of raw events (matters at 100 TB; measured ~15% at sf0.1 on q42)
+      .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,6 +65,14 @@ object Bench {
             None
         }
       }
+      // Timing isolation (untimed, between queries): drop any storage
+      // blocks the query left behind (e.g. q41's final localCheckpoint)
+      // and pay the accumulated GC debt NOW, so neither lands in the next
+      // query's timed window (the r4 bench tail — q42/x07 — was polluted
+      // exactly this way).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       // failed only when EVERY run fails: a single transient error must
       // not discard two valid timings and fail the round
       if (times.isEmpty) { failed ::= name; (name, -1.0, times) }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep the oracle-checked session_window plan identical to the
+      // benched one (local partial-session merge before the shuffle)
+      .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -239,25 +239,42 @@ object Text {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIters: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint() materializes into storage blocks that ContextCleaner
+    // frees only after a driver GC notices the dropped reference — in a
+    // long-lived session (bench loop, notebook, repeated pipeline runs) the
+    // superseded iterations pile up. Track each checkpoint's block-RDD ids
+    // and free them the moment the iteration is superseded; only the
+    // RETURNED labels keep their blocks (the caller still reads them).
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = persistedIds
+      val out = df.localCheckpoint()
+      (out, persistedIds -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var (labels, labelIds) = checkpointTracked(
+      und.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.union(prop)
+          .groupBy("id").agg(min(col("comp")).as("comp")))
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).isEmpty // no label moved
+      free(labelIds) // superseded iteration's blocks, freed post-probe
       labels = next
+      labelIds = nextIds
       i += 1
     }
     und.unpersist()

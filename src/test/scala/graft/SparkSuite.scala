@@ -22,6 +22,7 @@ object SparkSuite {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
