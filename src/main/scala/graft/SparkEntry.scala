@@ -72,6 +72,9 @@ object SparkEntry {
     // against the q20-style lag+cumsum oracle definition
     "q42_session_window"   -> ((s, d) => ops.Aggregates.q42(s, d)),
     "q43_unpivot"          -> ((s, d) => ops.Analytics.q43(s, d)),
+    // point-in-interval join via month-bucket decomposition (never a
+    // nested-loop / cartesian) — oracle restates it as a BETWEEN join
+    "q44_range_join"       -> ((s, d) => ops.RangeJoin.q44(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
@@ -84,7 +87,12 @@ object SparkEntry {
     "x09_approx_percentile" -> ((s, d) => ops.Sketches.x09(s, d)),
     "x06_ann_simhash"      -> ((s, d) => ops.Vector.x06(s, d)),
     "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d)),
-    "x08_cosine_blocked"   -> ((s, d) => ops.Vector.x08(s, d))
+    "x08_cosine_blocked"   -> ((s, d) => ops.Vector.x08(s, d)),
+    // exact n-gram Jaccard join via prefix filtering (oracle-checked —
+    // unlike x02's LSH, the exact path is fully SQL-restatable)
+    "x10_jaccard_join"     -> ((s, d) => ops.Text.x10(s, d)),
+    // IVF ANN: rows-only (approximate output); recall pinned in VectorSpec
+    "x11_ann_ivf"          -> ((s, d) => ops.Vector.x11(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -136,6 +144,7 @@ object SparkEntry {
     "q40_redact"           -> ops.TextAnalysis.q40Sql,
     "q42_session_window"   -> ops.Aggregates.q42Sql,
     "q43_unpivot"          -> ops.Analytics.q43Sql,
+    "q44_range_join"       -> ops.RangeJoin.q44Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
@@ -144,6 +153,7 @@ object SparkEntry {
     // the O(n^2) the engine-side broadcast scan + LSH avoid at data scale.
     "x01_vector_cosine"    -> ops.Vector.x01Sql,
     "x02_minhash_dedup"    -> ops.Text.x02Sql,
-    "x08_cosine_blocked"   -> ops.Vector.x08Sql
+    "x08_cosine_blocked"   -> ops.Vector.x08Sql,
+    "x10_jaccard_join"     -> ops.Text.x10Sql
   )
 }

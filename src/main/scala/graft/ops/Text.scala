@@ -217,6 +217,98 @@ object Text {
       |WHERE jaccard >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- x10: exact n-gram Jaccard join via prefix filtering ----
+
+  /** EXACT n-gram Jaccard similarity join — every pair at or above
+    * `threshold`, no approximation — made scale-safe by PREFIX FILTERING
+    * (the AllPairs/PPJoin family): the exact counterpart of [[minhashPairs]]
+    * for when missed pairs are not acceptable.
+    *
+    * The filter: order every token by a single global canonical order
+    * (ascending document frequency, ties by token — rare-first, so prefixes
+    * carry the most selective tokens). If Jaccard(A,B) ≥ t, the first
+    * |A| − ⌈t·|A|⌉ + 1 tokens of A (in that order) MUST share a token with
+    * the same-length prefix of B — so candidates come from an equi-join on
+    * PREFIX tokens only, never an all-pairs cross. A length filter
+    * (min ≥ t·max, since J ≤ min/max) prunes further; exact Jaccard over
+    * the full token sets then verifies candidates. Every step is a bounded
+    * shuffle: the df aggregate is vocabulary-sized, the prefix join
+    * shuffles ~(1−t)·corpus tokens, verification touches candidates only.
+    *
+    * ⌈t·n⌉ is computed in exact decimal arithmetic: a double `ceil` that
+    * rounds 4.0 up to 5 would SHORTEN a prefix and silently lose recall —
+    * the one bug class this operator must never have.
+    *
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, all pairs exact
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val t = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
+    val sh = docs.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0) // J undefined on empty sets → q21's job
+    // document frequency per token: explode → vocabulary-bounded aggregate
+    val df_ = sh.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // each doc's tokens sorted by the global (df, tok) order; struct sort
+    // gives the lexicographic (df, tok) comparison natively
+    val sorted = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .join(df_, "tok")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("df"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val prefLen = (col("sz") - ceil(col("sz") * t) + 1).cast("int")
+    val pref = sorted.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val cand = pref.select(col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("decimal(12,1)") >=
+        t * greatest(col("sz_a"), col("sz_b"))) // J ≤ min/max
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+    cand
+      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (col("sz_a") + col("sz_b") - inter).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** x10_jaccard_join: exact word-trigram Jaccard ≥ 0.8 over `documents`
+    * via [[jaccardJoin]] — oracle-checked against the brute-force all-pairs
+    * restatement (viable at oracle scale; the prefix filter is what removes
+    * the O(n²) at data scale while keeping the answer EXACT, unlike
+    * x02's probabilistic LSH recall).
+    */
+  def x10(spark: SparkSession, dir: String): DataFrame =
+    jaccardJoin(Tables.documents(spark, dir))
+      .orderBy("doc_a", "doc_b")
+
+  val x10Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      |sh2 AS (SELECT * FROM sh WHERE len(s) > 0)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |           / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Connected components over a near-dup pair list by min-label
     * propagation: every document in a duplicate cluster gets the cluster's
     * smallest doc id as its component label — the canonical-pick step that

@@ -316,6 +316,20 @@ object Vector {
       .orderBy("probe_id", "rank")
   }
 
+  /** x11_ann_ivf: the IVF (inverted-file) approximate top-k on the same
+    * probe set as x01/x06 — rows-only check (ANN output is not
+    * SQL-restatable); recall vs the brute-force baseline is pinned in
+    * VectorSpec ("IVF top-k: recall beats the simhash path"). The corpus
+    * shuffles ONCE on cell id and each probe touches nprobe/nlist of it —
+    * the 100 TB similarity-search path when SimHash buckets (x06) are too
+    * coarse for the embedding geometry.
+    */
+  def x11(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopK(emb, emb.filter(col("vec_id") < 8), nlist = 16, nprobe = 4)
+      .orderBy("probe_id", "rank")
+  }
+
   /** x08_cosine_blocked: metadata-blocked pairwise cosine — every
     * same-`label` pair of embeddings with cosine ≥ 0.35 (this corpus has
     * no true near-dups; cosinePairs' 0.95 path is planted-pair tested).

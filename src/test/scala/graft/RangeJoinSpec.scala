@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Range-join semantics and plan shape (SURVEY.md §2.3 q44). */
+class RangeJoinSpec extends SparkSuite {
+  import ops.RangeJoin
+
+  test("bucketed range join equals the naive BETWEEN join on sf0.001") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select(to_date(col("l_shipdate")).as("ship_day"), col("l_orderkey"))
+    val quarters = spark.range(1)
+      .select(explode(sequence(
+        lit(java.sql.Date.valueOf("1992-01-01")),
+        lit(java.sql.Date.valueOf("1998-10-01")),
+        expr("interval 3 months"))).as("q_start"))
+      .select(col("q_start"),
+        date_sub(add_months(col("q_start"), 3), 1).as("q_end"))
+    val bucketed = RangeJoin
+      .rangeJoinDates(li, "ship_day", quarters, "q_start", "q_end")
+      .groupBy("q_start").count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    val naive = li.join(quarters,
+        col("ship_day").between(col("q_start"), col("q_end")))
+      .groupBy("q_start").count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(bucketed == naive)
+  }
+
+  test("a point inside two overlapping intervals matches both, once each") {
+    import spark.implicits._
+    val points = Seq(java.sql.Date.valueOf("1995-06-15")).toDF("d")
+    val ivs = Seq(
+      ("wide", java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-12-31")),
+      ("narrow", java.sql.Date.valueOf("1995-06-01"), java.sql.Date.valueOf("1995-06-30")),
+      ("miss", java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-12-31")))
+      .toDF("name", "lo", "hi")
+    val out = RangeJoin.rangeJoinDates(points, "d", ivs, "lo", "hi")
+      .select("name").as[String].collect().sorted.toList
+    assert(out == List("narrow", "wide"))
+  }
+
+  test("q44 plans as an equi-join on the bucket key — no nested loop, no cartesian") {
+    val plan = ops.RangeJoin.q44(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

@@ -129,6 +129,40 @@ class TextSpec extends SparkSuite {
     assert(twice.count() == once.count())
   }
 
+  test("prefix-filtered jaccard join equals brute force on the sf0.01 corpus") {
+    // the prefix filter is an EXACT technique: candidate recall must be
+    // 1.0 by the prefix theorem, so the output — ids AND jaccard values —
+    // must equal the all-pairs restatement bit-for-bit
+    val sh = Tables.documents(spark, sf001)
+      .select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Text.jaccardJoin(Tables.documents(spark, sf001))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == brute, s"prefix=${pref.size} brute=${brute.size}")
+  }
+
+  test("jaccard join keeps a pair sitting EXACTLY on the threshold") {
+    // |A∩B| = 8, |A∪B| = 10 ⇒ J = 0.8 exactly: the inclusive boundary and
+    // the exact-decimal prefix length (⌈0.8·9⌉ = 8, prefix = 2) both bite
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),
+      (2L, "a b c d e f g h j"),
+      (3L, "z y x w v u t s r")).toDF("doc_id", "text")
+    val out = Text.jaccardJoin(docs, shingleN = 1, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 0.8)))
+  }
+
   test("texts shorter than the shingle width yield empty shingles, no junk") {
     val out = Seq("one", "two words", "three word text").toDF("text")
       .select(Text.shingles(col("text"), 3).as("sh"))
