@@ -55,6 +55,17 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
+        // every run starts cache-cold AND heap-quiet: CacheManager dedups
+        // by logical plan, so a query that persist()s internally (x10)
+        // would otherwise serve runs 2-3 from run 1's cache while every
+        // other query recomputes — and without the forced GC, collection
+        // debt from the PREVIOUS run/query lands inside this run's timed
+        // window (measured: x10 read 6.5/3.9/2.8 s across runs after heavy
+        // neighbors vs 2.1-2.3 s steady-state standalone)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -65,14 +76,6 @@ object Bench {
             None
         }
       }
-      // Timing isolation (untimed, between queries): drop any storage
-      // blocks the query left behind (e.g. q41's final localCheckpoint)
-      // and pay the accumulated GC debt NOW, so neither lands in the next
-      // query's timed window (the r4 bench tail — q42/x07 — was polluted
-      // exactly this way).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
       // failed only when EVERY run fails: a single transient error must
       // not discard two valid timings and fail the round
       if (times.isEmpty) { failed ::= name; (name, -1.0, times) }

@@ -75,6 +75,9 @@ object SparkEntry {
     // point-in-interval join via month-bucket decomposition (never a
     // nested-loop / cartesian) — oracle restates it as a BETWEEN join
     "q44_range_join"       -> ((s, d) => ops.RangeJoin.q44(s, d)),
+    // value-range (interval) window frame — the surface q12's ROWS frame
+    // can't express
+    "q45_window_range_frame" -> ((s, d) => ops.Aggregates.q45(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
@@ -91,6 +94,9 @@ object SparkEntry {
     // exact n-gram Jaccard join via prefix filtering (oracle-checked —
     // unlike x02's LSH, the exact path is fully SQL-restatable)
     "x10_jaccard_join"     -> ((s, d) => ops.Text.x10(s, d)),
+    // bloom-prefiltered semi join: false positives rescued by the exact
+    // EXISTS, so the result is exact and SHARES q06's oracle
+    "x12_bloom_semi"       -> ((s, d) => ops.Relational.x12(s, d)),
     // IVF ANN: rows-only (approximate output); recall pinned in VectorSpec
     "x11_ann_ivf"          -> ((s, d) => ops.Vector.x11(s, d))
   )
@@ -145,6 +151,8 @@ object SparkEntry {
     "q42_session_window"   -> ops.Aggregates.q42Sql,
     "q43_unpivot"          -> ops.Analytics.q43Sql,
     "q44_range_join"       -> ops.RangeJoin.q44Sql,
+    "q45_window_range_frame" -> ops.Aggregates.q45Sql,
+    "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -161,6 +161,45 @@ object GraftFunctions {
       reg.registerFunction(minHashBandsIdentifier, minHashBandsInfo, minHashBandsBuilder _)
     }
   }
+
+  // Spark SHIPS BloomFilterAggregate / BloomFilterMightContain (they power
+  // the optimizer's automatic runtime-filter rewrite) but does not register
+  // them as SQL functions — x12 registers them under graft_* names to make
+  // the bloom semi-join prefilter pattern an explicit, user-callable
+  // operator. No custom code: these are Spark's own codegen'd expressions.
+  def bloomAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "graft_bloom_agg(longCol, estItems, numBits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      args(0), args(1), args(2))
+  }
+
+  val bloomAggIdentifier: FunctionIdentifier = FunctionIdentifier("graft_bloom_agg")
+  val bloomAggInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "graft_bloom_agg")
+
+  def bloomMightContainBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_might_contain(bloom, longCol)")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+  }
+
+  val bloomMightContainIdentifier: FunctionIdentifier =
+    FunctionIdentifier("graft_might_contain")
+  val bloomMightContainInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "graft_might_contain")
+
+  /** Idempotently register the bloom pair on a live session. */
+  def ensureBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(bloomAggIdentifier)) {
+      reg.registerFunction(bloomAggIdentifier, bloomAggInfo, bloomAggBuilder _)
+    }
+    if (!reg.functionExists(bloomMightContainIdentifier)) {
+      reg.registerFunction(bloomMightContainIdentifier, bloomMightContainInfo,
+        bloomMightContainBuilder _)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
@@ -186,6 +225,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.simHashBucketIdentifier, GraftFunctions.simHashBucketInfo,
         GraftFunctions.simHashBucketBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
+        GraftFunctions.bloomAggBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.bloomMightContainIdentifier, GraftFunctions.bloomMightContainInfo,
+        GraftFunctions.bloomMightContainBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

@@ -354,6 +354,40 @@ object Aggregates {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** q45_window_range_frame: 30-day trailing spend per customer — a
+    * VALUE-range frame (`rangeBetween`), the window surface q12's ROWS
+    * frame cannot express: the frame is defined by the ORDER-KEY DISTANCE
+    * (orders within 29 days), not a row count, so same-day peer rows share
+    * one frame and the result is tie-deterministic by construction. The
+    * range key is days-since-epoch (Spark's rangeBetween needs a numeric
+    * key; 1 unit = 1 day ⇔ the oracle's RANGE BETWEEN INTERVAL 29 DAY).
+    * One shuffle on the high-cardinality o_custkey, sums decimal-exact.
+    */
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    Tables.orders(spark, dir)
+      .withColumn("day", datediff(to_date(col("o_orderdate")), epoch))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_day"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q45Sql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+      |             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** q12_window_frame: running per-customer spend with an explicit row frame. */
   def q12(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

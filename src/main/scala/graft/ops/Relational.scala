@@ -152,6 +152,33 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  /** x12_bloom_semi: q06's EXISTS with an explicit BLOOM-FILTER PREFILTER —
+    * the runtime-filter pattern (which Spark's optimizer injects
+    * automatically only under size thresholds) as a user-callable operator.
+    * A scalar subquery folds the build side's keys into one bloom sketch
+    * (Spark's own BloomFilterAggregate, registered as `graft_bloom_agg` —
+    * see graft.ext.GraftFunctions); `graft_might_contain` then drops
+    * probe rows map-side BEFORE the semi-join shuffle. The sketch admits
+    * false positives but never false negatives, and the EXISTS still runs
+    * on survivors — so the result is EXACT and shares q06's oracle. At
+    * 100 TB this is the difference between shuffling the whole probe side
+    * and shuffling the ~selectivity fraction that might match.
+    */
+  def x12(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureBloom(spark)
+    Tables.customer(spark, dir).createOrReplaceTempView("x12_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("x12_orders")
+    spark.sql(
+      """WITH f AS (SELECT o_custkey FROM x12_orders WHERE o_orderstatus = 'F')
+        |SELECT c_custkey, c_name, c_mktsegment
+        |FROM x12_customer c
+        |WHERE graft_might_contain(
+        |        (SELECT graft_bloom_agg(xxhash64(o_custkey), 1000000L, 8000000L) FROM f),
+        |        xxhash64(c_custkey))
+        |  AND EXISTS (SELECT 1 FROM f WHERE f.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** q07_join_anti: NOT EXISTS — parts never shipped (the reference's
     * "unprocessed rows" pickup, R2/R14, as a declarative anti join).
     */

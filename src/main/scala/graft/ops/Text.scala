@@ -248,24 +248,39 @@ object Text {
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val t = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
+    // The shingle table feeds three consumers — the df aggregate, the
+    // prefix pipeline, and both verify joins — whose diverging pushed-down
+    // filters defeat ReuseExchange, so it is cached once (one row per doc,
+    // one token array: corpus-bounded, far smaller than the text itself;
+    // Bench/callers drop the blocks post-query). Verification reads these
+    // UNSORTED arrays directly — array_intersect is order-blind — so the
+    // canonical global order is never materialized as rebuilt string
+    // arrays: prefix selection is a per-doc top-k (window row_number) over
+    // the exploded (df, tok) stream instead.
     val sh = docs.select(col(idCol).as("doc_id"),
         shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0) // J undefined on empty sets → q21's job
-    // document frequency per token: explode → vocabulary-bounded aggregate
+      .withColumn("sz", size(col("sh")))
+      .persist()
+    // document frequency per token: explode → vocabulary-bounded aggregate.
+    // Broadcast: the vocabulary is orders of magnitude smaller than the
+    // token stream (Zipf), so the df lookup must not shuffle the exploded
+    // corpus — at a scale where the vocab outgrows broadcast, drop the hint
+    // and take the shuffle join.
     val df_ = sh.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    // each doc's tokens sorted by the global (df, tok) order; struct sort
-    // gives the lexicographic (df, tok) comparison natively
-    val sorted = sh.select(col("doc_id"), explode(col("sh")).as("tok"))
-      .join(df_, "tok")
-      .groupBy("doc_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("df"), col("tok")))),
-        s => s.getField("tok")).as("toks"))
-      .withColumn("sz", size(col("toks")))
+    // a J≥t pair MUST share one of each side's first sz−⌈t·sz⌉+1 tokens
+    // under the global rare-first (df, tok) order. The selected prefixes —
+    // (1−t)·tokens of the corpus, cached — feed both sides of the
+    // candidate self-join, so the explode+join+window chain runs once.
     val prefLen = (col("sz") - ceil(col("sz") * t) + 1).cast("int")
-    val pref = sorted.select(col("doc_id"), col("sz"),
-      explode(slice(col("toks"), lit(1), prefLen)).as("tok"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("tok"))
+    val pref = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("tok"))
+      .join(broadcast(df_), "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefLen)
+      .select("doc_id", "sz", "tok")
+      .persist()
     val cand = pref.select(col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       .join(pref.select(col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "tok")
       .filter(col("doc_a") < col("doc_b"))
@@ -274,9 +289,9 @@ object Text {
       .select("doc_a", "doc_b").distinct()
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
     cand
-      .join(sorted.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("toks_a"),
         col("sz").as("sz_a")), "doc_a")
-      .join(sorted.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("toks_b"),
         col("sz").as("sz_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") /

@@ -6,6 +6,39 @@ package graft
   */
 class RelationalWindowSpec extends SparkSuite {
 
+  test("q45 range frame: day 30 falls out of the 30-day window, day 29 stays in") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val orders = Seq(
+      (1L, 10L, ts("1995-01-01"), 100.0),
+      (1L, 11L, ts("1995-01-30"), 10.0),  // day 29 after: inside [-29, 0]
+      (1L, 12L, ts("1995-01-31"), 1.0),   // day 30 after key 10: outside
+      (1L, 13L, ts("1995-01-31"), 2.0))   // same-day peer: shares 12's frame
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day")).rangeBetween(-29, 0)
+    val out = orders
+      .withColumn("day", datediff(to_date(col("o_orderdate")), epoch))
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(11L) == 110.0, "29 days back is inside the frame")
+    // keys 12/13 (same day): key 10 is 30 days back — excluded; peers included
+    assert(out(12L) == 13.0 && out(13L) == 13.0,
+      "day-30 row excluded; same-day peers share one frame")
+  }
+
+  test("x12 bloom prefilter keeps q06's exact answer and plans the prefilter") {
+    val bloom = ops.Relational.x12(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val exact = ops.Relational.q06(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(bloom == exact, "bloom prefilter must never drop a true match")
+    val plan = ops.Relational.x12(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "the prefilter must survive into the physical plan")
+  }
+
   test("q36 full outer: unmatched rows surface from BOTH sides") {
     val rows = ops.Relational.q36(spark, sf0001).collect()
     val aOnly = rows.count(_.getDouble(2) == 0.0) // active 1995 only
