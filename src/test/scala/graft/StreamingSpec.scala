@@ -6,6 +6,8 @@ import java.sql.Timestamp
 import java.nio.file.Files
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Imp(user_id: Long, imp_id: String, imp_ts: Timestamp)
+case class Clk(click_user: Long, click_id: String, click_ts: Timestamp)
 case class SrcOrder(
     order_id: String, customer_email: String, order_date: Timestamp,
     amount: java.math.BigDecimal, currency: String)
@@ -181,6 +183,42 @@ class StreamingSpec extends SparkSuite {
       .select("processed_at").distinct().collect()
     assert(kept.length == 1 &&
       kept.head.getTimestamp(0) == ts("2026-01-02 00:00:00"))
+  }
+
+  test("x13: interval join matches inside the bound; outer side finalizes on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Clk]
+    val q = graft.streaming.Joins
+      .clickAttribution(imps.toDF(), clicks.toDF(),
+        within = "15 minutes", lateness = "10 minutes", leftOuter = true)
+      .writeStream.format("memory").queryName("x13out")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Imp(1L, "i1", ts("2026-01-01 10:00:00")),
+        Imp(2L, "i2", ts("2026-01-01 10:00:00")))
+      clicks.addData(
+        Clk(1L, "c1", ts("2026-01-01 10:10:00")), // within 15 min → match
+        Clk(2L, "c2", ts("2026-01-01 10:40:00"))) // 40 min later → no match
+      q.processAllAvailable()
+      val matched = spark.table("x13out").filter(col("click_id").isNotNull).collect()
+      assert(matched.length == 1 &&
+        matched.head.getAs[String]("imp_id") == "i1" &&
+        matched.head.getAs[String]("click_id") == "c1",
+        "only the click inside the interval may attribute")
+      // i2 unmatched, but not yet emitted: the watermark must first prove
+      // no qualifying click can still arrive
+      assert(spark.table("x13out").filter(col("click_id").isNull).isEmpty)
+      // advance both watermarks far past i2's join window
+      imps.addData(Imp(9L, "i9", ts("2026-01-01 12:00:00")))
+      clicks.addData(Clk(9L, "c9", ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      val unmatched = spark.table("x13out").filter(col("click_id").isNull).collect()
+      assert(unmatched.map(_.getAs[String]("imp_id")).contains("i2"),
+        "expired unmatched impression must emit null-extended exactly once")
+    } finally q.stop()
   }
 
   test("x04 stream: checkpoint-lost redelivery does not duplicate output") {
