@@ -83,6 +83,18 @@ class PlanSpec extends SparkSuite {
       "exactly one shuffle on the partition key")
   }
 
+  test("x10: the vocabulary df lookup joins as a broadcast, never a corpus shuffle") {
+    val p = plan("x10_jaccard_join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the Zipf-small df table must broadcast against the exploded token stream")
+  }
+
+  test("x12: the bloom prefilter survives into the physical plan as a filter") {
+    val p = plan("x12_bloom_semi")
+    assert(p.contains("might_contain"),
+      "probe rows must be pruned map-side before the semi-join shuffle")
+  }
+
   test("no declared or extension query contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
