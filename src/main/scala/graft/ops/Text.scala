@@ -366,9 +366,13 @@ object Text {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // seed with one propagation step folded into the init aggregate:
+    // comp₀ = min(self, neighbors). Near-dup components are near-cliques,
+    // so most nodes already see the component minimum here and the loop
+    // usually needs only the single confirming iteration.
     var (labels, labelIds) = checkpointTracked(
-      und.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")))
+      und.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("comp")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

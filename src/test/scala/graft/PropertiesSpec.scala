@@ -95,6 +95,32 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: prefix-filtered jaccard join == brute force on random corpora") {
+    // small vocabularies force heavy overlap, so thresholds are exercised
+    // from both sides; unigram shingles make the expected sets explicit
+    val doc: Gen[String] =
+      Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 19).map(i => s"w$i")).map(_.mkString(" ")))
+    (51L to 56L).foreach { seed =>
+      val texts = sample(Gen.listOfN(30, doc), seed)
+      val rows = texts.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }
+      val docs = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      Seq(0.5, 0.8).foreach { t =>
+        val pref = ops.Text.jaccardJoin(docs, shingleN = 1, threshold = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val sets = texts.map(_.split(" ").toSet).zipWithIndex
+        val brute = (for {
+          (a, i) <- sets; (b, j) <- sets if i < j
+          inter = (a intersect b).size
+          j2 = inter.toDouble / (a.size + b.size - inter).toDouble
+          if j2 >= t
+        } yield (i.toLong, j.toLong, j2)).toSet
+        assert(pref == brute, s"seed=$seed t=$t pref=${pref.size} brute=${brute.size}")
+      }
+    }
+  }
+
   test("property: simhash_bucket kernel == HOF planes on random vectors") {
     graft.ext.GraftFunctions.ensureSimHashBucket(spark)
     val dim = 8
