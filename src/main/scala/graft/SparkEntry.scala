@@ -79,6 +79,9 @@ object SparkEntry {
     // can't express
     "q45_window_range_frame" -> ((s, d) => ops.Aggregates.q45(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
+    // same clusters via large-star/small-star (O(log n) rounds vs
+    // diameter-bounded propagation) — shares q41's oracle
+    "q41b_dedup_clusters_star" -> ((s, d) => ops.Text.q41b(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -154,6 +157,7 @@ object SparkEntry {
     "q45_window_range_frame" -> ops.Aggregates.q45Sql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
+    "q41b_dedup_clusters_star" -> ops.Text.q41Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -392,6 +392,77 @@ object Text {
     labels
   }
 
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014) — the 100 TB
+    * form of [[dupComponents]]: alternating min-rewiring rounds converge in
+    * O(log n) iterations regardless of component DIAMETER, where plain
+    * min-label propagation needs diameter-many rounds (a 200-node path
+    * defeats its iteration cap; see PropertiesSpec). Same driver-loop
+    * shape: the driver only controls convergence, every round is two
+    * distributed self-aggregating joins over the edge list — the corpus is
+    * never touched.
+    *
+    * Edges are kept in canonical (u > v) orientation. Each round:
+    * large-star connects every strictly-larger neighbor of a node to its
+    * neighborhood minimum (including self); small-star connects the node
+    * and its remaining smaller neighbors to that minimum. At the fixpoint
+    * the edge set is a star per component centered at the component
+    * minimum, and labels read off as min(self, neighbors).
+    */
+  def dupComponentsStar(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 30): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = persistedIds
+      val out = df.localCheckpoint()
+      (out, persistedIds -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def nbrMin(sym: DataFrame) =
+      sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+    var (edges, edgeIds) = checkpointTracked(
+      pairs.select(
+          greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the SYMMETRIC adjacency: each undirected edge is
+      // processed at its smaller endpoint (only v > u emits), so the new
+      // (larger, min) edge replaces it; min ≤ u < v keeps u > v canonical
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val afterLarge = sym.join(nbrMin(sym), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on canonical edges: all stored neighbors of u are
+      // smaller, so each (u, v) rewires v to the group minimum, and u
+      // itself attaches to it
+      val mins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val part1 = afterLarge.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // v > m: canonical
+      val part2 = mins.select(col("u"), col("m").as("v"))
+      val (next, nextIds) = checkpointTracked(part1.union(part2).distinct())
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      free(edgeIds)
+      edges = next
+      edgeIds = nextIds
+      i += 1
+    }
+    val symF = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    symF.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("comp"))
+      .select(col("u").as("id"), col("comp"))
+  }
+
   /** q41_dedup_clusters: x02's near-dup pairs resolved into canonical
     * clusters — (doc_id, component, cluster_size) for every document that
     * has at least one near-duplicate. The oracle restates min-label
@@ -400,6 +471,20 @@ object Text {
     */
   def q41(spark: SparkSession, dir: String): DataFrame = {
     val labels = dupComponents(minhashPairs(Tables.documents(spark, dir)))
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** q41b_dedup_clusters_star: q41 through [[dupComponentsStar]] — same
+    * clusters, O(log n) rounds instead of diameter-bounded propagation;
+    * shares q41's oracle so the equivalence is driver-verified at every SF.
+    */
+  def q41b(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dupComponentsStar(minhashPairs(Tables.documents(spark, dir)))
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))

@@ -95,6 +95,34 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: star connected components == min-label propagation on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.chooseNum(0L, 39L); b <- Gen.chooseNum(0L, 39L) if a != b
+    } yield (a, b)
+    (61L to 66L).foreach { seed =>
+      val pairs = sample(Gen.listOfN(25, edgeGen), seed)
+        .toDF("doc_a", "doc_b")
+      val plain = ops.Text.dupComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = ops.Text.dupComponentsStar(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == plain, s"seed=$seed")
+    }
+  }
+
+  test("star components finish a 200-node path — beyond plain propagation's round budget") {
+    import spark.implicits._
+    // diameter 199: min-label propagation moves the label one hop per
+    // round (its 20-round cap cannot finish); large-star/small-star
+    // contracts the path in O(log n) rounds
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = ops.Text.dupComponentsStar(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 200 && star.values.forall(_ == 0L),
+      "every path node must resolve to component 0")
+  }
+
   test("property: prefix-filtered jaccard join == brute force on random corpora") {
     // small vocabularies force heavy overlap, so thresholds are exercised
     // from both sides; unigram shingles make the expected sets explicit
