@@ -48,9 +48,21 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     val runs = 3
     var failed = List.empty[String]
+    // JSON numbers must be locale-independent: the f-interpolator uses the
+    // default locale, and a comma-decimal locale would corrupt the
+    // driver-parsed headline line.
+    def fmt(d: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(d))
     // Local-iteration filter (comma-separated query names); the driver never
-    // sets it, so driver runs always bench the full declared surface.
+    // sets it, so driver runs always bench the full declared surface. A
+    // typo'd or empty filter fails fast — a zero-query run would otherwise
+    // print a green headline having measured nothing.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names no declared query: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -81,10 +93,10 @@ object Bench {
       if (times.isEmpty) { failed ::= name; (name, -1.0, times) }
       else (name, times.sorted.apply(times.size / 2), times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     val rawTimes = results.map { case (k, _, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+      "\"" + k + "\":" + ts.map(t => fmt(t, 4)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // queries where 1-2 of the 3 runs failed: green median, but the partial
     // failure must be machine-visible (ADVICE r3) — name -> successful runs
@@ -99,7 +111,7 @@ object Bench {
     // compact headline (what the driver parses) prints LAST, with medians at
     // millisecond precision to keep the line well inside the window.
     println(s"""{"diag":"raw_times","runs":$runs,"times":$rawTimes,"flaky":$flaky}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -40,11 +40,16 @@ object RangeJoin {
       intervals: DataFrame,
       loCol: String,
       hiCol: String): DataFrame = {
-    val iv = intervals.withColumn("bucket",
-      explode(sequence(
-        date_trunc("month", col(loCol)).cast("date"),
-        date_trunc("month", col(hiCol)).cast("date"),
-        expr("interval 1 month"))))
+    // an inverted interval (hi < lo) matches nothing under BETWEEN; drop it
+    // up front — sequence() would otherwise throw on the negative span and
+    // fail the whole job over one bad upstream row
+    val iv = intervals
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("bucket",
+        explode(sequence(
+          date_trunc("month", col(loCol)).cast("date"),
+          date_trunc("month", col(hiCol)).cast("date"),
+          expr("interval 1 month"))))
     val p = points.withColumn("bucket",
       date_trunc("month", col(pointCol)).cast("date"))
     p.join(iv, Seq("bucket"))

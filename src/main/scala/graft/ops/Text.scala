@@ -341,36 +341,46 @@ object Text {
     * large-star/small-star algorithm (alternating min-joins with the same
     * driver-loop shape) — the hand-off is this function.
     */
-  def dupComponents(
-      pairs: DataFrame,
-      aCol: String = "doc_a",
-      bCol: String = "doc_b",
-      maxIters: Int = 20): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint() materializes into storage blocks that ContextCleaner
-    // frees only after a driver GC notices the dropped reference — in a
-    // long-lived session (bench loop, notebook, repeated pipeline runs) the
-    // superseded iterations pile up. Track each checkpoint's block-RDD ids
-    // and free them the moment the iteration is superseded; only the
-    // RETURNED labels keep their blocks (the caller still reads them).
-    def persistedIds = sc.getPersistentRDDs.keySet.toSet
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+  /** Tracks localCheckpoint block-RDD ids so superseded loop iterations
+    * can be freed EAGERLY: ContextCleaner only frees them after a driver
+    * GC notices the dropped reference, so in a long-lived session (bench
+    * loop, notebook, repeated pipeline runs) untracked iterations pile up.
+    * Only a loop's RETURNED dataset keeps its blocks (the caller reads it).
+    */
+  private final class CheckpointTracker(sc: org.apache.spark.SparkContext) {
+    private def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = persistedIds
       val out = df.localCheckpoint()
       (out, persistedIds -- before)
     }
     def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  def dupComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 20): DataFrame = {
+    val tracker = new CheckpointTracker(pairs.sparkSession.sparkContext)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist()
+    // materialize the cache BEFORE the first tracked checkpoint: persist()
+    // registers its block RDD only on first materialization, and if that
+    // happened inside the checkpoint's tracking window the id-diff would
+    // sweep und's cache into the seed's tracked ids — and wrongly free it
+    // after the first iteration.
+    und.count()
     // seed with one propagation step folded into the init aggregate:
     // comp₀ = min(self, neighbors). Near-dup components are near-cliques,
     // so most nodes already see the component minimum here and the loop
     // usually needs only the single confirming iteration.
-    var (labels, labelIds) = checkpointTracked(
+    var (labels, labelIds) = tracker.checkpoint(
       und.groupBy(col("src").as("id"))
         .agg(least(min(col("dst")), first(col("src"))).as("comp")))
     var converged = false
@@ -378,12 +388,12 @@ object Text {
     while (!converged && i < maxIters) {
       val prop = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("comp"))
-      val (next, nextIds) = checkpointTracked(
+      val (next, nextIds) = tracker.checkpoint(
         labels.union(prop)
           .groupBy("id").agg(min(col("comp")).as("comp")))
       converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).isEmpty // no label moved
-      free(labelIds) // superseded iteration's blocks, freed post-probe
+      tracker.free(labelIds) // superseded iteration's blocks, freed post-probe
       labels = next
       labelIds = nextIds
       i += 1
@@ -414,18 +424,10 @@ object Text {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIters: Int = 30): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    def persistedIds = sc.getPersistentRDDs.keySet.toSet
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = persistedIds
-      val out = df.localCheckpoint()
-      (out, persistedIds -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val tracker = new CheckpointTracker(pairs.sparkSession.sparkContext)
     def nbrMin(sym: DataFrame) =
       sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-    var (edges, edgeIds) = checkpointTracked(
+    var (edges, edgeIds) = tracker.checkpoint(
       pairs.select(
           greatest(col(aCol), col(bCol)).as("u"),
           least(col(aCol), col(bCol)).as("v"))
@@ -450,10 +452,11 @@ object Text {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")) // v > m: canonical
       val part2 = mins.select(col("u"), col("m").as("v"))
-      val (next, nextIds) = checkpointTracked(part1.union(part2).distinct())
-      converged =
-        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      free(edgeIds)
+      val (next, nextIds) = tracker.checkpoint(part1.union(part2).distinct())
+      // one symmetric-difference job, not two separate anti-join probes
+      converged = next.exceptAll(edges)
+        .union(edges.exceptAll(next)).isEmpty
+      tracker.free(edgeIds)
       edges = next
       edgeIds = nextIds
       i += 1

@@ -33,7 +33,9 @@ class RangeJoinSpec extends SparkSuite {
     val ivs = Seq(
       ("wide", java.sql.Date.valueOf("1995-01-01"), java.sql.Date.valueOf("1995-12-31")),
       ("narrow", java.sql.Date.valueOf("1995-06-01"), java.sql.Date.valueOf("1995-06-30")),
-      ("miss", java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-12-31")))
+      ("miss", java.sql.Date.valueOf("1996-01-01"), java.sql.Date.valueOf("1996-12-31")),
+      // inverted bounds: BETWEEN matches nothing; must not crash the job
+      ("inverted", java.sql.Date.valueOf("1995-12-31"), java.sql.Date.valueOf("1995-01-01")))
       .toDF("name", "lo", "hi")
     val out = RangeJoin.rangeJoinDates(points, "d", ivs, "lo", "hi")
       .select("name").as[String].collect().sorted.toList

@@ -216,8 +216,8 @@ class StreamingSpec extends SparkSuite {
       clicks.addData(Clk(9L, "c9", ts("2026-01-01 12:00:00")))
       q.processAllAvailable()
       val unmatched = spark.table("x13out").filter(col("click_id").isNull).collect()
-      assert(unmatched.map(_.getAs[String]("imp_id")).contains("i2"),
-        "expired unmatched impression must emit null-extended exactly once")
+      assert(unmatched.count(_.getAs[String]("imp_id") == "i2") == 1,
+        "expired unmatched impression must emit null-extended EXACTLY once")
     } finally q.stop()
   }
 
