@@ -162,6 +162,33 @@ object GraftFunctions {
     }
   }
 
+  /** `word_ngrams(text, n, distinct)` — n/distinct must be literals (they
+    * parameterize the generated code). */
+  def wordNgramsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "word_ngrams(text, n, distinct)")
+    val n = args(1) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException("n must be an int literal")
+    }
+    val d = args(2) match {
+      case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+      case _ => throw new IllegalArgumentException("distinct must be a boolean literal")
+    }
+    WordNgrams(Cast(args(0), StringType), n, d)
+  }
+
+  val wordNgramsIdentifier: FunctionIdentifier = FunctionIdentifier("word_ngrams")
+  val wordNgramsInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[WordNgrams].getName, "word_ngrams")
+
+  /** Idempotently register `word_ngrams` on a live session. */
+  def ensureWordNgrams(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(wordNgramsIdentifier)) {
+      reg.registerFunction(wordNgramsIdentifier, wordNgramsInfo, wordNgramsBuilder _)
+    }
+  }
+
   // Spark SHIPS BloomFilterAggregate / BloomFilterMightContain (they power
   // the optimizer's automatic runtime-filter rewrite) but does not register
   // them as SQL functions — x12 registers them under graft_* names to make
@@ -225,6 +252,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.simHashBucketIdentifier, GraftFunctions.simHashBucketInfo,
         GraftFunctions.simHashBucketBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.wordNgramsIdentifier, GraftFunctions.wordNgramsInfo,
+        GraftFunctions.wordNgramsBuilder _))
     ext.injectFunction(
       (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
         GraftFunctions.bloomAggBuilder _))

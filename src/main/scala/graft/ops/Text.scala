@@ -58,6 +58,20 @@ object Text {
               (0 until n).map(j => element_at(words, i + j + 1)): _*)))
     }
 
+  /** Kernel-backed forms of [[shingles]]/[[ngrams]]: ONE native pass in
+    * graft.ext.WordNgrams instead of the interpreted split → sequence →
+    * transform → concat_ws chain (a lambda dispatch per produced shingle;
+    * the HOF forms above are retained as the executable spec and pinned
+    * equal on random unicode in PropertiesSpec). Callers must register the
+    * kernel first — every op entry point calls
+    * `GraftFunctions.ensureWordNgrams(session)`.
+    */
+  private[graft] def nativeShingles(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n), lit(true))
+
+  private[graft] def nativeNgrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, lit(n), lit(false))
+
   /** Sorted-distinct-word fingerprint — normalized content identity. */
   def wordSetFingerprint(text: Column): Column =
     concat_ws(" ", array_sort(array_distinct(split(lower(text), " "))))
@@ -144,8 +158,9 @@ object Text {
     // their all-null signatures would otherwise all collide into one
     // bucket and emit NaN-jaccard pairs (0/0, and Spark sorts NaN above
     // every threshold) — route such docs through exact dedup (q21) instead.
+    graft.ext.GraftFunctions.ensureWordNgrams(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      nativeShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(col("doc_id"))
 
@@ -257,8 +272,9 @@ object Text {
     // canonical global order is never materialized as rebuilt string
     // arrays: prefix selection is a per-doc top-k (window row_number) over
     // the exploded (df, tok) stream instead.
+    graft.ext.GraftFunctions.ensureWordNgrams(docs.sparkSession)
     val sh = docs.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("sh"))
+        nativeShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0) // J undefined on empty sets → q21's job
       .withColumn("sz", size(col("sh")))
       .persist()
@@ -545,6 +561,7 @@ object Text {
     // would share the all-ones signature and pair up at Hamming 0 — route
     // them through exact dedup (q21) instead.
     graft.ext.GraftFunctions.ensureSimHashSig(docs.sparkSession)
+    graft.ext.GraftFunctions.ensureWordNgrams(docs.sparkSession)
     // the 64 bit votes run in the codegen'd graft.ext.SimHashSig kernel —
     // one pass over the hash array; the interpreted 64×filter formulation
     // ([[hofSimhash]], kept for the parity test) was the dominant cost of
@@ -555,7 +572,7 @@ object Text {
     // rows. The one remaining exchange is shared by the chunk self-join
     // branches (ReuseExchange).
     docs.select(col(idCol).as("doc_id"),
-        transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
+        transform(nativeShingles(col(textCol), shingleN), s => xxhash64(s)).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"),
         call_function("simhash_sig", col("hs")).as("simhash"))

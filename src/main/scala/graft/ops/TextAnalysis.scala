@@ -250,8 +250,10 @@ object TextAnalysis {
     // bind the bigram array, its distinct, and the ratio once each (the
     // collapsed projection still inlines `m` per extracted field — no CSE
     // for interpreted lambdas — but each inline is one O(n) pass, not the
-    // O(n²) an unbound word array would cost; see Text.ngrams)
-    val m = graft.ops.Text.bound(graft.ops.Text.ngrams(col("text"), 2)) { bg =>
+    // O(n²) an unbound word array would cost; see Text.ngrams). The bigram
+    // array itself comes from the codegen'd word_ngrams kernel.
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    val m = graft.ops.Text.bound(graft.ops.Text.nativeNgrams(col("text"), 2)) { bg =>
       graft.ops.Text.bound(array_distinct(bg)) { dbg =>
         graft.ops.Text.bound(
           when(size(bg) > 0,

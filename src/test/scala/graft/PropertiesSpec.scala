@@ -95,6 +95,33 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: word_ngrams kernel == HOF shingles/ngrams on arbitrary text") {
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    // adversarial tokenization inputs: repeated/leading/trailing spaces
+    // (Spark split keeps empties), mixed case, unicode, short texts
+    val word: Gen[String] = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.const(""),
+      1 -> Gen.oneOf("Ünïcødé", "ΣΙΓΜΑ", "ß", " "))
+    val text: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+    (71L to 78L).foreach { seed =>
+      val rows = sample(Gen.listOfN(30, text), seed).map(Row(_))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("t", StringType))))
+      Seq(1, 2, 3).foreach { n =>
+        df.select(
+            ops.Text.nativeShingles(col("t"), n).as("ns"),
+            ops.Text.shingles(col("t"), n).as("hs"),
+            ops.Text.nativeNgrams(col("t"), n).as("ng"),
+            ops.Text.ngrams(col("t"), n).as("hg"))
+          .collect().foreach { r =>
+            assert(r.getSeq[String](0) == r.getSeq[String](1), s"seed=$seed n=$n distinct")
+            assert(r.getSeq[String](2) == r.getSeq[String](3), s"seed=$seed n=$n multi")
+          }
+      }
+    }
+  }
+
   test("property: star connected components == min-label propagation on random graphs") {
     import spark.implicits._
     val edgeGen: Gen[(Long, Long)] = for {
