@@ -105,10 +105,10 @@ class PlanSpec extends SparkSuite {
 
   test("x01/x06: the only nested-loop join is against the broadcast probes") {
     // brute-force ANN is allowed a BroadcastNestedLoopJoin (bounded by the
-    // tiny probe side), as is IVF's cell assignment (every vector scored
-    // against the BROADCAST nlist=16 centroid set — that cross join IS the
-    // quantizer); everything else must be hash/sort-merge joins
-    val nlAllowed = Set("x01_vector_cosine", "x11_ann_ivf")
+    // tiny probe side); everything else — x11's cell assignment included,
+    // now a map-side argmax over the literal centroid array — must be
+    // hash/sort-merge joins
+    val nlAllowed = Set("x01_vector_cosine")
     SparkEntry.queries.keys.filterNot(nlAllowed).foreach { n =>
       assert(!plan(n).contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join")

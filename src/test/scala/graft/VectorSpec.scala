@@ -124,6 +124,36 @@ class VectorSpec extends SparkSuite {
     assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF map-side assignment == the round-5 window-shuffle form, n=1 and n=4") {
+    val c0 = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centsDf = c0.orderBy("id").limit(16)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    val cents = centsDf.collect().toSeq
+      .map(r => (r.get(0): Any, r.getSeq[Float](1)))
+    for (n <- Seq(1, 4)) {
+      val mapSide = Vector.nearestCells(c0, cents, n)
+        .select("id", "cell", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val shuffle = Vector.nearestCellShuffle(c0, centsDf, n)
+        .select("id", "cell", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(mapSide == shuffle, s"assignment mismatch at n=$n")
+    }
+  }
+
+  test("IVF: assignment is map-side — no nested-loop join, one window total") {
+    val plan = Vector.x11(spark, sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the 16x centroid cross join must not survive into the plan")
+    // the ONLY window is the per-probe top-k over (probe, neighbor, cosine)
+    // triples; the round-5 per-id assignment window (which shuffled the
+    // 16x-amplified vector-carrying rows) must be gone
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly 1 window in the plan, got $windows")
+  }
+
   test("zero-norm vectors are excluded, not ranked first by NaN") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),
