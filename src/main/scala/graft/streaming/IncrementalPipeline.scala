@@ -37,6 +37,19 @@ object IncrementalPipeline {
 
   final case class BatchResult(picked: Long, appended: Long)
 
+  /** The pickup stage — "unprocessed rows, deterministic order, capped"
+    * (`dags/order_currency_conversion_dag.py:87-95`): one LEFT ANTI
+    * hash-join of the source against the processed-ids ledger. Factored out
+    * so the DECLARED query q46_incremental_pick ([[graft.ops.Convert.q46]])
+    * runs the exact plan [[runBatch]] runs — the driver's DuckDB oracle
+    * gates the pipeline's pickup semantics, not a restatement of them.
+    */
+  def pickup(source: DataFrame, ledgerIds: DataFrame,
+      keyCol: String, maxBatch: Int): DataFrame =
+    source.join(ledgerIds.select(keyCol), Seq(keyCol), "left_anti")
+      .orderBy(keyCol)
+      .limit(maxBatch)
+
   /** All ledger filesystem ops go through the Hadoop FileSystem API, so the
     * ledger works on any Hadoop-supported store (HDFS, S3A, local) — a
     * `java.io.File` check against an `hdfs://` path silently reports
@@ -97,11 +110,8 @@ object IncrementalPipeline {
       source.select(col("order_id"), lit(batchTs).as("processed_at")))
 
     // R2+R3: unprocessed pickup, capped — deterministic order (D1) instead
-    // of the reference's bare LIMIT
-    val picked = source
-      .join(ledger.select("order_id"), Seq("order_id"), "left_anti")
-      .orderBy("order_id")
-      .limit(maxBatch)
+    // of the reference's bare LIMIT; the q46-declared primitive
+    val picked = pickup(source, ledger, "order_id", maxBatch)
       .cache()
     try {
       val nPicked = picked.count()

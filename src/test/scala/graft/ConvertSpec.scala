@@ -94,4 +94,26 @@ class ConvertSpec extends SparkSuite {
   test("q03 flagship returns rows at sf0.001 (driver smoke mirror)") {
     assert(SparkEntry.entry(spark).limit(5).count() > 0)
   }
+
+  test("q46 pickup: ledgered ids excluded, cap binds, rows agree with q03") {
+    val q46 = Convert.q46(spark, sf001)
+      .select("order_id", "amount_eur").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // fixture ledger = every third order: none may be picked up
+    assert(q46.forall(_._1 % 3 != 0))
+    // sf0.01 has 10 000 unprocessed orders, so the 5 000 cap must BIND and
+    // keep the LOWEST ids (deterministic orderBy-limit semantics)
+    assert(q46.length == Convert.PickBatch)
+    val maxPicked = q46.map(_._1).max
+    val unpickedBelow = Convert.q03(spark, sf001)
+      .filter(col("order_id") <= maxPicked && col("order_id") % 3 =!= 0)
+      .count()
+    assert(unpickedBelow == Convert.PickBatch,
+      "pickup must take the first maxBatch unprocessed ids, no gaps")
+    // converted values match the flagship conversion row-for-row
+    val q03Map = Convert.q03(spark, sf001)
+      .select("order_id", "amount_eur").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(q46.forall { case (id, eur) => q03Map(id) == eur })
+  }
 }
