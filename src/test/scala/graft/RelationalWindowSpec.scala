@@ -39,6 +39,31 @@ class RelationalWindowSpec extends SparkSuite {
     assert(plan.contains("might_contain"), "the prefilter must survive into the physical plan")
   }
 
+  test("bloom sizing tracks build NDV: fpp stays low at capacity, " +
+    "where a round-5-style undersized sketch saturates") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureBloom(spark)
+    val n = 50000
+    (1L to n).toDF("k").createOrReplaceTempView("bloom_build")
+    // 50k non-members probed against both sketches
+    ((n + 1L) to 2L * n).toDF("k").createOrReplaceTempView("bloom_probe")
+    val (est, bits) = ops.Relational.bloomSizing(spark.table("bloom_build"), "k")
+    assert(est >= n && est <= 4L * n, s"estimate $est should bracket NDV=$n")
+    def fpCount(estItems: Long, numBits: Long): Long = spark.sql(
+      s"""SELECT count(*) FROM bloom_probe p
+         |WHERE graft_might_contain(
+         |  (SELECT graft_bloom_agg(xxhash64(k), ${estItems}L, ${numBits}L)
+         |   FROM bloom_build), xxhash64(p.k))""".stripMargin)
+      .head().getLong(0)
+    // derived sizing: ~8 bits/key at 2x headroom => fpp well under 2%
+    assert(fpCount(est, bits) < n / 50,
+      "NDV-derived sizing must keep the prefilter selective at capacity")
+    // control: capacity 50x under the build (the hard-coded-constant
+    // failure mode at scale) saturates — the prefilter stops pruning
+    assert(fpCount(n / 50, 8L * n / 50) > n / 2,
+      "an undersized sketch should saturate; if not, the control is broken")
+  }
+
   test("q36 full outer: unmatched rows surface from BOTH sides") {
     val rows = ops.Relational.q36(spark, sf0001).collect()
     val aOnly = rows.count(_.getDouble(2) == 0.0) // active 1995 only
