@@ -109,9 +109,20 @@ object Bench {
     // diagnostics line grew past that in round 4 and clipped the headline
     // line out of the capture window — so diagnostics print FIRST and the
     // compact headline (what the driver parses) prints LAST, with medians at
-    // millisecond precision to keep the line well inside the window.
+    // millisecond precision to keep the line well inside the window. The
+    // flaky map (name -> successful-run count; {} normally) rides on the
+    // HEADLINE line too, so partial-failure evidence survives even when the
+    // diag line is clipped (ADVICE r5).
+    val headline =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flaky,"runs":$runs,"sf":"$sfDir"}"""
     println(s"""{"diag":"raw_times","runs":$runs,"times":$rawTimes,"flaky":$flaky}""")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runs,"sf":"$sfDir"}""")
+    println(headline)
+    // Bare machine-readable copy: sbt wraps stdout in [info]/[success]
+    // noise that defeats the driver's parser every round (VERDICT r5 #4) —
+    // a plain file needs no scraping. Written to the working directory
+    // (the repo root under both sbt and the driver).
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
