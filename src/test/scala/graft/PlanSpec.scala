@@ -89,6 +89,19 @@ class PlanSpec extends SparkSuite {
       "the Zipf-small df table must broadcast against the exploded token stream")
   }
 
+  test("q18: props parses ONCE — one from_json map build, probe-only predicate") {
+    // the round-3 regression shape was 3 parses/row; the discipline is one
+    // get_json_object probe (runs on every row, its pushed copy included)
+    // plus exactly one from_json that materializes only for survivors.
+    // Guarded by plan audit because a bare withColumn refactor silently
+    // re-inlines the parse per derived field (CollapseProject).
+    val p = plan("q18_json_extract")
+    assert("from_json".r.findAllIn(p).size == 1,
+      s"expected exactly one from_json in the plan:\n$p")
+    assert(p.contains("get_json_object"),
+      "the filter must use the streaming probe, not the map parse")
+  }
+
   test("x12: the bloom prefilter survives into the physical plan as a filter") {
     val p = plan("x12_bloom_semi")
     assert(p.contains("might_contain"),
