@@ -394,10 +394,12 @@ object Vector {
     * Blocking is the standard scale pattern when candidate pairs must be
     * EXACT within a business partition (same customer, same shard, same
     * label): the pair source is an equi-join on the block key — a plain
-    * hash join, never a cartesian — so cost is Σ (block size)², and when
-    * a block outgrows quadratic reach the LSH candidate path
-    * ([[cosinePairs]]) takes over inside it. Oracle-checked: same fold
-    * order as x01 ⇒ bit-identical doubles.
+    * hash join, never a cartesian — so cost is Σ (block size)², and a
+    * block that outgrows quadratic reach is AUTOMATICALLY routed through
+    * the same-block LSH candidate path ([[blockLshPairs]]; census +
+    * broadcast split — maxBlockSide 10000 sits far above any label block
+    * at driver SFs, so the declared query stays exact). Oracle-checked:
+    * same fold order as x01 ⇒ bit-identical doubles.
     */
   def x08(spark: SparkSession, dir: String): DataFrame =
     blockedCosinePairs(Tables.embeddings(spark, dir),
@@ -407,29 +409,76 @@ object Vector {
   /** The generic blocked form behind [[x08]]: exact pairwise cosine within
     * each `blockCol` group, pairs at or above `minCosine`, id_a < id_b.
     * Pairs NEVER cross blocks — that is the contract, not a shortcut.
+    *
+    * Oversized-block handoff (VERDICT r5 #6, previously documentation-only):
+    * the equi-join's cost is Σ (block size)², so ONE hot block can turn the
+    * operator quadratic. Blocks larger than `maxBlockSide` are therefore
+    * routed AUTOMATICALLY through the same-block LSH candidate path
+    * ([[blockLshPairs]]): a census aggregate on the bare block key (one
+    * narrow-column pass, O(#blocks) rows) finds the oversized keys, the
+    * expected-few keys broadcast into an anti/semi split, and only the
+    * small side runs exact-quadratic. For the oversized side the candidate
+    * set is same-(block, simhash bucket) with Hamming-1 multiprobe —
+    * recall is probabilistic-high for NEAR-DUP thresholds (the operator's
+    * use case) and intentionally not exact for low thresholds, where an
+    * exact answer over a quadratic-infeasible block is itself
+    * quadratic-sized. `dim`/`lshBits` only matter for blocks that trip the
+    * handoff; pass the embedding dimension when they can.
     */
   def blockedCosinePairs(
       corpus: DataFrame,
       blockCol: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      minCosine: Double = 0.95): DataFrame = {
+      minCosine: Double = 0.95,
+      maxBlockSide: Int = 10000,
+      dim: Int = 64,
+      lshBits: Int = 8): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     graft.ext.GraftFunctions.ensureSimHashBucket(corpus.sparkSession)
     val v = corpus
       .select(col(idCol).as("vec_id"), col(blockCol).as("block"), col(vecCol).as("vec"))
       .withColumn("nrm", nNorm(col("vec")))
       .filter(col("nrm") > 0) // NaN-cosine guard
-    val a = v.select(col("block"), col("vec_id").as("vec_id_a"),
+    val big = v.groupBy("block").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBlockSide).select("block")
+    val vSmall = v.join(broadcast(big), Seq("block"), "left_anti")
+    val vBig = v.join(broadcast(big), Seq("block"), "left_semi")
+    val a = vSmall.select(col("block"), col("vec_id").as("vec_id_a"),
       col("vec").as("va"), col("nrm").as("na"))
-    val b = v.select(col("block"), col("vec_id").as("vec_id_b"),
+    val b = vSmall.select(col("block"), col("vec_id").as("vec_id_b"),
       col("vec").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("block"))
+    val smallPairs = a.join(b, Seq("block"))
       .filter(col("vec_id_a") < col("vec_id_b"))
       .withColumn("cosine", nCos(col("va"), col("vb"), col("na"), col("nb")))
+      .select(col("block"), col("vec_id_a"), col("vec_id_b"), col("cosine"))
+    smallPairs.unionByName(blockLshPairs(vBig, dim, lshBits))
       .filter(col("cosine") >= minCosine)
       .select(col("vec_id_a"), col("vec_id_b"),
         col("block").as(blockCol), col("cosine"))
+  }
+
+  /** Same-block LSH candidate pairs (shared simhash bucket, Hamming-1
+    * multiprobe on one side) with exact cosine attached, BEFORE the
+    * threshold filter — the oversized-block path of [[blockedCosinePairs]],
+    * factored out so tests can pin the candidate count itself (bounded by
+    * bucket co-occupancy, never size²). Input: (block, vec_id, vec, nrm).
+    */
+  private[graft] def blockLshPairs(
+      vBig: DataFrame, dim: Int, bits: Int): DataFrame = {
+    val withHome = vBig.withColumn("home", simhashBucket(col("vec"), dim, bits))
+    val a = withHome.withColumn("bucket",
+        explode(array(col("home") +:
+          (0 until bits).map(i => col("home").bitwiseXOR(lit(1L << i))): _*)))
+      .select(col("block"), col("bucket"), col("vec_id").as("vec_id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+    val b = withHome.select(col("block"), col("home").as("bucket"),
+      col("vec_id").as("vec_id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("block", "bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("block"), col("vec_id_a"), col("vec_id_b"),
+        nCos(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+      .distinct() // a pair can co-occupy several probed buckets
   }
 
   /** Brute-force restatement of [[x08]] for the DuckDB oracle — same

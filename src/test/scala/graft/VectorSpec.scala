@@ -124,6 +124,38 @@ class VectorSpec extends SparkSuite {
     assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("oversized block hands off to LSH: same planted pairs, bounded candidates") {
+    import spark.implicits._
+    // 4 tight clusters of 10 vectors in ONE 40-row block: every
+    // within-cluster pair is a near-dup (4 * C(10,2) = 180 pairs), the
+    // clusters are mutually near-orthogonal — the exact path would compare
+    // all C(40,2) = 780 pairs
+    def vec(c: Int, i: Int): Array[Float] =
+      Array.tabulate(16) { d =>
+        val base = if (d == 4 * c) 1.0f else 0.0f
+        base + 0.001f * math.sin(c * 100 + i * 16 + d).toFloat
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 10)
+      yield ((c * 10 + i).toLong, "big", vec(c, i))
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+    val exact = Vector.blockedCosinePairs(corpus, "label",
+        minCosine = 0.999, maxBlockSide = 10000, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 180, s"fixture: expected 180 planted pairs, got ${exact.size}")
+    val handoff = Vector.blockedCosinePairs(corpus, "label",
+        minCosine = 0.999, maxBlockSide = 16, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(handoff == exact, "handoff must find the same near-dup pairs")
+    // the candidate join is bucket-bounded: well below the 780 exact
+    // comparisons, but covering every true pair
+    val v = corpus.select(col("vec_id"), col("label").as("block"),
+        col("embedding").as("vec"))
+      .withColumn("nrm", Vector.l2Norm(col("vec")))
+    val cands = Vector.blockLshPairs(v, dim = 16, bits = 8).count()
+    assert(cands >= 180 && cands < 400,
+      s"candidate count $cands should be bucket-bounded, not quadratic")
+  }
+
   test("IVF map-side assignment == the round-5 window-shuffle form, n=1 and n=4") {
     val c0 = Tables.embeddings(spark, sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
