@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus pass at sf0.1, the single largest cost of x10).
   *
   * Semantics are EXACTLY the higher-order formulation it replaces
-  * ([[graft.ops.Text.hofNgrams]], pinned in PropertiesSpec on random
+  * ([[graft.ops.Text.shingles]]/[[graft.ops.Text.ngrams]], pinned in PropertiesSpec on random
   * unicode):
   *   - words = `split(lower(text), " ")` with Spark's split semantics
   *     (single-space regex, trailing empty strings KEPT);

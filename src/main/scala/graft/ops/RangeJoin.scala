@@ -29,17 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Generic date point-in-interval join with month-bucket decomposition.
+  /** Generic date point-in-interval join with bucket decomposition.
     * `points` rows join every `intervals` row whose [loCol, hiCol] (both
     * inclusive, DATE columns) contains their `pointCol` DATE. Output keeps
     * all columns of both inputs minus the internal bucket key.
+    *
+    * `bucket` (day | week | month) trades the two costs the width controls
+    * (VERDICT r5 #8 — month was hardcoded): the interval side explodes to
+    * ~span/width rows per interval, and each bucket gathers the points of
+    * one width of time. Month fits quarter/year-grain intervals (small
+    * explode, spread points). A DAY-grain interval set (delivery windows,
+    * outage slots) under month buckets would concentrate every interval of
+    * a month into one bucket key — the skew the decomposition exists to
+    * avoid — and wants `day`, where the explode is only a handful of rows
+    * per short interval. Rule of thumb: width ≈ typical interval span.
     */
   def rangeJoinDates(
       points: DataFrame,
       pointCol: String,
       intervals: DataFrame,
       loCol: String,
-      hiCol: String): DataFrame = {
+      hiCol: String,
+      bucket: String = "month"): DataFrame = {
+    val step = bucket match {
+      case "day"   => expr("interval 1 day")
+      case "week"  => expr("interval 7 days") // date_trunc(week) = Mondays
+      case "month" => expr("interval 1 month")
+      case other   => throw new IllegalArgumentException(
+        s"bucket must be day, week, or month; got '$other'")
+    }
     // an inverted interval (hi < lo) matches nothing under BETWEEN; drop it
     // up front — sequence() would otherwise throw on the negative span and
     // fail the whole job over one bad upstream row
@@ -47,11 +65,11 @@ object RangeJoin {
       .filter(col(loCol) <= col(hiCol))
       .withColumn("bucket",
         explode(sequence(
-          date_trunc("month", col(loCol)).cast("date"),
-          date_trunc("month", col(hiCol)).cast("date"),
-          expr("interval 1 month"))))
+          date_trunc(bucket, col(loCol)).cast("date"),
+          date_trunc(bucket, col(hiCol)).cast("date"),
+          step)))
     val p = points.withColumn("bucket",
-      date_trunc("month", col(pointCol)).cast("date"))
+      date_trunc(bucket, col(pointCol)).cast("date"))
     p.join(iv, Seq("bucket"))
       .filter(col(pointCol).between(col(loCol), col(hiCol)))
       .drop("bucket")

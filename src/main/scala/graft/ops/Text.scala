@@ -255,6 +255,13 @@ object Text {
     * the one bug class this operator must never have.
     *
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b, all pairs exact
+    * @note CALLER-MUST-SWEEP (ADVICE r5): this operator `persist()`s two
+    *       intermediates (the per-doc shingle table and the selected
+    *       prefixes) that outlive the returned DataFrame's actions; a
+    *       long-lived session invoking it repeatedly must drop them —
+    *       `spark.sharedState.cacheManager.clearCache()` (what Bench/Verify
+    *       do between queries) or `catalog.clearCache()` — or accumulate
+    *       cached blocks per invocation.
     */
   def jaccardJoin(
       docs: DataFrame,

@@ -42,6 +42,33 @@ class RangeJoinSpec extends SparkSuite {
     assert(out == List("narrow", "wide"))
   }
 
+  test("day and week bucket widths match naive BETWEEN; bad width rejected") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // short boundary-straddling intervals: a Sun→Mon delivery window (week
+    // edge), a month-end window, a single-day slot — the day-grain regime
+    // the month default would pile into two bucket keys
+    val ivs = Seq(
+      ("wknd", d("1995-06-04"), d("1995-06-05")),
+      ("eom",  d("1995-06-28"), d("1995-07-03")),
+      ("spot", d("1995-06-15"), d("1995-06-15"))).toDF("name", "lo", "hi")
+    val points = (1 to 40).map(i => d(f"1995-06-${(i % 30) + 1}%02d"))
+      .concat(Seq(d("1995-07-01"), d("1995-07-02"), d("1995-07-05")))
+      .toDF("p")
+    val naive = points.join(ivs, col("p").between(col("lo"), col("hi")))
+      .select("p", "name").collect().map(r => (r.getDate(0).toString, r.getString(1)))
+      .sorted.toSeq
+    for (w <- Seq("day", "week")) {
+      val got = RangeJoin.rangeJoinDates(points, "p", ivs, "lo", "hi", bucket = w)
+        .select("p", "name").collect().map(r => (r.getDate(0).toString, r.getString(1)))
+        .sorted.toSeq
+      assert(got == naive, s"width=$w diverged from naive BETWEEN")
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoinDates(points, "p", ivs, "lo", "hi", bucket = "year")
+    }
+  }
+
   test("q44 plans as an equi-join on the bucket key — no nested loop, no cartesian") {
     val plan = ops.RangeJoin.q44(spark, sf0001)
       .queryExecution.executedPlan.toString
