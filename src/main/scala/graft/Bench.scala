@@ -46,6 +46,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count()
       .write.format("noop").mode("overwrite").save()
+    // Clear any previous bench_out.json up front: the file is (re)written
+    // only at successful end-of-run, so a crashed bench must leave NO file
+    // rather than last run's numbers masquerading as this run's result.
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_out.json"))
     val runs = 3
     var failed = List.empty[String]
     // JSON numbers must be locale-independent: the f-interpolator uses the

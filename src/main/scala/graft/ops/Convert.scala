@@ -137,7 +137,11 @@ object Convert {
     convertOrders(spark, picked, dir).orderBy("order_id")
   }
 
-  val q03Sql: String =
+  /** The q03 conversion body over a caller-named orders relation — the SQL
+    * twin of [[convertOrders]], shared by [[q03Sql]] and [[q46Sql]] so the
+    * two oracles cannot drift apart on rounding/COALESCE/decimal widths.
+    */
+  private def conversionBodySql(src: String): String =
     s"""SELECT o.o_orderkey AS order_id,
        |       c.c_name AS customer,
        |       o.o_orderdate AS order_date,
@@ -148,12 +152,14 @@ object Convert {
        |            END AS DOUBLE) AS amount_eur,
        |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
        |       TIMESTAMP '${BatchTs}' AS exchange_rate_date
-       |FROM orders o
+       |FROM $src o
        |JOIN customer c ON o.o_custkey = c.c_custkey
        |JOIN nation n ON c.c_nationkey = n.n_nationkey
        |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key
        |LEFT JOIN ${Dims.ratesSql()} ON nc.currency = r.currency
        |ORDER BY order_id""".stripMargin
+
+  val q03Sql: String = conversionBodySql("orders")
 
   /** [[q46]] restated: the same NOT EXISTS pickup against the fixture
     * ledger, the same deterministic cap, then the q03 conversion body.
@@ -165,20 +171,5 @@ object Convert {
        |  SELECT * FROM orders o
        |  WHERE NOT EXISTS (SELECT 1 FROM ledger l WHERE l.o_orderkey = o.o_orderkey)
        |  ORDER BY o.o_orderkey LIMIT ${PickBatch})
-       |SELECT o.o_orderkey AS order_id,
-       |       c.c_name AS customer,
-       |       o.o_orderdate AS order_date,
-       |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS original_amount,
-       |       nc.currency AS original_currency,
-       |       CAST(CASE WHEN nc.currency = 'EUR' THEN CAST(o.o_totalprice AS DECIMAL(18,2))
-       |                 ELSE round(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DECIMAL(28,8)), 2)
-       |            END AS DOUBLE) AS amount_eur,
-       |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
-       |       TIMESTAMP '${BatchTs}' AS exchange_rate_date
-       |FROM picked o
-       |JOIN customer c ON o.o_custkey = c.c_custkey
-       |JOIN nation n ON c.c_nationkey = n.n_nationkey
-       |JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key
-       |LEFT JOIN ${Dims.ratesSql()} ON nc.currency = r.currency
-       |ORDER BY order_id""".stripMargin
+       |""".stripMargin + conversionBodySql("picked")
 }

@@ -186,8 +186,11 @@ object Relational {
     graft.ext.GraftFunctions.ensureBloom(spark)
     Tables.customer(spark, dir).createOrReplaceTempView("x12_customer")
     Tables.orders(spark, dir).createOrReplaceTempView("x12_orders")
+    // sizing NDV comes from the already-registered view (no second table
+    // load); this runs EAGERLY at query-construction time — unavoidable,
+    // since BloomFilterAggregate needs foldable capacity arguments
     val (est, bits) = bloomSizing(
-      Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      spark.table("x12_orders").filter(col("o_orderstatus") === "F")
         .select("o_custkey"), "o_custkey")
     spark.sql(
       s"""WITH f AS (SELECT o_custkey FROM x12_orders WHERE o_orderstatus = 'F')

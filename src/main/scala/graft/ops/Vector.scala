@@ -251,6 +251,7 @@ object Vector {
       cents: Seq[(Any, Seq[Float])],
       n: Int): DataFrame = {
     require(cents.nonEmpty, "IVF centroid set must be non-empty")
+    graft.ext.GraftFunctions.ensureVecDot(points.sparkSession)
     val centArr = array(cents.map { case (cell, cvec) =>
       val nrm = math.sqrt(cvec.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
       struct(lit(cell).as("cell"), typedLit(cvec).as("cvec"), lit(nrm).as("c_n"))
@@ -284,6 +285,7 @@ object Vector {
     */
   private[graft] def nearestCellShuffle(
       points: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(points.sparkSession)
     val w = Window.partitionBy(col("id")).orderBy(desc("sim"), asc("cell"))
     points.withColumn("p_n", nNorm(col("vec")))
       .crossJoin(broadcast(cents.withColumn("c_n", nNorm(col("cvec")))))
@@ -325,6 +327,12 @@ object Vector {
     val seeds = c0.orderBy("id").limit(nlist)
       .select(col("id").as("cell"), col("vec").as("cvec"))
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    // empty corpus: no centroids to quantize against — degrade to an empty
+    // result (the round-5 crossJoin form's behavior), never a throw
+    if (seeds.isEmpty)
+      return probes.select(col(idCol).as("probe_id"),
+        col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0).cast("int").as("rank")).limit(0)
 
     // one Lloyd step: elementwise mean of each cell's vectors. Summed as
     // exact decimals per (cell, position) so the result is independent of
@@ -423,7 +431,10 @@ object Vector {
     * use case) and intentionally not exact for low thresholds, where an
     * exact answer over a quadratic-infeasible block is itself
     * quadratic-sized. `dim`/`lshBits` only matter for blocks that trip the
-    * handoff; pass the embedding dimension when they can.
+    * handoff; pass the embedding dimension when they can. Callers whose
+    * contract is exact-at-any-size (e.g. an oracle-gated query) must raise
+    * `maxBlockSide` above their largest possible block — the handoff is a
+    * recall trade, deliberately not silent-exact.
     */
   def blockedCosinePairs(
       corpus: DataFrame,
@@ -440,7 +451,11 @@ object Vector {
       .select(col(idCol).as("vec_id"), col(blockCol).as("block"), col(vecCol).as("vec"))
       .withColumn("nrm", nNorm(col("vec")))
       .filter(col("nrm") > 0) // NaN-cosine guard
-    val big = v.groupBy("block").agg(count(lit(1)).as("bn"))
+    // census on the BARE block column of the raw corpus — a genuinely
+    // narrow pruned scan, no per-row norm. Zero-norm rows count toward
+    // block size, which only makes the handoff threshold conservative.
+    val big = corpus.select(col(blockCol).as("block"))
+      .groupBy("block").agg(count(lit(1)).as("bn"))
       .filter(col("bn") > maxBlockSide).select("block")
     val vSmall = v.join(broadcast(big), Seq("block"), "left_anti")
     val vBig = v.join(broadcast(big), Seq("block"), "left_semi")
@@ -466,6 +481,8 @@ object Vector {
     */
   private[graft] def blockLshPairs(
       vBig: DataFrame, dim: Int, bits: Int): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(vBig.sparkSession)
+    graft.ext.GraftFunctions.ensureSimHashBucket(vBig.sparkSession)
     val withHome = vBig.withColumn("home", simhashBucket(col("vec"), dim, bits))
     val a = withHome.withColumn("bucket",
         explode(array(col("home") +:

@@ -156,6 +156,13 @@ class VectorSpec extends SparkSuite {
       s"candidate count $cands should be bucket-bounded, not quadratic")
   }
 
+  test("IVF on an empty corpus returns empty, never throws") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val probes = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Vector.ivfTopK(empty, probes, nlist = 4, nprobe = 2).count() == 0)
+  }
+
   test("IVF map-side assignment == the round-5 window-shuffle form, n=1 and n=4") {
     val c0 = Tables.embeddings(spark, sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
