@@ -45,6 +45,12 @@ class PlanSpec extends SparkSuite {
     assert(plan("q13_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q46: the capped pickup is a TakeOrdered heap, not a global sort") {
+    // the batch cap must not serialize the unpicked remainder through one
+    // sort — per-partition top-k heaps feed the conversion joins
+    assert(plan("q46_incremental_pick").contains("TakeOrderedAndProject(limit=5000"))
+  }
+
   test("q08: map-side partial aggregation before the shuffle, inside codegen") {
     val p = finalPlan("q08_agg_group")
     assert(p.contains("partial_sum"),
