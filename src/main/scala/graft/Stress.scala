@@ -52,10 +52,42 @@ object Stress {
           .orderBy(desc("order_date"), desc("order_id"))
         noop(orders.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn"))
-      })
+      }) ++ vectorAssignment(spark, n / 10)
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stress","rows":$n,"timings":$qs}""")
     spark.stop()
+  }
+
+  /** IVF assignment at corpus scale (default 1M 64-dim vectors ≈ 500× the
+    * sf0.1 embeddings table): the round-6 map-side argmax vs the round-5
+    * crossJoin+window shuffle form, same deterministic synthetic corpus —
+    * the measured gap IS the ~nlist× vector shuffle the rewrite removed.
+    */
+  private def vectorAssignment(
+      spark: SparkSession, vn: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    // deterministic synthetic embeddings, generation fused into each plan
+    def vecs = spark.range(vn).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        d => sin(col("id") * 64 + d).cast("float")).as("vec"))
+    val centsDf = vecs.orderBy("id").limit(16)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    val cents = centsDf.collect().toSeq
+      .map(r => (r.get(0): Any, r.getSeq[Float](1)))
+    Seq(
+      time(s"ivf_assign_mapside_${vn}") {
+        noop(ops.Vector.nearestCells(vecs, cents, 1))
+      },
+      time(s"ivf_assign_shuffle_${vn}") {
+        noop(ops.Vector.nearestCellShuffle(vecs, centsDf, 1))
+      })
   }
 }
