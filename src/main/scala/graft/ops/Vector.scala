@@ -256,9 +256,17 @@ object Vector {
       val nrm = math.sqrt(cvec.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
       struct(lit(cell).as("cell"), typedLit(cvec).as("cvec"), lit(nrm).as("c_n"))
     }: _*)
-    val scored = transform(centArr, c => struct(
-      nCos(col("vec"), c.getField("cvec"), col("p_n"), c.getField("c_n")).as("sim"),
-      c.getField("cell").as("cell")))
+    // ANSI-safe: a zero-norm point (or centroid) must not throw
+    // DIVIDE_BY_ZERO — it scores NaN, which the comparator ranks first and
+    // ties to the MINIMUM cell: a deterministic assignment for a vector
+    // whose cosine is undefined everywhere (same guard in the shuffle form)
+    val scored = transform(centArr, c => {
+      val denom = col("p_n") * c.getField("c_n")
+      struct(
+        when(denom =!= 0, nDot(col("vec"), c.getField("cvec")) / denom)
+          .otherwise(lit(Double.NaN)).as("sim"),
+        c.getField("cell").as("cell"))
+    })
     val bestFirst = (l: Column, r: Column) => {
       val (ls, rs) = (l.getField("sim"), r.getField("sim"))
       val (lc, rc) = (l.getField("cell"), r.getField("cell"))
@@ -289,7 +297,10 @@ object Vector {
     val w = Window.partitionBy(col("id")).orderBy(desc("sim"), asc("cell"))
     points.withColumn("p_n", nNorm(col("vec")))
       .crossJoin(broadcast(cents.withColumn("c_n", nNorm(col("cvec")))))
-      .withColumn("sim", nCos(col("vec"), col("cvec"), col("p_n"), col("c_n")))
+      .withColumn("sim",
+        when(col("p_n") * col("c_n") =!= 0,
+            nCos(col("vec"), col("cvec"), col("p_n"), col("c_n")))
+          .otherwise(lit(Double.NaN))) // ANSI-safe zero-norm guard
       .withColumn("r", row_number().over(w))
       .filter(col("r") <= n)
       .drop("cvec", "r", "p_n", "c_n")

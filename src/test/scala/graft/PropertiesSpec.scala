@@ -194,4 +194,36 @@ class PropertiesSpec extends SparkSuite {
         }
     }
   }
+
+  test("property: map-side IVF assignment == window form on tie-rich corpora") {
+    // components drawn from {-1, 0, 1} in dim 4 force many EXACT cosine
+    // ties (colinear vectors) plus zero vectors (NaN sims) — the ordering
+    // edge cases the sf0.01-corpus pin in VectorSpec never hits. The two
+    // forms must agree on (id, cell, sim) exactly, ties broken by cell asc
+    // and NaN ranked first, for both n=1 and n=3.
+    import spark.implicits._
+    val comps = Gen.listOfN(4, Gen.oneOf(-1.0f, 0.0f, 1.0f))
+    (61L to 70L).foreach { seed =>
+      val vs = sample(Gen.listOfN(24, comps), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val points = vs.toDF("id", "vec")
+      val centsDf = points.orderBy("id").limit(8)
+        .select(col("id").as("cell"), col("vec").as("cvec"))
+      val cents = centsDf.collect().toSeq
+        .map(r => (r.get(0): Any, r.getSeq[Float](1)))
+      for (n <- Seq(1, 3)) {
+        // Double.toString: locale-independent, exact, and NaN-safe (a raw
+        // Double tuple compare would fail on NaN != NaN)
+        val mapSide = ops.Vector.nearestCells(points, cents, n)
+          .select("id", "cell", "sim").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.toString(r.getDouble(2)))).sorted.toSeq
+        val shuffle = ops.Vector.nearestCellShuffle(points, centsDf, n)
+          .select("id", "cell", "sim").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            java.lang.Double.toString(r.getDouble(2)))).sorted.toSeq
+        assert(mapSide == shuffle, s"seed=$seed n=$n")
+      }
+    }
+  }
 }
