@@ -115,6 +115,76 @@ object Text {
       |GROUP BY word
       |ORDER BY freq DESC, word ASC""".stripMargin
 
+  // ---- x14: heavy-hitter n-grams via sample-candidates + exact verify ----
+
+  /** Top-k word-n-gram counts via the sample-then-verify heavy-hitter
+    * pattern — EXACT results with bounded shuffles when the n-gram TYPE
+    * space outgrows what a vocab-keyed aggregate can hold.
+    *
+    * q22's exact word counts are the right plan for word vocabularies
+    * (Zipf-bounded far below the corpus), but n-gram types are
+    * corpus-scale at 100 TB: the partial-agg hashmaps overflow and the
+    * shuffle carries the whole type space. Two bounded passes instead:
+    *
+    *   1. CANDIDATES: a deterministic occurrence-level sample —
+    *      `xxhash64(doc, pos, gram) % sampleMod == 0`, per OCCURRENCE so a
+    *      heavy type cannot be hashed out wholesale — is counted per type;
+    *      types with ≥ `cMin` sampled hits survive. The shuffle carries
+    *      ~1/sampleMod of the stream, and with cMin=2 every singleton type
+    *      (the Zipf tail mass) dies map-side — it cannot yield 2 samples.
+    *   2. VERIFY: exact occurrence count of the candidate types only
+    *      (broadcast semi join against the full stream — a small key set by
+    *      construction), deterministic top-k (freq desc, gram asc).
+    *
+    * REGIME: the guarantee is statistical — a true top-k type is missed
+    * only if fewer than cMin of its occurrences sample, P ≈ Binomial tail,
+    * negligible once boundary counts ≫ sampleMod·cMin (under the defaults
+    * a count-64 type is missed with p<1e-8). That is precisely the
+    * heavy-hitter regime this operator exists for; on a small or FLAT
+    * corpus (the driver fixture's trigram counts peak in the single
+    * digits — no heavy hitters exist there) use the exact q22-shaped
+    * aggregate instead, which is the right plan whenever the type space
+    * fits a hash aggregate. Deliberately NOT a declared oracle query for
+    * that reason; TextSpec pins sampled == exact on a planted-Zipf corpus
+    * and pins the candidate-set reduction that is the operator's point.
+    */
+  def ngramTopK(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      k: Int = 20,
+      sampleMod: Int = 4,
+      cMin: Int = 2): DataFrame = {
+    val occ = ngramOccurrences(docs, idCol, textCol, n)
+    val cand = ngramCandidates(docs, idCol, textCol, n, sampleMod, cMin)
+    occ.join(broadcast(cand), Seq("gram"), "left_semi")
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("gram"))
+      .limit(k)
+  }
+
+  private def ngramOccurrences(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.ext.GraftFunctions.ensureWordNgrams(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(nativeNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+  }
+
+  /** The candidate stage of [[ngramTopK]], exposed so tests can pin the
+    * reduction itself: types with ≥ cMin deterministically-sampled
+    * occurrences — the singleton tail dies before the shuffle.
+    */
+  private[graft] def ngramCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, sampleMod: Int, cMin: Int): DataFrame =
+    ngramOccurrences(docs, idCol, textCol, n)
+      .filter(pmod(xxhash64(col("doc_id"), col("pos"), col("gram")),
+        lit(sampleMod)) === 0)
+      .groupBy("gram").agg(count(lit(1)).as("s_cnt"))
+      .filter(col("s_cnt") >= cMin)
+      .select("gram")
+
   // ---- x02: MinHash + banded LSH near-duplicate detection ----
 
   /** Near-duplicate pairs via minhash + banded LSH + exact verification.

@@ -202,6 +202,38 @@ class TextSpec extends SparkSuite {
     assert(freqSum == tokens)
   }
 
+  test("ngramTopK heavy hitters: exact top-k on a Zipf corpus, tail pruned map-side") {
+    import spark.implicits._
+    // planted Zipf: 8 hot trigram patterns repeated 60-200x across docs,
+    // plus a long tail of unique-per-doc trigrams — the regime the sampled
+    // path exists for (boundary counts >> sampleMod*cMin)
+    val hot = (0 until 8).map(h => s"hot$h alpha beta")
+    val docs = (0 until 400).map { d =>
+      val hots = (0 until (8 - d % 8)).map(h => hot(h)).mkString(" ")
+      val tail = s"tail${d}a tail${d}b tail${d}c tail${d}d"
+      (d.toLong, s"$hots $tail")
+    }.toDF("doc_id", "text")
+    val sampled = ops.Text.ngramTopK(docs, k = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs.select(explode(ops.Text.ngrams(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("gram")).limit(8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sampled == exact, "sampled candidates must cover the true top-k")
+    assert(sampled.map(_._2).min >= 50, "fixture: heavy hitters must be heavy")
+    // the candidate set (the only thing the verify pass hash-joins on) must
+    // exclude the singleton tail — the map-side kill that bounds the plan
+    val nTypes = docs.select(explode(ops.Text.ngrams(col("text"), 3)).as("g"))
+      .select("g").distinct().count()
+    val nCands = ops.Text.ngramCandidates(docs, "doc_id", "text", 3, 4, 2).count()
+    assert(nCands < nTypes / 10,
+      s"candidates $nCands should be a small fraction of $nTypes types")
+    // the verify pass is a broadcast semi join on those candidates
+    val plan = ops.Text.ngramTopK(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
   test("dupComponents labels a CHAIN correctly (multi-iteration propagation)") {
     // 10-20-30-40-50 is a path, not a clique: the min label must propagate
     // hop by hop (diameter 4), exercising the loop beyond one round; plus a
