@@ -38,4 +38,43 @@ object StatefulDedup {
           }
       }
   }
+
+  case class KeyedT(key: String, doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
+  /** The BOUNDED-state form for unbounded key spaces — the TTL the
+    * [[dedupStream]] scale note prescribes, implemented: a key's seen-bit
+    * expires once the event-time watermark passes its last arrival + ttl,
+    * so state holds only keys seen within the horizon instead of every key
+    * ever. The price is the standard streaming-dedup contract (the same
+    * trade Spark's own `dropDuplicatesWithinWatermark` makes): a duplicate
+    * recurring AFTER the horizon is re-admitted. Each arrival slides the
+    * key's expiry forward (touch-extends), and the timeout target is
+    * clamped above the current watermark — `setTimeoutTimestamp` rejects
+    * already-passed instants for a very-late (within `lateness`) batch.
+    */
+  def dedupStreamTtl(
+      docs: Dataset[KeyedT],
+      lateness: String,
+      ttlMs: Long): Dataset[KeyedT] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", lateness)
+      .as[KeyedT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KeyedT](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[KeyedT], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toList // single-pass iterator, bounded per key+batch
+            val out =
+              if (state.exists) Iterator.empty
+              else Iterator.single(batch.minBy(r => (r.ts.getTime, r.doc_id)))
+            state.update(batch.map(_.ts.getTime).max)
+            state.setTimeoutTimestamp(
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs + 1))
+            out
+          }
+      }
+  }
 }

@@ -133,6 +133,45 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("TTL dedup: bounded state — expired keys re-admit, live keys suppress") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.KeyedT
+    val input = MemoryStream[KeyedT]
+    val q = StatefulDedup
+      .dedupStreamTtl(input.toDS(), lateness = "10 minutes",
+        ttlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("ttl_dedup_out")
+      .outputMode("append").start()
+    def emitted() = spark.table("ttl_dedup_out").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    try {
+      // batch 1: first arrivals emit
+      input.addData(
+        KeyedT("fp1", 1L, "a", ts("2026-01-01 10:00:00")),
+        KeyedT("fp2", 2L, "b", ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set(("fp1", 1L), ("fp2", 2L)))
+      // batch 2: duplicate inside the TTL horizon -> suppressed
+      input.addData(KeyedT("fp1", 3L, "a", ts("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set(("fp1", 1L), ("fp2", 2L)))
+      // batch 3: watermark advances past fp1's expiry (10:05 + 30m = 10:35)
+      input.addData(KeyedT("adv", 4L, "x", ts("2026-01-01 12:00:00")))
+      q.processAllAvailable()
+      // batch 4: timeout fires for fp1/fp2 under the 11:50 watermark
+      input.addData(KeyedT("adv2", 5L, "y", ts("2026-01-01 12:30:00")))
+      q.processAllAvailable()
+      // batch 5: fp1 past the horizon is a NEW document again (the
+      // documented re-admission trade of bounded state)
+      input.addData(KeyedT("fp1", 6L, "a", ts("2026-01-01 12:31:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set(("fp1", 1L), ("fp2", 2L), ("adv", 4L),
+        ("adv2", 5L), ("fp1", 6L)))
+    } finally q.stop()
+  }
+
   private def ratesDf = {
     import spark.implicits._
     Seq(("EUR", 1.0), ("USD", 1.1), ("GBP", 0.85), ("JPY", 163.0),
