@@ -55,6 +55,10 @@ object SparkEntry {
     // same query through the union+window as-of (the large-version-table
     // path) — shares q33's native-ASOF oracle
     "q33b_asof_window"     -> ((s, d) => ops.AsOf.q33b(s, d)),
+    // same query through the carry-in time-bucketed as-of (the
+    // few-keys × long-history path: partitions on (key, month bucket),
+    // never the raw 10-value key) — shares q33's oracle
+    "q33c_asof_bucketed"   -> ((s, d) => ops.AsOf.q33c(s, d)),
     "q34_median"           -> ((s, d) => ops.Analytics.q34(s, d)),
     // same output through the scale-safe histogram-rank plan (no full sort
     // on the 3-value status key) — shares q34's oracle
@@ -146,6 +150,7 @@ object SparkEntry {
     "q32_train_split"      -> ops.TextAnalysis.q32Sql,
     "q33_asof_join"        -> ops.AsOf.q33Sql,
     "q33b_asof_window"     -> ops.AsOf.q33Sql,
+    "q33c_asof_bucketed"   -> ops.AsOf.q33Sql,
     "q34_median"           -> ops.Analytics.q34Sql,
     "q34b_median_hist"     -> ops.Analytics.q34Sql,
     "q35_repetition_filter" -> ops.TextAnalysis.q35Sql,

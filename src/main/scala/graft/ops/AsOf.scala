@@ -27,7 +27,8 @@ object AsOf {
 
   private def checkCols(probes: DataFrame, valueCols: Seq[String]): Unit = {
     val clash = probes.columns.toSet
-      .intersect(valueCols.toSet + "_is_probe" + "_pid")
+      .intersect(valueCols.toSet ++
+        Set("_is_probe", "_pid", "_b", "_r0", "_last", "_carry"))
     require(clash.isEmpty,
       s"probe columns collide with value/internal columns: $clash")
   }
@@ -98,6 +99,84 @@ object AsOf {
       .select(pCols.map(col) ++ valueCols.map(c => col(c).getField("v").as(c)): _*)
   }
 
+  /** The carry-in refinement the [[asOfJoin]] doc prescribes, implemented
+    * (round 6 — the same documentation→code promotion as q41b and the x08
+    * handoff): partition by (key, TIME BUCKET) instead of the raw key, so
+    * a 10-key corpus no longer serializes each key's entire history
+    * through one reducer. The cross-bucket dependency — a probe whose
+    * prevailing version lives in an EARLIER bucket — is restored by
+    * CARRY-IN rows: per (key, bucket) the last version is summarized
+    * (one aggregate row each), a per-key window over those SUMMARIES
+    * (O(occupied buckets) rows per key, not O(history)) computes what was
+    * in force entering each occupied bucket — probe-only buckets
+    * included — and that carry-in enters the bucket's sort ranked before
+    * every real row. Within (key, bucket) the machinery is [[asOfJoin]]'s
+    * union+window with the same boxed-struct null-winning semantics.
+    *
+    * `bucket` maps the ts column to a bucket id (e.g. months since epoch);
+    * width trades the two costs exactly as in RangeJoin.rangeJoinDates:
+    * finer buckets = more parallelism, more carry-in rows.
+    */
+  def asOfJoinBucketed(
+      probes: DataFrame,
+      versions: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    checkCols(probes, valueCols)
+    val pCols = probes.columns.toSeq
+    val otherCols = pCols.filterNot(c => c == keyCol || c == tsCol)
+    def boxed(c: String) = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", versions.schema(c).dataType)))
+    val tsType = probes.schema(tsCol).dataType
+
+    val pB = probes.withColumn("_b", bucket(col(tsCol)))
+    val vB = versions.withColumn("_b", bucket(col(tsCol)))
+
+    // one summary row per (key, occupied version bucket): the bucket's
+    // last version, all values taken from the SAME winning row
+    val lastPerBucket = vB.groupBy(col(keyCol), col("_b"))
+      .agg(max_by(
+        struct(valueCols.map(c => struct(col(c).as("v")).as(c)): _*),
+        col(tsCol)).as("_last"))
+
+    // what is in force ENTERING each occupied bucket (probe-only buckets
+    // included): a per-key window over bucket summaries — rows per key =
+    // occupied buckets, never history length
+    val occupied = pB.select(col(keyCol), col("_b"))
+      .union(vB.select(col(keyCol), col("_b"))).distinct()
+    val wCarry = Window.partitionBy(col(keyCol)).orderBy(asc("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = occupied
+      .join(lastPerBucket, Seq(keyCol, "_b"), "left")
+      .withColumn("_carry", last(col("_last"), ignoreNulls = true).over(wCarry))
+      .filter(col("_carry").isNotNull)
+      .select(col(keyCol) +: lit(null).cast(tsType).as(tsCol) +:
+        col("_b") +: lit(0).as("_r0") +: lit(0).as("_is_probe") +:
+        (otherCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+          valueCols.map(c => col("_carry").getField(c).as(c))): _*)
+
+    val p = pB.select(col(keyCol) +: col(tsCol) +: col("_b") +:
+      lit(1).as("_r0") +: lit(1).as("_is_probe") +:
+      (otherCols.map(col) ++
+        valueCols.map(c => lit(null).cast(boxed(c)).as(c))): _*)
+    val v = vB.select(col(keyCol) +: col(tsCol) +: col("_b") +:
+      lit(1).as("_r0") +: lit(0).as("_is_probe") +:
+      (otherCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) ++
+        valueCols.map(c => struct(col(c).as("v")).as(c))): _*)
+
+    // carry-in first (_r0=0), then (ts, version-before-probe) as in asOfJoin
+    val w = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(asc("_r0"), asc(tsCol), asc("_is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(p.unionByName(v).unionByName(carryIn)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_is_probe") === 1).drop("_is_probe", "_r0", "_b")
+      .select(pCols.map(col) ++ valueCols.map(c => col(c).getField("v").as(c)): _*)
+  }
+
   /** q33_asof_join: each order picks the exchange rate prevailing at its
     * order date from the dated rate history (Dims.ratesHistory); unknown
     * currencies fall back to 1.0 (the reference's missing-rate default).
@@ -118,6 +197,19 @@ object AsOf {
   def q33b(spark: SparkSession, dir: String): DataFrame =
     q33Finish(asOfJoin(q33Probes(spark, dir), Dims.ratesHistoryDf(spark),
       keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate")))
+
+  /** q33c_asof_bucketed: the SAME query through the carry-in time-bucketed
+    * form ([[asOfJoinBucketed]], month buckets) — the plan for a
+    * non-broadcastable version table over FEW keys, where q33b's raw-key
+    * window would serialize each currency's whole history through one
+    * reducer. Shares q33's DuckDB ASOF oracle, so the three-way
+    * equivalence is driver-verified at every SF.
+    */
+  def q33c(spark: SparkSession, dir: String): DataFrame =
+    q33Finish(asOfJoinBucketed(q33Probes(spark, dir),
+      Dims.ratesHistoryDf(spark),
+      keyCol = "currency", tsCol = "valid_from", valueCols = Seq("rate"),
+      bucket = c => year(c) * 12 + month(c)))
 
   private def q33Probes(spark: SparkSession, dir: String): DataFrame = {
     val orders   = Tables.orders(spark, dir)

@@ -28,10 +28,17 @@ class AsOfSpec extends SparkSuite {
     val expected = Map(
       1L -> None, 2L -> Some(10), 3L -> Some(10),
       4L -> Some(20), 5L -> Some(77), 6L -> None)
-    // both implementations must agree on the semantics
+    // all implementations must agree on the semantics; the bucketed form
+    // runs at month AND day widths — the fixture spans empty buckets
+    // (GBP probed 10 months after its only version), same-bucket ties,
+    // and probe-only buckets, so the carry-in path is genuinely exercised
     Seq(
       ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v")),
-      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v"))
+      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v")),
+      ops.AsOf.asOfJoinBucketed(probes, versions, "k", "valid_from", Seq("v"),
+        c => year(c) * 12 + month(c)),
+      ops.AsOf.asOfJoinBucketed(probes, versions, "k", "valid_from", Seq("v"),
+        c => unix_date(to_date(c)))
     ).foreach { df =>
       val out = df.orderBy("id").collect()
         .map(r => r.getLong(0) ->
@@ -61,7 +68,9 @@ class AsOfSpec extends SparkSuite {
     val expected = Map(1L -> Some(10), 2L -> None)
     Seq(
       ops.AsOf.asOfJoin(probes, versions, "k", "valid_from", Seq("v")),
-      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v"))
+      ops.AsOf.asOfJoinBroadcast(probes, versions, "k", "valid_from", Seq("v")),
+      ops.AsOf.asOfJoinBucketed(probes, versions, "k", "valid_from", Seq("v"),
+        c => year(c) * 12 + month(c))
     ).foreach { df =>
       val out = df.orderBy("id").collect()
         .map(r => r.getLong(0) ->

@@ -78,6 +78,20 @@ class ScaleSpec extends SparkSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q33c: no raw-row shuffle on the bare currency key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // control: the union+window form DOES partition raw rows by currency
+      assert(rawKeyShuffles(ops.AsOf.q33b(spark, sf0001), "currency").nonEmpty,
+        "control: q33b's window should shuffle raw rows on currency")
+      // bucketed form: the big window partitions on (currency, bucket);
+      // the only bare-currency exchange carries bucket SUMMARIES (an
+      // aggregate below it), never per-row history
+      assert(rawKeyShuffles(ops.AsOf.q33c(spark, sf0001), "currency").isEmpty,
+        "q33c must not hash-partition raw rows on the 10-value key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private def assertRawKeyShuffleShapes(): Unit = {
     // the direct window forms DO shuffle raw rows on the 3/5-value key —
     // the control proving the detector distinguishes the two plan shapes
