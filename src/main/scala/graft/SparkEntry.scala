@@ -19,6 +19,9 @@ object SparkEntry {
     "q02_filter_limit"     -> ((s, d) => ops.Relational.q02(s, d)),
     "q03_convert_currency" -> ((s, d) => ops.Convert.q03(s, d)),
     "q04_join_multiway"    -> ((s, d) => ops.Relational.q04(s, d)),
+    // q04 with the fact join salted on (key, row-salt) — the hot-key
+    // shuffle mitigation; same output, shares q04's oracle
+    "q04b_join_salted"     -> ((s, d) => ops.Relational.q04Salted(s, d)),
     "q05_join_left_default" -> ((s, d) => ops.Relational.q05(s, d)),
     "q06_join_semi"        -> ((s, d) => ops.Relational.q06(s, d)),
     "q07_join_anti"        -> ((s, d) => ops.Relational.q07(s, d)),
@@ -90,6 +93,14 @@ object SparkEntry {
     // same clusters via large-star/small-star (O(log n) rounds vs
     // diameter-bounded propagation) — shares q41's oracle
     "q41b_dedup_clusters_star" -> ((s, d) => ops.Text.q41b(s, d)),
+    // embedding-cosine near-dup dedup end-to-end: blocked cosine pairs
+    // resolved to canonical clusters (the embedding-space member of the
+    // dedup taxonomy); integer-only output => hash-exact despite the
+    // double cosine threshold inside
+    "q47_embed_dedup"      -> ((s, d) => ops.Vector.q47(s, d)),
+    // deterministic stratified sampling (corpus mixing): content-hash
+    // membership per language stratum + inverse-rate weights
+    "q48_sample_mix"       -> ((s, d) => ops.TextAnalysis.q48(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -118,6 +129,7 @@ object SparkEntry {
     "q02_filter_limit"     -> ops.Relational.q02Sql,
     "q03_convert_currency" -> ops.Convert.q03Sql,
     "q04_join_multiway"    -> ops.Relational.q04Sql,
+    "q04b_join_salted"     -> ops.Relational.q04Sql,
     "q05_join_left_default" -> ops.Relational.q05Sql,
     "q06_join_semi"        -> ops.Relational.q06Sql,
     "q07_join_anti"        -> ops.Relational.q07Sql,
@@ -168,6 +180,8 @@ object SparkEntry {
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_star" -> ops.Text.q41Sql,
+    "q47_embed_dedup"      -> ops.Vector.q47Sql,
+    "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -101,6 +101,36 @@ object Relational {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q04b_join_salted: q04 with the fact⋈orders stage routed through the
+    * SALTED join ([[Skew.saltedJoin]]) — the hot-key mitigation for when
+    * one orderkey (one user, one session, one document) owns a
+    * disproportionate share of fact rows and a plain hash join funnels it
+    * through a single reducer. lineitem rows carry a row-position salt;
+    * orders replicates `buckets`×; the shuffle partitions on (key, salt)
+    * so the hot key spreads over `buckets` tasks. Output is exactly q04's
+    * (the salt never changes match semantics) — SHARES q04's oracle, so
+    * the equivalence is driver-verified at every SF. Dim joins stay
+    * broadcast; the agg is partial-first as in q04.
+    */
+  def q04Salted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    val revenue = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+    Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey")
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** q05_join_left_default: left outer + coalesce defaults (R7's
     * lookup-with-default generalized; customers with no orders get 0s).
     */

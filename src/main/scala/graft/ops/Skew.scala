@@ -43,4 +43,33 @@ object Skew {
       .agg(sum(col("_partial_sum")).as("total"),
         sum(col("_partial_cnt")).as("n_rows"))
   }
+
+  /** Salted shuffle JOIN for hot probe keys: the big side gets a
+    * row-position salt, the small side replicates `buckets`× (one row per
+    * salt value), and the join runs on (key, salt) — a hot key's rows
+    * spread over `buckets` reducers instead of funneling through one.
+    * Result is EXACTLY the inner equi-join (each big row matches the one
+    * replica carrying its salt), at the price of a `buckets`× blow-up of
+    * the replicated side — so `small` must be the dimension-ish side, too
+    * big to broadcast (else just broadcast) but far smaller than the fact.
+    *
+    * AQE's skew-join split covers the common case at runtime; this is the
+    * DETERMINISTIC form for when the skew is known up front, the plan must
+    * not depend on runtime stats (AQE only splits when size thresholds
+    * trip, and cannot split a shuffle reused by a same-keyed aggregate
+    * above), or the engine runs AQE-off.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      buckets: Int = 16): DataFrame = {
+    val b = big.withColumn("_salt_b",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val s = small.withColumn("_salt_s",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    b.join(s, b(bigKey) === s(smallKey) && b("_salt_b") === s("_salt_s"))
+      .drop("_salt_b", "_salt_s")
+  }
 }

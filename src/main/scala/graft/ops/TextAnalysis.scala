@@ -291,4 +291,48 @@ object TextAnalysis {
       |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1]) AS bg
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** q48_sample_mix: deterministic stratified sampling — the corpus-MIXING
+    * step of a training-data pipeline: downweight the dominant language,
+    * keep rare ones whole, and attach the inverse-rate weight each kept
+    * row carries into loss/statistics. Per-mille keep rates by `lang`
+    * (en 400‰ — the dominant stratum, zh 1000‰ — rare, keep all, others
+    * 800‰); membership is `content_hash mod 1000 < rate`, on the same
+    * engine-portable [[rollingHash]] as q32's split, so the decision is
+    * (a) deterministic across runs and engines, (b) stable under
+    * re-ingest and dedup — a document's fate never depends on which other
+    * documents survive — and (c) leakage-coherent with q32: both derive
+    * from content, not position. Pure per-row map-side column math: one
+    * corpus pass, a ~40–100% selectivity filter AT THE SCAN, no shuffle
+    * at any scale. `weight` = 1000/rate is one IEEE division of exact
+    * integers ⇒ bit-identical cross-engine.
+    */
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", lit(400L))
+      .when(col("lang") === "zh", lit(1000L))
+      .otherwise(lit(800L))
+    val bucket = pmod(rollingHash(spark, col("text")), lit(1000L))
+    Tables.documents(spark, dir)
+      .withColumn("rate", rate)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"),
+        col("bucket").cast("int").as("bucket"),
+        (lit(1000.0) / col("rate").cast("double")).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val q48Sql: String =
+    """SELECT doc_id, lang,
+      |       CAST(h % 1000 AS INTEGER) AS bucket,
+      |       CAST(1000 AS DOUBLE) / CAST(r AS DOUBLE) AS weight
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) AS h,
+      |         CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 1000 ELSE 800 END AS r
+      |  FROM documents)
+      |WHERE h % 1000 < r
+      |ORDER BY doc_id""".stripMargin
 }

@@ -528,4 +528,72 @@ object Vector {
       |  WHERE a.nrm > 0 AND b.nrm > 0)
       |WHERE cosine >= 0.35
       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** q47_embed_dedup: embedding-cosine near-duplicate DEDUP — x08's
+    * blocked cosine pairs resolved into canonical clusters, (vec_id,
+    * component, cluster_size) for every vector with at least one
+    * same-label neighbor at cosine ≥ 0.35. Completes the dedup taxonomy
+    * (exact q21, minhash x02, simhash x07, n-gram Jaccard x10) with the
+    * embedding-space member, end-to-end: pair generation AND canonical
+    * resolution, not just pairs.
+    *
+    * Plan: [[blockedCosinePairs]] (equi-join on the block key — never
+    * all-pairs across blocks) feeds [[graft.ops.Text.dupComponentsStar]]
+    * (large-star/small-star, O(log n) rounds at any component diameter).
+    * Cluster work is on the PAIR list — (id, comp) tuples — never the
+    * vectors; the embeddings shuffle exactly once, inside the blocked
+    * join. Output is integer-only (ids + counts), so the query is
+    * hash-exact despite double cosines inside: both engines compute
+    * bit-identical IEEE doubles (same fold order, x08's proof), so the
+    * ≥-threshold DECISION is identical even though no double survives to
+    * the output.
+    *
+    * The declared query pins the exact pair path (maxBlockSide far above
+    * any driver-SF block); a 100 TB run tunes maxBlockSide to trade the
+    * oversized-block LSH handoff consciously.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = blockedCosinePairs(Tables.embeddings(spark, dir),
+      blockCol = "label", minCosine = 0.35)
+    val labels = Text.dupComponentsStar(pairs, "vec_id_a", "vec_id_b")
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("vec_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("vec_id")
+  }
+
+  /** x08's pair CTE + q41's recursive-reachability restatement; CTEs
+    * MATERIALIZED so the recursive member doesn't re-run the all-pairs
+    * join per fixpoint round (q41Sql precedent).
+    */
+  val q47Sql: String =
+    """WITH RECURSIVE v AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |pairs AS MATERIALIZED (
+      |  SELECT vec_id_a, vec_id_b FROM (
+      |    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+      |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |    WHERE a.nrm > 0 AND b.nrm > 0)
+      |  WHERE cosine >= 0.35),
+      |und AS MATERIALIZED (
+      |  SELECT vec_id_a AS s, vec_id_b AS d FROM pairs
+      |  UNION
+      |  SELECT vec_id_b AS s, vec_id_a AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
+      |SELECT id AS vec_id, comp AS component,
+      |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+      |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |ORDER BY vec_id""".stripMargin
 }

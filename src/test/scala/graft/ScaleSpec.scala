@@ -30,6 +30,37 @@ class ScaleSpec extends SparkSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
   }
 
+  test("saltedJoin: exact on a hot key, shuffle partitions on (key, salt)") {
+    import spark.implicits._
+    // one hot key owning 90% of the fact rows — the shape a plain hash
+    // join funnels through a single reducer
+    val fact = ((1 to 45000).map(_ => (7L, "hot")) ++
+      (1 to 5000).map(i => (i.toLong % 97, "cold"))).toDF("fk", "tag")
+    val dim = (0L to 99L).map(k => (k, s"d$k")).toDF("dk", "payload")
+
+    val salted = ops.Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 8)
+    val plain = fact.join(dim, fact("fk") === dim("dk"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("fk", "tag", "dk", "payload")
+      .except(plain.select("fk", "tag", "dk", "payload")).isEmpty)
+
+    // the one fact shuffle must carry the salt alongside the key — that IS
+    // the mitigation (hot key spread over `buckets` reducers)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val parts = ops.Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 8)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.outputPartitioning
+        }.collect { case h: HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq.map(_.name)).toSet
+        }
+      assert(parts.nonEmpty && parts.forall(_.size == 2),
+        s"every join shuffle must partition on (key, salt), got $parts")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted sessionization == raw-key q20, with boundary merges forced") {
     // 1-hour buckets against a 30-min gap: sessions routinely span bucket
     // edges, so the cross-bucket merge pass is genuinely exercised
@@ -109,6 +140,24 @@ class ScaleSpec extends SparkSuite {
       .queryExecution.sparkPlan.toString
     assert(q37bPlan.contains("BroadcastHashJoin"),
       "q37b must broadcast the rank histogram back onto fact rows")
+  }
+
+  test("q48: the mix sampler is pure map-side — no hash-partition exchange at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hashEx = ops.TextAnalysis.q48(spark, sf0001)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+        }
+      // scan → filter → project → (range-exchange for the total sort) only:
+      // membership is decided per row from content, so nothing groups,
+      // joins, or hash-shuffles at any scale
+      assert(hashEx.isEmpty,
+        s"q48 must not hash-shuffle, found: ${hashEx.mkString(";")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("partitionBy write + filter read prunes partitions at the scan") {

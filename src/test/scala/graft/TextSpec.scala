@@ -266,4 +266,27 @@ class TextSpec extends SparkSuite {
       }
     }
   }
+
+  test("q48 sample mix: stratified rates, exact weights, deterministic membership") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf001)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = ops.TextAnalysis.q48(spark, sf001)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh (rate 1000‰) keeps every row; en (400‰) is genuinely downsampled
+    assert(kept("zh") == totals("zh"), "zh stratum must be kept whole")
+    assert(kept("en") < totals("en"), "en stratum must be downsampled")
+    // weights are the exact inverse rates, nothing else
+    val weights = out.select("lang", "weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(weights("en") == 2.5 && weights("zh") == 1.0)
+    assert(Seq("de", "fr", "es").forall(l => weights(l) == 1.25))
+    // bucket honors the rate bound on every kept row
+    assert(out.filter(col("bucket") >= when(col("lang") === "en", 400)
+      .when(col("lang") === "zh", 1000).otherwise(800)).isEmpty)
+    // deterministic: a second evaluation is row-identical
+    assert(out.except(ops.TextAnalysis.q48(spark, sf001)).isEmpty)
+  }
 }

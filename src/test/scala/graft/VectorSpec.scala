@@ -236,4 +236,35 @@ class VectorSpec extends SparkSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native=${r.getLong(0)} hof=${r.getLong(1)}"))
   }
+
+  test("q47 embed-dedup clusters are consistent with x08's pair list") {
+    val pairs = Vector.x08(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce same-label cosine pairs")
+    val clusters = Vector.q47(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly the paired ids appear; both ends of every pair share a
+    // component; the label is the cluster's min id; sizes are group counts
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split")
+    }
+    clusters.groupBy(_._2._1).foreach { case (comp, members) =>
+      assert(members.keys.min == comp,
+        s"component $comp is not its cluster's min id")
+      members.values.foreach { case (_, size) =>
+        assert(size == members.size.toLong)
+      }
+    }
+  }
+
+  test("q47 star-form labels equal the propagation-form labels (independent algorithm)") {
+    val pairs = ops.Vector.blockedCosinePairs(
+      graft.Tables.embeddings(spark, sf0001), blockCol = "label", minCosine = 0.35)
+    val star = ops.Text.dupComponentsStar(pairs, "vec_id_a", "vec_id_b")
+      .select(col("id"), col("comp"))
+    val prop = ops.Text.dupComponents(pairs, "vec_id_a", "vec_id_b")
+      .select(col("id"), col("comp"))
+    assert(star.except(prop).isEmpty && prop.except(star).isEmpty)
+  }
 }
