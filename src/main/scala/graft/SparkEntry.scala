@@ -101,6 +101,10 @@ object SparkEntry {
     // deterministic stratified sampling (corpus mixing): content-hash
     // membership per language stratum + inverse-rate weights
     "q48_sample_mix"       -> ((s, d) => ops.TextAnalysis.q48(s, d)),
+    // the cleaning pipeline end-to-end: quality gate -> repetition gate
+    // -> normalized dedup keep-first -> split assignment, one narrow
+    // shuffle (text projected away before it)
+    "q49_clean_pipeline"   -> ((s, d) => ops.TextAnalysis.q49(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -182,6 +186,7 @@ object SparkEntry {
     "q41b_dedup_clusters_star" -> ops.Text.q41Sql,
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
+    "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -322,6 +322,93 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q49_clean_pipeline: the cleaning pipeline END-TO-END as one declared
+    * query — the composition a training-data user actually ships, not
+    * just its stages: quality gate (q26's token-count + TTR rule) →
+    * repetition gate (q35's duplicate-bigram rule) → exact normalized
+    * dedup keep-first (q21's fingerprint rule, applied to SURVIVORS —
+    * gates first so junk can't displace a clean duplicate) → split
+    * assignment (q32's content-hash buckets). Output: the surviving
+    * corpus manifest (doc_id, lang, source, n_tokens, split).
+    *
+    * Scale shape: both gates and every fingerprint are map-side column
+    * math evaluated AT THE SCAN — text is projected away before the one
+    * dedup shuffle, which carries only (fp, doc_id, lang, source,
+    * n_tokens, bucket). One corpus pass, one narrow shuffle, at any SF.
+    */
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    val qualityKeep = Text.bound(words(col("text"))) { ws =>
+      Text.bound(size(ws)) { nTok =>
+        nTok.between(20, 90) &&
+          (size(array_distinct(ws)).cast("double") / nTok.cast("double")
+            >= 0.25)
+      }
+    }
+    val repetitionKeep = Text.bound(Text.nativeNgrams(col("text"), 2)) { bg =>
+      Text.bound(size(bg)) { nBg =>
+        when(nBg > 0,
+          (nBg - size(array_distinct(bg))).cast("double") /
+            nBg.cast("double") <= 0.05).otherwise(lit(true))
+      }
+    }
+    val survivors = Tables.documents(spark, dir)
+      .filter(qualityKeep && repetitionKeep)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(words(col("text"))).cast("int").as("n_tokens"),
+        Text.wordSetFingerprint(col("text")).as("fp"),
+        pmod(rollingHash(spark, col("text")), lit(100L)).as("bucket"))
+    val w = Window.partitionBy(col("fp")).orderBy(asc("doc_id"))
+    survivors
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** q26 + q35 + q21 + q32's oracle bodies composed as CTEs — the same
+    * gate → dedup → split order the Spark plan runs.
+    */
+  val q49Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang, source, text,
+      |         len(w) AS n_tokens,
+      |         CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
+      |         CASE WHEN len(bg) > 0
+      |              THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |              ELSE CAST(0 AS DOUBLE) END AS dup_ratio
+      |  FROM (
+      |    SELECT doc_id, lang, source, text,
+      |           string_split(lower(text), ' ') AS w,
+      |           list_transform(range(1, len(string_split(lower(text), ' '))),
+      |             i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1]) AS bg
+      |    FROM documents)),
+      |gated AS (
+      |  SELECT doc_id, lang, source, text, n_tokens
+      |  FROM scored
+      |  WHERE n_tokens BETWEEN 20 AND 90 AND ttr >= 0.25 AND dup_ratio <= 0.05),
+      |deduped AS (
+      |  SELECT doc_id, lang, source, n_tokens,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |  FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+      |      ORDER BY doc_id) AS rn
+      |    FROM gated)
+      |  WHERE rn = 1)
+      |SELECT doc_id, lang, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM deduped
+      |ORDER BY doc_id""".stripMargin
+
   val q48Sql: String =
     """SELECT doc_id, lang,
       |       CAST(h % 1000 AS INTEGER) AS bucket,

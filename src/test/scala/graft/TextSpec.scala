@@ -289,4 +289,34 @@ class TextSpec extends SparkSuite {
     // deterministic: a second evaluation is row-identical
     assert(out.except(ops.TextAnalysis.q48(spark, sf001)).isEmpty)
   }
+
+  test("q49 pipeline output is consistent with its declared component stages") {
+    import org.apache.spark.sql.functions._
+    val out = ops.TextAnalysis.q49(spark, sf001)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty, "the pipeline must keep something")
+    // every survivor passes BOTH gates, per the declared q26/q35 queries
+    val q26Keep = ops.TextAnalysis.q26(spark, sf001)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val q35Keep = ops.TextAnalysis.q35(spark, sf001)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(q26Keep) && ids.subsetOf(q35Keep))
+    // survivors carry distinct normalized fingerprints, and each is the
+    // SMALLEST gated doc_id for its fingerprint (keep-first)
+    val fp = graft.Tables.documents(spark, sf001)
+      .withColumn("fp", ops.Text.wordSetFingerprint(col("text")))
+      .select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gated = (q26Keep intersect q35Keep)
+    assert(ids.map(fp).size == ids.size, "one survivor per fingerprint")
+    ids.foreach { id =>
+      assert(gated.filter(g => fp(g) == fp(id)).min == id,
+        s"$id is not the first gated doc of its fingerprint")
+    }
+    // split agrees with the declared q32 assignment for the same doc
+    val split32 = ops.TextAnalysis.q32(spark, sf001)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select("doc_id", "split").collect().foreach { r =>
+      assert(split32(r.getLong(0)) == r.getString(1))
+    }
+  }
 }
