@@ -105,6 +105,9 @@ object SparkEntry {
     // -> normalized dedup keep-first -> split assignment, one narrow
     // shuffle (text projected away before it)
     "q49_clean_pipeline"   -> ((s, d) => ops.TextAnalysis.q49(s, d)),
+    // deterministic exact N-per-stratum sample via the salted two-phase
+    // per-group top-N (no low-cardinality-key funnel of raw rows)
+    "q50_sample_topn"      -> ((s, d) => ops.TextAnalysis.q50(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
@@ -187,6 +190,7 @@ object SparkEntry {
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
+    "q50_sample_topn"      -> ops.TextAnalysis.q50Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /

@@ -373,6 +373,64 @@ object TextAnalysis {
   /** q26 + q35 + q21 + q32's oracle bodies composed as CTEs — the same
     * gate → dedup → split order the Spark plan runs.
     */
+  /** q50_sample_topn: deterministic N-per-stratum sampling — "give me
+    * exactly 50 docs per language, reproducibly" (fixed-size eval sets,
+    * per-domain audits, few-shot pools). Selection order is (content
+    * rolling hash, doc_id): pseudo-random but engine-portable and stable
+    * under re-ingest, like q32/q48.
+    *
+    * Scale shape: a single `row_number` window on `lang` would funnel the
+    * whole corpus through #langs reducers (the q34/q37 serialization).
+    * Instead: phase 1 takes a per-(salt, lang) local top-N — the window
+    * partitions on the salted key, so the full-data shuffle spreads over
+    * salts×langs reducers — and phase 2 re-ranks the ≤ N·salts survivors
+    * per lang, a shuffle of bounded (tiny) size on the bare key. Same
+    * two-phase trick as q20b/saltedSum, applied to per-group top-N: a
+    * group's global top-N is always contained in the union of its local
+    * top-Ns, so the result is EXACT and salt-independent.
+    */
+  def q50(spark: SparkSession, dir: String): DataFrame =
+    sampleTopNPerGroup(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          rollingHash(spark, col("text")).as("h")),
+      groupCol = "lang", n = 50)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("doc_id")
+
+  /** The generic salted per-group exact top-N behind q50: smallest n rows
+    * per `groupCol` by (h, doc_id). Input must carry (doc_id, groupCol, h).
+    */
+  private[graft] def sampleTopNPerGroup(
+      base: DataFrame, groupCol: String, n: Int,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col("_salt"), col(groupCol))
+      .orderBy(asc("h"), asc("doc_id"))
+    val wGlobal = Window.partitionBy(col(groupCol))
+      .orderBy(asc("h"), asc("doc_id"))
+    base
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= n)
+      .withColumn("rk", row_number().over(wGlobal).cast("int"))
+      .filter(col("rk") <= n)
+      .drop("_salt", "_lr")
+  }
+
+  val q50Sql: String =
+    """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |    FROM documents))
+      |WHERE rk <= 50
+      |ORDER BY doc_id""".stripMargin
+
   val q49Sql: String =
     """WITH scored AS (
       |  SELECT doc_id, lang, source, text,

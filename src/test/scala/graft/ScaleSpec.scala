@@ -45,8 +45,12 @@ class ScaleSpec extends SparkSuite {
       .except(plain.select("fk", "tag", "dk", "payload")).isEmpty)
 
     // the one fact shuffle must carry the salt alongside the key — that IS
-    // the mitigation (hot key spread over `buckets` reducers)
+    // the mitigation (hot key spread over `buckets` reducers). The tiny
+    // test dim would auto-broadcast (no shuffle at all — the case where
+    // salting is pointless), so pin the shuffle-join path for the shape
+    // assertion.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
@@ -58,7 +62,10 @@ class ScaleSpec extends SparkSuite {
         }
       assert(parts.nonEmpty && parts.forall(_.size == 2),
         s"every join shuffle must partition on (key, salt), got $parts")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("salted sessionization == raw-key q20, with boundary merges forced") {
@@ -140,6 +147,48 @@ class ScaleSpec extends SparkSuite {
       .queryExecution.sparkPlan.toString
     assert(q37bPlan.contains("BroadcastHashJoin"),
       "q37b must broadcast the rank histogram back onto fact rows")
+  }
+
+  test("q50: salted per-group top-N == direct window; raw rows never funnel on the bare key") {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"),
+        ops.TextAnalysis.rollingHash(spark, col("text")).as("h"))
+    // direct single-window restatement (the oracle's shape)
+    val direct = base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(asc("h"), asc("doc_id"))).cast("int"))
+      .filter(col("rk") <= 50)
+      .select("doc_id", "lang", "rk")
+    val out = ops.TextAnalysis.q50(spark, sf001).select("doc_id", "lang", "rk")
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+    // salt-independence: 1 salt (degenerate = direct) and 7 salts agree
+    Seq(1, 7).foreach { s =>
+      val v = ops.TextAnalysis.sampleTopNPerGroup(base, "lang", 50, salts = s)
+        .select("doc_id", "lang", "rk")
+      assert(v.except(out).isEmpty && out.except(v).isEmpty, s"salts=$s diverged")
+    }
+    // the bare-lang exchange exists but carries only local-top-N survivors:
+    // every such exchange must have the phase-1 rank filter below it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.FilterExec
+      val bare = ops.TextAnalysis.q50(spark, sf001)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.flatMap(_.references.toSeq.map(_.name)).toSet == Set("lang")
+          case _ => false
+        })
+      assert(bare.nonEmpty, "phase 2 should shuffle on the bare lang key")
+      bare.foreach { e =>
+        assert(e.child.collectFirst {
+          case f: FilterExec if f.condition.toString.contains("_lr") => f
+        }.isDefined, "bare-lang shuffle must sit above the local top-N prune")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q48: the mix sampler is pure map-side — no hash-partition exchange at all") {
