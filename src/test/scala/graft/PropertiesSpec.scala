@@ -226,4 +226,31 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: salted per-group top-N == direct window on random skewed strata") {
+    import spark.implicits._
+    // skewed strata (one hot group) + colliding hash values so tie-breaks
+    // and the local-prune containment argument are both exercised
+    val rowGen: Gen[(Long, String, Long)] = for {
+      id <- Gen.chooseNum(0L, 4999L)
+      g  <- Gen.frequency(8 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c"))
+      h  <- Gen.chooseNum(0L, 30L) // heavy collisions
+    } yield (id, g, h)
+    (71L to 74L).foreach { seed =>
+      val base = sample(Gen.listOfN(400, rowGen), seed)
+        .distinctBy(_._1) // doc_id must be unique for a total order
+        .toDF("doc_id", "lang", "h")
+      val direct = base.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(asc("h"), asc("doc_id"))).cast("int"))
+        .filter(col("rk") <= 7).select("doc_id", "lang", "rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+      Seq(1, 3, 16).foreach { salts =>
+        val got = ops.TextAnalysis.sampleTopNPerGroup(base, "lang", 7, salts)
+          .select("doc_id", "lang", "rk")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+        assert(got == direct, s"seed=$seed salts=$salts")
+      }
+    }
+  }
 }
