@@ -109,6 +109,9 @@ object SparkEntry {
     // per-group top-N (no low-cardinality-key funnel of raw rows)
     "q50_sample_topn"      -> ((s, d) => ops.TextAnalysis.q50(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
+    // two-variable stats: corr + regression line from exact decimal
+    // co-moment sums (order-independent, unlike streaming corr())
+    "q30b_corr"            -> ((s, d) => ops.Analytics.q30b(s, d)),
     "q31_array_agg"        -> ((s, d) => ops.Analytics.q31(s, d)),
     // Extensions. x01/x02 carry brute-force oracles (see oracleSql);
     // x05/x06/x07 have none (sketch layouts / LSH recall are not
@@ -192,6 +195,7 @@ object SparkEntry {
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
     "q50_sample_topn"      -> ops.TextAnalysis.q50Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
+    "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,
     // x01/x02 oracles restate the definition by brute force (cross join /
     // all-pairs list_intersect) — viable at oracle scale, which is exactly

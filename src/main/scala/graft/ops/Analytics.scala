@@ -110,6 +110,61 @@ object Analytics {
       |  GROUP BY o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q30b_corr: Pearson correlation + least-squares regression line
+    * (quantity → extended price per return flag) from EXACT decimal
+    * co-moment sums — q30's order-independence discipline extended to
+    * two variables. Spark's `corr`/`regr_slope` run a streaming update
+    * formula whose float accumulation is partition-order-dependent (and
+    * engine-specific); here Σx, Σy, Σxy, Σx², Σy² aggregate as exact
+    * decimals (associative ⇒ any partitioning gives the same sums) and
+    * the closed-form doubles are computed ONCE from those sums, in an
+    * operation order the oracle restates verbatim ⇒ bit-identical.
+    * Map-side partial aggregation applies as in any hash agg: the shuffle
+    * carries 5 decimal sums + a count per (mapper, group).
+    */
+  def q30b(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val sx  = sum(x).cast("double")
+    val sy  = sum(y).cast("double")
+    val sxy = sum((x * y).cast("decimal(38,4)")).cast("double")
+    val sx2 = sum((x * x).cast("decimal(38,4)")).cast("double")
+    val sy2 = sum((y * y).cast("decimal(38,4)")).cast("double")
+    val n   = count(lit(1)).cast("double")
+    val cov   = n * sxy - sx * sy
+    val varx  = n * sx2 - sx * sx
+    val vary  = n * sy2 - sy * sy
+    val slope = cov / varx
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (cov / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        slope.as("slope"),
+        ((sy - slope * sx) / n).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sums go double via VARCHAR (q30's D7 discipline); the closed-form
+    * arithmetic mirrors the Spark expression tree token-for-token.
+    */
+  val q30bSql: String =
+    """SELECT l_returnflag,
+      |       CAST(n AS BIGINT) AS n_rows,
+      |       (nd * sxy - sx * sy) / (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS corr_qty_price,
+      |       (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope,
+      |       (sy - ((nd * sxy - sx * sy) / (nd * sx2 - sx * sx)) * sx) / nd AS intercept
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+      |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+      |         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |         CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sx2,
+      |         CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sy2
+      |  FROM lineitem
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q31_array_agg: ordered array aggregation — sorted distinct priority
     * list per status (collect order is undefined in both engines, so the
     * sort is the determinism contract).

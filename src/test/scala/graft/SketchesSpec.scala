@@ -30,4 +30,25 @@ class SketchesSpec extends SparkSuite {
         s"status=${r.getString(0)} approx_p90=${r.getDouble(2)} exact=$p90")
     }
   }
+
+  test("q30b closed-form corr/slope/intercept agrees with Spark's streaming builtins") {
+    import org.apache.spark.sql.functions._
+    // the builtins are partition-order-dependent floats (why q30b exists);
+    // they still define the SEMANTICS, so the exact-decimal closed form
+    // must agree to float tolerance
+    val builtin = graft.Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    ops.Analytics.q30b(spark, sf0001).collect().foreach { r =>
+      val (c, s, i) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(2) - c) < 1e-6, s"corr ${r.getDouble(2)} vs $c")
+      assert(math.abs((r.getDouble(3) - s) / s) < 1e-6, s"slope ${r.getDouble(3)} vs $s")
+      assert(math.abs((r.getDouble(4) - i) / i) < 1e-6, s"intercept ${r.getDouble(4)} vs $i")
+    }
+  }
 }
