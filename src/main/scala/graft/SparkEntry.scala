@@ -108,6 +108,12 @@ object SparkEntry {
     // deterministic exact N-per-stratum sample via the salted two-phase
     // per-group top-N (no low-cardinality-key funnel of raw rows)
     "q50_sample_topn"      -> ((s, d) => ops.TextAnalysis.q50(s, d)),
+    // sliding-window document chunking (context-window preprocessing):
+    // pure map-side per-row sequence explode
+    "q51_chunk_docs"       -> ((s, d) => ops.TextAnalysis.q51(s, d)),
+    // token-budget sequence packing via the distributed two-phase prefix
+    // scan (only O(#buckets) rows ever cross one reducer)
+    "q52_pack_bins"        -> ((s, d) => ops.TextAnalysis.q52(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -194,6 +200,8 @@ object SparkEntry {
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
     "q50_sample_topn"      -> ops.TextAnalysis.q50Sql,
+    "q51_chunk_docs"       -> ops.TextAnalysis.q51Sql,
+    "q52_pack_bins"        -> ops.TextAnalysis.q52Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

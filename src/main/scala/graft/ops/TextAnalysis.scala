@@ -418,6 +418,110 @@ object TextAnalysis {
       .drop("_salt", "_lr")
   }
 
+  /** q51_chunk_docs: fixed-size sliding-window CHUNKING — split every
+    * document into word windows of `size` tokens at `stride` (overlap =
+    * size − stride), the context-window preprocessing step of an LLM
+    * training/embedding pipeline. Chunk starts are 0, stride, 2·stride, …
+    * while < n_words, so every word lands in ≥ 1 chunk and short docs
+    * yield exactly one. Pure map-side explode of per-row sequences — the
+    * only shuffle at any scale is the D1 ORDER BY; output size is
+    * ~n_words/stride rows per doc, known up front.
+    */
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    val size_ = 20
+    val stride = 15
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        least(size(col("w")) - col("start"), lit(size_)).cast("int")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(size_)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q51Sql: String =
+    """SELECT doc_id,
+      |       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+      |       CAST(least(len(w) - start, 20) AS INTEGER) AS n_tokens,
+      |       array_to_string(list_slice(w, start + 1, start + 20), ' ') AS chunk_text
+      |FROM (
+      |  SELECT doc_id, w, unnest(starts) AS start,
+      |         unnest(range(len(starts))) AS chunk_idx
+      |  FROM (
+      |    SELECT doc_id, w,
+      |           range(0, greatest(len(w), 1), 15) AS starts
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q52_pack_bins: deterministic SEQUENCE PACKING — assign documents to
+    * fixed-token-budget training bins (budget 512) by running token count
+    * in a stable pseudo-random order (content hash, doc_id): a doc's bin
+    * is the budget multiple its PRECEDING cumulative count falls in.
+    * First-fit-in-order packing, reproducible across runs and engines.
+    *
+    * The naive plan is a GLOBAL running sum — one reducer sees every row
+    * (the q34-style serialization, but corpus-wide). Implemented instead
+    * as the classic distributed PREFIX SCAN: the hash's value range splits
+    * into order-contiguous buckets, phase 1 computes local running sums
+    * within each bucket (parallel over buckets), phase 2 turns the
+    * O(#buckets) bucket TOTALS into exclusive offsets (the only
+    * single-partition window — 32 rows) and broadcasts them back. Exact:
+    * bucket boundaries respect the global order, so local + offset is
+    * bit-for-bit THE global running sum the oracle computes with one
+    * plain window.
+    */
+  def q52(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512
+    val nBuckets = 32L
+    val width = 1000000007L / nBuckets + 1L
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        rollingHash(spark, col("text")).as("h"))
+      .withColumn("bucket", expr(s"h div ${width}L"))
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(asc("h"), asc("doc_id"))
+    val wOff = Window.orderBy(asc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+      .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select("bucket", "offset")
+    base
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        expr(s"(local_cum + offset - n_tokens) div $budget").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** One plain global running-sum window — the semantic definition the
+    * two-phase scan must reproduce exactly. DuckDB's BIGINT window sum
+    * widens to HUGEINT, so it is narrowed back before the integer
+    * division to match Spark's Long.
+    */
+  val q52Sql: String =
+    """SELECT doc_id,
+      |       CAST(n_tokens AS INTEGER) AS n_tokens,
+      |       (CAST(cum AS BIGINT) - n_tokens) // 512 AS bin
+      |FROM (
+      |  SELECT doc_id, n_tokens,
+      |         sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM (
+      |    SELECT doc_id,
+      |           len(string_split(lower(text), ' ')) AS n_tokens,
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val q50Sql: String =
     """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
       |  SELECT doc_id, lang,

@@ -191,6 +191,47 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q52: two-phase prefix scan == one global window; raw rows never single-partition") {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"),
+        ops.TextAnalysis.rollingHash(spark, col("text")).as("h"))
+    val direct = base
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(asc("h"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        expr("(cum - n_tokens) div 512").as("bin"))
+    val out = ops.TextAnalysis.q52(spark, sf001)
+      .select("doc_id", "n_tokens", "bin")
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+    // the only SinglePartition exchange may carry bucket TOTALS (an
+    // aggregate below it) — never the corpus (the direct form's sin)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      val single = ops.TextAnalysis.q52(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+        }
+      assert(single.nonEmpty, "the offsets window needs one tiny single-partition exchange")
+      single.foreach { e =>
+        assert(e.child.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+          "single-partition exchange must sit above the bucket-totals aggregate")
+      }
+      // control: the direct global window DOES single-partition raw rows
+      val directSingle = direct.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+      }
+      assert(directSingle.exists(_.child.collectFirst {
+        case a: BaseAggregateExec => a }.isEmpty),
+        "control: the naive form should funnel raw rows through one partition")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q48: the mix sampler is pure map-side — no hash-partition exchange at all") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
