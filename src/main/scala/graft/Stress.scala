@@ -52,7 +52,8 @@ object Stress {
           .orderBy(desc("order_date"), desc("order_id"))
         noop(orders.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn"))
-      }) ++ vectorAssignment(spark, n / 10)
+      }) ++ vectorAssignment(spark, n / 10) ++
+      saltedJoinStage(spark, n) ++ prefixScanStage(spark, n)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -88,6 +89,69 @@ object Stress {
       },
       time(s"ivf_assign_shuffle_${vn}") {
         noop(ops.Vector.nearestCellShuffle(vecs, centsDf, 1))
+      })
+  }
+
+  /** Hot-key join at volume: one key owns 90% of `n` fact rows against a
+    * 100k-row dim too big to broadcast (broadcast disabled to model it).
+    * The measured gap between the plain shuffle join — whose hot key
+    * funnels through ONE reducer — and the salted (key, salt) join is the
+    * skew mitigation q04b declares.
+    */
+  private def saltedJoinStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def fact = spark.range(n).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(7L))
+        .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("fk"),
+      col("id").as("payload"))
+    def dim = spark.range(100000L).select(
+      col("id").as("dk"), (col("id") * 3L).as("dval"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Seq(
+      time(s"join_hotkey_plain_${n}") {
+        noop(fact.join(dim, col("fk") === col("dk")))
+      },
+      time(s"join_hotkey_salted_${n}") {
+        noop(ops.Skew.saltedJoin(fact, dim, "fk", "dk"))
+      })
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  /** Global running sum at volume: q52's two-phase distributed prefix
+    * scan vs the naive corpus-wide window (every row through one
+    * reducer). The gap grows with core count — the naive form cannot use
+    * more than one.
+    */
+  private def prefixScanStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime(); f
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    def base = spark.range(n).select(
+      col("id").as("doc_id"),
+      (pmod(col("id") * 48271L, lit(97L)) + 3L).as("n_tokens"),
+      pmod(col("id") * 2654435761L, lit(1000000007L)).as("h"))
+    Seq(
+      time(s"prefix_scan_twophase_${n}") {
+        noop(ops.TextAnalysis.hashOrderRunningSum(base))
+      },
+      time(s"prefix_scan_global_${n}") {
+        noop(base.withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy(asc("h"), asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       })
   }
 }

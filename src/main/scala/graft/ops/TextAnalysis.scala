@@ -477,28 +477,43 @@ object TextAnalysis {
     * plain window.
     */
   def q52(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = 512
-    val nBuckets = 32L
-    val width = 1000000007L / nBuckets + 1L
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(words(col("text"))).cast("long").as("n_tokens"),
         rollingHash(spark, col("text")).as("h"))
-      .withColumn("bucket", expr(s"h div ${width}L"))
+    hashOrderRunningSum(base)
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** The distributed prefix scan behind q52: running sum of `n_tokens` in
+    * global (h, doc_id) order, without a corpus-wide single-partition
+    * window. Input must carry (doc_id, n_tokens, h) with h ∈ [0, hRange);
+    * returns the input plus `cum`. Exact: buckets are order-contiguous
+    * ranges of h, so local running sum + exclusive bucket offset IS the
+    * global running sum.
+    */
+  private[graft] def hashOrderRunningSum(
+      base: DataFrame,
+      nBuckets: Long = 32L,
+      hRange: Long = 1000000007L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = hRange / nBuckets + 1L
+    val bucketed = base.withColumn("bucket", expr(s"h div ${width}L"))
     val wLocal = Window.partitionBy(col("bucket"))
       .orderBy(asc("h"), asc("doc_id"))
     val wOff = Window.orderBy(asc("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket").agg(sum("n_tokens").as("tot"))
+    val offsets = bucketed.groupBy("bucket").agg(sum("n_tokens").as("tot"))
       .withColumn("offset", coalesce(sum(col("tot")).over(wOff), lit(0L)))
       .select("bucket", "offset")
-    base
+    bucketed
       .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
       .join(broadcast(offsets), "bucket")
-      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-        expr(s"(local_cum + offset - n_tokens) div $budget").as("bin"))
-      .orderBy("doc_id")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .drop("bucket", "local_cum", "offset")
   }
 
   /** One plain global running-sum window — the semantic definition the

@@ -114,6 +114,24 @@ class PlanSpec extends SparkSuite {
       "probe rows must be pruned map-side before the semi-join shuffle")
   }
 
+  test("q49: the dedup shuffle never carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the pipeline's contract: gates + fingerprint evaluate at the scan,
+    // text is projected away BEFORE the one wide operation — a refactor
+    // that reorders the select would silently ship the corpus
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exchanges = SparkEntry.queries("q49_clean_pipeline")(spark, sf0001)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name)
+        assert(!cols.contains("text"),
+          s"shuffle carries the text column: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("no declared or extension query contains a cartesian product") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
