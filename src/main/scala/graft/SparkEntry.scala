@@ -114,6 +114,11 @@ object SparkEntry {
     // token-budget sequence packing via the distributed two-phase prefix
     // scan (only O(#buckets) rows ever cross one reducer)
     "q52_pack_bins"        -> ((s, d) => ops.TextAnalysis.q52(s, d)),
+    // strict-order event funnel (view -> click -> purchase) as chained
+    // min-aggregates on the high-cardinality user key
+    "q53_funnel"           -> ((s, d) => ops.Analytics.q53(s, d)),
+    // weekly cohort retention: first-event cohort x week offset
+    "q54_retention"        -> ((s, d) => ops.Analytics.q54(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -202,6 +207,8 @@ object SparkEntry {
     "q50_sample_topn"      -> ops.TextAnalysis.q50Sql,
     "q51_chunk_docs"       -> ops.TextAnalysis.q51Sql,
     "q52_pack_bins"        -> ops.TextAnalysis.q52Sql,
+    "q53_funnel"           -> ops.Analytics.q53Sql,
+    "q54_retention"        -> ops.Analytics.q54Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

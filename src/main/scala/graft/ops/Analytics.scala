@@ -313,4 +313,84 @@ object Analytics {
       |  FROM orders)
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** q53_funnel: strict-order event funnel over `events` — per user, the
+    * earliest view, the earliest click AFTER that view, and the earliest
+    * purchase AFTER that click (the product-analytics staple). Three
+    * chained min-aggregates, each a key-partitioned shuffle on the
+    * high-cardinality user_id; stages 2/3 join back on the same key, so
+    * the exchanges reuse one partitioning. Users stall at the stage they
+    * never reach (NULL via left joins from the stage-1 population).
+    */
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = ev.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  val q53Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** q54_retention: weekly cohort retention — users grouped by the ISO
+    * week of their first event; `n_users` counts the distinct users of
+    * cohort w active again k weeks later. Two shuffles on user_id (first
+    * event + join back) and one on the tiny (cohort, offset) key; both
+    * engines truncate weeks to ISO Monday, and the offset is exact
+    * integer day arithmetic ÷ 7.
+    */
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"),
+        date_trunc("week", col("ts")).as("wk"))
+      .select(col("user_id"), col("cohort"),
+        expr("datediff(wk, cohort) div 7").as("offset_weeks"))
+      .groupBy("cohort", "offset_weeks")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "offset_weeks")
+  }
+
+  val q54Sql: String =
+    """SELECT cohort, offset_weeks, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT e.user_id, f.cohort,
+      |         date_diff('day', CAST(f.cohort AS DATE), CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS offset_weeks
+      |  FROM events e
+      |  -- DuckDB's date_trunc('week') yields DATE; Spark's yields
+      |  -- TIMESTAMP — pin the wider type explicitly
+      |  JOIN (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      |        FROM events GROUP BY user_id) f
+      |    ON e.user_id = f.user_id)
+      |GROUP BY cohort, offset_weeks
+      |ORDER BY cohort, offset_weeks""".stripMargin
 }
