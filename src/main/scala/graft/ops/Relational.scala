@@ -120,7 +120,10 @@ object Relational {
     val r  = Tables.region(spark, dir)
     val revenue = col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
-    Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey")
+    // 8 salt buckets: spreads a hot key 8-wide while keeping the orders
+    // replication at 8x — the buckets knob trades reducer spread against
+    // replicated-side volume, and a dim this size doesn't need 16
+    Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", buckets = 8)
       .join(c, col("o_custkey") === c("c_custkey"))
       .join(n, c("c_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
