@@ -290,6 +290,32 @@ class TextSpec extends SparkSuite {
     assert(out.except(ops.TextAnalysis.q48(spark, sf001)).isEmpty)
   }
 
+  test("q51 chunking boundaries: short docs, exact multiples, full coverage") {
+    import org.apache.spark.sql.functions._
+    val out = ops.TextAnalysis.q51(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val words = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.keySet == words.keySet, "every doc must chunk")
+    byDoc.foreach { case (id, chunks) =>
+      val n = words(id)
+      // starts at 0,15,30,… while < n ⇒ chunk count = ceil(n/15)
+      assert(chunks.length == (n + 14) / 15, s"doc $id n=$n")
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._2 == 0 &&
+        sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      // every chunk's token count is the clamped window over its start
+      sorted.foreach { case (_, idx, tok, _) =>
+        assert(tok == math.min(n - idx * 15, 20), s"doc $id chunk $idx")
+      }
+      // full coverage: the last chunk reaches the final word
+      val (_, lastIdx, lastTok, _) = sorted.last
+      assert(lastIdx * 15 + lastTok == n, s"doc $id tail uncovered")
+    }
+  }
+
   test("q49 pipeline output is consistent with its declared component stages") {
     import org.apache.spark.sql.functions._
     val out = ops.TextAnalysis.q49(spark, sf001)
