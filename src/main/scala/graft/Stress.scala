@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_STRESS_ROWS=10000000 sbt "runMain graft.Stress"
   */
 object Stress {
+  private def noop(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+  private def time(name: String)(f: => Unit): (String, Double) = {
+    val t0 = System.nanoTime(); f
+    name -> (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STRESS_ROWS", "10000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,13 +35,7 @@ object Stress {
       ("CAD", 1.48), ("CHF", 0.95), ("SEK", 11.4)).toDF("currency", "rate")
     val ts = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
     def orders = gen.OrderGen.orders(spark, n, seed = 1)
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
-    def time(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f
-      name -> (System.nanoTime() - t0) / 1e9
-    }
 
     noop(spark.range(1000).toDF()) // session warmup
     val results = Seq(
@@ -69,12 +70,6 @@ object Stress {
   private def vectorAssignment(
       spark: SparkSession, vn: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def time(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     // deterministic synthetic embeddings, generation fused into each plan
     def vecs = spark.range(vn).select(col("id"),
       transform(sequence(lit(0), lit(63)),
@@ -101,12 +96,6 @@ object Stress {
   private def saltedJoinStage(
       spark: SparkSession, n: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def time(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     def fact = spark.range(n).select(
       when(pmod(col("id"), lit(10)) < 9, lit(7L))
         .otherwise(pmod(col("id") * 2654435761L, lit(100000L))).as("fk"),
@@ -134,12 +123,6 @@ object Stress {
       spark: SparkSession, n: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def time(name: String)(f: => Unit): (String, Double) = {
-      val t0 = System.nanoTime(); f
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     def base = spark.range(n).select(
       col("id").as("doc_id"),
       (pmod(col("id") * 48271L, lit(97L)) + 3L).as("n_tokens"),

@@ -135,13 +135,19 @@ object Analytics {
     val varx  = n * sx2 - sx * sx
     val vary  = n * sy2 - sy * sy
     val slope = cov / varx
+    // degenerate groups (a constant variable ⇒ zero variance) must yield
+    // NULL identically in both engines — unguarded IEEE division would
+    // give NaN/Inf here while DuckDB's division-by-zero yields NULL, and
+    // the shared comparison is on the same doubles so the guard decision
+    // is cross-engine identical
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        (cov / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
-        slope.as("slope"),
-        ((sy - slope * sx) / n).as("intercept"))
+        when(varx > 0 && vary > 0, cov / (sqrt(varx) * sqrt(vary)))
+          .as("corr_qty_price"),
+        when(varx > 0, slope).as("slope"),
+        when(varx > 0, (sy - slope * sx) / n).as("intercept"))
       .orderBy("l_returnflag")
   }
 
@@ -151,9 +157,12 @@ object Analytics {
   val q30bSql: String =
     """SELECT l_returnflag,
       |       CAST(n AS BIGINT) AS n_rows,
-      |       (nd * sxy - sx * sy) / (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) AS corr_qty_price,
-      |       (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) AS slope,
-      |       (sy - ((nd * sxy - sx * sy) / (nd * sx2 - sx * sx)) * sx) / nd AS intercept
+      |       CASE WHEN nd * sx2 - sx * sx > 0 AND nd * sy2 - sy * sy > 0
+      |            THEN (nd * sxy - sx * sy) / (sqrt(nd * sx2 - sx * sx) * sqrt(nd * sy2 - sy * sy)) END AS corr_qty_price,
+      |       CASE WHEN nd * sx2 - sx * sx > 0
+      |            THEN (nd * sxy - sx * sy) / (nd * sx2 - sx * sx) END AS slope,
+      |       CASE WHEN nd * sx2 - sx * sx > 0
+      |            THEN (sy - ((nd * sxy - sx * sy) / (nd * sx2 - sx * sx)) * sx) / nd END AS intercept
       |FROM (
       |  SELECT l_returnflag, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
       |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,

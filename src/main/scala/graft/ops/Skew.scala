@@ -65,6 +65,11 @@ object Skew {
       bigKey: String,
       smallKey: String,
       buckets: Int = 16): DataFrame = {
+    // helper columns must be fresh: withColumn would silently REPLACE a
+    // caller column of the same name and drop() would then remove caller
+    // data — the exactness contract breaks without an error
+    require(!big.columns.contains("_salt_b") && !small.columns.contains("_salt_s"),
+      "saltedJoin reserves column names _salt_b/_salt_s")
     val b = big.withColumn("_salt_b",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val s = small.withColumn("_salt_s",

@@ -29,6 +29,15 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(lower(text), " ")
 
+  // Gate thresholds shared by the declared q26/q35 queries and the q49
+  // composition — single source so retuning a gate cannot silently leave
+  // the pipeline running the old rule (both the Scala expressions and the
+  // oracle SQL interpolate these).
+  private[ops] val QualityMinTokens   = 20
+  private[ops] val QualityMaxTokens   = 90
+  private[ops] val QualityMinTtr      = 0.25
+  private[ops] val RepetitionMaxRatio = 0.05
+
   /** q25_lang_id: stopword-ratio language heuristic. ratio = |distinct
     * tokens ∩ profile| / |distinct tokens|; classify 'en' above threshold.
     */
@@ -78,21 +87,22 @@ object TextAnalysis {
         nTypes.cast("int").as("n_types"),
         ttr.as("type_token_ratio"),
         awl.as("avg_word_len"),
-        (nTokens.between(20, 90) && ttr >= lit(0.25)).as("keep"))
+        (nTokens.between(QualityMinTokens, QualityMaxTokens) &&
+          ttr >= lit(QualityMinTtr)).as("keep"))
       .orderBy("doc_id")
   }
 
   val q26Sql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |       CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
       |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_types,
       |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
       |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS type_token_ratio,
       |       CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
       |         / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len,
-      |       (len(string_split(lower(text), ' ')) BETWEEN 20 AND 90)
+      |       (len(string_split(lower(text), ' ')) BETWEEN $QualityMinTokens AND $QualityMaxTokens)
       |         AND (CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-      |              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= 0.25) AS keep
+      |              / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) >= $QualityMinTtr) AS keep
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -263,7 +273,7 @@ object TextAnalysis {
             size(bg).cast("int").as("n_bigrams"),
             size(dbg).cast("int").as("n_distinct"),
             ratio.as("dup_ratio"),
-            (ratio <= 0.05).as("keep"))
+            (ratio <= RepetitionMaxRatio).as("keep"))
         }
       }
     }
@@ -276,7 +286,7 @@ object TextAnalysis {
   }
 
   val q35Sql: String =
-    """SELECT doc_id,
+    s"""SELECT doc_id,
       |       CAST(len(bg) AS INTEGER) AS n_bigrams,
       |       CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct,
       |       CASE WHEN len(bg) > 0
@@ -284,7 +294,7 @@ object TextAnalysis {
       |            ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
       |       (CASE WHEN len(bg) > 0
       |            THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
-      |            ELSE CAST(0 AS DOUBLE) END) <= 0.05 AS keep
+      |            ELSE CAST(0 AS DOUBLE) END) <= $RepetitionMaxRatio AS keep
       |FROM (
       |  SELECT doc_id,
       |         list_transform(range(1, len(string_split(lower(text), ' '))),
@@ -334,30 +344,34 @@ object TextAnalysis {
     * Scale shape: both gates and every fingerprint are map-side column
     * math evaluated AT THE SCAN — text is projected away before the one
     * dedup shuffle, which carries only (fp, doc_id, lang, source,
-    * n_tokens, bucket). One corpus pass, one narrow shuffle, at any SF.
+    * n_tokens, bucket). The dedup key is the md5 of q21's normalized-word
+    * string — md5 is byte-identical across engines and FIXED-WIDTH, so
+    * the shuffle stays 32 chars/row where the raw normalized string is
+    * text-sized for exactly the high-TTR documents the quality gate
+    * keeps. One corpus pass, one genuinely narrow shuffle, at any SF.
     */
   def q49(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.ext.GraftFunctions.ensureWordNgrams(spark)
     val qualityKeep = Text.bound(words(col("text"))) { ws =>
       Text.bound(size(ws)) { nTok =>
-        nTok.between(20, 90) &&
+        nTok.between(QualityMinTokens, QualityMaxTokens) &&
           (size(array_distinct(ws)).cast("double") / nTok.cast("double")
-            >= 0.25)
+            >= QualityMinTtr)
       }
     }
     val repetitionKeep = Text.bound(Text.nativeNgrams(col("text"), 2)) { bg =>
       Text.bound(size(bg)) { nBg =>
         when(nBg > 0,
           (nBg - size(array_distinct(bg))).cast("double") /
-            nBg.cast("double") <= 0.05).otherwise(lit(true))
+            nBg.cast("double") <= RepetitionMaxRatio).otherwise(lit(true))
       }
     }
     val survivors = Tables.documents(spark, dir)
       .filter(qualityKeep && repetitionKeep)
       .select(col("doc_id"), col("lang"), col("source"),
         size(words(col("text"))).cast("int").as("n_tokens"),
-        Text.wordSetFingerprint(col("text")).as("fp"),
+        md5(Text.wordSetFingerprint(col("text")).cast("binary")).as("fp"),
         pmod(rollingHash(spark, col("text")), lit(100L)).as("bucket"))
     val w = Window.partitionBy(col("fp")).orderBy(asc("doc_id"))
     survivors
@@ -551,7 +565,7 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   val q49Sql: String =
-    """WITH scored AS (
+    s"""WITH scored AS (
       |  SELECT doc_id, lang, source, text,
       |         len(w) AS n_tokens,
       |         CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS ttr,
@@ -567,7 +581,7 @@ object TextAnalysis {
       |gated AS (
       |  SELECT doc_id, lang, source, text, n_tokens
       |  FROM scored
-      |  WHERE n_tokens BETWEEN 20 AND 90 AND ttr >= 0.25 AND dup_ratio <= 0.05),
+      |  WHERE n_tokens BETWEEN $QualityMinTokens AND $QualityMaxTokens AND ttr >= $QualityMinTtr AND dup_ratio <= $RepetitionMaxRatio),
       |deduped AS (
       |  SELECT doc_id, lang, source, n_tokens,
       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -575,7 +589,7 @@ object TextAnalysis {
       |           (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
       |  FROM (
       |    SELECT *, row_number() OVER (
-      |      PARTITION BY array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')
+      |      PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
       |      ORDER BY doc_id) AS rn
       |    FROM gated)
       |  WHERE rn = 1)

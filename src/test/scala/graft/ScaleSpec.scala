@@ -40,15 +40,20 @@ class ScaleSpec extends SparkSuite {
 
     val salted = ops.Skew.saltedJoin(fact, dim, "fk", "dk", buckets = 8)
     val plain = fact.join(dim, fact("fk") === dim("dk"))
-    assert(salted.count() == plain.count())
-    assert(salted.select("fk", "tag", "dk", "payload")
-      .except(plain.select("fk", "tag", "dk", "payload")).isEmpty)
+    // MULTISET equality — the hot key joins with huge multiplicities, and
+    // a salting bug's signature is compensating duplicate/missing matches
+    // that count() + DISTINCT-based except() cannot see
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("fk", "tag", "dk", "payload").count()
+    assert(hist(salted).except(hist(plain)).isEmpty &&
+      hist(plain).except(hist(salted)).isEmpty)
 
     // the one fact shuffle must carry the salt alongside the key — that IS
     // the mitigation (hot key spread over `buckets` reducers). The tiny
     // test dim would auto-broadcast (no shuffle at all — the case where
     // salting is pointless), so pin the shuffle-join path for the shape
     // assertion.
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -64,7 +69,7 @@ class ScaleSpec extends SparkSuite {
         s"every join shuffle must partition on (key, salt), got $parts")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     }
   }
 
