@@ -119,6 +119,9 @@ object SparkEntry {
     "q53_funnel"           -> ((s, d) => ops.Analytics.q53(s, d)),
     // weekly cohort retention: first-event cohort x week offset
     "q54_retention"        -> ((s, d) => ops.Analytics.q54(s, d)),
+    // per-group z-score + min-max normalization: O(groups) exact moments
+    // broadcast back onto fact rows (never a bare low-cardinality window)
+    "q55_normalize"        -> ((s, d) => ops.Analytics.q55(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -209,6 +212,7 @@ object SparkEntry {
     "q52_pack_bins"        -> ops.TextAnalysis.q52Sql,
     "q53_funnel"           -> ops.Analytics.q53Sql,
     "q54_retention"        -> ops.Analytics.q54Sql,
+    "q55_normalize"        -> ops.Analytics.q55Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

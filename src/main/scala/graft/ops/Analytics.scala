@@ -323,6 +323,67 @@ object Analytics {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q55_normalize: per-group feature normalization — z-score and min-max
+    * of order totals within each status, the feature-prep step before any
+    * model ever sees the column. Group moments come from q30's exact
+    * decimal sums (partitioning-independent), land in O(groups) rows, and
+    * re-attach by BROADCAST join — the fact side never shuffles on the
+    * 3-value status key (q37b's pattern; a window over the bare key would
+    * serialize on 3 reducers at scale). Every normalized value is a fixed
+    * chain of IEEE ops on cross-engine-identical doubles, restated
+    * verbatim in the oracle. Degenerate groups (zero variance / zero
+    * range) yield NULL identically in both engines.
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(18,2)")
+    val sx  = sum(x).cast("double")
+    val sx2 = sum((x * x).cast("decimal(38,4)")).cast("double")
+    val n   = count(lit(1)).cast("double")
+    val stats = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (sx / n).as("mu"),
+        sqrt((sx2 - sx * sx / n) / (n - lit(1.0))).as("sigma"),
+        min(x).cast("double").as("lo"),
+        max(x).cast("double").as("hi"))
+    val v = col("o_totalprice").cast("decimal(18,2)").cast("double")
+    Tables.orders(spark, dir)
+      .join(broadcast(stats), "o_orderstatus")
+      .select(
+        col("o_orderkey"), col("o_orderstatus"),
+        v.as("price"),
+        when(col("sigma") > 0, (v - col("mu")) / col("sigma")).as("zscore"),
+        when(col("hi") > col("lo"),
+          (v - col("lo")) / (col("hi") - col("lo"))).as("minmax"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Sums → double via VARCHAR (D7); the per-row arithmetic mirrors the
+    * Spark chain token-for-token on the same broadcast-joined doubles.
+    */
+  val q55Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+      |       CASE WHEN sigma > 0
+      |            THEN (CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - mu) / sigma END AS zscore,
+      |       CASE WHEN hi > lo
+      |            THEN (CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) - lo) / (hi - lo) END AS minmax
+      |FROM orders
+      |JOIN (
+      |  SELECT o_orderstatus,
+      |         sx / nd AS mu,
+      |         sqrt((sx2 - sx * sx / nd) / (nd - 1.0)) AS sigma,
+      |         lo, hi
+      |  FROM (
+      |    SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS nd,
+      |           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+      |           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sx2,
+      |           CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      |           CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      |    FROM orders GROUP BY o_orderstatus)
+      |) USING (o_orderstatus)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q53_funnel: strict-order event funnel over `events` — per user, the
     * earliest view, the earliest click AFTER that view, and the earliest
     * purchase AFTER that click (the product-analytics staple). Three

@@ -121,6 +121,17 @@ class ScaleSpec extends SparkSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q55: moments broadcast back — no raw-row shuffle on the 3-value status key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      assert(rawKeyShuffles(ops.Analytics.q55(spark, sf0001), "o_orderstatus").isEmpty,
+        "q55 must only hash-partition o_orderstatus above an aggregate")
+      assert(ops.Analytics.q55(spark, sf0001).queryExecution.sparkPlan
+        .toString.contains("BroadcastHashJoin"),
+        "q55 must broadcast the stats back onto fact rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q33c: no raw-row shuffle on the bare currency key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
