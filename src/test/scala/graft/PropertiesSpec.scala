@@ -227,6 +227,33 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: saltedJoin multiset == plain join on random dup-keyed inputs") {
+    import spark.implicits._
+    // duplicate keys on BOTH sides: every fact row must match every
+    // replica-deduped dim row exactly once per dim duplicate — the
+    // multiplicity contract a salting bug breaks first
+    val factGen: Gen[(Long, Long)] = for {
+      k <- Gen.frequency(5 -> Gen.const(3L), 2 -> Gen.chooseNum(0L, 9L))
+      p <- Gen.chooseNum(0L, 999L)
+    } yield (k, p)
+    val dimGen: Gen[(Long, Long)] = for {
+      k <- Gen.chooseNum(0L, 9L); v <- Gen.chooseNum(0L, 99L)
+    } yield (k, v)
+    (81L to 83L).foreach { seed =>
+      val fact = sample(Gen.listOfN(300, factGen), seed).toDF("fk", "p")
+      val dim  = sample(Gen.listOfN(30, dimGen), seed).toDF("dk", "v")
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("fk", "p", "dk", "v").count()
+      Seq(1, 4).foreach { buckets =>
+        val salted = ops.Skew.saltedJoin(fact, dim, "fk", "dk", buckets)
+        val plain  = fact.join(dim, col("fk") === col("dk"))
+        assert(hist(salted).except(hist(plain)).isEmpty &&
+          hist(plain).except(hist(salted)).isEmpty,
+          s"seed=$seed buckets=$buckets")
+      }
+    }
+  }
+
   test("property: salted per-group top-N == direct window on random skewed strata") {
     import spark.implicits._
     // skewed strata (one hot group) + colliding hash values so tie-breaks
