@@ -122,6 +122,9 @@ object SparkEntry {
     // per-group z-score + min-max normalization: O(groups) exact moments
     // broadcast back onto fact rows (never a bare low-cardinality window)
     "q55_normalize"        -> ((s, d) => ops.Analytics.q55(s, d)),
+    // TF-IDF top terms per doc: token-level agg + broadcast doc
+    // frequencies; ratio idf keeps the score chain bit-exact cross-engine
+    "q56_tfidf"            -> ((s, d) => ops.Text.q56(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -213,6 +216,7 @@ object SparkEntry {
     "q53_funnel"           -> ops.Analytics.q53Sql,
     "q54_retention"        -> ops.Analytics.q54Sql,
     "q55_normalize"        -> ops.Analytics.q55Sql,
+    "q56_tfidf"            -> ops.Text.q56Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

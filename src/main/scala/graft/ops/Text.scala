@@ -99,6 +99,77 @@ object Text {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** q56_tfidf: TF-IDF term scoring — the retrieval/feature-weighting
+    * staple: for every document, its top-3 terms by tf × idf (ties by
+    * term asc). idf is the RATIO form N/df, not log((N+1)/(df+1)):
+    * transcendental log is not correctly-rounded and differs across
+    * libm implementations, while tf = cnt/len and idf = N/df are each
+    * ONE IEEE division of exact integers, so the score chain is
+    * bit-identical cross-engine and the query stays oracle-gated (the
+    * ranking it induces is the same monotone transform).
+    *
+    * Scale shape: one (doc_id, term) count aggregate over the exploded
+    * token stream; document frequencies are a vocab-bounded aggregate
+    * (Zipf ⇒ far below corpus size) that re-attaches by BROADCAST join;
+    * the top-3 window partitions on high-cardinality doc_id. The N
+    * scalar joins as a literal via a 1-row crossJoin-free subquery —
+    * count is computed once, not per row.
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val perDoc = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df")) // one row per (doc, term) => doc freq
+    val n = lit(docs.count()) // batch-constant scalar, computed once
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("term"))
+    perDoc
+      .join(docLen, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .withColumn("score",
+        (col("cnt").cast("double") / col("len").cast("double")) *
+          (n.cast("double") / col("df").cast("double")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("int").as("rk"), col("term"),
+        col("cnt").cast("int").as("cnt"), col("df").cast("int").as("df"),
+        col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val q56Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents),
+      |toks2 AS (SELECT * FROM toks WHERE term <> ''),
+      |per_doc AS (
+      |  SELECT doc_id, term, count(*) AS cnt FROM toks2 GROUP BY doc_id, term),
+      |doc_len AS (
+      |  SELECT doc_id, count(*) AS len FROM toks2 GROUP BY doc_id),
+      |dfreq AS (
+      |  SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+      |       CAST(cnt AS INTEGER) AS cnt, CAST(df AS INTEGER) AS df, score
+      |FROM (
+      |  SELECT p.doc_id, p.term, p.cnt, f.df,
+      |         (CAST(p.cnt AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+      |           (CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) AS score,
+      |         row_number() OVER (PARTITION BY p.doc_id
+      |                            ORDER BY (CAST(p.cnt AS DOUBLE) / CAST(l.len AS DOUBLE)) *
+      |                                     (CAST(n.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) DESC,
+      |                            p.term ASC) AS rk
+      |  FROM per_doc p
+      |  JOIN doc_len l ON p.doc_id = l.doc_id
+      |  JOIN dfreq f ON p.term = f.term
+      |  CROSS JOIN n)
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   /** q22_text_tokens: tokenize + explode + corpus word frequency. */
   def q22(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -316,6 +316,33 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("q56 tf-idf: 3 ranked terms per doc, scores reproduce the definition") {
+    import org.apache.spark.sql.functions._
+    val out = ops.Text.q56(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5)))
+    val nDocs = graft.Tables.documents(spark, sf001).count().toDouble
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3), s"doc $id ranks")
+      val scores = sorted.map(_._6)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not non-increasing")
+    }
+    // recompute one document's winning score from raw tokens
+    val (docId, _, term, cnt, dfOut, score) = out.head
+    val toks = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val len = toks.filter(col("doc_id") === docId).count().toDouble
+    val cntChk = toks.filter(col("doc_id") === docId && col("t") === term).count()
+    val dfChk = toks.filter(col("t") === term).select("doc_id").distinct().count()
+    assert(cntChk == cnt && dfChk == dfOut)
+    assert(score == (cnt / len) * (nDocs / dfChk),
+      s"score $score != ${(cnt / len) * (nDocs / dfChk)}")
+  }
+
   test("q49 pipeline output is consistent with its declared component stages") {
     import org.apache.spark.sql.functions._
     val out = ops.TextAnalysis.q49(spark, sf001)
