@@ -125,6 +125,9 @@ object SparkEntry {
     // TF-IDF top terms per doc: token-level agg + broadcast doc
     // frequencies; ratio idf keeps the score chain bit-exact cross-engine
     "q56_tfidf"            -> ((s, d) => ops.Text.q56(s, d)),
+    // segmented inverted-index construction (bounded posting state per
+    // (term, doc-segment) group)
+    "q57_inverted_index"   -> ((s, d) => ops.Text.q57(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -217,6 +220,7 @@ object SparkEntry {
     "q54_retention"        -> ops.Analytics.q54Sql,
     "q55_normalize"        -> ops.Analytics.q55Sql,
     "q56_tfidf"            -> ops.Text.q56Sql,
+    "q57_inverted_index"   -> ops.Text.q57Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -170,6 +170,45 @@ object Text {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** q57_inverted_index: SEGMENTED inverted-index construction — the
+    * retrieval-side dual of q56: (term, doc-segment) → ordered posting
+    * list of doc:position entries. Postings are built per SEGMENT
+    * (doc_id div 1000), the way real indexes shard them, so the
+    * aggregation state per group is bounded by segment size — an
+    * unsegmented stop-word posting list would be corpus-sized at 100 TB.
+    * Entries are zero-padded (`00000042:000007`) so the lexicographic
+    * sort both engines apply IS the numeric (doc, pos) order, and the
+    * serialized list is driver-hashable (q31's precedent; ':'/',' cannot
+    * occur inside the padded digits).
+    */
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .select(col("term"), expr("doc_id div 1000").as("seg"),
+        concat(lpad(col("doc_id").cast("string"), 8, "0"), lit(":"),
+          lpad(col("pos").cast("string"), 6, "0")).as("s"))
+      .groupBy("term", "seg")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("s")))).as("postings"),
+        count(lit(1)).as("n_postings"))
+      .orderBy("term", "seg")
+
+  val q57Sql: String =
+    """SELECT term, seg,
+      |       array_to_string(list_sort(list(s)), ',') AS postings,
+      |       CAST(count(*) AS BIGINT) AS n_postings
+      |FROM (
+      |  SELECT term, doc_id // 1000 AS seg,
+      |         lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || lpad(CAST(pos AS VARCHAR), 6, '0') AS s
+      |  FROM (
+      |    SELECT doc_id, unnest(w) AS term, unnest(range(len(w))) AS pos
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+      |  WHERE term <> '')
+      |GROUP BY term, seg
+      |ORDER BY term, seg""".stripMargin
+
   /** q22_text_tokens: tokenize + explode + corpus word frequency. */
   def q22(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

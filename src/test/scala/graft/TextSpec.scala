@@ -343,6 +343,32 @@ class TextSpec extends SparkSuite {
       s"score $score != ${(cnt / len) * (nDocs / dfChk)}")
   }
 
+  test("q57 inverted index round-trips the token stream") {
+    import org.apache.spark.sql.functions._
+    val idx = ops.Text.q57(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val toks = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getInt(1)))
+    // total postings == total tokens
+    assert(idx.map(_._4).sum == toks.length)
+    // every posting entry parses back to a real (term, doc, pos) occurrence
+    val occ = toks.map { case (t, d, p) => (t, d, p.toLong) }.toSet
+    idx.foreach { case (term, seg, postings, n) =>
+      val entries = postings.split(",")
+      assert(entries.length == n.toInt)
+      assert(entries.toSeq == entries.sorted.toSeq, "postings must be ordered")
+      entries.foreach { e =>
+        val Array(doc, pos) = e.split(":")
+        assert(doc.toLong / 1000 == seg)
+        assert(occ.contains((term, doc.toLong, pos.toLong)),
+          s"posting $term -> $e not in the corpus")
+      }
+    }
+  }
+
   test("q49 pipeline output is consistent with its declared component stages") {
     import org.apache.spark.sql.functions._
     val out = ops.TextAnalysis.q49(spark, sf001)
