@@ -128,6 +128,9 @@ object SparkEntry {
     // segmented inverted-index construction (bounded posting state per
     // (term, doc-segment) group)
     "q57_inverted_index"   -> ((s, d) => ops.Text.q57(s, d)),
+    // phrase search by posting-stream adjacency join; oracle = direct
+    // bigram scan, so the IR technique is checked against the definition
+    "q58_phrase_search"    -> ((s, d) => ops.Text.q58(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -221,6 +224,7 @@ object SparkEntry {
     "q55_normalize"        -> ops.Analytics.q55Sql,
     "q56_tfidf"            -> ops.Text.q56Sql,
     "q57_inverted_index"   -> ops.Text.q57Sql,
+    "q58_phrase_search"    -> ops.Text.q58Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

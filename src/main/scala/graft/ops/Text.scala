@@ -209,6 +209,44 @@ object Text {
       |GROUP BY term, seg
       |ORDER BY term, seg""".stripMargin
 
+  /** q58_phrase_search: exact PHRASE matching ("table hash") by joining
+    * the two terms' POSTING streams at adjacent positions — the standard
+    * IR technique q57's index exists for: only the queried terms'
+    * occurrences survive past tokenization (the isin filter drops every
+    * other token before any join; against a MATERIALIZED q57 index the
+    * whole tokenize+filter collapses to two posting lookups), and
+    * adjacency is an equi-join on (doc, pos+1) — a hash join, never a
+    * scan of other terms' pairs.
+    * The oracle finds the same occurrences by DIRECT bigram scan,
+    * so the postings-join technique is verified against the definition
+    * rather than against itself.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(first, second) = Seq("table", "hash")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
+      .filter(col("term").isin(first, second))
+    val a = toks.filter(col("term") === first)
+      .select(col("doc_id"), col("pos"))
+    val b = toks.filter(col("term") === second)
+      .select(col("doc_id").as("d2"), col("pos").as("p2"))
+    a.join(b, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+      .select(col("doc_id"), col("pos").cast("int").as("pos"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val q58Sql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS pos FROM (
+      |  SELECT doc_id,
+      |         unnest(range(len(w) - 1)) AS i,
+      |         unnest(list_transform(range(1, len(w)),
+      |           j -> w[j] = 'table' AND w[j+1] = 'hash')) AS hit
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+      |  WHERE len(w) > 1)
+      |WHERE hit
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** q22_text_tokens: tokenize + explode + corpus word frequency. */
   def q22(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
