@@ -227,6 +227,33 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: two-phase running sum == global window under heavy hash collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // collisions across the order key h force the tie-break (h, doc_id)
+    // and the bucket-boundary argument to both carry the proof
+    val rowGen: Gen[(Long, Long)] = for {
+      t <- Gen.chooseNum(0L, 50L)
+      h <- Gen.oneOf(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 1000000006L))
+    } yield (t, h)
+    (91L to 93L).foreach { seed =>
+      val base = sample(Gen.listOfN(300, rowGen), seed).zipWithIndex
+        .map { case ((t, h), i) => (i.toLong, t, h) }
+        .toDF("doc_id", "n_tokens", "h")
+      val direct = base.withColumn("cum", sum(col("n_tokens")).over(
+          Window.orderBy(asc("h"), asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("doc_id", "cum")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Seq(1L, 5L, 32L).foreach { buckets =>
+        val got = ops.TextAnalysis.hashOrderRunningSum(base, nBuckets = buckets)
+          .select("doc_id", "cum")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == direct, s"seed=$seed buckets=$buckets")
+      }
+    }
+  }
+
   test("property: saltedJoin multiset == plain join on random dup-keyed inputs") {
     import spark.implicits._
     // duplicate keys on BOTH sides: every fact row must match every
