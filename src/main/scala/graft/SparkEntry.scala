@@ -131,6 +131,8 @@ object SparkEntry {
     // phrase search by posting-stream adjacency join; oracle = direct
     // bigram scan, so the IR technique is checked against the definition
     "q58_phrase_search"    -> ((s, d) => ops.Text.q58(s, d)),
+    // symmetric int8 embedding quantization: pure map-side array math
+    "q59_quantize"         -> ((s, d) => ops.Vector.q59(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -225,6 +227,7 @@ object SparkEntry {
     "q56_tfidf"            -> ops.Text.q56Sql,
     "q57_inverted_index"   -> ops.Text.q57Sql,
     "q58_phrase_search"    -> ops.Text.q58Sql,
+    "q59_quantize"         -> ops.Vector.q59Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -529,6 +529,44 @@ object Vector {
       |WHERE cosine >= 0.35
       |ORDER BY vec_id_a, vec_id_b""".stripMargin
 
+  /** q59_quantize: symmetric int8 scalar QUANTIZATION of embeddings —
+    * the storage/ANN-prep step that shrinks a float32 corpus 4× before
+    * indexing: per-vector scale = max|x|/127, code = round(x/scale) ∈
+    * [-127, 127]. Pure map-side per-row array math, no shuffle but the
+    * D1 ORDER BY, at any corpus size. Cross-engine exact: abs/max/divide
+    * are single IEEE ops on identical doubles, and round() on doubles is
+    * half-AWAY-FROM-ZERO in both Spark and DuckDB (verified; ties occur
+    * whenever x/scale lands on .5 exactly). Codes serialize to a string
+    * (driver cannot hash array columns — q31 precedent); zero vectors
+    * quantize to all-zero with scale 0.
+    */
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    Tables.embeddings(spark, dir)
+      .withColumn("mx", mx)
+      .select(
+        col("vec_id"),
+        (col("mx") / lit(127.0)).as("scale"),
+        concat_ws(",", transform(col("embedding"),
+          x => when(col("mx") > 0,
+            round(x.cast("double") / (col("mx") / lit(127.0))).cast("int"))
+            .otherwise(lit(0)).cast("string"))).as("q8"))
+      .orderBy("vec_id")
+  }
+
+  val q59Sql: String =
+    """SELECT vec_id,
+      |       mx / CAST(127 AS DOUBLE) AS scale,
+      |       array_to_string(list_transform(embedding,
+      |         x -> CAST(CAST(CASE WHEN mx > 0
+      |                        THEN round(CAST(x AS DOUBLE) / (mx / CAST(127 AS DOUBLE)))
+      |                        ELSE 0 END AS INTEGER) AS VARCHAR)), ',') AS q8
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   /** q47_embed_dedup: embedding-cosine near-duplicate DEDUP — x08's
     * blocked cosine pairs resolved into canonical clusters, (vec_id,
     * component, cluster_size) for every vector with at least one

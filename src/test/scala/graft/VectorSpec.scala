@@ -258,6 +258,22 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("q59 quantization: codes in [-127,127], reconstruction within scale/2") {
+    val raw = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    ops.Vector.q59(spark, sf0001).collect().foreach { r =>
+      val (id, scale, q8) = (r.getLong(0), r.getDouble(1), r.getString(2))
+      val codes = q8.split(",").map(_.toInt)
+      val vec = raw(id)
+      assert(codes.length == vec.length)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id code range")
+      if (scale > 0) codes.zip(vec).foreach { case (c, x) =>
+        assert(math.abs(c * scale - x.toDouble) <= scale / 2 + 1e-12,
+          s"vec $id: code $c reconstructs ${c * scale} for $x (scale $scale)")
+      }
+    }
+  }
+
   test("q47 star-form labels equal the propagation-form labels (independent algorithm)") {
     val pairs = ops.Vector.blockedCosinePairs(
       graft.Tables.embeddings(spark, sf0001), blockCol = "label", minCosine = 0.35)
