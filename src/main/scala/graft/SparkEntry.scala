@@ -133,6 +133,9 @@ object SparkEntry {
     "q58_phrase_search"    -> ((s, d) => ops.Text.q58(s, d)),
     // symmetric int8 embedding quantization: pure map-side array math
     "q59_quantize"         -> ((s, d) => ops.Vector.q59(s, d)),
+    // cosine top-k over the dequantized int8 corpus: the accuracy side
+    // of the quantization trade, exact against its own oracle
+    "q60_search_quantized" -> ((s, d) => ops.Vector.q60(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -228,6 +231,7 @@ object SparkEntry {
     "q57_inverted_index"   -> ops.Text.q57Sql,
     "q58_phrase_search"    -> ops.Text.q58Sql,
     "q59_quantize"         -> ops.Vector.q59Sql,
+    "q60_search_quantized" -> ops.Vector.q60Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

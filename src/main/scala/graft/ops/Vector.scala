@@ -567,6 +567,78 @@ object Vector {
       |  FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  /** q60_search_quantized: cosine top-k over the DEQUANTIZED int8 corpus
+    * (q59's codes × scale) — the accuracy side of the quantization
+    * trade: same brute-force search shape as x01, but every operand is
+    * a reconstructed double, so the 4×-smaller representation's effect
+    * on ranking is measurable (recall vs x01 pinned in VectorSpec) while
+    * the query itself stays EXACT against its own definition: the oracle
+    * rebuilds codes, scales, and the left-to-right dot fold verbatim —
+    * bit-identical doubles end to end. Uses the portable HOF fold (the
+    * operands are doubles; `vec_dot` is the float-array kernel).
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val deq = Tables.embeddings(spark, dir)
+      .withColumn("mx", mx)
+      .withColumn("scale", col("mx") / lit(127.0))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => when(col("mx") > 0,
+          round(x.cast("double") / col("scale")) * col("scale"))
+          .otherwise(lit(0.0))).as("vec"))
+    val c = deq.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+    val p = deq.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("vec").as("p_vec"))
+      .withColumn("p_norm", sqrt(dot(col("p_vec"), col("p_vec"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .filter(col("c_norm") > 0 && col("p_norm") > 0)
+      .withColumn("cosine",
+        dot(col("c_vec"), col("p_vec")) / (col("c_norm") * col("p_norm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  val q60Sql: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |v AS (
+      |  SELECT vec_id,
+      |         list_transform(
+      |           list_transform(embedding,
+      |             x -> CASE WHEN mx > 0
+      |                       THEN round(CAST(x AS DOUBLE) / (mx / CAST(127 AS DOUBLE)))
+      |                       ELSE 0 END),
+      |           c -> c * (mx / CAST(127 AS DOUBLE))) AS vec
+      |  FROM b),
+      |n AS (
+      |  SELECT vec_id, vec,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> vec[i] * vec[i])),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM v)
+      |SELECT probe_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> c.vec[i] * p.vec[i])),
+      |           (x, y) -> x + y) / (c.nrm * p.nrm) AS cosine,
+      |         row_number() OVER (
+      |           PARTITION BY p.vec_id
+      |           ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> c.vec[i] * p.vec[i])),
+      |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
+      |  FROM n c JOIN n p ON p.vec_id < 8 AND c.vec_id <> p.vec_id
+      |  WHERE c.nrm > 0 AND p.nrm > 0)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** q47_embed_dedup: embedding-cosine near-duplicate DEDUP — x08's
     * blocked cosine pairs resolved into canonical clusters, (vec_id,
     * component, cluster_size) for every vector with at least one

@@ -274,6 +274,23 @@ class VectorSpec extends SparkSuite {
     }
   }
 
+  test("q60 quantized search keeps high recall against exact x01") {
+    val exact = Vector.x01(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val quant = Vector.q60(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (p, ex) =>
+      (quant(p) intersect ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // int8 reconstruction barely perturbs cosine order on 64-dim floats;
+    // a collapse here means scale/code math drifted
+    assert(mean >= 0.8, s"mean top-10 recall $mean vs exact search")
+  }
+
   test("q47 star-form labels equal the propagation-form labels (independent algorithm)") {
     val pairs = ops.Vector.blockedCosinePairs(
       graft.Tables.embeddings(spark, sf0001), blockCol = "label", minCosine = 0.35)
