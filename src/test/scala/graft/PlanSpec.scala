@@ -142,10 +142,10 @@ class PlanSpec extends SparkSuite {
 
   test("x01/x06: the only nested-loop join is against the broadcast probes") {
     // brute-force ANN is allowed a BroadcastNestedLoopJoin (bounded by the
-    // tiny probe side); everything else — x11's cell assignment included,
-    // now a map-side argmax over the literal centroid array — must be
-    // hash/sort-merge joins
-    val nlAllowed = Set("x01_vector_cosine")
+    // tiny probe side) — x01 and its dequantized twin q60; everything
+    // else — x11's cell assignment included, now a map-side argmax over
+    // the literal centroid array — must be hash/sort-merge joins
+    val nlAllowed = Set("x01_vector_cosine", "q60_search_quantized")
     SparkEntry.queries.keys.filterNot(nlAllowed).foreach { n =>
       assert(!plan(n).contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join")
