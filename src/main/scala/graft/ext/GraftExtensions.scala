@@ -62,6 +62,26 @@ object GraftFunctions {
   val vecDotInfo: ExpressionInfo = new ExpressionInfo(
     classOf[VecDot].getName, "vec_dot")
 
+  /** `vec_dot_d(a, b)` SQL builder: casts both sides to `array<double>`
+    * (the dequantized-search kernel — no float round-trip). */
+  def vecDotDBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "vec_dot_d(a, b)")
+    val t = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    VecDotD(Cast(args(0), t), Cast(args(1), t))
+  }
+
+  val vecDotDIdentifier: FunctionIdentifier = FunctionIdentifier("vec_dot_d")
+  val vecDotDInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[VecDotD].getName, "vec_dot_d")
+
+  def ensureVecDotD(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(vecDotDIdentifier)) {
+      reg.registerFunction(vecDotDIdentifier, vecDotDInfo, vecDotDBuilder _)
+    }
+  }
+
   /** Idempotently register `vec_dot` on a live session (library entry
     * points call this; `spark.sql.extensions` covers new sessions).
     */
@@ -240,6 +260,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.vecDotIdentifier, GraftFunctions.vecDotInfo,
         GraftFunctions.vecDotBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.vecDotDIdentifier, GraftFunctions.vecDotDInfo,
+        GraftFunctions.vecDotDBuilder _))
     ext.injectFunction(
       (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
         GraftFunctions.simHashSigBuilder _))

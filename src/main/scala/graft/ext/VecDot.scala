@@ -74,4 +74,49 @@ object VecDot {
     }
     s
   }
+
+  /** Double-array kernel twin — same left-to-right fold, no widening
+    * (operands already double). Used by the dequantized-search path
+    * (q60), where the reconstruction math produces doubles and a float
+    * round-trip would break oracle parity.
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+}
+
+/** [[VecDot]] over `array<double>` columns — identical fold order, double
+  * element reads. Bit-identical to the HOF `zip_with`/`aggregate` fold on
+  * the same doubles (pinned in ExtSpec).
+  */
+case class VecDotD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (!VecDot.valid(x, y)) null else VecDot.dotD(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if (!graft.ext.VecDot.valid($a, $b)) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.ext.VecDot.dotD($a, $b);
+      }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotD =
+    copy(left = newLeft, right = newRight)
 }

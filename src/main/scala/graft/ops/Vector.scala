@@ -574,10 +574,13 @@ object Vector {
     * on ranking is measurable (recall vs x01 pinned in VectorSpec) while
     * the query itself stays EXACT against its own definition: the oracle
     * rebuilds codes, scales, and the left-to-right dot fold verbatim —
-    * bit-identical doubles end to end. Uses the portable HOF fold (the
-    * operands are doubles; `vec_dot` is the float-array kernel).
+    * bit-identical doubles end to end. The dot runs in the codegen'd
+    * `vec_dot_d` DOUBLE-array kernel (same fold order as the HOF form and
+    * the float kernel, no float round-trip — which would break parity).
     */
   def q60(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDotD(spark)
+    def dDot(a: Column, b: Column): Column = call_function("vec_dot_d", a, b)
     val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val deq = Tables.embeddings(spark, dir)
       .withColumn("mx", mx)
@@ -587,17 +590,17 @@ object Vector {
           round(x.cast("double") / col("scale")) * col("scale"))
           .otherwise(lit(0.0))).as("vec"))
     val c = deq.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dDot(col("c_vec"), col("c_vec"))))
     val p = deq.filter(col("vec_id") < 8)
       .select(col("vec_id").as("probe_id"), col("vec").as("p_vec"))
-      .withColumn("p_norm", sqrt(dot(col("p_vec"), col("p_vec"))))
+      .withColumn("p_norm", sqrt(dDot(col("p_vec"), col("p_vec"))))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .filter(col("c_norm") > 0 && col("p_norm") > 0)
       .withColumn("cosine",
-        dot(col("c_vec"), col("p_vec")) / (col("c_norm") * col("p_norm")))
+        dDot(col("c_vec"), col("p_vec")) / (col("c_norm") * col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)

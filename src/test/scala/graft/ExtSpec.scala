@@ -87,6 +87,22 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("vec_dot_d double kernel is bit-identical to the higher-order fold") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureVecDotD(spark)
+    val df = (1 to 50).map { i =>
+      (Array.tabulate(64)(d => math.sin(i * 64 + d)),
+        Array.tabulate(64)(d => math.cos(i * 64 + d)))
+    }.toDF("a", "b")
+    val out = df.select(
+      call_function("vec_dot_d", col("a"), col("b")).as("native"),
+      ops.Vector.dot(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("vec_dot yields NULL on malformed embeddings, exactly like the fold") {
     import spark.implicits._
     graft.ext.GraftFunctions.ensureVecDot(spark)
