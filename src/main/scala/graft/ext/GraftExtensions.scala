@@ -82,6 +82,25 @@ object GraftFunctions {
     }
   }
 
+  /** `dequant_sym(embedding)` SQL builder: casts to `array<float>` (the
+    * int8 reconstruction kernel — one codegen'd pass per vector). */
+  def dequantSymBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "dequant_sym(embedding)")
+    DequantSym(Cast(args(0), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)))
+  }
+
+  val dequantSymIdentifier: FunctionIdentifier = FunctionIdentifier("dequant_sym")
+  val dequantSymInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[DequantSym].getName, "dequant_sym")
+
+  def ensureDequantSym(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(dequantSymIdentifier)) {
+      reg.registerFunction(dequantSymIdentifier, dequantSymInfo, dequantSymBuilder _)
+    }
+  }
+
   /** Idempotently register `vec_dot` on a live session (library entry
     * points call this; `spark.sql.extensions` covers new sessions).
     */
@@ -263,6 +282,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.vecDotDIdentifier, GraftFunctions.vecDotDInfo,
         GraftFunctions.vecDotDBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.dequantSymIdentifier, GraftFunctions.dequantSymInfo,
+        GraftFunctions.dequantSymBuilder _))
     ext.injectFunction(
       (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
         GraftFunctions.simHashSigBuilder _))

@@ -574,21 +574,20 @@ object Vector {
     * on ranking is measurable (recall vs x01 pinned in VectorSpec) while
     * the query itself stays EXACT against its own definition: the oracle
     * rebuilds codes, scales, and the left-to-right dot fold verbatim —
-    * bit-identical doubles end to end. The dot runs in the codegen'd
-    * `vec_dot_d` DOUBLE-array kernel (same fold order as the HOF form and
-    * the float kernel, no float round-trip — which would break parity).
+    * bit-identical doubles end to end. Both hot expressions run in
+    * codegen'd kernels pinned bit-identical to their portable HOF forms:
+    * reconstruction in `dequant_sym` (the HOF transform chain is
+    * CodegenFallback AND gets inlined once per USE by projection
+    * collapse — per pair under the probe cross join) and the dot in
+    * `vec_dot_d` (no float round-trip, which would break parity).
     */
   def q60(spark: SparkSession, dir: String): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDotD(spark)
+    graft.ext.GraftFunctions.ensureDequantSym(spark)
     def dDot(a: Column, b: Column): Column = call_function("vec_dot_d", a, b)
-    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
     val deq = Tables.embeddings(spark, dir)
-      .withColumn("mx", mx)
-      .withColumn("scale", col("mx") / lit(127.0))
-      .select(col("vec_id"), transform(col("embedding"),
-        x => when(col("mx") > 0,
-          round(x.cast("double") / col("scale")) * col("scale"))
-          .otherwise(lit(0.0))).as("vec"))
+      .select(col("vec_id"),
+        call_function("dequant_sym", col("embedding")).as("vec"))
     val c = deq.select(col("vec_id").as("neighbor_id"), col("vec").as("c_vec"))
       .withColumn("c_norm", sqrt(dDot(col("c_vec"), col("c_vec"))))
     val p = deq.filter(col("vec_id") < 8)

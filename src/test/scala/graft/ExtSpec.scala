@@ -103,6 +103,37 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("dequant_sym kernel is bit-identical to the HOF reconstruction chain") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureDequantSym(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs: Seq[Array[Float]] =
+      (1 to 50).map(_ => Array.fill(64)((rnd.nextFloat() - 0.5f) * 8f)) ++
+        Seq(Array.fill(64)(0.0f),       // all-zero: otherwise-arm everywhere
+          Array.empty[Float],           // empty: empty out, no NPE
+          Array.tabulate(8)(i => (i - 4).toFloat * 0.3f))
+    val df = vecs.toDF("embedding")
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val hof = df
+      .withColumn("mx", mx)
+      .withColumn("scale", col("mx") / lit(127.0))
+      .select(transform(col("embedding"),
+        x => when(col("mx") > 0,
+          round(x.cast("double") / col("scale")) * col("scale"))
+          .otherwise(lit(0.0))).as("hof"),
+        call_function("dequant_sym", col("embedding")).as("native"))
+      .collect()
+    hof.foreach { r =>
+      val h = r.getSeq[Double](0)
+      val n = r.getSeq[Double](1)
+      assert(h.length == n.length)
+      h.zip(n).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b))
+      }
+    }
+  }
+
   test("vec_dot yields NULL on malformed embeddings, exactly like the fold") {
     import spark.implicits._
     graft.ext.GraftFunctions.ensureVecDot(spark)
