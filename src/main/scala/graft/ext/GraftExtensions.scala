@@ -101,6 +101,25 @@ object GraftFunctions {
     }
   }
 
+  /** `quant8_sym(embedding)` SQL builder: casts to `array<float>` (the
+    * int8 encode kernel — `struct(scale, q8)` in one codegen'd pass). */
+  def quant8SymBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "quant8_sym(embedding)")
+    Quant8Sym(Cast(args(0), org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)))
+  }
+
+  val quant8SymIdentifier: FunctionIdentifier = FunctionIdentifier("quant8_sym")
+  val quant8SymInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[Quant8Sym].getName, "quant8_sym")
+
+  def ensureQuant8Sym(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(quant8SymIdentifier)) {
+      reg.registerFunction(quant8SymIdentifier, quant8SymInfo, quant8SymBuilder _)
+    }
+  }
+
   /** Idempotently register `vec_dot` on a live session (library entry
     * points call this; `spark.sql.extensions` covers new sessions).
     */
@@ -285,6 +304,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.dequantSymIdentifier, GraftFunctions.dequantSymInfo,
         GraftFunctions.dequantSymBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.quant8SymIdentifier, GraftFunctions.quant8SymInfo,
+        GraftFunctions.quant8SymBuilder _))
     ext.injectFunction(
       (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
         GraftFunctions.simHashSigBuilder _))

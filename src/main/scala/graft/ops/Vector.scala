@@ -538,19 +538,16 @@ object Vector {
     * half-AWAY-FROM-ZERO in both Spark and DuckDB (verified; ties occur
     * whenever x/scale lands on .5 exactly). Codes serialize to a string
     * (driver cannot hash array columns — q31 precedent); zero vectors
-    * quantize to all-zero with scale 0.
+    * quantize to all-zero with scale 0. The encode runs in the codegen'd
+    * one-pass `quant8_sym` kernel (the portable HOF chain is interpreted
+    * per element — on the full-corpus encode pass it IS the job at
+    * scale), pinned bit/string-identical to that chain in ExtSpec.
     */
   def q59(spark: SparkSession, dir: String): DataFrame = {
-    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    graft.ext.GraftFunctions.ensureQuant8Sym(spark)
     Tables.embeddings(spark, dir)
-      .withColumn("mx", mx)
-      .select(
-        col("vec_id"),
-        (col("mx") / lit(127.0)).as("scale"),
-        concat_ws(",", transform(col("embedding"),
-          x => when(col("mx") > 0,
-            round(x.cast("double") / (col("mx") / lit(127.0))).cast("int"))
-            .otherwise(lit(0)).cast("string"))).as("q8"))
+      .withColumn("q", call_function("quant8_sym", col("embedding")))
+      .select(col("vec_id"), col("q.scale").as("scale"), col("q.q8").as("q8"))
       .orderBy("vec_id")
   }
 

@@ -134,6 +134,37 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("quant8_sym kernel matches the HOF encode chain bit/string-exactly") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureQuant8Sym(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[Array[Float]] =
+      (1 to 50).map(_ => Array.fill(64)((rnd.nextFloat() - 0.5f) * 8f)) ++
+        Seq(Array.fill(64)(0.0f), Array.empty[Float],
+          Array.tabulate(8)(i => (i - 4).toFloat * 0.3f))
+    val df = vecs.toDF("embedding")
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val rows = df
+      .withColumn("mx", mx)
+      .withColumn("q", call_function("quant8_sym", col("embedding")))
+      .select(
+        (col("mx") / lit(127.0)).as("hof_scale"),
+        concat_ws(",", transform(col("embedding"),
+          x => when(col("mx") > 0,
+            round(x.cast("double") / (col("mx") / lit(127.0))).cast("int"))
+            .otherwise(lit(0)).cast("string"))).as("hof_q8"),
+        col("q.scale").as("n_scale"), col("q.q8").as("n_q8"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(2))
+      if (!r.isNullAt(0)) {
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      }
+      assert(r.getString(1) == r.getString(3))
+    }
+  }
+
   test("vec_dot yields NULL on malformed embeddings, exactly like the fold") {
     import spark.implicits._
     graft.ext.GraftFunctions.ensureVecDot(spark)
