@@ -152,4 +152,17 @@ class PlanSpec extends SparkSuite {
     }
     assert(plan("x01_vector_cosine").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q59/q60: quantization math runs in the native kernels, not the HOF chain") {
+    // the interpreted transform/round chain is CodegenFallback and gets
+    // inlined once per USE by projection collapse — per probe pair in q60;
+    // a regression back to it re-opens a full-corpus interpreted pass
+    val enc = plan("q59_quantize")
+    assert(enc.contains("quant8_sym"), "q59 must encode via quant8_sym")
+    assert(!enc.contains("transform("), "no interpreted lambda in the encode path")
+    val dec = plan("q60_search_quantized")
+    assert(dec.contains("dequant_sym"), "q60 must reconstruct via dequant_sym")
+    assert(dec.contains("vec_dot_d"), "q60's dot must be the double kernel")
+    assert(!dec.contains("transform("), "no interpreted lambda in the search path")
+  }
 }
