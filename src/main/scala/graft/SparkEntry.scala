@@ -136,6 +136,9 @@ object SparkEntry {
     // cosine top-k over the dequantized int8 corpus: the accuracy side
     // of the quantization trade, exact against its own oracle
     "q60_search_quantized" -> ((s, d) => ops.Vector.q60(s, d)),
+    // BM25 two-term query ranking (ratio idf keeps it transcendental-free
+    // and oracle-exact); only query-term hits reach any shuffle
+    "q61_bm25"             -> ((s, d) => ops.Text.q61(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -232,6 +235,7 @@ object SparkEntry {
     "q58_phrase_search"    -> ops.Text.q58Sql,
     "q59_quantize"         -> ops.Vector.q59Sql,
     "q60_search_quantized" -> ops.Vector.q60Sql,
+    "q61_bm25"             -> ops.Text.q61Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

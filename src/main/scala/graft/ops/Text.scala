@@ -263,6 +263,90 @@ object Text {
       |GROUP BY word
       |ORDER BY freq DESC, word ASC""".stripMargin
 
+  /** q61_bm25: BM25 ranking of a two-term query ("table hash") — the
+    * scoring step q56/q57/q58's retrieval family exists for: per (doc,
+    * term), idf × (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)) with
+    * k1 = 1.2, b = 0.75, summed over the query terms, top-20 docs.
+    * idf is the RATIO form (N − df + 0.5)/(df + 0.5), not the usual log
+    * of it — the same monotone-ranking trade q56 makes: log is not
+    * correctly-rounded across libms, while this chain is only IEEE
+    * divisions/multiplications of exact integers (and ±0.5/0.25/0.75,
+    * all exactly representable), so scores are bit-identical cross-engine
+    * and the query stays oracle-gated. The two per-doc term scores sum in
+    * ONE addition (FP addition is commutative — no order hazard).
+    *
+    * Scale shape: dl (non-empty token count) is a per-row map-side array
+    * op — the corpus never shuffles for it; the (N, avgdl) batch-constant
+    * scalars come from one 1-row aggregate computed on the driver and
+    * inlined as literals (q56's N precedent — a crossJoin attach would
+    * plan a nested loop); only the QUERY TERMS' occurrences
+    * survive the isin filter into the (doc, term) count shuffle (q58's
+    * posting-lookup shape — against a materialized index this collapses
+    * to two lookups); df re-attaches by broadcast (2 rows); the top-20 is
+    * a TakeOrdered heap, never a global sort.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "hash")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        size(filter(col("w"), t => t =!= "")).as("dl"))
+    // batch-constant scalars, computed ONCE on the driver and inlined as
+    // literals (q56's N precedent) — one tiny 1-row job, not a per-row
+    // join; a crossJoin attach would plan the banned nested loop
+    val statsRow = docs.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"),
+      count(lit(1)).as("n")).head()
+    val avgdl = lit(statsRow.getDouble(0))
+    val n = lit(statsRow.getLong(1))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term", "dl")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nD = n.cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("s",
+        (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) * (tfD * lit(2.2)) /
+          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl))))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  val q61Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, w,
+      |         len(list_filter(w, t -> t <> '')) AS dl
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      |s AS (
+      |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+      |         count(*) AS n
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, dl, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      |  WHERE term IN ('table', 'hash')
+      |  GROUP BY doc_id, term, dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id, sum(sc) AS score FROM (
+      |  SELECT tf.doc_id,
+      |         (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)
+      |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf.tf AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS sc
+      |  FROM tf JOIN dfreq f ON tf.term = f.term CROSS JOIN s)
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
   // ---- x14: heavy-hitter n-grams via sample-candidates + exact verify ----
 
   /** Top-k word-n-gram counts via the sample-then-verify heavy-hitter

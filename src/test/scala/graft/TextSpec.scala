@@ -369,6 +369,37 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("q61 BM25 scores reproduce the definition from raw tokens") {
+    import org.apache.spark.sql.functions._
+    val out = ops.Text.q61(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.nonEmpty && out.length <= 20)
+    val scores = out.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores must be non-increasing")
+    // recompute every returned doc's score from the corpus definition
+    val toks = graft.Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dl = toks.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val n = graft.Tables.documents(spark, sf001).count().toDouble
+    val avgdl = dl.values.sum / n
+    val terms = Seq("table", "hash")
+    val df = terms.map(t =>
+      t -> toks.filter(_._2 == t).map(_._1).distinct.length.toDouble).toMap
+    out.foreach { case (doc, score) =>
+      val expect = terms.map { t =>
+        val tf = toks.count(p => p._1 == doc && p._2 == t).toDouble
+        if (tf == 0) 0.0
+        else (n - df(t) + 0.5) / (df(t) + 0.5) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * (dl(doc) / avgdl)))
+      }.sum
+      assert(math.abs(score - expect) < 1e-9,
+        s"doc $doc: $score vs recomputed $expect")
+    }
+  }
+
   test("q49 pipeline output is consistent with its declared component stages") {
     import org.apache.spark.sql.functions._
     val out = ops.TextAnalysis.q49(spark, sf001)
