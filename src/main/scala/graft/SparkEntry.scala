@@ -139,6 +139,9 @@ object SparkEntry {
     // BM25 two-term query ranking (ratio idf keeps it transcendental-free
     // and oracle-exact); only query-term hits reach any shuffle
     "q61_bm25"             -> ((s, d) => ops.Text.q61(s, d)),
+    // calendar densification + carry-forward fill; the window runs over
+    // pre-aggregated daily rows, never fact volume
+    "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -236,6 +239,7 @@ object SparkEntry {
     "q59_quantize"         -> ops.Vector.q59Sql,
     "q60_search_quantized" -> ops.Vector.q60Sql,
     "q61_bm25"             -> ops.Text.q61Sql,
+    "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -463,4 +463,64 @@ object Analytics {
       |    ON e.user_id = f.user_id)
       |GROUP BY cohort, offset_weeks
       |ORDER BY cohort, offset_weeks""".stripMargin
+
+  /** q62_gap_fill: time-series DENSIFICATION + carry-forward
+    * interpolation — the timeseries-prep staple: the daily revenue
+    * series per order status densified over each status's [min, max]
+    * day span (`sequence` + explode builds the calendar), missing days
+    * filled with the LAST OBSERVED revenue (`last(..., ignoreNulls)`
+    * up to the current row) and flagged. The span's first day always
+    * has data by construction (it IS a min over observed days), so the
+    * carry never needs a leading default; the coalesce(0) is for the
+    * degenerate single-row frame both engines treat identically.
+    *
+    * Scale shape: the only corpus-sized work is the (status, day) hash
+    * aggregate — map-side combined, then everything downstream (span
+    * agg, calendar explode, left join, carry-forward window) runs on
+    * DAYS × STATUSES rows, pre-aggregated and bounded by the calendar,
+    * never by fact volume (q34b's defense for the low-cardinality
+    * window key). Revenue sums in exact decimal (D2) and exits as
+    * double (D7).
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("status", "day")
+      .agg(sum(col("p")).as("rev"), count(lit(1)).as("n_orders"))
+    val cal = daily.groupBy("status")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("status"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("status")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("status", "day"), "left")
+      .select(col("status"), col("day"),
+        coalesce(last(col("rev"), ignoreNulls = true).over(w),
+          lit(0).cast("decimal(18,2)")).cast("double").as("rev_filled"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("rev").isNull.as("is_gap"))
+      .orderBy("status", "day")
+  }
+
+  val q62Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |         count(*) AS n_orders
+      |  FROM orders GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT status, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT status, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY status))
+      |SELECT c.status, c.day,
+      |       CAST(coalesce(last_value(d.rev IGNORE NULLS) OVER (
+      |         PARTITION BY c.status ORDER BY c.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_filled,
+      |       CAST(coalesce(d.n_orders, 0) AS BIGINT) AS n_orders,
+      |       d.rev IS NULL AS is_gap
+      |FROM cal c LEFT JOIN daily d ON c.status = d.status AND c.day = d.day
+      |ORDER BY c.status, c.day""".stripMargin
 }

@@ -43,4 +43,33 @@ class AnalyticsSpec extends SparkSuite {
         s"cohort $cohort offset-0 must be the cohort size")
     }
   }
+
+  test("q62 gap fill: dense calendar, carry-forward values, gaps flagged") {
+    val rows = ops.Analytics.q62(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (status, rs) =>
+      val sorted = rs.sortBy(_._2.toEpochDay)
+      // the calendar is DENSE: one row per day of the observed span
+      sorted.map(_._2.toEpochDay).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b == a + 1, s"$status: day gap $a -> $b")
+        case _         =>
+      }
+      // span edges are observed days, never gaps
+      assert(!sorted.head._5 && !sorted.last._5, s"$status edge is a gap")
+      // a gap has zero orders and carries the previous filled value;
+      // an observed day resets the carry
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, prevFill, _, _), (_, d, fill, n, gap)) =>
+          if (gap) {
+            assert(n == 0L, s"$status $d: gap with orders")
+            assert(fill == prevFill, s"$status $d: gap must carry forward")
+          } else assert(n > 0L, s"$status $d: observed day without orders")
+        case _ =>
+      }
+    }
+    // sf0.001 is sparse enough that real gaps exist — the carry is exercised
+    assert(rows.exists(_._5), "expected at least one gap at sf0.001")
+  }
 }
