@@ -142,6 +142,8 @@ object SparkEntry {
     // calendar densification + carry-forward fill; the window runs over
     // pre-aggregated daily rows, never fact volume
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
+    // linear interpolation over the same densified series (q62's twin)
+    "q63_interp_linear"    -> ((s, d) => ops.Analytics.q63(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -240,6 +242,7 @@ object SparkEntry {
     "q60_search_quantized" -> ops.Vector.q60Sql,
     "q61_bm25"             -> ops.Text.q61Sql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
+    "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -483,18 +483,9 @@ object Analytics {
     * double (D7).
     */
   def q62(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.orders(spark, dir)
-      .select(col("o_orderstatus").as("status"),
-        to_date(col("o_orderdate")).as("day"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-      .groupBy("status", "day")
-      .agg(sum(col("p")).as("rev"), count(lit(1)).as("n_orders"))
-    val cal = daily.groupBy("status")
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("status"), explode(sequence(col("d0"), col("d1"))).as("day"))
     val w = Window.partitionBy(col("status")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cal.join(daily, Seq("status", "day"), "left")
+    dailyCalendar(spark, dir)
       .select(col("status"), col("day"),
         coalesce(last(col("rev"), ignoreNulls = true).over(w),
           lit(0).cast("decimal(18,2)")).cast("double").as("rev_filled"),
@@ -523,4 +514,89 @@ object Analytics {
       |       d.rev IS NULL AS is_gap
       |FROM cal c LEFT JOIN daily d ON c.status = d.status AND c.day = d.day
       |ORDER BY c.status, c.day""".stripMargin
+
+  /** Shared base of q62/q63: the per-status daily revenue aggregate LEFT
+    * JOINED onto its dense [min, max] day calendar — observed days carry
+    * (rev, n_orders), gap days carry nulls. The (status, day) aggregate
+    * is the only fact-sized stage.
+    */
+  private def dailyCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("status", "day")
+      .agg(sum(col("p")).as("rev"), count(lit(1)).as("n_orders"))
+    val cal = daily.groupBy("status")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("status"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(daily, Seq("status", "day"), "left")
+  }
+
+  /** q63_interp_linear: LINEAR interpolation over the same densified
+    * series — q62's lerp twin: a gap day takes
+    * `prev + (next − prev) · (day − prev_day)/(next_day − prev_day)`
+    * between its surrounding observations, an observed day keeps its
+    * exact value (the coalesce also dodges the 0/0 a self-anchored lerp
+    * would produce there). Both anchors always exist: span edges are
+    * observed by construction (q62's argument), so a gap is strictly
+    * interior. Same scale shape as q62 — the windows (one forward, one
+    * backward, both over the pre-aggregated calendar rows) never see
+    * fact volume. The lerp chain is fixed-order IEEE double arithmetic
+    * on exact inputs (decimal revenue → double, integer day offsets),
+    * so scores hash-match the oracle.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("status")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("status")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("rev").isNotNull, col("day_i"))
+    val prevV = last(col("rev_d"), ignoreNulls = true).over(wPrev)
+    val nextV = first(col("rev_d"), ignoreNulls = true).over(wNext)
+    val prevD = last(obsDay, ignoreNulls = true).over(wPrev)
+    val nextD = first(obsDay, ignoreNulls = true).over(wNext)
+    dailyCalendar(spark, dir)
+      .withColumn("rev_d", col("rev").cast("double"))
+      .withColumn("day_i", datediff(col("day"), lit("1992-01-01").cast("date")))
+      .select(col("status"), col("day"),
+        coalesce(col("rev_d"),
+          prevV + (nextV - prevV) *
+            ((col("day_i") - prevD).cast("double") /
+              (nextD - prevD).cast("double"))).as("rev_interp"),
+        col("rev").isNull.as("is_gap"))
+      .orderBy("status", "day")
+  }
+
+  val q63Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT status, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |           CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT status, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY status)),
+      |j AS (
+      |  SELECT c.status, c.day, CAST(d.rev AS DOUBLE) AS rev_d,
+      |         date_diff('day', DATE '1992-01-01', c.day) AS day_i,
+      |         d.rev IS NULL AS is_gap
+      |  FROM cal c LEFT JOIN daily d ON c.status = d.status AND c.day = d.day)
+      |SELECT status, day,
+      |       coalesce(rev_d,
+      |         last_value(rev_d IGNORE NULLS) OVER wp
+      |           + (first_value(rev_d IGNORE NULLS) OVER wn
+      |              - last_value(rev_d IGNORE NULLS) OVER wp)
+      |             * (CAST(day_i - last_value(CASE WHEN NOT is_gap THEN day_i END IGNORE NULLS) OVER wp AS DOUBLE)
+      |                / CAST(first_value(CASE WHEN NOT is_gap THEN day_i END IGNORE NULLS) OVER wn
+      |                       - last_value(CASE WHEN NOT is_gap THEN day_i END IGNORE NULLS) OVER wp AS DOUBLE))
+      |       ) AS rev_interp,
+      |       is_gap
+      |FROM j
+      |WINDOW wp AS (PARTITION BY status ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       wn AS (PARTITION BY status ORDER BY day
+      |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |ORDER BY status, day""".stripMargin
 }

@@ -72,4 +72,26 @@ class AnalyticsSpec extends SparkSuite {
     // sf0.001 is sparse enough that real gaps exist — the carry is exercised
     assert(rows.exists(_._5), "expected at least one gap at sf0.001")
   }
+
+  test("q63 linear interpolation lies between its anchors and hits them exactly") {
+    val rows = ops.Analytics.q63(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getDouble(2), r.getBoolean(3)))
+    assert(rows.exists(_._4), "expected gaps at sf0.001")
+    rows.groupBy(_._1).foreach { case (status, rs) =>
+      val sorted = rs.sortBy(_._2.toEpochDay).toVector
+      sorted.zipWithIndex.filter(_._1._4).foreach { case ((_, d, v, _), i) =>
+        val (pi, pv) = sorted.zipWithIndex.take(i).filterNot(_._1._4)
+          .map { case ((_, pd, x, _), _) => (pd.toEpochDay, x) }.last
+        val (ni, nv) = sorted.zipWithIndex.drop(i + 1).filterNot(_._1._4)
+          .map { case ((_, nd, x, _), _) => (nd.toEpochDay, x) }.head
+        val expect = pv + (nv - pv) *
+          ((d.toEpochDay - pi).toDouble / (ni - pi).toDouble)
+        assert(math.abs(v - expect) < 1e-9,
+          s"$status $d: $v vs recomputed lerp $expect")
+        assert(v >= math.min(pv, nv) - 1e-9 && v <= math.max(pv, nv) + 1e-9,
+          s"$status $d: interpolant outside its anchors")
+      }
+    }
+  }
 }
