@@ -318,10 +318,12 @@ object Vector {
     * per-probe top-k) is identical and is what matters at 100 TB: cell
     * assignment is zero-shuffle ([[nearestCells]]), each query touches
     * nprobe/nlist of the corpus, and the only corpus-weight movement is
-    * the candidate join itself (broadcast when the probed cells are small;
-    * a materialized index would instead persist `assigned` bucketed by
-    * cell so the search side never shuffles at all). The centroid collects
-    * below are nlist-row driver reads — index metadata, not a data path.
+    * the candidate join itself (broadcast when the probed cells are small).
+    * This form re-assigns the corpus per call; when the corpus outlives
+    * the query, [[ivfBuild]]/[[ivfSearch]] materialize the assignment as a
+    * cell-partitioned index so a search reads only the probed cells. The
+    * centroid collects below are nlist-row driver reads — index metadata,
+    * not a data path.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -345,19 +347,7 @@ object Vector {
         col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
         lit(0).cast("int").as("rank")).limit(0)
 
-    // one Lloyd step: elementwise mean of each cell's vectors. Summed as
-    // exact decimals per (cell, position) so the result is independent of
-    // row order (float addition is not associative; collect_list order is
-    // not deterministic), then reassembled position-sorted.
-    val refined = nearestCells(c0, seeds, 1)
-      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
-        .cast("float").as("m"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cvec"))
+    val refined = lloydStep(c0, seeds)
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
 
     val assigned = nearestCells(c0, refined, 1)
@@ -372,6 +362,122 @@ object Vector {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     assigned.join(p, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
+      .withColumn("cosine",
+        nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** One Lloyd refinement step over seed centroids: elementwise mean of
+    * each cell's vectors. Summed as exact decimals per (cell, position) so
+    * the result is independent of row order (float addition is not
+    * associative; collect_list order is not deterministic), then
+    * reassembled position-sorted. Returns a (cell, cvec) DataFrame of
+    * `seeds.size` rows. Shared verbatim by the per-call quantizer
+    * ([[ivfTopK]]) and the materialized index builder ([[ivfBuild]]) so
+    * the two paths assign — and therefore search — identically.
+    */
+  private[graft] def lloydStep(
+      c0: DataFrame, seeds: Seq[(Any, Seq[Float])]): DataFrame =
+    nearestCells(c0, seeds, 1)
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast("decimal(27,10)")) / count(lit(1)))
+        .cast("float").as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cvec"))
+
+  /** Build a MATERIALIZED IVF index under `indexDir` — the structural fix
+    * for [[ivfTopK]]'s per-query rebuild: the corpus-wide cell assignment
+    * (the only corpus-sized stage of IVF) runs ONCE here, and
+    * [[ivfSearch]] afterwards touches nothing but the probed cells.
+    *
+    * Layout:
+    *  - `indexDir/centroids`: the (cell, cvec) quantizer, `nlist` rows —
+    *    index metadata, read whole by every search.
+    *  - `indexDir/postings`: (neighbor_id, c_vec, c_norm) DIRECTORY-
+    *    PARTITIONED by cell. Directory partitioning (not bucketing) is the
+    *    right persistence for IVF: a search probes `nprobe` named cells,
+    *    which a partition-pruned scan turns into reading nprobe/nlist of
+    *    the index ON DISK — bucketing would only co-locate a shuffle join
+    *    that [[ivfSearch]] never does (probes broadcast). Corpus norms are
+    *    precomputed at build so the search plan does no corpus-sized
+    *    arithmetic besides the candidate cosines themselves.
+    *
+    * Cell partition values carry a "c" prefix so Spark's partition-column
+    * type inference always reads them back as strings regardless of the
+    * caller's id type (pruning literals then match exactly); the NUMERIC
+    * cell survives in `centroids`, so assignment tiebreaks stay identical
+    * to [[ivfTopK]]'s.
+    */
+  def ivfBuild(
+      corpus: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val seeds = c0.orderBy("id").limit(nlist)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    require(seeds.nonEmpty, "cannot build an IVF index over an empty corpus")
+    val refinedDf = lloydStep(c0, seeds)
+    // collect once (nlist rows — index metadata), persist the same rows:
+    // re-writing the DataFrame would recompute the Lloyd aggregate
+    val rows = refinedDf.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), refinedDf.schema)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val refined = rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    nearestCells(c0, refined, 1)
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("neighbor_id"), col("vec").as("c_vec"))
+      .withColumn("c_norm", nNorm(col("c_vec")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Search a materialized IVF index ([[ivfBuild]]) — identical results to
+    * [[ivfTopK]] at the same (nlist, nprobe, k) on the same corpus (pinned
+    * in VectorSpec), but the search plan contains NO corpus-wide stage:
+    * only the probes are assigned to cells (map-side, over the `nlist`-row
+    * centroid literal), and the postings scan is PARTITION-PRUNED to the
+    * probed cells — at 100 TB a query reads nprobe/nlist of the index and
+    * nothing else. The two driver collects are index metadata (`nlist`
+    * centroid rows) and the ≤ `nlist` distinct probed cell names that
+    * become pruning literals — never corpus data.
+    */
+  def ivfSearch(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 4,
+      k: Int = 10): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    val p = nearestCells(
+        probes.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, nprobe)
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("probe_id"), col("vec").as("p_vec"))
+      .withColumn("p_norm", nNorm(col("p_vec")))
+    val probed = p.select("cell").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("cell").isin(probed: _*))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    postings.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
       .withColumn("cosine",

@@ -193,6 +193,48 @@ class VectorSpec extends SparkSuite {
     assert(windows == 1, s"expected exactly 1 window in the plan, got $windows")
   }
 
+  test("materialized IVF index: search-from-index == per-call ivfTopK, bit-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    Vector.ivfBuild(emb, dir, nlist = 16)
+    val fromIndex = Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    val perCall = Vector.ivfTopK(emb, probes, nlist = 16, nprobe = 4, k = 10)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    assert(fromIndex.nonEmpty && fromIndex == perCall,
+      "index search must reproduce the per-call IVF results exactly")
+  }
+
+  test("materialized IVF search plan: pruned postings scan, no corpus assignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan_").toString
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    Vector.ivfBuild(emb, dir, nlist = 16)
+    val df = Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10)
+    // the postings read is partition-pruned to the probed cells: the scan
+    // node must carry a partition filter on `cell` (sparkPlan: AQE wraps
+    // executedPlan in an adaptive node that hides scans from collect)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val posting = scans.find(_.metadata("Location").contains("postings"))
+    assert(posting.nonEmpty, "expected a postings file scan in the plan")
+    assert(posting.get.partitionFilters.nonEmpty,
+      "postings scan must be partition-pruned to the probed cells")
+    // no corpus-wide assignment stage: the only window is the per-probe
+    // top-k, the only corpus-sized input is the pruned postings scan, and
+    // the probe side arrives by broadcast
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("Window ".r.findAllIn(planStr).size == 1,
+      "search must not add an assignment window over the corpus")
+    assert(planStr.contains("BroadcastHashJoin"),
+      "probes must broadcast into the pruned postings")
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("zero-norm vectors are excluded, not ranked first by NaN") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)),
