@@ -6,13 +6,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * images / audio / video as opaque BINARY columns with typed metadata,
   * processed per-partition with typed Datasets.
   *
-  * The container has no media codecs, so the CODEC layer is a clearly
-  * marked deterministic STUB ([[Codec]]): media bytes are treated as
-  * already-decoded raw planes (RGB for images, PCM for audio, stacked
-  * grayscale frames for video). Everything Spark-side is real and tested —
-  * the schema, the `mapPartitions`/`flatMap` batch shape (one iterator per
-  * partition, no per-row task overhead, bounded memory), the metadata
-  * propagation, and the composition with the vector ops (featurize →
+  * IMAGE decode is REAL: encoded formats (PNG, JPEG, GIF, BMP — whatever
+  * `javax.imageio` ships in the JDK, zero external dependencies) decode to
+  * packed RGB planes in [[Codec.decodeImage]]. Audio and video stay
+  * clearly-marked deterministic STUBS (the container has no PCM/H.264
+  * codecs): their bytes are treated as already-decoded raw planes, and the
+  * "raw-rgb" fixture format passes images through the same way. Everything
+  * Spark-side is real and tested — the schema, the
+  * `mapPartitions`/`flatMap` batch shape (one iterator per partition, no
+  * per-row task overhead, bounded memory), the metadata propagation, and
+  * the composition with the vector ops (featurize →
   * `graft.ops.Vector.cosineTopK`).
   *
   * Scale notes (100 TB of media): assets are the classic "few KB to few MB
@@ -31,15 +34,46 @@ object Multimodal {
   case class AssetFeature(asset_id: Long, kind: String, embedding: Array[Float])
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB codec boundary. A real deployment replaces these bodies with an
-    * image/audio library call (JPEG/PNG decode, PCM resample, H.264 frame
-    * extraction); signatures and call sites are the production shape.
+  /** Codec boundary. Image decode is REAL (JDK `javax.imageio`); audio
+    * decode and video frame extraction remain deterministic STUBS whose
+    * bodies a real deployment replaces with a PCM/H.264 library call —
+    * signatures and call sites are the production shape either way.
     */
   object Codec {
-    /** "Decode" an image: the fixture bytes ARE the raw W*H*3 RGB plane. */
-    def decodeImage(media: Array[Byte], meta: AssetMeta): Array[Byte] = media
+    /** Decode an image to a packed row-major W*H*3 RGB plane plus its TRUE
+      * dimensions. Formats the JDK decodes natively (PNG, JPEG, GIF, BMP)
+      * go through `ImageIO.read` — a real pixel decode, not a stub; the
+      * synthetic "raw-rgb" fixture format passes through with its declared
+      * dims. `getRGB` routes every color model (palette, gray, ARGB) to
+      * sRGB ints — per-pixel, which is fine at asset granularity: decode
+      * cost is dwarfed by the I/O that delivered the bytes.
+      */
+    def decodeImage(media: Array[Byte], meta: AssetMeta): (Array[Byte], Int, Int) =
+      meta.format match {
+        case "raw-rgb" => (media, meta.width, meta.height)
+        case f =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(media))
+          require(img != null, s"undecodable image bytes (format=$f)")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              out(o) = ((rgb >> 16) & 0xFF).toByte
+              out(o + 1) = ((rgb >> 8) & 0xFF).toByte
+              out(o + 2) = (rgb & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (out, w, h)
+      }
 
-    /** "Decode" one video frame: frame f is the f-th W*H slice. */
+    /** STUB: "decode" one video frame — frame f is the f-th W*H slice. */
     def decodeFrame(media: Array[Byte], meta: AssetMeta, f: Int): Array[Byte] = {
       val sz = meta.width * meta.height
       java.util.Arrays.copyOfRange(media, f * sz, (f + 1) * sz)
@@ -95,7 +129,7 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.map { a =>
         val decoded = a.kind match {
-          case "image" => Codec.decodeImage(a.media, a.meta)
+          case "image" => Codec.decodeImage(a.media, a.meta)._1
           case _       => a.media
         }
         val acc = new Array[Float](dim)
@@ -117,17 +151,18 @@ object Multimodal {
     }
   }
 
-  /** Nearest-neighbor resize of raw RGB images; non-images pass through.
-    * The resample itself is real (it runs on the raw plane); only the
-    * codec decode/encode on either side is the stub.
+  /** Nearest-neighbor resize of images (decoded for real when encoded —
+    * PNG/JPEG in, raw plane out); non-images pass through. The output is
+    * always a raw-rgb plane: re-ENCODING stays outside the pipeline (a
+    * downstream sink concern), so the resized asset's format reflects
+    * what its bytes now are.
     */
   def resizeImages(assets: Dataset[Asset], outW: Int, outH: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map {
         case a if a.kind == "image" =>
-          val src = Codec.decodeImage(a.media, a.meta)
-          val (w, h) = (a.meta.width, a.meta.height)
+          val (src, w, h) = Codec.decodeImage(a.media, a.meta)
           val out = new Array[Byte](outW * outH * 3)
           var y = 0
           while (y < outH) {
@@ -144,7 +179,8 @@ object Multimodal {
             }
             y += 1
           }
-          a.copy(media = out, meta = a.meta.copy(width = outW, height = outH))
+          a.copy(media = out,
+            meta = a.meta.copy(width = outW, height = outH, format = "raw-rgb"))
         case other => other
       }
     }

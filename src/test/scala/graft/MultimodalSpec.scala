@@ -73,6 +73,65 @@ class MultimodalSpec extends SparkSuite {
     assert(f5.frame.sameElements(v.media.slice(5 * sz, 6 * sz)))
   }
 
+  test("PNG decode is real: ImageIO round-trip recovers the exact RGB plane") {
+    // draw a deterministic 6x4 image, encode it as a REAL PNG, and decode
+    // through the pipeline's codec — pixel-exact (PNG is lossless)
+    val (w, h) = (6, 4)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val want = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ((x * 40) % 256, (y * 60) % 256, (x * y * 13) % 256)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val o = (y * w + x) * 3
+      want(o) = r.toByte; want(o + 1) = g.toByte; want(o + 2) = b.toByte
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    assert(png.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte)), "fixture must be a real PNG container")
+    val meta = Multimodal.AssetMeta(0, 0, 0, 1, "png") // dims come from decode
+    val (plane, dw, dh) = Multimodal.Codec.decodeImage(png, meta)
+    assert((dw, dh) == (w, h), "decoded dimensions must come from the pixels")
+    assert(plane.sameElements(want), "decoded RGB plane must be pixel-exact")
+    // garbage bytes must fail loudly, not decode to something
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeImage(Array[Byte](1, 2, 3), meta)
+    }
+  }
+
+  test("featurize and resize run on real PNG pixels end-to-end") {
+    import spark.implicits._
+    val (w, h) = (8, 8)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 32) << 16) | ((y * 32) << 8) | ((x + y) * 16))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val raw = Multimodal.Codec.decodeImage(
+      png, Multimodal.AssetMeta(0, 0, 0, 1, "png"))._1
+    val pngAsset = Multimodal.Asset(1L, "image", png,
+      Multimodal.AssetMeta(0, 0, 0, 1, "png"))
+    val rawAsset = Multimodal.Asset(2L, "image", raw,
+      Multimodal.AssetMeta(w, h, 0, 1, "raw-rgb"))
+    val ds = spark.createDataset(Seq(pngAsset, rawAsset))
+    // the PNG asset featurizes from its DECODED pixels: identical embedding
+    // to the raw plane of the same image
+    val feats = Multimodal.featurize(ds, dim = 16).collect()
+      .map(f => f.asset_id -> f.embedding.toSeq).toMap
+    assert(feats(1L) == feats(2L),
+      "PNG must featurize from decoded pixels, not container bytes")
+    // resize reads dimensions from the DECODE (meta declares none for png)
+    val resized = Multimodal.resizeImages(ds, 4, 4).collect()
+      .map(a => a.asset_id -> a).toMap
+    assert(resized(1L).media.sameElements(resized(2L).media))
+    assert(resized(1L).meta.format == "raw-rgb" &&
+      resized(1L).meta.width == 4 && resized(1L).meta.height == 4)
+  }
+
   test("end to end: featurize -> cosine top-k over asset embeddings") {
     val feats = Multimodal.featurize(
       Multimodal.syntheticAssets(spark, 30, seed = 4), dim = 16).toDF()
