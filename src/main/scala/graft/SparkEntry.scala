@@ -139,6 +139,9 @@ object SparkEntry {
     // BM25 two-term query ranking (ratio idf keeps it transcendental-free
     // and oracle-exact); only query-term hits reach any shuffle
     "q61_bm25"             -> ((s, d) => ops.Text.q61(s, d)),
+    // N-term BM25 (3-term query): the per-doc sum is a term-sorted
+    // fixed-order fold — plain sum() is order-unspecified past two terms
+    "q61b_bm25_multi"      -> ((s, d) => ops.Text.q61b(s, d)),
     // calendar densification + carry-forward fill; the window runs over
     // pre-aggregated daily rows, never fact volume
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
@@ -241,6 +244,7 @@ object SparkEntry {
     "q59_quantize"         -> ops.Vector.q59Sql,
     "q60_search_quantized" -> ops.Vector.q60Sql,
     "q61_bm25"             -> ops.Text.q61Sql,
+    "q61b_bm25_multi"      -> ops.Text.q61bSql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,

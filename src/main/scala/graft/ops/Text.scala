@@ -179,7 +179,14 @@ object Text {
     * Entries are zero-padded (`00000042:000007`) so the lexicographic
     * sort both engines apply IS the numeric (doc, pos) order, and the
     * serialized list is driver-hashable (q31's precedent; ':'/',' cannot
-    * occur inside the padded digits).
+    * occur inside the padded digits). The pad widths are a CONTRACT, not
+    * a hope: `lpad` silently TRUNCATES values wider than the pad (both
+    * engines), which would corrupt posting identity and break the
+    * lexicographic-is-numeric invariant — so overflow raises instead
+    * ([[padOrFail]]; ADVICE r6). doc_id < 1e8 and pos < 1e6 hold with
+    * huge headroom at driver SFs; a corpus that outgrows them bumps the
+    * widths in ONE place (both sides of the oracle) rather than
+    * corrupting silently.
     */
   def q57(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -187,13 +194,24 @@ object Text {
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .select(col("term"), expr("doc_id div 1000").as("seg"),
-        concat(lpad(col("doc_id").cast("string"), 8, "0"), lit(":"),
-          lpad(col("pos").cast("string"), 6, "0")).as("s"))
+        concat(padOrFail(col("doc_id"), 8, "doc_id"), lit(":"),
+          padOrFail(col("pos"), 6, "pos")).as("s"))
       .groupBy("term", "seg")
       .agg(
         concat_ws(",", sort_array(collect_list(col("s")))).as("postings"),
         count(lit(1)).as("n_postings"))
       .orderBy("term", "seg")
+
+  /** Zero-pad `c` to exactly `width` digits, RAISING on overflow instead
+    * of inheriting lpad's silent truncation — a value wider than the pad
+    * would corrupt posting identity undetectably (ADVICE r6, q57).
+    */
+  private[graft] def padOrFail(c: Column, width: Int, what: String): Column = {
+    val s = c.cast("string")
+    when(length(s) > width, raise_error(concat(
+        lit(s"$what overflows the $width-digit posting pad: "), s)))
+      .otherwise(lpad(s, width, "0"))
+  }
 
   val q57Sql: String =
     """SELECT term, seg,
@@ -285,9 +303,42 @@ object Text {
     * to two lookups); df re-attaches by broadcast (2 rows); the top-20 is
     * a TakeOrdered heap, never a global sort.
     */
-  def q61(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("table", "hash")
-    val docs = Tables.documents(spark, dir)
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), Seq("table", "hash"))
+
+  /** q61b_bm25_multi: the N-term form of q61 on a three-term query
+    * ("table hash merge") — the generalization r6's review asked for: the
+    * scoring, filters, and broadcasts were already term-count-agnostic,
+    * and the per-doc sum is the one piece that is NOT order-safe past two
+    * terms (see [[bm25]]'s fold). Own oracle, same plan shape.
+    */
+  def q61b(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir), Seq("table", "hash", "merge"))
+
+  /** Generic N-term BM25 behind [[q61]]/[[q61b]]: per (doc, term),
+    * idf × (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)), summed over the
+    * query terms, top-`topN` docs. See q61's doc for the ratio-idf trade
+    * and the scale shape (map-side dl, driver-inlined (N, avgdl), isin
+    * posting-lookup, broadcast df, TakeOrdered head).
+    *
+    * The per-doc sum is a FIXED-ORDER fold, not a plain `sum`: with three
+    * or more terms, aggregate-sum order depends on partitioning ((a+b)+c ≠
+    * a+(b+c) in IEEE), so each doc's term scores are collected, sorted by
+    * term, and folded left-to-right — deterministic at any parallelism,
+    * restated verbatim by the oracle. For one or two terms the fold is
+    * bitwise-equal to any-order summation (0.0+a = a for positive scores,
+    * a+b commutes bitwise), which is why q61's original two-term oracle
+    * is unchanged.
+    */
+  def bm25(
+      documents: DataFrame,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val docs = documents
       .select(col("doc_id"),
         split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"), col("w"),
@@ -313,12 +364,15 @@ object Text {
     val dlD = col("dl").cast("double")
     tf.join(broadcast(dfreq), "term")
       .withColumn("s",
-        (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) * (tfD * lit(2.2)) /
-          (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / avgdl))))
+        (nD - dfD + lit(0.5)) / (dfD + lit(0.5)) * (tfD * lit(k1 + 1.0)) /
+          (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD / avgdl))))
       .groupBy("doc_id")
-      .agg(sum(col("s")).as("score"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, v) => acc + v).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
-      .limit(20)
+      .limit(topN)
   }
 
   val q61Sql: String =
@@ -338,6 +392,40 @@ object Text {
       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
       |SELECT doc_id, sum(sc) AS score FROM (
       |  SELECT tf.doc_id,
+      |         (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)
+      |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf.tf AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS sc
+      |  FROM tf JOIN dfreq f ON tf.term = f.term CROSS JOIN s)
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
+
+  /** q61b's restatement: the same chain on three terms, with the per-doc
+    * sum as the SAME term-sorted left-to-right fold the Spark side runs
+    * (`list(sc ORDER BY term)` + 0-prepended `list_reduce`) — a plain
+    * SQL `sum()` would be order-unspecified at 3+ terms.
+    */
+  val q61bSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, w,
+      |         len(list_filter(w, t -> t <> '')) AS dl
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      |s AS (
+      |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+      |         count(*) AS n
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, dl, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      |  WHERE term IN ('table', 'hash', 'merge')
+      |  GROUP BY doc_id, term, dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(sc ORDER BY term ASC)),
+      |         (x, y) -> x + y) AS score
+      |FROM (
+      |  SELECT tf.doc_id, tf.term,
       |         (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)
       |           * (CAST(tf.tf AS DOUBLE) * 2.2)
       |           / (CAST(tf.tf AS DOUBLE)
@@ -570,7 +658,8 @@ object Text {
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      dfBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
     val t = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     // The shingle table feeds three consumers — the df aggregate, the
     // prefix pipeline, and both verify joins — whose diverging pushed-down
@@ -588,12 +677,21 @@ object Text {
       .withColumn("sz", size(col("sh")))
       .persist()
     // document frequency per token: explode → vocabulary-bounded aggregate.
-    // Broadcast: the vocabulary is orders of magnitude smaller than the
-    // token stream (Zipf), so the df lookup must not shuffle the exploded
-    // corpus — at a scale where the vocab outgrows broadcast, drop the hint
-    // and take the shuffle join.
+    // Broadcasting the lookup keeps the exploded corpus out of a shuffle,
+    // but unlike q56's WORD vocab the distinct-SHINGLE space is not
+    // reliably broadcast-sized at 100 TB (n-gram types grow near-linearly
+    // with the corpus). The hint is therefore CONDITIONAL: the shingle
+    // vocabulary's footprint is upper-bounded by the corpus' plan-stats
+    // size (at most one distinct shingle per input token), and past
+    // `dfBroadcastMaxBytes` of source the lookup takes the shuffle join
+    // instead — the estimate costs no job and errs toward shuffling, the
+    // safe direction. Both paths produce identical pairs (TextSpec).
     val df_ = sh.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    val dfLookup =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(dfBroadcastMaxBytes)) broadcast(df_)
+      else df_
     // a J≥t pair MUST share one of each side's first sz−⌈t·sz⌉+1 tokens
     // under the global rare-first (df, tok) order. The selected prefixes —
     // (1−t)·tokens of the corpus, cached — feed both sides of the
@@ -601,7 +699,7 @@ object Text {
     val prefLen = (col("sz") - ceil(col("sz") * t) + 1).cast("int")
     val w = Window.partitionBy(col("doc_id")).orderBy(asc("df"), asc("tok"))
     val pref = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("tok"))
-      .join(broadcast(df_), "tok")
+      .join(dfLookup, "tok")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefLen)
       .select("doc_id", "sz", "tok")

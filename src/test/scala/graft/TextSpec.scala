@@ -151,6 +151,56 @@ class TextSpec extends SparkSuite {
     assert(pref == brute, s"prefix=${pref.size} brute=${brute.size}")
   }
 
+  test("jaccard join: broadcast-df and shuffle-df paths produce identical pairs") {
+    // the df-lookup broadcast is CONDITIONAL (trigram vocabularies are not
+    // reliably broadcast-sized at 100 TB): force each path via the byte
+    // cap and pin value equality — the hint is a plan choice, never a
+    // semantics choice
+    val docs = Tables.documents(spark, sf001)
+    val viaBroadcast = Text.jaccardJoin(docs, dfBroadcastMaxBytes = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaShuffle = Text.jaccardJoin(docs, dfBroadcastMaxBytes = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle)
+  }
+
+  test("q57 posting pads fail loudly on overflow instead of truncating") {
+    // lpad silently TRUNCATES past the pad width in both engines — the
+    // guard turns that corruption into an error (ADVICE r6)
+    val ok = Seq((99999999L, 999999L)).toDF("d", "p")
+      .select(Text.padOrFail(col("d"), 8, "doc_id").as("d8"),
+        Text.padOrFail(col("p"), 6, "pos").as("p6"))
+      .as[(String, String)].head()
+    assert(ok == ("99999999", "999999"))
+    assert(Seq(42L).toDF("d").select(Text.padOrFail(col("d"), 8, "doc_id"))
+      .as[String].head() == "00000042")
+    val err = intercept[Exception] {
+      Seq(100000000L).toDF("d")
+        .select(Text.padOrFail(col("d"), 8, "doc_id")).collect()
+    }
+    assert(err.getMessage.contains("overflows"),
+      s"expected a loud pad-overflow error, got: ${err.getMessage}")
+  }
+
+  test("bm25: 1/2-term fold equals plain summation; inputs validated") {
+    // the fixed-order fold must be bitwise what the two-term oracle always
+    // computed — 0.0+a = a and a+b commutes — so q61's oracle is unchanged
+    val docs = Tables.documents(spark, sf0001)
+    val two = Text.bm25(docs, Seq("table", "hash"), topN = 1000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // per-doc: every two-term score is the plain sum of the 1-term scores
+    val ta = Text.bm25(docs, Seq("table"), topN = 100000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val hb = Text.bm25(docs, Seq("hash"), topN = 100000).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    two.foreach { case (doc, s) =>
+      val expect = ta.getOrElse(doc, 0.0) + hb.getOrElse(doc, 0.0)
+      assert(s == expect, s"doc $doc: fold $s != sum-of-singles $expect")
+    }
+    intercept[IllegalArgumentException] { Text.bm25(docs, Seq.empty) }
+    intercept[IllegalArgumentException] { Text.bm25(docs, Seq("a", "a")) }
+  }
+
   test("jaccard join keeps a pair sitting EXACTLY on the threshold") {
     // |A∩B| = 8, |A∪B| = 10 ⇒ J = 0.8 exactly: the inclusive boundary and
     // the exact-decimal prefix length (⌈0.8·9⌉ = 8, prefix = 2) both bite
