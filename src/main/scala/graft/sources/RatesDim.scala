@@ -39,6 +39,64 @@ object RatesDim {
       "CHF" -> 0.87, "SEK" -> 10.5)
   }
 
+  /** Live HTTP provider — the real R16 acquisition path: GET `endpoint`
+    * (any `{day}` placeholder substituted with the ISO date), expect the
+    * reference's `{"rates": {code: number, ...}}` payload
+    * (`dags/order_currency_conversion_dag.py:44-54`), and drive R25's
+    * error ladder for real: a non-200 status and a malformed payload each
+    * fail fast with a descriptive error (the missing-EUR check stays
+    * downstream in [[DailyCachedRates.resolve]], where both providers
+    * share it). Driver-side on purpose — a few-hundred-row dimension has
+    * no business being a distributed read. JDK `HttpClient` + the Jackson
+    * already on Spark's classpath: zero new dependencies, so the path is
+    * testable offline against an in-process `HttpServer`
+    * (RatesDimSpec). [[StaticProvider]] remains the zero-egress default.
+    */
+  final class HttpProvider(
+      endpoint: String,
+      connectTimeoutMillis: Int = 5000,
+      readTimeoutMillis: Int = 10000) extends RatesProvider {
+    override def fetch(day: LocalDate): Map[String, Double] = {
+      val uri = java.net.URI.create(endpoint.replace("{day}", day.toString))
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMillis.toLong))
+        .build()
+      val req = java.net.http.HttpRequest.newBuilder(uri)
+        .timeout(java.time.Duration.ofMillis(readTimeoutMillis.toLong))
+        .GET().build()
+      val resp = client.send(
+        req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      // R25 rung 1: transport-level failure (the reference's
+      // response.status_code check) fails the run, never defaults
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"rates endpoint returned HTTP ${resp.statusCode()} for $day: $uri")
+      val root =
+        try new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+        catch {
+          case e: com.fasterxml.jackson.core.JacksonException =>
+            // R25 rung 2: unparseable body
+            throw new IllegalStateException(
+              s"rates endpoint returned non-JSON for $day: ${e.getMessage}")
+        }
+      val rates = if (root == null) null else root.get("rates")
+      if (rates == null || !rates.isObject)
+        throw new IllegalStateException(
+          s"rates payload for $day has no 'rates' object")
+      val b = Map.newBuilder[String, Double]
+      val names = rates.fieldNames()
+      while (names.hasNext) {
+        val k = names.next()
+        val v = rates.get(k)
+        if (!v.isNumber)
+          throw new IllegalStateException(
+            s"non-numeric rate for '$k' on $day: $v")
+        b += k -> v.asDouble()
+      }
+      b.result()
+    }
+  }
+
   /** Day-memoized, EUR-rebased rates dimension (R17+R18). `resolve` hits
     * the provider only on a memo miss for that day; replays and retries
     * within the day are free, mirroring the reference's API-call budget.

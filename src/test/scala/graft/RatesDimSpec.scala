@@ -46,6 +46,77 @@ class RatesDimSpec extends SparkSuite {
     }
   }
 
+  // in-process HTTP stub: serves `body()` with `status()` at /rates and
+  // counts requests — the offline stand-in for the reference's rates API
+  private def withHttpServer[A](status: => Int, body: => String)(
+      f: (String, () => Int) => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/rates", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/rates", () => hits.get())
+    finally server.stop(0)
+  }
+
+  test("HttpProvider: fetch + rebase over a real HTTP round trip") {
+    withHttpServer(200,
+      """{"rates": {"EUR": 0.92, "USD": 1.0, "JPY": 151.0}}""") { (url, _) =>
+      val c = cache(new RatesDim.HttpProvider(url))
+      val rates = c.resolve(LocalDate.parse("2026-01-01"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rates("EUR") == 1.0)
+      assert(math.abs(rates("USD") - 1.0 / 0.92) < 1e-12)
+      assert(math.abs(rates("JPY") - 151.0 / 0.92) < 1e-12)
+    }
+  }
+
+  test("HttpProvider: memo hit means NO second HTTP request; day roll refetches") {
+    withHttpServer(200,
+      """{"rates": {"EUR": 0.92, "USD": 1.0}}""") { (url, hits) =>
+      val c = cache(new RatesDim.HttpProvider(url))
+      val d1 = LocalDate.parse("2026-01-01")
+      c.resolve(d1); c.resolve(d1); c.broadcastable(d1)
+      assert(hits() == 1, "same-day resolves must not re-hit the endpoint")
+      c.resolve(LocalDate.parse("2026-01-02"))
+      assert(hits() == 2, "a new day is one more request")
+    }
+  }
+
+  test("HttpProvider error ladder: non-200, non-JSON, missing rates, missing EUR") {
+    val day = LocalDate.parse("2026-01-01")
+    withHttpServer(503, """{"oops": true}""") { (url, _) =>
+      val e = intercept[IllegalStateException] {
+        cache(new RatesDim.HttpProvider(url)).resolve(day) }
+      assert(e.getMessage.contains("HTTP 503"))
+    }
+    withHttpServer(200, "not json at all {") { (url, _) =>
+      val e = intercept[IllegalStateException] {
+        cache(new RatesDim.HttpProvider(url)).resolve(day) }
+      assert(e.getMessage.contains("non-JSON"))
+    }
+    withHttpServer(200, """{"base": "USD"}""") { (url, _) =>
+      val e = intercept[IllegalStateException] {
+        cache(new RatesDim.HttpProvider(url)).resolve(day) }
+      assert(e.getMessage.contains("no 'rates' object"))
+    }
+    // missing EUR rides the SHARED DailyCachedRates check (R25's
+    // validate-base rung) — and must memoize nothing
+    withHttpServer(200, """{"rates": {"USD": 1.0}}""") { (url, hits) =>
+      val c = cache(new RatesDim.HttpProvider(url))
+      val e = intercept[IllegalStateException] { c.resolve(day) }
+      assert(e.getMessage.contains("EUR missing"))
+      intercept[IllegalStateException] { c.resolve(day) }
+      assert(hits() == 2, "a failed day must not be memoized as fetched")
+    }
+  }
+
   test("cached dim feeds the incremental pipeline end to end") {
     val root = Files.createTempDirectory("graft_e2e_").toString
     gen.OrderGen.orders(spark, 25, seed = 13).write.parquet(s"$root/src")
