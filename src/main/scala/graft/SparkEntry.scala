@@ -66,6 +66,9 @@ object SparkEntry {
     // same output through the scale-safe histogram-rank plan (no full sort
     // on the 3-value status key) — shares q34's oracle
     "q34b_median_hist"     -> ((s, d) => ops.Analytics.q34Hist(s, d)),
+    // interpolated percentile_cont semantics on the same histogram plan;
+    // scaled-integer rank arithmetic + one fixed-order lerp, own oracle
+    "q34c_percentile_cont" -> ((s, d) => ops.Analytics.q34c(s, d)),
     "q35_repetition_filter" -> ((s, d) => ops.TextAnalysis.q35(s, d)),
     "q36_join_full"        -> ((s, d) => ops.Relational.q36(s, d)),
     "q37_window_ranks"     -> ((s, d) => ops.Aggregates.q37(s, d)),
@@ -214,6 +217,7 @@ object SparkEntry {
     "q33c_asof_bucketed"   -> ops.AsOf.q33Sql,
     "q34_median"           -> ops.Analytics.q34Sql,
     "q34b_median_hist"     -> ops.Analytics.q34Sql,
+    "q34c_percentile_cont" -> ops.Analytics.q34cSql,
     "q35_repetition_filter" -> ops.TextAnalysis.q35Sql,
     "q36_join_full"        -> ops.Relational.q36Sql,
     "q37_window_ranks"     -> ops.Aggregates.q37Sql,

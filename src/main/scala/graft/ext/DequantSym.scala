@@ -46,6 +46,12 @@ case class DequantSym(child: Expression) extends UnaryExpression {
 object DequantSym {
   /** One-pass max, one-pass reconstruct. Output is a fresh
     * `GenericArrayData` of boxed doubles (nullable elements).
+    *
+    * NaN pinning: a NaN element makes `mx` NaN, and Java's `!(mx > 0)`
+    * then zeroes the whole vector. DuckDB's comparison sorts NaN greater
+    * than everything, so the q59/q60 oracles restate the guard as
+    * `NOT isnan(mx) AND mx > 0` — identical branch choice in both
+    * engines for every input, NaN-bearing or not.
     */
   def eval(a: ArrayData): ArrayData = {
     val n = a.numElements()

@@ -263,6 +263,29 @@ object Analytics {
     * status key.
     */
   def q34Hist(spark: SparkSession, dir: String): DataFrame = {
+    val cum = histCum(spark, dir)
+    val lo  = floor((col("cnt") + 1) / lit(2)).cast("long")
+    val hi  = floor((col("cnt") + 2) / lit(2)).cast("long")
+    val p90 = floor((col("cnt") * 9 + 9) / lit(10)).cast("long")
+    def covers(k: Column) = col("cum") - col("c") < k && k <= col("cum")
+    cum.groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(when(covers(lo) || covers(hi), col("p"))).cast("double") /
+          sum(when(covers(lo) || covers(hi), 1).otherwise(0)).cast("double"))
+          .as("median_price"),
+        max(when(covers(p90), col("p"))).cast("double").as("p90_price"),
+        max(col("cnt")).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The shared histogram-rank pipeline behind [[q34Hist]] and [[q34c]]:
+    * per-(status, price) counts with global cumulative rank, built without
+    * ever sorting raw rows on the 3-value status key (steps 1–3 of
+    * q34Hist's doc). Returns one row per distinct (status, price) with
+    * columns (o_orderstatus, bkt, p, c, off, cnt, cum): the price covers
+    * global ranks (cum − c, cum].
+    */
+  private def histCum(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
@@ -291,21 +314,88 @@ object Analytics {
     val wIn = Window.partitionBy(col("o_orderstatus"), col("bkt"))
       .orderBy(asc("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.join(broadcast(bucketOffsets), Seq("o_orderstatus", "bkt"))
+    hist.join(broadcast(bucketOffsets), Seq("o_orderstatus", "bkt"))
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
-    val lo  = floor((col("cnt") + 1) / lit(2)).cast("long")
-    val hi  = floor((col("cnt") + 2) / lit(2)).cast("long")
-    val p90 = floor((col("cnt") * 9 + 9) / lit(10)).cast("long")
+  }
+
+  /** q34c_percentile_cont: INTERPOLATED quantiles (the SQL-standard
+    * percentile_cont semantics users actually type) — p50/p90 where a
+    * fractional rank position lerps between the two surrounding order
+    * statistics: pos = q·(n−1) zero-indexed, lo = value at floor(pos)+1,
+    * hi = the next value, result = lo + frac·(hi − lo). Completes the
+    * quantile family: exact-discrete (q34), histogram-rank (q34b), sketch
+    * (x09), and now interpolated — on q34b's scale-safe histogram plan
+    * (rank selection over (status, price) counts; raw rows never sort on
+    * the 3-value status key).
+    *
+    * Cross-engine exactness, q63's discipline: rank positions are SCALED
+    * INTEGERS (pos×10 = (n−1)·{5,9}), so floor/frac are integer div/mod —
+    * no float rank arithmetic anywhere; the fraction becomes a double in
+    * one exact ÷10.0, values are correctly-rounded decimal→double casts,
+    * and the single lerp `lo + f·(hi − lo)` is restated operand-for-
+    * operand in the oracle ⇒ hash-exact. (DuckDB's native quantile_cont
+    * on DECIMAL input truncates the interpolated result back to scale 2,
+    * so the oracle restates the standard formula on doubles instead —
+    * verified equal to the native function up to that truncation.)
+    */
+  def q34c(spark: SparkSession, dir: String): DataFrame = {
+    val cum = histCum(spark, dir)
+    // rank of the LOWER order statistic for quantile m/10, 1-indexed:
+    // pos10 = (n−1)·m is pos×10, so rank = pos10 div 10 + 1 and the
+    // fractional part is (pos10 mod 10)/10 — all integer until the ÷10.0
+    def r10(m: Int) =
+      ((((col("cnt") - 1) * m) - ((col("cnt") - 1) * m) % 10) / 10)
+        .cast("long") + 1
     def covers(k: Column) = col("cum") - col("c") < k && k <= col("cum")
-    cum.groupBy(col("o_orderstatus"))
+    def pAt(k: Column) = max(when(covers(k), col("p")))
+    val agged = cum.groupBy(col("o_orderstatus"))
       .agg(
-        (sum(when(covers(lo) || covers(hi), col("p"))).cast("double") /
-          sum(when(covers(lo) || covers(hi), 1).otherwise(0)).cast("double"))
-          .as("median_price"),
-        max(when(covers(p90), col("p"))).cast("double").as("p90_price"),
-        max(col("cnt")).as("n_orders"))
+        pAt(r10(5)).as("lo50"), pAt(r10(5) + 1).as("hi50"),
+        pAt(r10(9)).as("lo90"), pAt(r10(9) + 1).as("hi90"),
+        max(col("cnt")).as("cnt"))
+    // hi is null only when the lower rank is the maximum (frac provably 0):
+    // coalesce to lo so the lerp stays total
+    def lerp(lo: String, hi: String, m: Int) = {
+      val f = (((col("cnt") - 1) * m) % 10).cast("double") / lit(10.0)
+      col(lo).cast("double") +
+        f * (coalesce(col(hi), col(lo)).cast("double") - col(lo).cast("double"))
+    }
+    agged.select(col("o_orderstatus"),
+        lerp("lo50", "hi50", 5).as("p50_price"),
+        lerp("lo90", "hi90", 9).as("p90_price"),
+        col("cnt").as("n_orders"))
       .orderBy("o_orderstatus")
   }
+
+  /** q34c's restatement: the ranked-window definition of the same scaled-
+    * integer rank arithmetic and the SAME operand-order lerp on doubles.
+    */
+  val q34cSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |       lo50 + f50 * (hi50 - lo50) AS p50_price,
+      |       lo90 + f90 * (hi90 - lo90) AS p90_price,
+      |       CAST(cnt AS BIGINT) AS n_orders
+      |FROM (
+      |  SELECT o_orderstatus,
+      |         CAST(max(CASE WHEN rn = ((cnt-1)*5)//10 + 1 THEN p END) AS DOUBLE) AS lo50,
+      |         CAST(coalesce(max(CASE WHEN rn = ((cnt-1)*5)//10 + 2 THEN p END),
+      |                       max(CASE WHEN rn = ((cnt-1)*5)//10 + 1 THEN p END)) AS DOUBLE) AS hi50,
+      |         CAST(((max(cnt)-1)*5) % 10 AS DOUBLE) / 10.0 AS f50,
+      |         CAST(max(CASE WHEN rn = ((cnt-1)*9)//10 + 1 THEN p END) AS DOUBLE) AS lo90,
+      |         CAST(coalesce(max(CASE WHEN rn = ((cnt-1)*9)//10 + 2 THEN p END),
+      |                       max(CASE WHEN rn = ((cnt-1)*9)//10 + 1 THEN p END)) AS DOUBLE) AS hi90,
+      |         CAST(((max(cnt)-1)*9) % 10 AS DOUBLE) / 10.0 AS f90,
+      |         max(cnt) AS cnt
+      |  FROM ranked
+      |  GROUP BY o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
 
   val q34Sql: String =
     """SELECT o_orderstatus,

@@ -418,6 +418,9 @@ object TextAnalysis {
   private[graft] def sampleTopNPerGroup(
       base: DataFrame, groupCol: String, n: Int,
       salts: Int = 32): DataFrame = {
+    Seq("_salt", "_lr", "rk").foreach(c =>
+      require(!base.columns.contains(c),
+        s"sampleTopNPerGroup reserves column name '$c' (input already has it)"))
     import org.apache.spark.sql.expressions.Window
     val wLocal = Window.partitionBy(col("_salt"), col(groupCol))
       .orderBy(asc("h"), asc("doc_id"))
@@ -513,6 +516,9 @@ object TextAnalysis {
       base: DataFrame,
       nBuckets: Long = 32L,
       hRange: Long = 1000000007L): DataFrame = {
+    Seq("bucket", "local_cum", "offset", "cum").foreach(c =>
+      require(!base.columns.contains(c),
+        s"hashOrderRunningSum reserves column name '$c' (input already has it)"))
     import org.apache.spark.sql.expressions.Window
     val width = hRange / nBuckets + 1L
     val bucketed = base.withColumn("bucket", expr(s"h div ${width}L"))

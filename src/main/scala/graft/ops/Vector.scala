@@ -661,7 +661,7 @@ object Vector {
     """SELECT vec_id,
       |       mx / CAST(127 AS DOUBLE) AS scale,
       |       array_to_string(list_transform(embedding,
-      |         x -> CAST(CAST(CASE WHEN mx > 0
+      |         x -> CAST(CAST(CASE WHEN NOT isnan(mx) AND mx > 0
       |                        THEN round(CAST(x AS DOUBLE) / (mx / CAST(127 AS DOUBLE)))
       |                        ELSE 0 END AS INTEGER) AS VARCHAR)), ',') AS q8
       |FROM (
@@ -718,7 +718,7 @@ object Vector {
       |  SELECT vec_id,
       |         list_transform(
       |           list_transform(embedding,
-      |             x -> CASE WHEN mx > 0
+      |             x -> CASE WHEN NOT isnan(mx) AND mx > 0
       |                       THEN round(CAST(x AS DOUBLE) / (mx / CAST(127 AS DOUBLE)))
       |                       ELSE 0 END),
       |           c -> c * (mx / CAST(127 AS DOUBLE))) AS vec
@@ -763,13 +763,15 @@ object Vector {
     * ≥-threshold DECISION is identical even though no double survives to
     * the output.
     *
-    * The declared query pins the exact pair path (maxBlockSide far above
-    * any driver-SF block); a 100 TB run tunes maxBlockSide to trade the
-    * oversized-block LSH handoff consciously.
+    * The declared query pins the exact pair path EXPLICITLY
+    * (maxBlockSide = Int.MaxValue at the call site, so the oracle-gated
+    * contract never silently inherits a tunable default that could flip
+    * an oversized block onto the recall-lossy LSH handoff); a 100 TB run
+    * tunes maxBlockSide to trade that handoff consciously.
     */
   def q47(spark: SparkSession, dir: String): DataFrame = {
     val pairs = blockedCosinePairs(Tables.embeddings(spark, dir),
-      blockCol = "label", minCosine = 0.35)
+      blockCol = "label", minCosine = 0.35, maxBlockSide = Int.MaxValue)
     val labels = Text.dupComponentsStar(pairs, "vec_id_a", "vec_id_b")
     labels
       .withColumn("cluster_size",

@@ -94,4 +94,34 @@ class AnalyticsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q34c matches a driver-side exact percentile_cont, bit for bit") {
+    val got = ops.Analytics.q34c(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val raw = Tables.orders(spark, sf001)
+      .select(col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1)))
+      .groupBy(_._1)
+      .map { case (s, rs) => s -> rs.map(_._2).sortBy(d => d).toVector }
+    // the same scaled-integer rank + single-lerp arithmetic, on the driver:
+    // pos×10 = (n−1)·m, lo = value at pos10/10 (0-indexed), f = (pos10%10)/10
+    def pcont(v: Vector[java.math.BigDecimal], m: Int): Double = {
+      val pos10 = (v.length - 1).toLong * m
+      val lo = v((pos10 / 10).toInt).doubleValue
+      val hi = if (pos10 / 10 + 1 < v.length) v((pos10 / 10).toInt + 1).doubleValue else lo
+      lo + ((pos10 % 10).toDouble / 10.0) * (hi - lo)
+    }
+    got.foreach { case (s, p50, p90, n) =>
+      val vs = raw(s)
+      assert(n == vs.length, s"$s: n_orders $n vs ${vs.length}")
+      assert(p50 == pcont(vs, 5), s"$s: p50 $p50 vs ${pcont(vs, 5)}")
+      assert(p90 == pcont(vs, 9), s"$s: p90 $p90 vs ${pcont(vs, 9)}")
+      // interpolated p50 is bracketed by the discrete order statistics
+      assert(p50 >= vs.head.doubleValue && p50 <= vs.last.doubleValue)
+      assert(p90 >= p50, s"$s: p90 $p90 < p50 $p50")
+    }
+  }
 }
