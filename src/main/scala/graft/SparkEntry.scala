@@ -150,6 +150,8 @@ object SparkEntry {
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
     // linear interpolation over the same densified series (q62's twin)
     "q63_interp_linear"    -> ((s, d) => ops.Analytics.q63(s, d)),
+    // exact fractional stratified sample via histogram-rank selection
+    "q64_sample_stratified" -> ((s, d) => ops.TextAnalysis.q64(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -251,6 +253,7 @@ object SparkEntry {
     "q61b_bm25_multi"      -> ops.Text.q61bSql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
+    "q64_sample_stratified" -> ops.TextAnalysis.q64Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

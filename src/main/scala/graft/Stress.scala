@@ -54,7 +54,8 @@ object Stress {
         noop(orders.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn"))
       }) ++ vectorAssignment(spark, n / 10) ++
-      saltedJoinStage(spark, n) ++ prefixScanStage(spark, n)
+      saltedJoinStage(spark, n) ++ prefixScanStage(spark, n) ++
+      ccStarStage(spark, n / 10)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -85,6 +86,35 @@ object Stress {
       time(s"ivf_assign_shuffle_${vn}") {
         noop(ops.Vector.nearestCellShuffle(vecs, centsDf, 1))
       })
+  }
+
+  /** Star-CC convergence at volume (default 1M edges ≈ 40 000× the sf0.1
+    * pair list): a planted mix of one `m/2`-node PATH — the diameter
+    * monster where plain min-propagation needs m/2 rounds — and an
+    * Erdős–Rényi-ish blob (m/2 random edges over an m/2-node id space,
+    * giant component + fragments). Emits per-round wall seconds plus the
+    * round count; the count staying ≤ ~log₂(n)+2 at this scale is the
+    * measured form of the O(log n) claim q41b/q47 rest on (ScaleSpec pins
+    * the same bound functionally on a smaller mix).
+    */
+  private def ccStarStage(
+      spark: SparkSession, m: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val half = m / 2
+    val blobBase = half + 10L
+    def edges = spark.range(half)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      .union(spark.range(half).select(
+        (pmod(col("id") * 2654435761L, lit(half)) + blobBase).as("doc_a"),
+        (pmod(col("id") * 48271L, lit(half)) + blobBase).as("doc_b")))
+    val t0 = System.nanoTime()
+    val (labels, rounds) =
+      ops.Text.dupComponentsStarTimed(edges, "doc_a", "doc_b", maxIters = 40)
+    noop(labels)
+    val total = (System.nanoTime() - t0) / 1e9
+    Seq(s"cc_star_total_${m}" -> total,
+        s"cc_star_rounds_${m}" -> rounds.length.toDouble) ++
+      rounds.zipWithIndex.map { case (s, i) => s"cc_star_round_$i" -> s }
   }
 
   /** Hot-key join at volume: one key owns 90% of `n` fact rows against a

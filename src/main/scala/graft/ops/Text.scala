@@ -651,7 +651,9 @@ object Text {
     *       long-lived session invoking it repeatedly must drop them —
     *       `spark.sharedState.cacheManager.clearCache()` (what Bench/Verify
     *       do between queries) or `catalog.clearCache()` — or accumulate
-    *       cached blocks per invocation.
+    *       cached blocks per invocation. Library users who don't manage a
+    *       session-wide sweep should prefer [[jaccardJoinSwept]], which
+    *       scopes the caches to one callback.
     */
   def jaccardJoin(
       docs: DataFrame,
@@ -659,7 +661,38 @@ object Text {
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      dfBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+      dfBroadcastMaxBytes: Long = 64L << 20): DataFrame =
+    jaccardJoinImpl(docs, idCol, textCol, shingleN, threshold,
+      dfBroadcastMaxBytes)._1
+
+  /** Loan-pattern form of [[jaccardJoin]] (ADVICE r6): runs `use` with the
+    * pair DataFrame, then unpersists the operator's two cached
+    * intermediates — the caller's action happens inside the scope, so no
+    * blocks leak into a long-lived session and no session-wide
+    * `clearCache()` sweep (which would also evict the CALLER's caches) is
+    * needed. The raw form stays available for callers that already manage
+    * cache lifetime (Bench/Verify sweep between queries).
+    */
+  def jaccardJoinSwept[T](
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      dfBroadcastMaxBytes: Long = 64L << 20)(use: DataFrame => T): T = {
+    val (pairs, cached) = jaccardJoinImpl(docs, idCol, textCol, shingleN,
+      threshold, dfBroadcastMaxBytes)
+    try use(pairs)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private def jaccardJoinImpl(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      dfBroadcastMaxBytes: Long): (DataFrame, Seq[DataFrame]) = {
     val t = lit(java.math.BigDecimal.valueOf(threshold)) // exact decimal
     // The shingle table feeds three consumers — the df aggregate, the
     // prefix pipeline, and both verify joins — whose diverging pushed-down
@@ -711,7 +744,7 @@ object Text {
         t * greatest(col("sz_a"), col("sz_b"))) // J ≤ min/max
       .select("doc_a", "doc_b").distinct()
     val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-    cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("toks_a"),
         col("sz").as("sz_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("toks_b"),
@@ -720,6 +753,7 @@ object Text {
         (inter.cast("double") /
           (col("sz_a") + col("sz_b") - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    (pairs, Seq(sh, pref))
   }
 
   /** x10_jaccard_join: exact word-trigram Jaccard ≥ 0.8 over `documents`
@@ -770,6 +804,26 @@ object Text {
     * loop, notebook, repeated pipeline runs) untracked iterations pile up.
     * Only a loop's RETURNED dataset keeps its blocks (the caller reads it).
     */
+  /** Workaround for a Spark 4.1 optimizer defect the CC loops expose:
+    * when the caller's pair list is UNION-shaped (e.g. minhash ∪ simhash
+    * pairs — a routine composition), constraint propagation across the
+    * loops' alias-swapped self-unions of checkpointed plans dies inside
+    * `UnionBase.rewriteConstraints` with `NoSuchElementException: key not
+    * found: u#…` (reproduced in ScaleSpec's planted-mix shape; Stress hit
+    * it first). The loop joins are on bare long ids where inferred
+    * constraints optimize nothing, so propagation is disabled for the
+    * loop's duration and restored after; the RETURNED labels are eagerly
+    * checkpointed inside the disabled scope so the caller's later actions
+    * plan against a constraint-free `LogicalRDD`, never the failing shape.
+    */
+  private def withoutConstraintPropagation[T](
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.constraintPropagation.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, saved)
+  }
+
   private final class CheckpointTracker(sc: org.apache.spark.SparkContext) {
     private def persistedIds = sc.getPersistentRDDs.keySet.toSet
     def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -786,7 +840,8 @@ object Text {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+      withoutConstraintPropagation(pairs.sparkSession) {
     val tracker = new CheckpointTracker(pairs.sparkSession.sparkContext)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val und = edges
@@ -822,7 +877,7 @@ object Text {
       i += 1
     }
     und.unpersist()
-    labels
+    labels // already a checkpointed LogicalRDD (the loop's last iterate)
   }
 
   /** Large-star/small-star connected components (Kiveris et al.,
@@ -846,7 +901,23 @@ object Text {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30): DataFrame =
+    dupComponentsStarTimed(pairs, aCol, bCol, maxIters)._1
+
+  /** [[dupComponentsStar]] plus per-round wall-clock seconds (convergence
+    * probe included — it is part of every round's real cost). The length
+    * of the returned vector IS the round count, which ScaleSpec pins
+    * ≤ log₂(n)+2 on a planted high-diameter component mix and Stress
+    * records at the 1M-edge scale — the O(log n) claim, measured rather
+    * than cited.
+    */
+  private[graft] def dupComponentsStarTimed(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIters: Int = 30): (DataFrame, Vector[Double]) =
+      withoutConstraintPropagation(pairs.sparkSession) {
+    val roundSecs = scala.collection.immutable.Vector.newBuilder[Double]
     val tracker = new CheckpointTracker(pairs.sparkSession.sparkContext)
     def nbrMin(sym: DataFrame) =
       sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -858,6 +929,7 @@ object Text {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val t0 = System.nanoTime()
       // large-star over the SYMMETRIC adjacency: each undirected edge is
       // processed at its smaller endpoint (only v > u emits), so the new
       // (larger, min) edge replaces it; min ≤ u < v keeps u > v canonical
@@ -883,10 +955,14 @@ object Text {
       edges = next
       edgeIds = nextIds
       i += 1
+      roundSecs += (System.nanoTime() - t0) / 1e9
     }
     val symF = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    symF.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("comp"))
+    val labels = symF
+      .groupBy("u").agg(least(min(col("v")), first(col("u"))).as("comp"))
       .select(col("u").as("id"), col("comp"))
+      .localCheckpoint() // caller actions plan against a LogicalRDD barrier
+    (labels, roundSecs.result())
   }
 
   /** q41_dedup_clusters: x02's near-dup pairs resolved into canonical

@@ -412,6 +412,108 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("rk"))
       .orderBy("doc_id")
 
+  /** q64_sample_stratified: EXACT fractional stratified sampling — exactly
+    * ⌈n_g/10⌉ documents per language, the smallest by the engine-portable
+    * (content-hash, doc_id) order. The "sample 10% of every stratum" step
+    * of corpus curation: q48's hash-membership test is reproducible but
+    * only hits each stratum's fraction in EXPECTATION; this guarantees the
+    * exact per-stratum count, still deterministic across runs, engines,
+    * and partitionings.
+    *
+    * Scale shape — the cut line is the ⌈n_g/10⌉-th smallest hash per
+    * group, an ORDER STATISTIC, so q34b's histogram-rank discipline
+    * applies rather than a per-group sort. q50's salted top-N does NOT
+    * transfer here: its phase-1 cut keeps N rows per salt, but a
+    * fractional target grows with the group (⌈n_g/10⌉ ≫ n_g/salts keeps
+    * everything), so [[exactStratifiedSample]] selects by bucket census
+    * instead — see its doc for the plan.
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    exactStratifiedSample(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          rollingHash(spark, col("text")).as("h")),
+      groupCol = "lang", num = 1, den = 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val q64Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |    FROM documents))
+      |WHERE rk <= (cnt + 9) // 10
+      |ORDER BY doc_id""".stripMargin
+
+  /** The generic exact stratified sampler behind q64: per `groupCol`
+    * group, keep exactly ⌈n_g·num/den⌉ rows — the smallest by (h, doc_id)
+    * — without ever sorting a group's rows in one partition. Input must
+    * carry (doc_id, groupCol, h) with h ∈ [0, hRange).
+    *
+    * Histogram-rank selection (q34b's discipline, applied to sampling):
+    *  1. census per (group, h-bucket) — a map-side-combinable aggregate;
+    *     everything after step 1 runs on ≤ nBuckets×groups CENSUS rows;
+    *  2. per-group running count over buckets (windows over census rows,
+    *     never data) finds each bucket's rank interval and the group's
+    *     integer target ⌈tot·num/den⌉ — buckets strictly below the cut
+    *     pass whole, the ONE straddling bucket gets a remainder quota;
+    *  3. the classification broadcast-joins back onto the data (no data
+    *     shuffle), full-in rows pass, and only the straddling bucket's
+    *     rows — expected n_g/nBuckets of the group — rank within
+    *     (group, bucket) to take the remainder.
+    * Exact because bucket boundaries respect the (h, doc_id) order: equal
+    * hashes share a bucket, so the within-bucket rank IS the global rank
+    * minus the bucket's offset. The data's one wide shuffle is the
+    * boundary-bucket window over that small slice; a plain per-group
+    * `row_number` (the oracle's form) would instead funnel every group
+    * through one reducer.
+    */
+  private[graft] def exactStratifiedSample(
+      base: DataFrame, groupCol: String, num: Int, den: Int,
+      nBuckets: Long = 1024L,
+      hRange: Long = 1000000007L): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"sampling fraction $num/$den must lie in [0, 1]")
+    Seq("bkt", "c", "cum", "tot", "target", "off", "cls", "rk").foreach(c =>
+      require(!base.columns.contains(c),
+        s"exactStratifiedSample reserves column name '$c' (input already has it)"))
+    import org.apache.spark.sql.expressions.Window
+    val width = hRange / nBuckets + 1L
+    val tagged = base.withColumn("bkt", expr(s"h div ${width}L"))
+    val hist = tagged.groupBy(col(groupCol), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(asc("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col(groupCol))
+    val cls = hist
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .withColumn("target", expr(s"(tot * $num + ${den - 1}) div $den"))
+      .withColumn("off", col("cum") - col("c"))
+      .withColumn("cls",
+        when(col("cum") <= col("target"), lit(2))        // fully below the cut
+          .when(col("off") < col("target"), lit(1))       // straddles the cut
+          .otherwise(lit(0)))
+      .filter(col("cls") > 0)
+      .select(col(groupCol), col("bkt"), col("off"), col("target"), col("cls"))
+    val joined = tagged.join(broadcast(cls), Seq(groupCol, "bkt"))
+    val outCols = base.columns.map(col).toSeq
+    val full = joined.filter(col("cls") === 2).select(outCols: _*)
+    val wB = Window.partitionBy(col(groupCol), col("bkt"))
+      .orderBy(asc("h"), asc("doc_id"))
+    val remainder = joined.filter(col("cls") === 1)
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= col("target") - col("off"))
+      .select(outCols: _*)
+    full.union(remainder)
+  }
+
   /** The generic salted per-group exact top-N behind q50: smallest n rows
     * per `groupCol` by (h, doc_id). Input must carry (doc_id, groupCol, h).
     */

@@ -307,4 +307,40 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("property: histogram-rank stratified sample == direct window at any fraction") {
+    import spark.implicits._
+    // skewed strata + colliding hashes: collisions sit INSIDE one bucket
+    // by construction (same h ⇒ same bucket), so this exercises the
+    // straddling bucket's tie-break rank against the global definition;
+    // tiny nBuckets forces real multi-row buckets
+    val rowGen: Gen[(Long, String, Long)] = for {
+      id <- Gen.chooseNum(0L, 4999L)
+      g  <- Gen.frequency(8 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c"))
+      h  <- Gen.chooseNum(0L, 500L)
+    } yield (id, g, h)
+    (81L to 83L).foreach { seed =>
+      val base = sample(Gen.listOfN(400, rowGen), seed)
+        .distinctBy(_._1)
+        .toDF("doc_id", "lang", "h")
+      Seq((1, 10), (3, 7), (1, 1), (0, 5)).foreach { case (num, den) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(asc("h"), asc("doc_id"))
+        val direct = base
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+          .filter(col("rk") <= expr(s"(cnt * $num + ${den - 1}) div $den"))
+          .select("doc_id", "lang")
+          .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        Seq(4L, 64L).foreach { buckets =>
+          val got = ops.TextAnalysis.exactStratifiedSample(
+              base, "lang", num, den, nBuckets = buckets, hRange = 501L)
+            .select("doc_id", "lang")
+            .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+          assert(got == direct, s"seed=$seed f=$num/$den buckets=$buckets")
+        }
+      }
+    }
+  }
 }

@@ -284,4 +284,63 @@ class ScaleSpec extends SparkSuite {
     val years = new java.io.File(dir).list().count(_.startsWith("yr="))
     assert(years >= 3, s"expected one subdir per year, got $years")
   }
+
+  test("q64: no shuffle of raw rows on the bare lang key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // control: the oracle's per-group row_number DOES funnel raw rows
+      // through #langs reducers
+      val base = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("lang"),
+          ops.TextAnalysis.rollingHash(spark, col("text")).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(asc("h"), asc("doc_id"))
+      val naive = base.withColumn("rk", row_number().over(w))
+      assert(rawKeyShuffles(naive, "lang").nonEmpty,
+        "control: the direct window should shuffle raw rows on lang")
+      // histogram-rank selection: raw rows only ever hash-partition on the
+      // composite (lang, bkt) — the bare-lang exchanges carry census rows
+      // (an aggregate below them), and the classification joins back by
+      // broadcast
+      assert(rawKeyShuffles(ops.TextAnalysis.q64(spark, sf0001), "lang").isEmpty,
+        "q64 must not hash-partition raw rows on the bare lang key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("star CC converges in ≤ log₂(n)+2 rounds on a planted component mix") {
+    import spark.implicits._
+    // the three shapes that stress the round bound differently, together:
+    //  - a 4096-node PATH (diameter = n: plain propagation's worst case)
+    //  - a 512-node near-clique (diameter 1–2: trivially fast, but its
+    //    high-degree minimum stresses the large-star rewiring volume)
+    //  - 200 disjoint 16-node rings (many components at once)
+    val path = (0L until 4095L).map(i => (i, i + 1))
+    val cliqueBase = 100000L
+    val clique = (1L until 512L).flatMap(i =>
+      Seq((cliqueBase + i, cliqueBase + (i * 7919L) % i), // random-ish back edge
+          (cliqueBase + i, cliqueBase)))                  // plus the hub
+    val ringBase = 200000L
+    val rings = (0L until 200L).flatMap { r =>
+      val b = ringBase + r * 16L
+      (0L until 16L).map(i => (b + i, b + (i + 1) % 16L))
+    }
+    val edges = (path ++ clique ++ rings).toDF("doc_a", "doc_b")
+    val nNodes = 4096 + 512 + 200 * 16
+    val bound = (math.log(nNodes) / math.log(2)).ceil.toInt + 2
+
+    val (labels, roundSecs) =
+      ops.Text.dupComponentsStarTimed(edges, "doc_a", "doc_b")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // correctness: each planted component resolves to its minimum id
+    assert((0L to 4095L).forall(got(_) == 0L), "path must collapse to 0")
+    assert((cliqueBase until cliqueBase + 512L).forall(got(_) == cliqueBase))
+    (0L until 200L).foreach { r =>
+      val b = ringBase + r * 16L
+      assert((b until b + 16L).forall(got(_) == b), s"ring $r broken")
+    }
+    // the round bound the 100 TB argument rests on — measured, not cited
+    assert(roundSecs.nonEmpty && roundSecs.length <= bound,
+      s"star CC took ${roundSecs.length} rounds (bound $bound): " +
+        roundSecs.map(s => f"$s%.2fs").mkString(", "))
+  }
 }

@@ -164,6 +164,49 @@ class TextSpec extends SparkSuite {
     assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle)
   }
 
+  test("jaccardJoinSwept: same pairs as the raw form, zero blocks left behind") {
+    val docs = Tables.documents(spark, sf001)
+    val raw = Text.jaccardJoin(docs).as[(Long, Long, Double)].collect().toSet
+    spark.sharedState.cacheManager.clearCache() // drop the raw form's caches
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val swept = Text.jaccardJoinSwept(docs)(
+      _.as[(Long, Long, Double)].collect().toSet)
+    assert(swept == raw && swept.nonEmpty)
+    // the loan scope swept its own persists — nothing new outlives it
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
+  test("CC loops survive a UNION-shaped pair list (constraint-rewrite defect)") {
+    // composing pair sources (minhash ∪ simhash) is routine; Spark 4.1's
+    // UnionBase.rewriteConstraints dies on the loops' alias-swapped
+    // self-unions over such inputs ("key not found: u#…") unless the
+    // operator disables constraint propagation for the loop's duration
+    val half = 2000L
+    val blobBase = half + 10L
+    val edges = spark.range(half)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      .union(spark.range(half).select(
+        (pmod(col("id") * 2654435761L, lit(half)) + blobBase).as("doc_a"),
+        (pmod(col("id") * 48271L, lit(half)) + blobBase).as("doc_b")))
+    // the caller acts AFTER the operator returns — both the loop and the
+    // returned plan must be safe, with the session conf untouched
+    val star = Text.dupComponentsStar(edges)
+    assert(star.filter(col("id") <= half).select(min(col("comp")))
+      .head().getLong(0) == 0L, "path side must collapse to component 0")
+    assert(spark.conf.get("spark.sql.constraintPropagation.enabled") == "true",
+      "operator must restore the session conf")
+    // dupComponents is diameter-bounded — probe it with a short union input
+    val smallUnion = spark.range(20L)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+      .union(spark.range(20L).select(
+        (col("id") + 100L).as("doc_a"), (col("id") + 101L).as("doc_b")))
+    val plain = Text.dupComponents(smallUnion, maxIters = 30)
+    assert(plain.count() == 42L) // nodes 0..20 ∪ 100..120
+  }
+
   test("q57 posting pads fail loudly on overflow instead of truncating") {
     // lpad silently TRUNCATES past the pad width in both engines — the
     // guard turns that corruption into an error (ADVICE r6)
