@@ -514,6 +514,87 @@ object TextAnalysis {
     full.union(remainder)
   }
 
+  /** q65_decontaminate: train/eval CONTAMINATION detection — flag every
+    * training document that shares at least one word 8-gram with the
+    * held-out eval slice (the GPT-3-style n-gram decontamination step an
+    * LLM pipeline runs before training, so benchmark answers don't leak
+    * into the train set). The eval slice is the content-hash 5% tail of
+    * q32's split discipline — deterministic membership, no shuffle to
+    * define it. Completes the dedup family's missing axis: q21/x02/x07/
+    * x10/q47 are all SELF-joins; this is the cross-corpus form.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        pmod(rollingHash(spark, col("text")), lit(100L)).as("bucket"))
+    decontaminate(
+      docs.filter(col("bucket") < 95).select("doc_id", "text"),
+      docs.filter(col("bucket") >= 95).select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(regexp_extract_all(text, '.'), c -> CAST(unicode(c) AS BIGINT))),
+      |           (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket,
+      |         string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, bucket,
+      |         list_distinct(list_transform(range(1, len(w) - 6),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |                w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS grams
+      |  FROM d)
+      |SELECT doc_id, coalesce(contaminated, FALSE) AS contaminated
+      |FROM (SELECT doc_id FROM g WHERE bucket < 95) t
+      |LEFT JOIN (
+      |  SELECT DISTINCT doc_id, TRUE AS contaminated
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket < 95)
+      |  WHERE gram IN (SELECT unnest(grams) FROM g WHERE bucket >= 95)) c
+      |USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The generic cross-corpus decontamination behind q65: (doc_id,
+    * contaminated) for every `train` row, true iff the doc shares ≥ 1
+    * distinct word `n`-gram with ANY `eval` doc. Both sides need
+    * (doc_id, text).
+    *
+    * Scale shape: real eval sets are fixed-size benchmarks — tiny next to
+    * the train corpus — so the distinct eval-gram table broadcasts and
+    * the train side never shuffles its grams: explode (map-side, via the
+    * one-pass `word_ngrams` kernel) → broadcast LEFT SEMI → per-doc
+    * `distinct` on the SURVIVING (doc_id) hits only — contamination is
+    * rare by construction, so the distinct's shuffle is near-empty. The
+    * broadcast is CONDITIONAL on the eval side's plan-stats size
+    * (jaccardJoin's cap discipline — erring toward the shuffle semi-join,
+    * the safe direction); past the cap the same plan runs as a shuffled
+    * semi-join, value-identical (TextSpec pins both paths). The final
+    * left join re-attaches the flag to train doc ids — row count is
+    * train's, never gram-amplified.
+    */
+  private[graft] def decontaminate(
+      train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      evalBroadcastMaxBytes: Long = 64L << 20): DataFrame = {
+    graft.ext.GraftFunctions.ensureWordNgrams(train.sparkSession)
+    val evalGrams = evalDocs
+      .select(explode(Text.nativeShingles(col("text"), n)).as("gram"))
+      .distinct()
+    val lookup =
+      if (evalDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+            <= BigInt(evalBroadcastMaxBytes)) broadcast(evalGrams)
+      else evalGrams
+    val hits = train
+      .select(col("doc_id"), explode(Text.nativeShingles(col("text"), n)).as("gram"))
+      .join(lookup, Seq("gram"), "left_semi")
+      .select("doc_id").distinct()
+    train.select("doc_id")
+      .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** The generic salted per-group exact top-N behind q50: smallest n rows
     * per `groupCol` by (h, doc_id). Input must carry (doc_id, groupCol, h).
     */

@@ -179,6 +179,29 @@ class TextSpec extends SparkSuite {
     assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
   }
 
+  test("decontaminate flags exactly the train docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),                 // tail 8-gram sits in eval 12
+      (2L, "totally different words here with no overlap at all present"),
+      (3L, "x y z q r s t u v w"),                 // head 8-gram sits in eval 11
+      (4L, "c d e f g h i")                        // 7 words: below the gram size
+    ).toDF("doc_id", "text")
+    val ev = Seq(
+      (11L, "prefix x y z q r s t u more trailing content"),
+      (12L, "c d e f g h i j k l")
+    ).toDF("doc_id", "text")
+    def run(capBytes: Long) = ops.TextAnalysis
+      .decontaminate(train, ev, n = 8, evalBroadcastMaxBytes = capBytes)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expect = Map(1L -> true, 2L -> false, 3L -> true, 4L -> false)
+    assert(run(Long.MaxValue) == expect, "broadcast path")
+    assert(run(0L) == expect, "shuffle-semi path must agree")
+    // a longer gram length de-flags the partial overlaps
+    val strict = ops.TextAnalysis.decontaminate(train, ev, n = 11)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(strict.values.forall(_ == false), s"no 11-gram is shared: $strict")
+  }
+
   test("CC loops survive a UNION-shaped pair list (constraint-rewrite defect)") {
     // composing pair sources (minhash ∪ simhash) is routine; Spark 4.1's
     // UnionBase.rewriteConstraints dies on the loops' alias-swapped
