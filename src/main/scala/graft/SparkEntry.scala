@@ -154,6 +154,8 @@ object SparkEntry {
     "q64_sample_stratified" -> ((s, d) => ops.TextAnalysis.q64(s, d)),
     // cross-corpus train/eval 8-gram contamination flags
     "q65_decontaminate"    -> ((s, d) => ops.TextAnalysis.q65(s, d)),
+    // rolling 7-observation z-score anomaly flags on the daily series
+    "q66_rolling_zscore"   -> ((s, d) => ops.Analytics.q66(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -257,6 +259,7 @@ object SparkEntry {
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q64_sample_stratified" -> ops.TextAnalysis.q64Sql,
     "q65_decontaminate"    -> ops.TextAnalysis.q65Sql,
+    "q66_rolling_zscore"   -> ops.Analytics.q66Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -693,4 +693,77 @@ object Analytics {
       |       wn AS (PARTITION BY status ORDER BY day
       |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |ORDER BY status, day""".stripMargin
+
+  /** q66_rolling_zscore: rolling ANOMALY detection over the daily revenue
+    * series — each observed (status, day) gets the mean of its last 7
+    * observations, a z-score against that window, and an |z| > 2 outlier
+    * flag. Completes the time-series family: densify (q62), interpolate
+    * (q63), and now monitor.
+    *
+    * Cross-engine exactness, q30's moment discipline on a MOVING frame:
+    * the rolling Σx and Σx² accumulate in exact decimal inside the ROWS
+    * frame (associative ⇒ partitioning-independent), become doubles in
+    * one correctly-rounded cast each (the oracle routes decimal→double
+    * through VARCHAR — q30's discipline — because DuckDB's direct cast
+    * double-rounds through int128/10^scale, observed one ulp off on the
+    * rolling Σx²), and every double after that — mean,
+    * variance `(sxx − sx·sx/cnt)/cnt`, the z lerp — is restated
+    * operand-for-operand in the oracle. The `var > 0` branch is the same
+    * IEEE comparison on identical doubles in both engines, so the
+    * undefined-z rows (single-observation windows, constant windows —
+    * where cancellation may land exactly on 0 or a signed epsilon) take
+    * the same NULL branch everywhere.
+    *
+    * Scale shape: the (status, day) aggregate is the only fact-sized
+    * stage (map-side partial); the rolling windows run over the
+    * pre-aggregated days×statuses rows — q62's low-cardinality-window
+    * defense — and a ROWS running frame is incremental, never a rescan.
+    */
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .groupBy("status", "day")
+      .agg(sum(col("p")).as("rev"))
+    val w = Window.partitionBy(col("status")).orderBy(asc("day"))
+      .rowsBetween(-6, Window.currentRow)
+    val sx   = sum(col("rev")).over(w).cast("double")
+    val sxx  = sum(col("rev") * col("rev")).over(w).cast("double")
+    val cnt  = count(lit(1)).over(w).cast("double")
+    val mean = sx / cnt
+    val vr   = (sxx - sx * sx / cnt) / cnt
+    val z    = (col("rev").cast("double") - mean) / sqrt(vr)
+    daily.select(col("status"), col("day"),
+        col("rev").cast("double").as("rev"),
+        mean.as("mean7"),
+        when(vr > 0, z).as("z"),
+        when(vr > 0, abs(z) > lit(2.0)).otherwise(lit(false)).as("outlier"))
+      .orderBy("status", "day")
+  }
+
+  val q66Sql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS status, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (
+      |  SELECT status, day,
+      |         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+      |         CAST(CAST(sum(rev) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+      |         CAST(CAST(sum(CAST(rev * rev AS DECIMAL(38,4))) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+      |         CAST(count(*) OVER w AS DOUBLE) AS cnt
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY status ORDER BY day
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT status, day, rev,
+      |       sx / cnt AS mean7,
+      |       CASE WHEN (sxx - sx * sx / cnt) / cnt > 0
+      |            THEN (rev - sx / cnt) / sqrt((sxx - sx * sx / cnt) / cnt)
+      |            END AS z,
+      |       CASE WHEN (sxx - sx * sx / cnt) / cnt > 0
+      |            THEN abs((rev - sx / cnt) / sqrt((sxx - sx * sx / cnt) / cnt)) > 2.0
+      |            ELSE FALSE END AS outlier
+      |FROM m
+      |ORDER BY status, day""".stripMargin
 }

@@ -124,4 +124,39 @@ class AnalyticsSpec extends SparkSuite {
       assert(p90 >= p50, s"$s: p90 $p90 < p50 $p50")
     }
   }
+
+  test("q66 rolling z-scores match a driver-side exact recomputation") {
+    val got = ops.Analytics.q66(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    assert(got.nonEmpty)
+    // recompute the rolling moments with the same operand order: exact
+    // decimal sums inside the frame, then the identical double formula
+    got.groupBy(_._1).foreach { case (status, rows) =>
+      val seq = rows.sortBy(_._2.toEpochDay).toVector
+      val revD = seq.map(r => java.math.BigDecimal.valueOf(r._3).setScale(2))
+      seq.indices.foreach { i =>
+        val win = revD.slice(math.max(0, i - 6), i + 1)
+        val sx = win.reduce(_ add _).doubleValue
+        val sxx = win.map(v => v.multiply(v)).reduce(_ add _).doubleValue
+        val cnt = win.length.toDouble
+        val mean = sx / cnt
+        val vr = (sxx - sx * sx / cnt) / cnt
+        val (_, day, rev, mean7, z, outlier) = seq(i)
+        assert(mean7 == mean, s"$status $day: mean $mean7 vs $mean")
+        if (vr > 0) {
+          val want = (rev - mean) / math.sqrt(vr)
+          assert(z.contains(want), s"$status $day: z $z vs $want")
+          assert(outlier == (math.abs(want) > 2.0))
+        } else {
+          assert(z.isEmpty && !outlier, s"$status $day: degenerate window")
+        }
+      }
+    }
+    // the fixture exercises real z-scores (degenerate-window nulls depend
+    // on FP cancellation landing ≤ 0 — consistent across engines by the
+    // shared formula, but not guaranteed to occur in a given fixture)
+    assert(got.exists(_._5.isDefined), "expected some defined z-scores")
+  }
 }
