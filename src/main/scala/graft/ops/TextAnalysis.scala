@@ -556,6 +556,86 @@ object TextAnalysis {
       |USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q67_rank_bands: per-language QUALITY QUARTILES — every document gets
+    * its lexical-diversity (type-token-ratio) rank within its language and
+    * the quartile band 1–4 that rank falls in: the "train on the top
+    * quality band, audit the bottom" bucketing step of corpus curation.
+    * Unlike `ntile` (physical-order-dependent, unrankable across engines),
+    * the band derives from the value-deterministic (ttr, doc_id) rank:
+    * band = (4·(rk−1)) div n_g + 1 — pure integer arithmetic on a total
+    * order, hash-exact.
+    *
+    * Scale shape: [[bucketedGroupRank]] — a full per-group ranking (every
+    * row needs its rank, so q64's selection shortcut doesn't apply) that
+    * still never sorts a group in one partition.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+          .as("ttr"))
+    bucketedGroupRank(scored, groupCol = "lang", scoreCol = "ttr",
+        idCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("ttr"),
+        expr("(4 * (rk - 1)) div cnt + 1").cast("int").as("band"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """SELECT doc_id, lang, ttr, CAST((4 * (rk - 1)) // cnt + 1 AS INTEGER) AS band
+      |FROM (
+      |  SELECT doc_id, lang, ttr,
+      |         row_number() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |           CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS ttr
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** The generic scale-safe per-group FULL ranking behind q67: every row
+    * of `base` gets `rk` — its 1-based rank within `groupCol` by
+    * (`scoreCol`, `idCol`) — and `cnt`, the group size, without ever
+    * sorting a whole group in one partition. `scoreCol` must lie in
+    * [0, 1] (ratios; clamp otherwise) and `idCol` must be unique.
+    *
+    * q34b's histogram discipline, but for RANKING rather than selection:
+    * scores bucket by fixed width (floor(score·nBuckets), monotone ⇒
+    * bucket order respects score order; ties share a bucket ⇒ within-
+    * bucket rank + bucket offset IS the global group rank); the census
+    * aggregate is map-side-combinable, offsets and group totals are
+    * windows over census rows, and the per-row work is a window over
+    * (group, bucket) — partitions of ~n_g/nBuckets rows — plus a
+    * broadcast join. The bare group key never partitions raw rows.
+    */
+  private[graft] def bucketedGroupRank(
+      base: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    Seq("bkt", "c", "off", "rk", "cnt").foreach(c =>
+      require(!base.columns.contains(c),
+        s"bucketedGroupRank reserves column name '$c' (input already has it)"))
+    import org.apache.spark.sql.expressions.Window
+    val bkt = least(greatest(floor(col(scoreCol) * nBuckets), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    val tagged = base.withColumn("bkt", bkt)
+    val hist = tagged.groupBy(col(groupCol), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(asc("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+    val offs = hist
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("cnt", sum(col("c")).over(wTot))
+      .select(col(groupCol), col("bkt"), col("off"), col("cnt"))
+    val wIn = Window.partitionBy(col(groupCol), col("bkt"))
+      .orderBy(asc(scoreCol), asc(idCol))
+    tagged.join(broadcast(offs), Seq(groupCol, "bkt"))
+      .withColumn("rk", col("off") + row_number().over(wIn))
+      .drop("bkt", "off")
+  }
+
   /** The generic cross-corpus decontamination behind q65: (doc_id,
     * contaminated) for every `train` row, true iff the doc shares ≥ 1
     * distinct word `n`-gram with ANY `eval` doc. Both sides need

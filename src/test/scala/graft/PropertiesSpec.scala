@@ -308,6 +308,38 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: bucketed group rank == direct window rank under score ties") {
+    import spark.implicits._
+    // scores quantized to 1/20ths force heavy ties, including ties that
+    // span what would be bucket boundaries at high nBuckets — same score
+    // must always share a bucket for the offset argument to hold
+    val rowGen: Gen[(Long, String, Double)] = for {
+      id <- Gen.chooseNum(0L, 4999L)
+      g  <- Gen.frequency(8 -> Gen.const("hot"), 1 -> Gen.oneOf("a", "b", "c"))
+      s  <- Gen.chooseNum(0, 20)
+    } yield (id, g, s / 20.0)
+    (91L to 93L).foreach { seed =>
+      val base = sample(Gen.listOfN(400, rowGen), seed)
+        .distinctBy(_._1)
+        .toDF("doc_id", "lang", "ttr")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(asc("ttr"), asc("doc_id"))
+      val direct = base
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+        .select("doc_id", "rk", "cnt")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      Seq(8, 1024).foreach { buckets =>
+        val got = ops.TextAnalysis.bucketedGroupRank(
+            base, "lang", "ttr", "doc_id", nBuckets = buckets)
+          .select("doc_id", "rk", "cnt")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+        assert(got == direct, s"seed=$seed buckets=$buckets")
+      }
+    }
+  }
+
   test("property: histogram-rank stratified sample == direct window at any fraction") {
     import spark.implicits._
     // skewed strata + colliding hashes: collisions sit INSIDE one bucket

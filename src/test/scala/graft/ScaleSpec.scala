@@ -304,6 +304,10 @@ class ScaleSpec extends SparkSuite {
       // broadcast
       assert(rawKeyShuffles(ops.TextAnalysis.q64(spark, sf0001), "lang").isEmpty,
         "q64 must not hash-partition raw rows on the bare lang key")
+      // q67's FULL ranking holds the same discipline: raw rows only ever
+      // partition on (lang, bkt); bare-lang exchanges carry census rows
+      assert(rawKeyShuffles(ops.TextAnalysis.q67(spark, sf0001), "lang").isEmpty,
+        "q67 must not hash-partition raw rows on the bare lang key")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
