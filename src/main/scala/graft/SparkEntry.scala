@@ -158,6 +158,8 @@ object SparkEntry {
     "q66_rolling_zscore"   -> ((s, d) => ops.Analytics.q66(s, d)),
     // per-language quality quartile bands from the bucketed group rank
     "q67_rank_bands"       -> ((s, d) => ops.TextAnalysis.q67(s, d)),
+    // the deduplicated corpus: q41's clusters taken to their endpoint
+    "q68_dedup_keep"       -> ((s, d) => ops.Text.q68(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -263,6 +265,7 @@ object SparkEntry {
     "q65_decontaminate"    -> ops.TextAnalysis.q65Sql,
     "q66_rolling_zscore"   -> ops.Analytics.q66Sql,
     "q67_rank_bands"       -> ops.TextAnalysis.q67Sql,
+    "q68_dedup_keep"       -> ops.Text.q68Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -995,11 +995,47 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** q68_dedup_keep: the deduplicated CORPUS — q41's cluster resolution
+    * taken to its endpoint: drop every non-canonical cluster member (a
+    * doc whose component label differs from its own id — the component
+    * IS the cluster's minimum id, so the canonical doc keeps `id = comp`
+    * for free) and keep everything else. The pairs → clusters → clean
+    * corpus path, end to end: x02 finds, q41 resolves, q68 materializes.
+    *
+    * Scale shape: the anti-join's right side is only the NON-canonical
+    * ids (cluster sizes minus one — near-dup clusters are a sliver of the
+    * corpus), and the corpus never moves for cluster resolution (q41's
+    * (id, comp) argument); the doc table's one shuffle is the anti-join
+    * on doc_id.
+    */
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val drops = dupComponents(minhashPairs(docs))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String = dupReachCte + "\n" +
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id NOT IN (
+      |  SELECT id FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |  WHERE id <> comp)
+      |ORDER BY doc_id""".stripMargin
+
   /** `AS MATERIALIZED` on every non-recursive CTE is load-bearing: DuckDB
     * inlines plain CTEs, so the recursive member would otherwise re-run
     * the full all-pairs shingle join on EVERY fixpoint iteration.
     */
-  val q41Sql: String =
+  /** The shared reachability CTE prefix of q41/q41b/q68's oracles: exact
+    * bigram-Jaccard ≥ 0.9 pairs, symmetrized, with recursive min-label
+    * reachability — `reach`'s per-id minimum IS the component.
+    */
+  // lazy: referenced by q68Sql, which precedes this definition textually —
+  // a strict val would still be null there at object init
+  private lazy val dupReachCte: String =
     """WITH RECURSIVE sh AS MATERIALIZED (
       |  SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
@@ -1019,8 +1055,10 @@ object Text {
       |reach(id, r) AS (
       |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
       |  UNION
-      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
-      |SELECT id AS doc_id, comp AS component,
+      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)""".stripMargin
+
+  val q41Sql: String = dupReachCte + "\n" +
+    """SELECT id AS doc_id, comp AS component,
       |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
       |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
       |ORDER BY doc_id""".stripMargin
