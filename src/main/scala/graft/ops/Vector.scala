@@ -769,16 +769,21 @@ object Vector {
     * an oversized block onto the recall-lossy LSH handoff); a 100 TB run
     * tunes maxBlockSide to trade that handoff consciously.
     */
-  def q47(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = blockedCosinePairs(Tables.embeddings(spark, dir),
-      blockCol = "label", minCosine = 0.35, maxBlockSide = Int.MaxValue)
-    val labels = Text.dupComponentsStar(pairs, "vec_id_a", "vec_id_b")
-    labels
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    q47Labels(spark, dir)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
       .select(col("id").as("vec_id"), col("comp").as("component"),
         col("cluster_size"))
       .orderBy("vec_id")
+
+  /** q47/q69's shared cluster resolution: blocked-cosine pairs → star CC
+    * → (id, comp) labels for every vector with ≥ 1 near-duplicate.
+    */
+  private def q47Labels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = blockedCosinePairs(Tables.embeddings(spark, dir),
+      blockCol = "label", minCosine = 0.35, maxBlockSide = Int.MaxValue)
+    Text.dupComponentsStar(pairs, "vec_id_a", "vec_id_b")
   }
 
   /** x08's pair CTE + q41's recursive-reachability restatement; CTEs
@@ -813,4 +818,75 @@ object Vector {
       |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
       |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
       |ORDER BY vec_id""".stripMargin
+
+  /** q69_cluster_centroid: one REPRESENTATIVE vector per near-dup
+    * cluster — the elementwise mean of the cluster's embeddings — the
+    * "collapse the cluster to its centroid" endpoint of embedding dedup
+    * (q47 labels the members, q69 produces what replaces them; q68 is the
+    * analogous endpoint on the text side, which KEEPS a member — vectors
+    * average instead because the mean is the L2-optimal single
+    * representative).
+    *
+    * Determinism (the reason this is not a plain `avg`): float summation
+    * is order-dependent, and aggregate order is partitioning-dependent,
+    * so the per-component fold runs over the member list SORTED by vec_id
+    * and left-folds elementwise in one `aggregate`/`zip_with` — the
+    * identical fold the oracle restates with `list(... ORDER BY vec_id)`
+    * + `list_reduce` — then divides once by the member count. Safe to
+    * collect per group: near-dup clusters are small by construction
+    * (bounded by the similarity threshold), and only CLUSTERED vectors —
+    * a sliver of the corpus — reach this aggregate at all.
+    */
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    val labels = q47Labels(spark, dir)
+    Tables.embeddings(spark, dir)
+      .join(labels.select(col("id").as("vec_id"), col("comp")), "vec_id")
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        collect_list(struct(col("vec_id"), col("embedding").as("vec"))).as("vs"))
+      .withColumn("centroid", expr(
+        """transform(
+          |  aggregate(array_sort(vs), array_repeat(cast(0.0 as double), 64),
+          |    (acc, x) -> zip_with(acc, x.vec, (a, v) -> a + cast(v as double))),
+          |  s -> s / cast(size(vs) as double))""".stripMargin))
+      .select(col("component"), col("cluster_size"), col("centroid"))
+      .orderBy("component")
+  }
+
+  /** q47's CTEs + the same vec_id-ordered elementwise left fold. */
+  val q69Sql: String =
+    """WITH RECURSIVE v AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |pairs AS MATERIALIZED (
+      |  SELECT vec_id_a, vec_id_b FROM (
+      |    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+      |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+      |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |    WHERE a.nrm > 0 AND b.nrm > 0)
+      |  WHERE cosine >= 0.35),
+      |und AS MATERIALIZED (
+      |  SELECT vec_id_a AS s, vec_id_b AS d FROM pairs
+      |  UNION
+      |  SELECT vec_id_b AS s, vec_id_a AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
+      |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS component, CAST(n AS BIGINT) AS cluster_size,
+      |       list_transform(range(1, 65),
+      |         d -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                list_transform(vecs, vv -> CAST(vv[d] AS DOUBLE))),
+      |              (x, y) -> x + y) / CAST(n AS DOUBLE)) AS centroid
+      |FROM (SELECT l.comp AS comp, list(e.embedding ORDER BY e.vec_id) AS vecs,
+      |             count(*) AS n
+      |      FROM lab l JOIN embeddings e ON e.vec_id = l.id
+      |      GROUP BY l.comp)
+      |ORDER BY component""".stripMargin
 }

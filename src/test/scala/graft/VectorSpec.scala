@@ -193,6 +193,32 @@ class VectorSpec extends SparkSuite {
     assert(windows == 1, s"expected exactly 1 window in the plan, got $windows")
   }
 
+  test("q69 centroids match a driver-side vec_id-ordered fold, bit for bit") {
+    val cents = ops.Vector.q69(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector))
+    assert(cents.nonEmpty)
+    val members = ops.Vector.q47(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    cents.foreach { case (comp, n, centroid) =>
+      val ids = members(comp).map(_._1).sorted
+      assert(ids.length.toLong == n)
+      // the same fold: vec_id order, left-to-right, one final ÷n
+      val want = ids.map(vecs)
+        .foldLeft(scala.collection.immutable.Vector.fill(64)(0.0)) { (acc, v) =>
+        acc.zip(v).map { case (a, x) => a + x.toDouble }
+      }.map(_ / n.toDouble)
+      assert(centroid == want, s"component $comp centroid mismatch")
+      // and it lies inside the members' per-dimension envelope
+      centroid.indices.foreach { d =>
+        val vals = ids.map(id => vecs(id)(d).toDouble)
+        assert(centroid(d) >= vals.min - 1e-12 && centroid(d) <= vals.max + 1e-12)
+      }
+    }
+  }
+
   test("materialized IVF index: search-from-index == per-call ivfTopK, bit-exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
     val emb = Tables.embeddings(spark, sf001)
