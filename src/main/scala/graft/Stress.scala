@@ -55,7 +55,7 @@ object Stress {
           .filter(col("rn") === 1).drop("rn"))
       }) ++ vectorAssignment(spark, n / 10) ++
       saltedJoinStage(spark, n) ++ prefixScanStage(spark, n) ++
-      ccStarStage(spark, n / 10)
+      ccStarStage(spark, n / 10) ++ groupRankStage(spark, n)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -115,6 +115,32 @@ object Stress {
     Seq(s"cc_star_total_${m}" -> total,
         s"cc_star_rounds_${m}" -> rounds.length.toDouble) ++
       rounds.zipWithIndex.map { case (s, i) => s"cc_star_round_$i" -> s }
+  }
+
+  /** Per-group FULL ranking at volume over a 4-value group key: the naive
+    * window funnels all `n` rows through 4 reducers (each sorting n/4);
+    * the q67 bucketed form ranks inside 4×1024 (group, score-bucket)
+    * partitions and re-bases by census offsets. The measured gap is the
+    * low-cardinality sort serialization the bucketed plan removes.
+    */
+  private def groupRankStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("g"), pmod(col("id"), lit(4L))).as("lang"),
+      (pmod(col("id") * 2654435761L, lit(1000000L)).cast("double")
+        / lit(1000000.0)).as("ttr"))
+    Seq(
+      time(s"group_rank_naive_${n}") {
+        noop(base.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(asc("ttr"), asc("doc_id")))))
+      },
+      time(s"group_rank_bucketed_${n}") {
+        noop(ops.TextAnalysis.bucketedGroupRank(base, "lang", "ttr", "doc_id"))
+      })
   }
 
   /** Hot-key join at volume: one key owns 90% of `n` fact rows against a
