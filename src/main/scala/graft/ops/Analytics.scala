@@ -367,6 +367,57 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** q70_winsorize: per-group OUTLIER CLIPPING — every order's price
+    * clamped to its status's [p5, p95] discrete quantile band, the
+    * winsorization step of robust feature preparation (q55 normalizes
+    * moments, q70 tames the tails that would dominate them). Thresholds
+    * are the values at ranks ⌈cnt·5/100⌉ and ⌈cnt·95/100⌉ of the
+    * (price, orderkey) total order — exact rank arithmetic, no
+    * interpolation, all decimal: the output is hash-exact by
+    * construction.
+    *
+    * Scale shape: thresholds come from [[histCum]] (q34b's histogram-rank
+    * selection — the fact table never sorts on the 3-value status key)
+    * and broadcast back as a 3-row dim onto the fact scan; the clamp is
+    * map-side. The only fact-sized shuffles are histCum's composite-key
+    * census and the output ORDER BY.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val cum = histCum(spark, dir)
+    def rank(m: Int) = // ⌈cnt·m/100⌉ in pure integer arithmetic
+      (((col("cnt") * m + 99) - ((col("cnt") * m + 99) % 100)) / 100)
+        .cast("long")
+    def covers(k: Column) = col("cum") - col("c") < k && k <= col("cum")
+    val th = cum.groupBy(col("o_orderstatus"))
+      .agg(max(when(covers(rank(5)), col("p"))).as("lo"),
+        max(when(covers(rank(95)), col("p"))).as("hi"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .join(broadcast(th), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("p"),
+        least(greatest(col("p"), col("lo")), col("hi")).as("p_winsor"))
+      .orderBy("o_orderkey")
+  }
+
+  val q70Sql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM orders),
+      |th AS (
+      |  SELECT o_orderstatus,
+      |         max(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN p END) AS lo,
+      |         max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN p END) AS hi
+      |  FROM ranked GROUP BY o_orderstatus)
+      |SELECT r.o_orderkey, r.o_orderstatus, r.p,
+      |       least(greatest(r.p, t.lo), t.hi) AS p_winsor
+      |FROM ranked r JOIN th t USING (o_orderstatus)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q34c's restatement: the ranked-window definition of the same scaled-
     * integer rank arithmetic and the SAME operand-order lerp on doubles.
     */
