@@ -373,8 +373,10 @@ object Analytics {
     * moments, q70 tames the tails that would dominate them). Thresholds
     * are the values at ranks ⌈cnt·5/100⌉ and ⌈cnt·95/100⌉ of the
     * (price, orderkey) total order — exact rank arithmetic, no
-    * interpolation, all decimal: the output is hash-exact by
-    * construction.
+    * interpolation, all decimal internally; the two price outputs exit as
+    * DOUBLE (exact: scaled decimal(18,2) values are far below 2⁵³), with
+    * the oracle routed through VARCHAR per D7/D8 so neither engine's
+    * decimal *rendering* reaches the driver comparator.
     *
     * Scale shape: thresholds come from [[histCum]] (q34b's histogram-rank
     * selection — the fact table never sorts on the 3-value status key)
@@ -395,8 +397,10 @@ object Analytics {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
       .join(broadcast(th), "o_orderstatus")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("p"),
-        least(greatest(col("p"), col("lo")), col("hi")).as("p_winsor"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("p").cast("double").as("p"),
+        least(greatest(col("p"), col("lo")), col("hi"))
+          .cast("double").as("p_winsor"))
       .orderBy("o_orderkey")
   }
 
@@ -413,8 +417,9 @@ object Analytics {
       |         max(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN p END) AS lo,
       |         max(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN p END) AS hi
       |  FROM ranked GROUP BY o_orderstatus)
-      |SELECT r.o_orderkey, r.o_orderstatus, r.p,
-      |       least(greatest(r.p, t.lo), t.hi) AS p_winsor
+      |SELECT r.o_orderkey, r.o_orderstatus,
+      |       CAST(CAST(r.p AS VARCHAR) AS DOUBLE) AS p,
+      |       CAST(CAST(least(greatest(r.p, t.lo), t.hi) AS VARCHAR) AS DOUBLE) AS p_winsor
       |FROM ranked r JOIN th t USING (o_orderstatus)
       |ORDER BY o_orderkey""".stripMargin
 

@@ -828,33 +828,51 @@ object Vector {
     * representative).
     *
     * Determinism (the reason this is not a plain `avg`): float summation
-    * is order-dependent, and aggregate order is partitioning-dependent,
-    * so the per-component fold runs over the member list SORTED by vec_id
-    * and left-folds elementwise in one `aggregate`/`zip_with` — the
-    * identical fold the oracle restates with `list(... ORDER BY vec_id)`
-    * + `list_reduce` — then divides once by the member count. Safe to
-    * collect per group: near-dup clusters are small by construction
-    * (bounded by the similarity threshold), and only CLUSTERED vectors —
-    * a sliver of the corpus — reach this aggregate at all.
+    * is order-dependent, and aggregate order is partitioning-dependent —
+    * so the sum runs per (component, position) over EXACT DECIMALS, the
+    * [[lloydStep]] discipline: each float routes through its shortest
+    * string repr into DECIMAL(38,18) (exact — a float's shortest repr has
+    * ≤ 9 significant digits, parsed identically by both engines; verified
+    * value-for-value over the fixture), the decimal sum is associative
+    * and therefore partitioning-independent, and the single sum→DOUBLE
+    * conversion goes back through VARCHAR (D7: exact print,
+    * correctly-rounded parse) before one IEEE divide by the member count.
+    * Zero collect, no per-group member list — per-group state is 64
+    * decimal accumulators regardless of cluster size, so a giant
+    * transitive component degrades throughput, not memory.
+    *
+    * Output is 64 SCALAR DOUBLE columns (c00..c63), not an
+    * array<double>: the driver comparator cannot sort or hash array
+    * cells (rule D8; q31/q59 string precedent — scalars chosen here so
+    * the values stay native doubles, bit-identical across engines,
+    * rather than re-entering the string-formatting problem).
     */
   def q69(spark: SparkSession, dir: String): DataFrame = {
     val labels = q47Labels(spark, dir)
-    Tables.embeddings(spark, dir)
+    val sums = Tables.embeddings(spark, dir)
       .join(labels.select(col("id").as("vec_id"), col("comp")), "vec_id")
-      .groupBy(col("comp").as("component"))
-      .agg(count(lit(1)).cast("long").as("cluster_size"),
-        collect_list(struct(col("vec_id"), col("embedding").as("vec"))).as("vs"))
-      .withColumn("centroid", expr(
-        """transform(
-          |  aggregate(array_sort(vs), array_repeat(cast(0.0 as double), 64),
-          |    (acc, x) -> zip_with(acc, x.vec, (a, v) -> a + cast(v as double))),
-          |  s -> s / cast(size(vs) as double))""".stripMargin))
-      .select(col("component"), col("cluster_size"), col("centroid"))
+      .select(col("comp"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("comp"), col("pos"))
+      .agg(sum(col("x").cast("string").cast("decimal(38,18)")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("m",
+        col("s").cast("string").cast("double") / col("n").cast("double"))
+    val cents = (0 until 64).map(i =>
+      max(when(col("pos") === i, col("m"))).as(f"c$i%02d"))
+    val aggs = max(col("n")).cast("long").as("cluster_size") +: cents
+    sums.groupBy(col("comp").as("component"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("component")
   }
 
-  /** q47's CTEs + the same vec_id-ordered elementwise left fold. */
-  val q69Sql: String =
+  /** q47's CTEs + the same per-(component, position) exact-decimal sums
+    * with both conversions routed through VARCHAR (float→DECIMAL(38,18)
+    * in, sum→DOUBLE out), pivoted to the same 64 scalar columns.
+    */
+  val q69Sql: String = {
+    val cents = (0 until 64).map(i =>
+      f"       max(CASE WHEN pos = ${i + 1} THEN m END) AS c$i%02d")
+      .mkString(",\n")
     """WITH RECURSIVE v AS MATERIALIZED (
       |  SELECT vec_id, label, embedding,
       |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -878,15 +896,18 @@ object Vector {
       |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
       |  UNION
       |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id),
-      |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-      |SELECT comp AS component, CAST(n AS BIGINT) AS cluster_size,
-      |       list_transform(range(1, 65),
-      |         d -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |                list_transform(vecs, vv -> CAST(vv[d] AS DOUBLE))),
-      |              (x, y) -> x + y) / CAST(n AS DOUBLE)) AS centroid
-      |FROM (SELECT l.comp AS comp, list(e.embedding ORDER BY e.vec_id) AS vecs,
-      |             count(*) AS n
-      |      FROM lab l JOIN embeddings e ON e.vec_id = l.id
-      |      GROUP BY l.comp)
-      |ORDER BY component""".stripMargin
+      |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      |sums AS (
+      |  SELECT l.comp AS comp, p.pos AS pos,
+      |         CAST(CAST(sum(CAST(CAST(e.embedding[CAST(p.pos AS INT)] AS VARCHAR) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
+      |           / CAST(count(*) AS DOUBLE) AS m,
+      |         count(*) AS n
+      |  FROM lab l JOIN embeddings e ON e.vec_id = l.id
+      |  CROSS JOIN range(1, 65) p(pos)
+      |  GROUP BY 1, 2)
+      |SELECT comp AS component, CAST(max(n) AS BIGINT) AS cluster_size,
+      |CENTS
+      |FROM sums GROUP BY comp
+      |ORDER BY component""".stripMargin.replace("CENTS", cents)
+  }
 }

@@ -162,22 +162,21 @@ class AnalyticsSpec extends SparkSuite {
 
   test("q70 winsorized prices clamp to real per-group order statistics") {
     val rows = ops.Analytics.q70(spark, sf001).collect()
-      .map(r => (r.getString(1), r.getDecimal(2), r.getDecimal(3)))
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (status, rs) =>
       val ps = rs.map(_._2).sorted.toVector
       val lo = ps(((ps.length * 5 + 99) / 100) - 1)   // value at rank ⌈n·5/100⌉
       val hi = ps(((ps.length * 95 + 99) / 100) - 1)
       rs.foreach { case (_, p, w) =>
-        val want = if (p.compareTo(lo) < 0) lo
-                   else if (p.compareTo(hi) > 0) hi else p
-        assert(w.compareTo(want) == 0, s"$status: $p -> $w, want $want")
+        val want = if (p < lo) lo else if (p > hi) hi else p
+        assert(w == want, s"$status: $p -> $w, want $want")
       }
       // clipping touches at most ~10% of the group, and touches SOMETHING
-      val clipped = rs.count { case (_, p, w) => p.compareTo(w) != 0 }
+      val clipped = rs.count { case (_, p, w) => p != w }
       assert(clipped <= (ps.length * 10) / 100 + 2, s"$status: $clipped clips")
     }
-    assert(rows.exists { case (_, p, w) => p.compareTo(w) != 0 },
+    assert(rows.exists { case (_, p, w) => p != w },
       "expected at least one clipped price in the fixture")
   }
 }

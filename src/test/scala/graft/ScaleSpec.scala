@@ -121,6 +121,20 @@ class ScaleSpec extends SparkSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q70: thresholds broadcast back — no raw-row shuffle on the 3-value status key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the Scaladoc claim at Analytics.q70: thresholds come from histCum's
+      // composite-key census; the fact table never hash-partitions on the
+      // bare status key, and the [lo, hi] clamp attaches by broadcast
+      assert(rawKeyShuffles(ops.Analytics.q70(spark, sf0001), "o_orderstatus").isEmpty,
+        "q70 must only hash-partition o_orderstatus above an aggregate")
+      assert(ops.Analytics.q70(spark, sf0001).queryExecution.sparkPlan
+        .toString.contains("BroadcastHashJoin"),
+        "q70 must broadcast the [p5, p95] thresholds back onto fact rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q55: moments broadcast back — no raw-row shuffle on the 3-value status key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

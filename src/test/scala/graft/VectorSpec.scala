@@ -193,9 +193,10 @@ class VectorSpec extends SparkSuite {
     assert(windows == 1, s"expected exactly 1 window in the plan, got $windows")
   }
 
-  test("q69 centroids match a driver-side vec_id-ordered fold, bit for bit") {
+  test("q69 centroids match a driver-side exact-decimal mean, bit for bit") {
     val cents = ops.Vector.q69(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector))
+      .map(r => (r.getLong(0), r.getLong(1),
+        (0 until 64).map(i => r.getDouble(2 + i)).toVector))
     assert(cents.nonEmpty)
     val members = ops.Vector.q47(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
@@ -205,11 +206,15 @@ class VectorSpec extends SparkSuite {
     cents.foreach { case (comp, n, centroid) =>
       val ids = members(comp).map(_._1).sorted
       assert(ids.length.toLong == n)
-      // the same fold: vec_id order, left-to-right, one final ÷n
-      val want = ids.map(vecs)
-        .foldLeft(scala.collection.immutable.Vector.fill(64)(0.0)) { (acc, v) =>
-        acc.zip(v).map { case (a, x) => a + x.toDouble }
-      }.map(_ / n.toDouble)
+      // the same arithmetic: each float through its shortest repr into an
+      // exact scale-18 decimal, summed (order-free: decimal + is
+      // associative), back to double via a string parse (the VARCHAR
+      // route), one final IEEE ÷n
+      val want = (0 until 64).map { d =>
+        val s = ids.map(id => BigDecimal(vecs(id)(d).toString)
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toString.toDouble / n.toDouble
+      }.toVector
       assert(centroid == want, s"component $comp centroid mismatch")
       // and it lies inside the members' per-dimension envelope
       centroid.indices.foreach { d =>
