@@ -816,13 +816,29 @@ object Text {
     * checkpointed inside the disabled scope so the caller's later actions
     * plan against a constraint-free `LogicalRDD`, never the failing shape.
     */
+  /** One lock per SparkSession (weak-keyed — sessions must stay
+    * collectable): the conf flip below mutates SESSION-global state with
+    * save/restore, so two concurrent CC loops on the same session could
+    * interleave such that one loop's `finally` re-enables propagation
+    * while the other is mid-iteration, nondeterministically resurfacing
+    * the crash this helper exists to avoid. Serializing the loops on a
+    * per-session monitor closes that window; loops on DIFFERENT sessions
+    * (`newSession()`/`cloneSession()` — each has its own conf) still run
+    * concurrently, which is also the escape hatch for callers who need
+    * a CC loop concurrent with propagation-dependent queries.
+    */
+  private val ccLoopLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   private def withoutConstraintPropagation[T](
-      spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    val key = "spark.sql.constraintPropagation.enabled"
-    val saved = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, saved)
-  }
+      spark: org.apache.spark.sql.SparkSession)(f: => T): T =
+    ccLoopLocks.computeIfAbsent(spark, _ => new Object).synchronized {
+      val key = "spark.sql.constraintPropagation.enabled"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try f finally spark.conf.set(key, saved)
+    }
 
   private final class CheckpointTracker(sc: org.apache.spark.SparkContext) {
     private def persistedIds = sc.getPersistentRDDs.keySet.toSet
@@ -963,6 +979,40 @@ object Text {
       .select(col("u").as("id"), col("comp"))
       .localCheckpoint() // caller actions plan against a LogicalRDD barrier
     (labels, roundSecs.result())
+  }
+
+  /** Deterministic cluster-size CAP over (id, comp) labels — the guard
+    * for transitive-chaining at loose similarity thresholds (q47's 0.35):
+    * every component larger than `maxClusterSize` is star-split into
+    * consecutive id-ordered sub-clusters of at most that size, each
+    * relabeled by its own minimum id (so the "component = min member id"
+    * invariant of [[dupComponents]]/[[dupComponentsStar]] survives the
+    * split, and an untriggered cap is the identity — pinned in TextSpec).
+    * Downstream per-cluster consumers (centroid replace, keep-one dedup)
+    * then see bounded groups whatever the threshold chained together.
+    *
+    * Scale: runs on the LABEL table — (id, comp) pairs for clustered ids
+    * only, a sliver of the corpus — and the one window ranks those narrow
+    * rows within their component; sub-cluster relabeling is integer rank
+    * arithmetic (rank div cap), exact and oracle-restatable. A component
+    * must reach ~10⁷ members before its 16-byte-row window partition is
+    * itself a skew concern — at which point the threshold, not the cap,
+    * is the bug.
+    */
+  def capClusterSizes(
+      labels: DataFrame,
+      maxClusterSize: Int,
+      idCol: String = "id",
+      compCol: String = "comp"): DataFrame = {
+    require(maxClusterSize >= 1, s"maxClusterSize must be >= 1")
+    val w = Window.partitionBy(col(compCol)).orderBy(col(idCol))
+    val sub = Window.partitionBy(col(compCol), col("bkt"))
+    labels
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("bkt",
+        (col("rn") - col("rn") % maxClusterSize) / maxClusterSize)
+      .withColumn("capped_comp", min(col(idCol)).over(sub))
+      .select(col(idCol), col("capped_comp").as(compCol))
   }
 
   /** q41_dedup_clusters: x02's near-dup pairs resolved into canonical

@@ -485,7 +485,12 @@ object TextAnalysis {
         s"exactStratifiedSample reserves column name '$c' (input already has it)"))
     import org.apache.spark.sql.expressions.Window
     val width = hRange / nBuckets + 1L
-    val tagged = base.withColumn("bkt", expr(s"h div ${width}L"))
+    // same silent-row-loss vector as bucketedGroupRank: NULL h → NULL bkt
+    // → dropped by the classification equi-join — fail loudly instead
+    val tagged = base.withColumn("bkt",
+      when(col("h").isNull, raise_error(
+        lit("exactStratifiedSample: h must be non-null")))
+      .otherwise(expr(s"h div ${width}L")))
     val hist = tagged.groupBy(col(groupCol), col("bkt"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(asc("bkt"))
@@ -599,7 +604,9 @@ object TextAnalysis {
     * of `base` gets `rk` — its 1-based rank within `groupCol` by
     * (`scoreCol`, `idCol`) — and `cnt`, the group size, without ever
     * sorting a whole group in one partition. `scoreCol` must lie in
-    * [0, 1] (ratios; clamp otherwise) and `idCol` must be unique.
+    * [0, 1] (ratios; clamp otherwise) and be NON-NULL (enforced with a
+    * runtime `raise_error`, since the alternative is a silent row drop
+    * through the census equi-join), and `idCol` must be unique.
     *
     * q34b's histogram discipline, but for RANKING rather than selection:
     * scores bucket by fixed width (floor(score·nBuckets), monotone ⇒
@@ -617,8 +624,14 @@ object TextAnalysis {
       require(!base.columns.contains(c),
         s"bucketedGroupRank reserves column name '$c' (input already has it)"))
     import org.apache.spark.sql.expressions.Window
-    val bkt = least(greatest(floor(col(scoreCol) * nBuckets), lit(0.0)),
+    val bkt0 = least(greatest(floor(col(scoreCol) * nBuckets), lit(0.0)),
       lit((nBuckets - 1).toDouble)).cast("int")
+    // a NULL score would bucket to NULL, never match the census equi-join
+    // back, and the row would SILENTLY vanish from a ranking that must be
+    // total — fail loudly instead (a codegen'd branch, free when non-null)
+    val bkt = when(col(scoreCol).isNull, raise_error(
+        lit(s"bucketedGroupRank: $scoreCol must be non-null")))
+      .otherwise(bkt0)
     val tagged = base.withColumn("bkt", bkt)
     val hist = tagged.groupBy(col(groupCol), col("bkt"))
       .agg(count(lit(1)).as("c"))

@@ -766,8 +766,23 @@ object Vector {
     * The declared query pins the exact pair path EXPLICITLY
     * (maxBlockSide = Int.MaxValue at the call site, so the oracle-gated
     * contract never silently inherits a tunable default that could flip
-    * an oversized block onto the recall-lossy LSH handoff); a 100 TB run
-    * tunes maxBlockSide to trade that handoff consciously.
+    * an oversized block onto the recall-lossy LSH handoff). That pin is
+    * justified against the fixture, not assumed: `label` is a ~uniform
+    * 10-value key (FIXTURES.md — largest block 59 rows at sf0.01, ~520 at
+    * sf0.1), so Σ block² is bounded ~10·(n/10)² only at driver SFs where
+    * n/10 itself is small; a 100 TB run tunes maxBlockSide to trade the
+    * handoff consciously (the oversized-block test in VectorSpec pins the
+    * handoff firing).
+    *
+    * Threshold: minCosine = 0.35 is FIXTURE-SCALED, not a semantic
+    * near-dup bar — the generator's planted duplicate pairs top out at
+    * cosine 0.47 (measured; at 0.6 the fixture has zero pairs), so a
+    * 0.9-style threshold would declare an empty query. Real corpora run
+    * this operator at ≥ 0.9, where transitive components stay tight; at a
+    * loose threshold components chain, and the guard for that is
+    * [[graft.ops.Text.capClusterSizes]] — a deterministic star-split that
+    * bounds every cluster before per-cluster consumers (q69's centroid)
+    * run.
     */
   def q47(spark: SparkSession, dir: String): DataFrame =
     q47Labels(spark, dir)

@@ -340,6 +340,26 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("NULL score/hash raises instead of silently dropping the row") {
+    import spark.implicits._
+    // a null score would bucket to null, miss the census equi-join, and
+    // vanish — the guard turns silent row loss into a loud failure
+    val withNullScore = Seq((1L, "en", Some(0.5)), (2L, "en", None))
+      .toDF("doc_id", "lang", "ttr")
+    val e1 = intercept[Exception] {
+      ops.TextAnalysis.bucketedGroupRank(
+        withNullScore, "lang", "ttr", "doc_id").collect()
+    }
+    assert(e1.getMessage != null)
+    val withNullH = Seq((1L, "en", Some(5L)), (2L, "en", None))
+      .toDF("doc_id", "lang", "h")
+    val e2 = intercept[Exception] {
+      ops.TextAnalysis.exactStratifiedSample(
+        withNullH, "lang", 1, 2, nBuckets = 4L, hRange = 501L).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("property: histogram-rank stratified sample == direct window at any fraction") {
     import spark.implicits._
     // skewed strata + colliding hashes: collisions sit INSIDE one bucket

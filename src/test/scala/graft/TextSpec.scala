@@ -23,6 +23,14 @@ class TextSpec extends SparkSuite {
     assert(out(0) == "a b c" && out(1) == "a b c")
   }
 
+  test("capClusterSizes: untriggered cap is the identity") {
+    val labels = Seq((10L, 3L), (11L, 3L), (3L, 3L), (7L, 7L), (9L, 7L))
+      .toDF("id", "comp")
+    val out = Text.capClusterSizes(labels, maxClusterSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 3L), (11L, 3L), (3L, 3L), (7L, 7L), (9L, 7L)))
+  }
+
   test("minhash LSH finds planted near-dup, not the unrelated doc") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")

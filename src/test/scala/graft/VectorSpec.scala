@@ -193,6 +193,33 @@ class VectorSpec extends SparkSuite {
     assert(windows == 1, s"expected exactly 1 window in the plan, got $windows")
   }
 
+  test("a planted giant component star-splits to bounded clusters") {
+    import spark.implicits._
+    // a 100-node PATH: the worst transitive chain — every member joined
+    // to the component by one hop, the shape a loose threshold produces
+    val pairs = (0L until 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = ops.Text.dupComponentsStar(pairs)
+    val comps = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 100 && comps.forall(_._2 == 0L),
+      "control: uncapped CC must chain the path into one giant component")
+    val capped = ops.Text.capClusterSizes(labels, maxClusterSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.length == 100, "the cap must not lose members")
+    val bySub = capped.groupBy(_._2)
+    assert(bySub.size == 10 && bySub.values.forall(_.length == 10),
+      "100-path at cap 10 must split into 10 sub-clusters of 10")
+    bySub.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp,
+        "each sub-cluster must be labeled by its own minimum id")
+    }
+    // consecutive id-ordered split: members of one sub-cluster are a
+    // contiguous id range (deterministic, restatable rank arithmetic)
+    bySub.values.foreach { ms =>
+      val ids = ms.map(_._1).sorted
+      assert(ids.last - ids.head == ids.length - 1)
+    }
+  }
+
   test("q69 centroids match a driver-side exact-decimal mean, bit for bit") {
     val cents = ops.Vector.q69(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1),
