@@ -8,11 +8,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   *
   * IMAGE decode is REAL: encoded formats (PNG, JPEG, GIF, BMP — whatever
   * `javax.imageio` ships in the JDK, zero external dependencies) decode to
-  * packed RGB planes in [[Codec.decodeImage]]. Audio and video stay
-  * clearly-marked deterministic STUBS (the container has no PCM/H.264
-  * codecs): their bytes are treated as already-decoded raw planes, and the
-  * "raw-rgb" fixture format passes images through the same way. Everything
-  * Spark-side is real and tested — the schema, the
+  * packed RGB planes in [[Codec.decodeImage]]. AUDIO decode is REAL too:
+  * WAV/RIFF containers parse through `javax.sound.sampled` (pure JDK) to
+  * normalized float samples in [[Codec.decodeAudio]], with
+  * [[Codec.encodeWavPcm16]] as the matching sink-side encoder. Only VIDEO
+  * remains a clearly-marked deterministic STUB (no stdlib H.264 codec
+  * exists): its bytes are treated as already-decoded raw frame planes,
+  * and the "raw-rgb"/"raw-pcm" fixture formats pass through the same way.
+  * Everything Spark-side is real and tested — the schema, the
   * `mapPartitions`/`flatMap` batch shape (one iterator per partition, no
   * per-row task overhead, bounded memory), the metadata propagation, and
   * the composition with the vector ops (featurize →
@@ -34,9 +37,10 @@ object Multimodal {
   case class AssetFeature(asset_id: Long, kind: String, embedding: Array[Float])
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Codec boundary. Image decode is REAL (JDK `javax.imageio`); audio
-    * decode and video frame extraction remain deterministic STUBS whose
-    * bodies a real deployment replaces with a PCM/H.264 library call —
+  /** Codec boundary. Image decode is REAL (JDK `javax.imageio`) and audio
+    * decode is REAL (JDK `javax.sound.sampled`, WAV/RIFF → PCM16 →
+    * floats); only video frame extraction remains a deterministic STUB
+    * whose body a real deployment replaces with an H.264 library call —
     * signatures and call sites are the production shape either way.
     */
   object Codec {
@@ -73,6 +77,75 @@ object Multimodal {
           (out, w, h)
       }
 
+    /** Decode an audio asset to normalized float samples in [-1, 1] plus
+      * its sample rate. WAV/RIFF bytes (and anything else the JDK's
+      * `javax.sound.sampled` SPI recognizes) go through a REAL container
+      * parse and a conversion to signed PCM16 little-endian, then scale by
+      * 1/32768; the synthetic "raw-pcm" fixture format treats each byte as
+      * one unsigned 8-bit sample. Channels stay interleaved — downstream
+      * pooling is channel-agnostic, and a real pipeline splits them with
+      * `meta`-carried channel counts at the consumer.
+      */
+    def decodeAudio(media: Array[Byte], meta: AssetMeta): (Array[Float], Int) =
+      meta.format match {
+        case "raw-pcm" =>
+          val out = new Array[Float](media.length)
+          var i = 0
+          while (i < media.length) {
+            out(i) = ((media(i) & 0xFF) - 128) / 128.0f
+            i += 1
+          }
+          (out, meta.sampleRate)
+        case f =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(media))
+          try {
+            val fmt = in.getFormat
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels,
+              fmt.getChannels * 2, fmt.getSampleRate, false)
+            val pcm =
+              javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            val bytes = pcm.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xFF
+              val hi = bytes(2 * i + 1).toInt // sign-carrying high byte
+              out(i) = ((hi << 8) | lo) / 32768.0f
+              i += 1
+            }
+            (out, fmt.getSampleRate.toInt)
+          } finally in.close()
+      }
+
+    /** Encode float samples in [-1, 1] (clamped) as a mono 16-bit PCM
+      * WAV/RIFF container — the sink-side inverse of [[decodeAudio]],
+      * and the fixture generator's way of producing REAL parseable WAV
+      * bytes deterministically.
+      */
+    def encodeWavPcm16(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < samples.length) {
+        val s = math.max(-1.0f, math.min(1.0f, samples(i)))
+        buf.putShort(math.round(s * 32767.0f).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+
     /** STUB: "decode" one video frame — frame f is the f-th W*H slice. */
     def decodeFrame(media: Array[Byte], meta: AssetMeta, f: Int): Array[Byte] = {
       val sz = meta.width * meta.height
@@ -92,15 +165,18 @@ object Multimodal {
       }
       val meta = kind match {
         case "image" => AssetMeta(16, 16, 0, 1, "raw-rgb")
-        case "audio" => AssetMeta(0, 0, 8000, 1, "raw-pcm")
+        case "audio" => AssetMeta(0, 0, 8000, 1, "wav")
         case _       => AssetMeta(8, 8, 0, 12, "raw-gray-frames")
       }
-      val len = kind match {
-        case "image" => meta.width * meta.height * 3
-        case "audio" => meta.sampleRate / 4 // 250ms clip
-        case _       => meta.width * meta.height * meta.nFrames
+      val media = kind match {
+        case "image" => bytes(seed, id, meta.width * meta.height * 3)
+        case "audio" => // a REAL parseable WAV container of a 250ms clip
+          val raw = bytes(seed, id, meta.sampleRate / 4)
+          Codec.encodeWavPcm16(
+            raw.map(b => ((b & 0xFF) - 128) / 128.0f), meta.sampleRate)
+        case _ => bytes(seed, id, meta.width * meta.height * meta.nFrames)
       }
-      Asset(id, kind, bytes(seed, id, len), meta)
+      Asset(id, kind, media, meta)
     }
   }
 
@@ -119,28 +195,49 @@ object Multimodal {
     out
   }
 
-  /** Feature-extract every asset into a `dim`-float embedding: decode
-    * (stub), then bucket-pool byte intensities. Runs as one iterator pass
-    * per partition; only (id, kind, vector) leaves the operator, so
-    * downstream shuffles never carry media bytes.
+  /** Feature-extract every asset into a `dim`-float embedding: per-kind
+    * decode (REAL for images and audio) to a [0, 1] intensity stream —
+    * pixel channels / 255 for images and video planes, |sample| for
+    * audio — then bucket-pool. Runs as one iterator pass per partition;
+    * only (id, kind, vector) leaves the operator, so downstream shuffles
+    * never carry media bytes.
     */
   def featurize(assets: Dataset[Asset], dim: Int = 64): Dataset[AssetFeature] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.map { a =>
-        val decoded = a.kind match {
-          case "image" => Codec.decodeImage(a.media, a.meta)._1
-          case _       => a.media
+        val intens: Array[Float] = a.kind match {
+          case "image" =>
+            val d = Codec.decodeImage(a.media, a.meta)._1
+            val out = new Array[Float](d.length)
+            var i = 0
+            while (i < d.length) { out(i) = (d(i) & 0xFF) / 255.0f; i += 1 }
+            out
+          case "audio" =>
+            val s = Codec.decodeAudio(a.media, a.meta)._1
+            val out = new Array[Float](s.length)
+            var i = 0
+            // |PCM sample|; -32768 maps a hair over 1, clamp it back
+            while (i < s.length) {
+              out(i) = math.min(math.abs(s(i)), 1.0f); i += 1
+            }
+            out
+          case _ =>
+            val out = new Array[Float](a.media.length)
+            var i = 0
+            while (i < a.media.length) {
+              out(i) = (a.media(i) & 0xFF) / 255.0f; i += 1
+            }
+            out
         }
         val acc = new Array[Float](dim)
         val cnt = new Array[Int](dim)
         var i = 0
-        while (i < decoded.length) {
-          val b = decoded(i) & 0xFF
-          // long arithmetic: i * dim overflows Int past ~2^31/dim bytes
+        while (i < intens.length) {
+          // long arithmetic: i * dim overflows Int past ~2^31/dim samples
           // (a ~33 MB asset at dim=64), which would index negatively
-          val k = ((i.toLong * dim) / math.max(decoded.length, 1)).toInt
-          acc(k) += b / 255.0f
+          val k = ((i.toLong * dim) / math.max(intens.length, 1)).toInt
+          acc(k) += intens(i)
           cnt(k) += 1
           i += 1
         }

@@ -22,7 +22,14 @@ class MultimodalSpec extends SparkSuite {
         case "video" =>
           assert(as.media.length ==
             as.meta.width * as.meta.height * as.meta.nFrames)
-        case "audio" => assert(as.media.length == as.meta.sampleRate / 4)
+        case "audio" =>
+          // a REAL WAV container: RIFF magic + 16-bit samples of the
+          // 250ms clip behind a 44-byte header, parseable by the codec
+          assert(new String(as.media.slice(0, 4), "US-ASCII") == "RIFF")
+          assert(as.media.length == 44 + 2 * (as.meta.sampleRate / 4))
+          val (samples, sr) = Multimodal.Codec.decodeAudio(as.media, as.meta)
+          assert(sr == as.meta.sampleRate)
+          assert(samples.length == as.meta.sampleRate / 4)
       }
     }
   }
@@ -71,6 +78,25 @@ class MultimodalSpec extends SparkSuite {
     val f5 = frames.filter(f => f.asset_id == v.asset_id && f.frame_idx == 5).head
     val sz = v.meta.width * v.meta.height
     assert(f5.frame.sameElements(v.media.slice(5 * sz, 6 * sz)))
+  }
+
+  test("WAV decode is real: javax.sound round-trip recovers PCM16 exactly") {
+    val sr = 16000
+    val samples = Array.tabulate(400)(i => (math.sin(i * 0.1) * 0.8).toFloat)
+    val wav = Multimodal.Codec.encodeWavPcm16(samples, sr)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (out, outSr) = Multimodal.Codec.decodeAudio(
+      wav, Multimodal.AssetMeta(0, 0, sr, 1, "wav"))
+    assert(outSr == sr && out.length == samples.length)
+    // encode rounds to 1/32767, decode divides by 32768: one-quantum bound
+    samples.zip(out).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1.5f / 32768.0f, s"$a vs $b")
+    }
+    // and the exact PCM16 words survive bit-for-bit (container is lossless)
+    val reenc = Multimodal.Codec.encodeWavPcm16(out.map(v => v * 32768f / 32767f), sr)
+    assert(java.util.Arrays.equals(
+      reenc.drop(44), wav.drop(44)), "PCM payload must round-trip")
   }
 
   test("PNG decode is real: ImageIO round-trip recovers the exact RGB plane") {
