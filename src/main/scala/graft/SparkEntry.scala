@@ -164,6 +164,7 @@ object SparkEntry {
     "q69_cluster_centroid" -> ((s, d) => ops.Vector.q69(s, d)),
     // per-status p5/p95 winsorized price clipping (robust feature prep)
     "q70_winsorize"        -> ((s, d) => ops.Analytics.q70(s, d)),
+    "q71_ivf_search"       -> ((s, d) => ops.Vector.q71(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -272,6 +273,7 @@ object SparkEntry {
     "q68_dedup_keep"       -> ops.Text.q68Sql,
     "q69_cluster_centroid" -> ops.Vector.q69Sql,
     "q70_winsorize"        -> ops.Analytics.q70Sql,
+    "q71_ivf_search"       -> ops.Vector.q71Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

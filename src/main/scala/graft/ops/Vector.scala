@@ -925,4 +925,51 @@ object Vector {
       |FROM sums GROUP BY comp
       |ORDER BY component""".stripMargin.replace("CENTS", cents)
   }
+
+  /** q71_ivf_search: the MATERIALIZED IVF index exercised end-to-end —
+    * [[ivfBuild]] writes the cell-partitioned index (centroid quantizer +
+    * directory-partitioned postings with precomputed norms), then
+    * [[ivfSearch]] answers x01's probe set from the files. The declared
+    * form probes ALL cells (nprobe = nlist = 16), which makes IVF
+    * PROVABLY exact: every corpus vector lives in exactly one cell and
+    * every cell is read, so the candidate set is the whole corpus and the
+    * result equals brute-force top-k — the oracle restates exactly that
+    * (x01's fold ⇒ bit-identical cosines ⇒ identical ranks), giving the
+    * build→search path a driver CORRECTNESS row with no recall caveat.
+    * The nprobe < nlist production trade (read nprobe/nlist of the index,
+    * partition-pruned on disk) is the same code path, plan-asserted and
+    * equivalence-pinned against per-call [[ivfTopK]] in VectorSpec.
+    * Output is integer-only (probe, neighbor, rank).
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_q71_").toString
+    val emb = Tables.embeddings(spark, dir)
+    ivfBuild(emb, idx, nlist = 16)
+    ivfSearch(spark, idx, emb.filter(col("vec_id") < 8),
+        nprobe = 16, k = 10)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Brute-force top-k (x01Sql's fold) — exactly what a full-probe IVF
+    * search computes, minus the cosine column.
+    */
+  val q71Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)
+      |SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY p.vec_id
+      |           ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
+      |  FROM v p, v c
+      |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
 }
