@@ -165,6 +165,8 @@ object SparkEntry {
     // per-status p5/p95 winsorized price clipping (robust feature prep)
     "q70_winsorize"        -> ((s, d) => ops.Analytics.q70(s, d)),
     "q71_ivf_search"       -> ((s, d) => ops.Vector.q71(s, d)),
+    "q72_transitions"      -> ((s, d) => ops.Analytics.q72(s, d)),
+    "q73_vocab_coverage"   -> ((s, d) => ops.Text.q73(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -274,6 +276,8 @@ object SparkEntry {
     "q69_cluster_centroid" -> ops.Vector.q69Sql,
     "q70_winsorize"        -> ops.Analytics.q70Sql,
     "q71_ivf_search"       -> ops.Vector.q71Sql,
+    "q72_transitions"      -> ops.Analytics.q72Sql,
+    "q73_vocab_coverage"   -> ops.Text.q73Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -822,4 +822,51 @@ object Analytics {
       |            ELSE FALSE END AS outlier
       |FROM m
       |ORDER BY status, day""".stripMargin
+
+  /** q72_transitions: per-user event-SEQUENCE statistics — the Markov
+    * transition matrix (from_type, to_type, n, p) over each user's
+    * time-ordered event stream, the "what follows what" table behind
+    * session modeling, next-event prediction features, and funnel
+    * hypothesis generation (q53 checks ONE ordained order; q72 measures
+    * all of them).
+    *
+    * Scale shape: the lead() window partitions on user_id — the
+    * HIGH-cardinality key, so partitions stay narrow at any corpus size —
+    * and everything after is a map-side-combinable aggregate to ≤ |types|²
+    * rows; the per-from-type normalization window runs on those tiny
+    * aggregate rows, never on events. Cross-engine exactness: event ts
+    * are exact microseconds with no (user, ts) collisions (measured at
+    * sf0.1), so the (ts, event_id) order is identical in both engines
+    * despite DuckDB keeping ns; p = n/tot is one IEEE divide of exact
+    * longs.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q72Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts ASC, event_id ASC) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       CAST(n AS DOUBLE)
+      |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
 }

@@ -1226,4 +1226,65 @@ object Text {
   def x07(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir), maxHamming = 7, numChunks = 8)
       .orderBy("doc_a", "doc_b")
+
+  /** q73_vocab_coverage: the VOCABULARY COVERAGE CURVE over word
+    * trigrams — what fraction of all trigram OCCURRENCES the top-k most
+    * frequent trigram types cover, at k ∈ {100, 1000, 5000} — the
+    * truncation-curve a tokenizer/vocab-size decision reads (and the
+    * corpus-burstiness summary next to q56's per-doc tf-idf).
+    *
+    * Scale shape: the corpus-sized work is one explode (the one-pass
+    * codegen'd `word_ngrams` kernel, multiplicity kept) feeding a
+    * map-side-combinable count aggregate to TYPE cardinality; the top-k
+    * cut is orderBy+limit (TakeOrdered — no global sort materialization),
+    * and the ranking window runs on ≤ 5000 surviving rows (q52's bounded
+    * single-partition-window argument). Totals attach by a 1-row
+    * broadcast. Exactness: counts are longs, rank arithmetic is integer
+    * (rn ≤ k sums make "rank k" mean min(k, |vocab|) identically in both
+    * engines), coverage is one IEEE divide of exact longs.
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    graft.ext.GraftFunctions.ensureWordNgrams(spark2)
+    import spark2.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select(explode(nativeNgrams(col("text"), 3)).as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("tot"))
+    val top = counts.orderBy(desc("c"), asc("g")).limit(5000)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(desc("c"), asc("g"))))
+    val ks = Seq(100, 1000, 5000).toDF("k")
+    ranked.join(broadcast(ks), col("rn") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("top_tokens"),
+        count(lit(1)).cast("long").as("top_types"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("top_types"), col("top_tokens"),
+        (col("top_tokens").cast("double") / col("tot").cast("double"))
+          .as("coverage"))
+      .orderBy("k")
+  }
+
+  /** The same trigram expansion q65Sql uses (3-wide), counts restated
+    * with a ranked CTE; rn ≤ k aggregation clamps k past |vocab|
+    * identically.
+    */
+  val q73Sql: String =
+    """WITH g AS (
+      |  SELECT unnest(list_transform(range(1, len(w) - 1),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)),
+      |c AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+      |tot AS (SELECT sum(c) AS tot FROM c),
+      |ranked AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, g ASC) AS rn
+      |  FROM c ORDER BY c DESC, g ASC LIMIT 5000)
+      |SELECT k, CAST(count(*) AS BIGINT) AS top_types,
+      |       CAST(sum(c) AS BIGINT) AS top_tokens,
+      |       CAST(sum(c) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS coverage
+      |FROM ranked, tot, (VALUES (100), (1000), (5000)) ks(k)
+      |WHERE rn <= k
+      |GROUP BY k
+      |ORDER BY k""".stripMargin
 }

@@ -160,6 +160,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.exists(_._5.isDefined), "expected some defined z-scores")
   }
 
+  test("q72 transition matrix: rows partition the lead pairs, p sums to 1") {
+    val rows = ops.Analytics.q72(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // every user with k events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sf001)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == expected,
+      "transition count must be events minus users")
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val pSum = rs.map(_._4).sum
+      assert(math.abs(pSum - 1.0) < 1e-12, s"$from: p sums to $pSum")
+      // p is the exact ratio of the row's n to the from-group total
+      val tot = rs.map(_._3).sum.toDouble
+      rs.foreach { case (_, _, n, p) => assert(p == n.toDouble / tot) }
+    }
+  }
+
   test("q70 winsorized prices clamp to real per-group order statistics") {
     val rows = ops.Analytics.q70(spark, sf001).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

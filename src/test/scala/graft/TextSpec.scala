@@ -23,6 +23,33 @@ class TextSpec extends SparkSuite {
     assert(out(0) == "a b c" && out(1) == "a b c")
   }
 
+  test("q73 coverage curve: exact counts, monotone, TakeOrdered top-k cut") {
+    val rows = Text.q73(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(100, 1000, 5000))
+    // driver-side recount over the same lowercase space-split trigrams
+    val grams = Tables.documents(spark, sf001).select("text").collect()
+      .map(_.getString(0).toLowerCase)
+      .flatMap(t => t.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")))
+    val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ordered = counts.toSeq.sortBy { case (g, c) => (-c, g) }
+    val totAll = counts.values.sum
+    rows.foreach { case (k, types, toks, cov) =>
+      val top = ordered.take(k)
+      assert(types == math.min(k.toLong, ordered.length.toLong))
+      assert(toks == top.map(_._2).sum, s"k=$k token sum")
+      assert(cov == toks.toDouble / totAll.toDouble)
+    }
+    // coverage is monotone nondecreasing in k and capped at 1
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+    assert(rows.forall(_._4 <= 1.0))
+    // the top-k cut must plan as TakeOrdered, not a global sort shuffle
+    val plan = Text.q73(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit must compile to TakeOrderedAndProject")
+  }
+
   test("capClusterSizes: untriggered cap is the identity") {
     val labels = Seq((10L, 3L), (11L, 3L), (3L, 3L), (7L, 7L), (9L, 7L))
       .toDF("id", "comp")
