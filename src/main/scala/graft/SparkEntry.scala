@@ -167,6 +167,8 @@ object SparkEntry {
     "q71_ivf_search"       -> ((s, d) => ops.Vector.q71(s, d)),
     "q72_transitions"      -> ((s, d) => ops.Analytics.q72(s, d)),
     "q73_vocab_coverage"   -> ((s, d) => ops.Text.q73(s, d)),
+    "q74_fuzzy_names"      -> ((s, d) => ops.Text.q74(s, d)),
+    "q75_dup_degree"       -> ((s, d) => ops.Text.q75(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -278,6 +280,8 @@ object SparkEntry {
     "q71_ivf_search"       -> ops.Vector.q71Sql,
     "q72_transitions"      -> ops.Analytics.q72Sql,
     "q73_vocab_coverage"   -> ops.Text.q73Sql,
+    "q74_fuzzy_names"      -> ops.Text.q74Sql,
+    "q75_dup_degree"       -> ops.Text.q75Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -1075,6 +1075,92 @@ object Text {
       |  WHERE id <> comp)
       |ORDER BY doc_id""".stripMargin
 
+  /** q74_fuzzy_name_variants: EDIT-DISTANCE near-duplicate detection over
+    * the part-name DICTIONARY — every pair of distinct names within
+    * Levenshtein distance 2, with how many parts carry each spelling.
+    * Completes the dedup taxonomy's missing member (exact q21, minhash
+    * x02, simhash x07, n-gram Jaccard x10, embedding q47 — and now
+    * edit-distance, the catalog/entity-resolution workhorse).
+    *
+    * Scale shape — dictionary-first, the entity-resolution standard: the
+    * corpus collapses map-side to DISTINCT names + counts (a name
+    * dictionary is vocab-bounded, ≪ corpus), and the pair join runs on
+    * the dictionary with a LENGTH-BAND equi-key — side b explodes to its
+    * ±2 length band, so the join is a hash join on length, never a
+    * nested-loop over dictionary², and the |len(a)−len(b)| ≤ d
+    * Levenshtein lower bound prunes before any DP runs. Integer-exact
+    * output: both engines' `levenshtein` is classic unit-cost edit
+    * distance, identical on ASCII (D6).
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val a = names.select(col("p_name").as("name_a"),
+      col("n").as("n_parts_a"), length(col("p_name")).as("la"))
+    val b = names.select(col("p_name").as("name_b"),
+      col("n").as("n_parts_b"), length(col("p_name")).as("lb"))
+    val bx = b.withColumn("la",
+      explode(array((-2 to 2).map(d => col("lb") + d): _*)))
+    a.join(bx, Seq("la"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val q74Sql: String =
+    """WITH names AS (SELECT p_name, count(*) AS n FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+      |       CAST(a.n AS BIGINT) AS n_parts_a, CAST(b.n AS BIGINT) AS n_parts_b
+      |FROM names a JOIN names b
+      |  ON a.p_name < b.p_name AND abs(len(a.p_name) - len(b.p_name)) <= 2
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** q75_dup_degree: DEGREE HISTOGRAM of the near-duplicate graph —
+    * (degree, n_docs) over x02's minhash pair list, the one-glance shape
+    * diagnostic for a dedup run: a fat tail here is the "one hub chained
+    * everything" warning that [[capClusterSizes]] and threshold tuning
+    * exist for, read BEFORE committing to a cluster resolution.
+    *
+    * Scale: two map-side-combinable aggregates over the PAIR list (ids
+    * only, a sliver of the corpus) — the corpus itself never shuffles
+    * beyond x02's banded LSH pair generation. Integer-exact.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(Tables.documents(spark, dir))
+    pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
+  val q75Sql: String =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS s
+      |  FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9),
+      |und AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION
+      |  SELECT doc_b AS s, doc_a AS d FROM pairs)
+      |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM (SELECT s, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY s)
+      |GROUP BY degree
+      |ORDER BY degree""".stripMargin
+
   /** `AS MATERIALIZED` on every non-recursive CTE is load-bearing: DuckDB
     * inlines plain CTEs, so the recursive member would otherwise re-run
     * the full all-pairs shingle join on EVERY fixpoint iteration.

@@ -50,6 +50,48 @@ class TextSpec extends SparkSuite {
       "orderBy+limit must compile to TakeOrderedAndProject")
   }
 
+  test("q74 fuzzy names: matches brute-force edit distance, hash-join plan") {
+    val rows = Text.q74(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // brute force over the distinct-name dictionary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.part(spark, sf001).select("p_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).sorted.toSeq
+    assert(rows.sorted.toSeq == want)
+    // the length band must keep the dictionary join hash-shaped
+    val plan = Text.q74(spark, sf001).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "length-band equi-key must prevent a nested-loop dictionary join")
+  }
+
+  test("q75 degree histogram: consistent with the pair list") {
+    val pairs = Text.minhashPairs(Tables.documents(spark, sf001)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degrees = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = degrees.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = Text.q75(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // every doc in the histogram has >= 1 neighbor, and totals agree
+    assert(got.values.sum == degrees.size.toLong)
+  }
+
   test("capClusterSizes: untriggered cap is the identity") {
     val labels = Seq((10L, 3L), (11L, 3L), (3L, 3L), (7L, 7L), (9L, 7L))
       .toDF("id", "comp")
