@@ -191,7 +191,11 @@ object SparkEntry {
     // EXISTS, so the result is exact and SHARES q06's oracle
     "x12_bloom_semi"       -> ((s, d) => ops.Relational.x12(s, d)),
     // IVF ANN: rows-only (approximate output); recall pinned in VectorSpec
-    "x11_ann_ivf"          -> ((s, d) => ops.Vector.x11(s, d))
+    "x11_ann_ivf"          -> ((s, d) => ops.Vector.x11(s, d)),
+    // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
+    // partitioning-dependent beyond the guarantee); bounds pinned in
+    // HeavyHittersSpec against exact counts
+    "x14_heavy_hitters"    -> ((s, d) => functions.HeavyHitters.x14(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */

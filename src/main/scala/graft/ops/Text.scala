@@ -1340,11 +1340,16 @@ object Text {
     val top = counts.orderBy(desc("c"), asc("g")).limit(5000)
     val ranked = top.withColumn("rn",
       row_number().over(Window.orderBy(desc("c"), asc("g"))))
-    val ks = Seq(100, 1000, 5000).toDF("k")
-    ranked.join(broadcast(ks), col("rn") <= col("k"))
+    // each ranked row contributes to every k ≥ its rank — a map-side
+    // explode of a ≤3-element filtered literal array, not a join
+    ranked
+      .withColumn("k", explode(filter(
+        array(lit(100), lit(1000), lit(5000)), k => col("rn") <= k)))
       .groupBy(col("k"))
       .agg(sum(col("c")).as("top_tokens"),
         count(lit(1)).cast("long").as("top_types"))
+      // 1-row scalar attach (the denominator) — a broadcast nested loop
+      // bounded by construction, PlanSpec-exempted as such
       .crossJoin(broadcast(tot))
       .select(col("k"), col("top_types"), col("top_tokens"),
         (col("top_tokens").cast("double") / col("tot").cast("double"))

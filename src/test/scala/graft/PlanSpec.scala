@@ -142,10 +142,13 @@ class PlanSpec extends SparkSuite {
 
   test("x01/x06: the only nested-loop join is against the broadcast probes") {
     // brute-force ANN is allowed a BroadcastNestedLoopJoin (bounded by the
-    // tiny probe side) — x01 and its dequantized twin q60; everything
-    // else — x11's cell assignment included, now a map-side argmax over
-    // the literal centroid array — must be hash/sort-merge joins
-    val nlAllowed = Set("x01_vector_cosine", "q60_search_quantized")
+    // tiny probe side) — x01 and its dequantized twin q60; q73's one BNLJ
+    // is the 1-row scalar attach of its coverage denominator (bounded by
+    // construction — an aggregate's single row cross-joined broadcast);
+    // everything else — x11's cell assignment included, now a map-side
+    // argmax over the literal centroid array — must be hash/sort-merge joins
+    val nlAllowed =
+      Set("x01_vector_cosine", "q60_search_quantized", "q73_vocab_coverage")
     SparkEntry.queries.keys.filterNot(nlAllowed).foreach { n =>
       assert(!plan(n).contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join")
