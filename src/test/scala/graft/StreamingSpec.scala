@@ -133,6 +133,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("x15: streaming transitions == batch lead() over the same prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Transitions
+    import graft.streaming.Transitions.UserEvent
+    val input = MemoryStream[UserEvent]
+    val q = Transitions.transitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // batch 1, user 1 OUT OF ORDER in the batch: sorts to view->click
+      input.addData(
+        UserEvent(1L, ts("2026-01-01 10:05:00"), 2L, "click"),
+        UserEvent(1L, ts("2026-01-01 10:00:00"), 1L, "view"),
+        UserEvent(2L, ts("2026-01-01 10:01:00"), 3L, "view"))
+      q.processAllAvailable()
+      val b1 = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(b1 == Set((1L, "view", "click")))
+
+      // batch 2 stitches across the batch boundary via state:
+      // user 1 click->purchase, user 2 view->click
+      input.addData(
+        UserEvent(1L, ts("2026-01-01 10:10:00"), 4L, "purchase"),
+        UserEvent(2L, ts("2026-01-01 10:12:00"), 5L, "click"))
+      q.processAllAvailable()
+      val all = spark.table("trans_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(all.toSet == Set(
+        (1L, "view", "click"), (1L, "click", "purchase"),
+        (2L, "view", "click")))
+      // and the hop aggregate equals the batch q72 shape on the same rows
+      val allEvents = Seq(
+        (1L, ts("2026-01-01 10:00:00"), 1L, "view"),
+        (1L, ts("2026-01-01 10:05:00"), 2L, "click"),
+        (1L, ts("2026-01-01 10:10:00"), 4L, "purchase"),
+        (2L, ts("2026-01-01 10:01:00"), 3L, "view"),
+        (2L, ts("2026-01-01 10:12:00"), 5L, "click"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      val batchHops = allEvents
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy("event_type", "to_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val streamHops = all.groupBy(h => (h._2, h._3)).view
+        .mapValues(_.length.toLong).toSeq
+        .map { case ((f, t), n) => (f, t, n) }.toSet
+      assert(streamHops == batchHops)
+    } finally q.stop()
+  }
+
   test("TTL dedup: bounded state — expired keys re-admit, live keys suppress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
