@@ -169,6 +169,7 @@ object SparkEntry {
     "q73_vocab_coverage"   -> ((s, d) => ops.Text.q73(s, d)),
     "q74_fuzzy_names"      -> ((s, d) => ops.Text.q74(s, d)),
     "q75_dup_degree"       -> ((s, d) => ops.Text.q75(s, d)),
+    "q76_cooccur"          -> ((s, d) => ops.Analytics.q76(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -286,6 +287,7 @@ object SparkEntry {
     "q73_vocab_coverage"   -> ops.Text.q73Sql,
     "q74_fuzzy_names"      -> ops.Text.q74Sql,
     "q75_dup_degree"       -> ops.Text.q75Sql,
+    "q76_cooccur"          -> ops.Analytics.q76Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -869,4 +869,57 @@ object Analytics {
       |         / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       |FROM c
       |ORDER BY from_type, to_type""".stripMargin
+
+  /** q76_cooccur: event-type CO-OCCURRENCE with conditional
+    * probabilities — for every unordered type pair, how many users did
+    * both, and P(b | did a) / P(a | did b). The SET-association
+    * complement of q72's sequential transitions (q72 asks "what follows
+    * what", q76 asks "what goes with what" regardless of order) — the
+    * basket-analysis / feature-correlation table.
+    *
+    * Scale shape: the corpus collapses map-side to DISTINCT
+    * (user, type) — at most |types| rows per user — so the self-join on
+    * the high-cardinality user key fans out ≤ |types|²/2 per user, never
+    * events²; co-occurrence counts aggregate map-side to ≤ |types)²
+    * rows, and the per-type user counts attach by BROADCAST equi-joins
+    * (5-row dim), no scalar cross join. Probabilities are single IEEE
+    * divides of exact longs.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val a = ut.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("nu").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("nu").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        (col("n_both").cast("double") / col("n_a").cast("double"))
+          .as("p_b_given_a"),
+        (col("n_both").cast("double") / col("n_b").cast("double"))
+          .as("p_a_given_b"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val q76Sql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |pt AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+      |co AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+      |       CAST(n_both AS DOUBLE) / CAST(pa.nu AS DOUBLE) AS p_b_given_a,
+      |       CAST(n_both AS DOUBLE) / CAST(pb.nu AS DOUBLE) AS p_a_given_b
+      |FROM co JOIN pt pa ON pa.event_type = co.type_a
+      |        JOIN pt pb ON pb.event_type = co.type_b
+      |ORDER BY type_a, type_b""".stripMargin
 }

@@ -178,6 +178,31 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q76 co-occurrence: counts and conditionals match a driver recount") {
+    val rows = ops.Analytics.q76(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val ut = Tables.events(spark, sf001)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    rows.foreach { case (a, b, nBoth, pba, pab) =>
+      assert(a < b)
+      val both = (byType(a) intersect byType(b)).size.toLong
+      assert(nBoth == both, s"($a,$b)")
+      assert(pba == both.toDouble / byType(a).size.toDouble)
+      assert(pab == both.toDouble / byType(b).size.toDouble)
+    }
+    // all unordered pairs with at least one common user are present
+    val types = byType.keys.toSeq.sorted
+    val expectedPairs = (for {
+      a <- types; b <- types if a < b
+      if (byType(a) intersect byType(b)).nonEmpty
+    } yield (a, b)).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == expectedPairs)
+  }
+
   test("q70 winsorized prices clamp to real per-group order statistics") {
     val rows = ops.Analytics.q70(spark, sf001).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
