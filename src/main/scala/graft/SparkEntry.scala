@@ -170,6 +170,10 @@ object SparkEntry {
     "q74_fuzzy_names"      -> ((s, d) => ops.Text.q74(s, d)),
     "q75_dup_degree"       -> ((s, d) => ops.Text.q75(s, d)),
     "q76_cooccur"          -> ((s, d) => ops.Analytics.q76(s, d)),
+    // robust outlier counts: exact median/MAD fences (q66's robust twin)
+    "q77_mad_outliers"     -> ((s, d) => ops.Analytics.q77(s, d)),
+    // two-sample KS distance between status price distributions
+    "q78_ks_test"          -> ((s, d) => ops.Analytics.q78(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -288,6 +292,8 @@ object SparkEntry {
     "q74_fuzzy_names"      -> ops.Text.q74Sql,
     "q75_dup_degree"       -> ops.Text.q75Sql,
     "q76_cooccur"          -> ops.Analytics.q76Sql,
+    "q77_mad_outliers"     -> ops.Analytics.q77Sql,
+    "q78_ks_test"          -> ops.Analytics.q78Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

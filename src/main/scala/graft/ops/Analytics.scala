@@ -318,6 +318,216 @@ object Analytics {
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
   }
 
+  /** [[histCum]] generalized to any (g, p) input: the same two-level
+    * histogram-rank census (coarse fixed-width buckets → broadcast
+    * offsets → within-(g, bkt) running counts) over a caller-supplied
+    * base instead of the orders scan. Like histCum, the offsets branch
+    * re-evaluates `base` rather than deriving from `hist` (the branches
+    * diverge after pushdown, ReuseExchange can't merge them) — callers
+    * whose base is more than a pruned scan should keep it cheap
+    * (map-side joins only) or persist it. Columns in: (g, p decimal);
+    * out: (g, bkt, p, c, off, cnt, cum) — p covers global ranks
+    * (cum − c, cum] within its group.
+    */
+  private def histCumOn(base: DataFrame): DataFrame = {
+    val bktOfP = floor(col("p") / 512).cast("long")
+    val hist = base
+      .groupBy(col("g"), col("p"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("bkt", bktOfP)
+    val wB = Window.partitionBy(col("g")).orderBy(asc("bkt"))
+    val bucketOffsets = base
+      .groupBy(col("g"), bktOfP.as("bkt"))
+      .agg(count(lit(1)).as("bc"))
+      .select(
+        col("g"), col("bkt"),
+        coalesce(sum(col("bc")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+        sum(col("bc")).over(Window.partitionBy(col("g"))).as("cnt"))
+    val wIn = Window.partitionBy(col("g"), col("bkt"))
+      .orderBy(asc("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(bucketOffsets), Seq("g", "bkt"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
+  }
+
+  /** q77_mad_outliers: per-group ROBUST outlier detection — the median
+    * absolute deviation. Each status gets its discrete median (the
+    * rank-⌈n/2⌉ order statistic), the discrete median of |p − med| (the
+    * MAD), and the count of orders beyond the 3·MAD fence. The robust
+    * complement of q66's moment z-score (one wild order shifts a mean
+    * and explodes a stddev; it moves a median by at most one rank) and
+    * the detection twin of q70's winsorize (q70 clips the tails, q77
+    * counts them).
+    *
+    * Cross-engine exactness: every quantity before the two output casts
+    * is EXACT — medians are rank-selected decimals (never interpolated),
+    * |p − med| is exact decimal subtraction, the 3·MAD fence is an exact
+    * decimal multiply and the fence comparison an exact decimal compare;
+    * the only doubles are the final correctly-rounded scale-2
+    * decimal→double casts (direct, D7: scaled values ≪ 2⁵³).
+    *
+    * Scale shape: both median passes run the [[histCumOn]] histogram-rank
+    * census — raw rows hash-shuffle only on the high-cardinality
+    * (status, value) composite, never sort on the 3-value status key —
+    * and the med/MAD results broadcast back as 3-row dims onto a pruned
+    * fact scan whose fence test and count aggregate map-side.
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("g"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    def covers(k: Column) = col("cum") - col("c") < k && k <= col("cum")
+    val medRank = floor((col("cnt") + 1) / lit(2)).cast("long")
+    val med = histCumOn(base).groupBy(col("g"))
+      .agg(max(when(covers(medRank), col("p"))).as("med"),
+        max(col("cnt")).as("n_orders"))
+    val dev = base.join(broadcast(med), "g")
+      .select(col("g"), abs(col("p") - col("med")).as("p"))
+    val mad = histCumOn(dev).groupBy(col("g"))
+      .agg(max(when(covers(medRank), col("p"))).as("mad"))
+    base.join(broadcast(med), "g").join(broadcast(mad), "g")
+      .groupBy(col("g"), col("med"), col("mad"), col("n_orders"))
+      .agg(sum(when(abs(col("p") - col("med")) > lit(3) * col("mad"), 1)
+        .otherwise(0)).cast("long").as("n_outliers"))
+      .select(col("g").as("o_orderstatus"),
+        col("med").cast("double").as("med_price"),
+        col("mad").cast("double").as("mad"),
+        col("n_orders"), col("n_outliers"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q77's restatement: ranked-window rank selection for both medians
+    * (the q70/q34 equivalence), the same exact-decimal fence.
+    */
+  val q77Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus AS g,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |         row_number() OVER (PARTITION BY o_orderstatus
+      |                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) ASC, o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM orders),
+      |med AS (
+      |  SELECT g, max(CASE WHEN rn = (cnt + 1) // 2 THEN p END) AS med,
+      |         max(cnt) AS n_orders
+      |  FROM base GROUP BY g),
+      |dev AS (
+      |  SELECT b.g, abs(b.p - m.med) AS d,
+      |         row_number() OVER (PARTITION BY b.g
+      |                            ORDER BY abs(b.p - m.med) ASC, b.o_orderkey ASC) AS rn,
+      |         count(*) OVER (PARTITION BY b.g) AS cnt
+      |  FROM base b JOIN med m USING (g)),
+      |mad AS (
+      |  SELECT g, max(CASE WHEN rn = (cnt + 1) // 2 THEN d END) AS mad
+      |  FROM dev GROUP BY g)
+      |SELECT m.g AS o_orderstatus,
+      |       CAST(m.med AS DOUBLE) AS med_price,
+      |       CAST(x.mad AS DOUBLE) AS mad,
+      |       CAST(m.n_orders AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN abs(b.p - m.med) > 3 * x.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM base b JOIN med m ON b.g = m.g JOIN mad x ON b.g = x.g
+      |GROUP BY m.g, m.med, x.mad, m.n_orders
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** q78_ks_test: two-sample KOLMOGOROV–SMIRNOV distance between the
+    * open ('O') and finished ('F') order price distributions — the
+    * distribution-drift statistic D = max over the pooled support of
+    * |ecdfO(p) − ecdfF(p)|, plus the (smallest) price where the maximum
+    * is attained. The nonparametric complement of q30's moment
+    * comparison: two groups can share mean and variance and still be
+    * distributionally far apart; D is what a train/serve or
+    * before/after-rebalance drift check actually reads.
+    *
+    * Cross-engine exactness: ECDF numerators/denominators are exact
+    * longs; each ecdf is ONE IEEE divide, D one subtraction + abs — both
+    * engines produce bit-identical doubles, so max(D) and the
+    * equality-selected argmin price match exactly.
+    *
+    * Scale shape: the only fact-sized stage is the map-side-combined
+    * census on the high-cardinality price key. The running counts that
+    * make the ECDFs use the [[histCumOn]] two-level discipline — coarse
+    * fixed-width buckets whose ~10³-row totals take the only
+    * unpartitioned window, then within-bucket windows on the composite
+    * (bkt) key — a distributed prefix scan, never a single-reducer global
+    * sort of the support (q52's argument). The final max/argmin fold is
+    * over already-tiny values and the 1-row D attaches by broadcast.
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    val bktOfP = floor(col("p") / 512).cast("long")
+    val base = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_totalprice").cast("decimal(18,2)").as("p"),
+        col("o_orderstatus").as("s"))
+    val h = base.groupBy(col("p"))
+      .agg(sum(when(col("s") === "O", 1).otherwise(0)).as("co"),
+        sum(when(col("s") === "F", 1).otherwise(0)).as("cf"))
+      .withColumn("bkt", bktOfP)
+    // bucket totals straight off a second pruned scan (histCum discipline)
+    val wB = Window.orderBy(asc("bkt"))
+    val off = base.groupBy(bktOfP.as("bkt"))
+      .agg(sum(when(col("s") === "O", 1).otherwise(0)).as("bo"),
+        sum(when(col("s") === "F", 1).otherwise(0)).as("bf"))
+      .select(col("bkt"),
+        coalesce(sum(col("bo")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("oo"),
+        coalesce(sum(col("bf")).over(
+          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("of"),
+        sum(col("bo")).over(Window.partitionBy()).as("no"),
+        sum(col("bf")).over(Window.partitionBy()).as("nf"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(asc("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = h.join(broadcast(off), "bkt")
+      .select(col("p"), col("no"), col("nf"),
+        abs((col("oo") + sum(col("co")).over(wIn)).cast("double") /
+            col("no").cast("double") -
+          (col("of") + sum(col("cf")).over(wIn)).cast("double") /
+            col("nf").cast("double")).as("d"))
+    val dm = d.groupBy().agg(max(col("d")).as("d_stat"))
+    // 1-row scalar attach (the global max) — a broadcast nested loop
+    // bounded by construction, PlanSpec-exempted as such (q73 precedent)
+    d.crossJoin(broadcast(dm))
+      .filter(col("d") === col("d_stat"))
+      .groupBy(col("d_stat"))
+      .agg(min(col("p")).cast("double").as("at_price"),
+        max(col("no")).as("n_o"), max(col("nf")).as("n_f"))
+      .select(col("d_stat"), col("at_price"), col("n_o"), col("n_f"))
+  }
+
+  /** q78's restatement: plain running windows over the pooled support
+    * (the oracle may sort globally; the engine side may not), the same
+    * single-divide ECDFs and equality-selected argmin.
+    */
+  val q78Sql: String =
+    """WITH base AS (
+      |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderstatus AS s
+      |  FROM orders WHERE o_orderstatus IN ('O', 'F')),
+      |h AS (
+      |  SELECT p, sum(CASE WHEN s = 'O' THEN 1 ELSE 0 END) AS co,
+      |         sum(CASE WHEN s = 'F' THEN 1 ELSE 0 END) AS cf
+      |  FROM base GROUP BY p),
+      |c AS (
+      |  SELECT p,
+      |         sum(co) OVER (ORDER BY p ASC
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumo,
+      |         sum(cf) OVER (ORDER BY p ASC
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumf,
+      |         sum(co) OVER () AS no, sum(cf) OVER () AS nf
+      |  FROM h),
+      |d AS (
+      |  SELECT p, no, nf,
+      |         abs(CAST(cumo AS DOUBLE) / CAST(no AS DOUBLE)
+      |           - CAST(cumf AS DOUBLE) / CAST(nf AS DOUBLE)) AS d
+      |  FROM c),
+      |m AS (SELECT max(d) AS d_stat FROM d)
+      |SELECT m.d_stat AS d_stat,
+      |       CAST(min(d.p) AS DOUBLE) AS at_price,
+      |       CAST(max(d.no) AS BIGINT) AS n_o,
+      |       CAST(max(d.nf) AS BIGINT) AS n_f
+      |FROM d, m
+      |WHERE d.d = m.d_stat
+      |GROUP BY m.d_stat""".stripMargin
+
   /** q34c_percentile_cont: INTERPOLATED quantiles (the SQL-standard
     * percentile_cont semantics users actually type) — p50/p90 where a
     * fractional rank position lerps between the two surrounding order

@@ -203,6 +203,49 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.map(r => (r._1, r._2)).toSet == expectedPairs)
   }
 
+  test("q77 MAD outliers match a brute-force median/fence recount") {
+    val rows = ops.Analytics.q77(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val prices = Tables.orders(spark, sf001)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)).setScale(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (status, med, mad, n, nOut) =>
+      val ps = prices(status).sorted
+      assert(n == ps.size.toLong)
+      val lowerMedian = ps((ps.size + 1) / 2 - 1)
+      assert(med == lowerMedian.toDouble, s"$status median")
+      val ds = ps.map(p => (p - lowerMedian).abs).sorted
+      val bMad = ds((ds.size + 1) / 2 - 1)
+      assert(mad == bMad.toDouble, s"$status mad")
+      assert(nOut == ds.count(_ > bMad * 3).toLong, s"$status fence count")
+    }
+  }
+
+  test("q78 KS distance matches a brute-force pooled-ECDF sweep") {
+    val rows = ops.Analytics.q78(spark, sf001).collect()
+    assert(rows.length == 1)
+    val (dStat, atP, nO, nF) = (rows(0).getDouble(0), rows(0).getDouble(1),
+      rows(0).getLong(2), rows(0).getLong(3))
+    val ps = Tables.orders(spark, sf001)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+    val o = ps.filter(_._1 == "O").map(_._2)
+    val f = ps.filter(_._1 == "F").map(_._2)
+    assert(nO == o.length.toLong && nF == f.length.toLong)
+    val support = (o ++ f).distinct.sorted
+    val ds = support.map(p => (p,
+      math.abs(o.count(_ <= p).toDouble / o.length -
+        f.count(_ <= p).toDouble / f.length)))
+    val bMax = ds.map(_._2).max
+    assert(dStat == bMax)
+    assert(atP == ds.filter(_._2 == bMax).map(_._1).min.toDouble)
+    assert(dStat > 0 && dStat <= 1)
+  }
+
   test("q70 winsorized prices clamp to real per-group order statistics") {
     val rows = ops.Analytics.q70(spark, sf001).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

@@ -135,6 +135,21 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q77: med/MAD dims broadcast back — no raw-row shuffle on the status key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the Scaladoc claim at Analytics.q77: both median passes run the
+      // histogram-rank census on the (status, value) composite; raw rows
+      // never hash-partition on the bare 3-value status key, and the
+      // med/MAD fences attach by broadcast for the map-side count
+      assert(rawKeyShuffles(ops.Analytics.q77(spark, sf0001), "o_orderstatus").isEmpty,
+        "q77 must only hash-partition o_orderstatus above an aggregate")
+      assert(ops.Analytics.q77(spark, sf0001).queryExecution.sparkPlan
+        .toString.contains("BroadcastHashJoin"),
+        "q77 must broadcast the med/MAD fences back onto fact rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q55: moments broadcast back — no raw-row shuffle on the 3-value status key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
