@@ -92,10 +92,12 @@ object SparkEntry {
     // declared query: anti-join a fixture ledger, deterministic cap, q03
     // conversion — runs IncrementalPipeline.pickup, the runBatch primitive
     "q46_incremental_pick" -> ((s, d) => ops.Convert.q46(s, d)),
+    // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
-    // same clusters via large-star/small-star (O(log n) rounds vs
-    // diameter-bounded propagation) — shares q41's oracle
-    "q41b_dedup_clusters_star" -> ((s, d) => ops.Text.q41b(s, d)),
+    // same clusters via plain min-label propagation (diameter-bounded) —
+    // the cross-check; shares q41's oracle so star ≡ plain is
+    // driver-verified at every SF
+    "q41b_dedup_clusters_plain" -> ((s, d) => ops.Text.q41b(s, d)),
     // embedding-cosine near-dup dedup end-to-end: blocked cosine pairs
     // resolved to canonical clusters (the embedding-space member of the
     // dedup taxonomy); integer-only output => hash-exact despite the
@@ -260,7 +262,7 @@ object SparkEntry {
     "q46_incremental_pick" -> ops.Convert.q46Sql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
-    "q41b_dedup_clusters_star" -> ops.Text.q41Sql,
+    "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,

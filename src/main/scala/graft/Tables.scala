@@ -14,8 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Every table goes through [[sources.AdaptiveParquet]]: the driver has
+    * regenerated fixtures across rounds with different temporal encodings
+    * (TIMESTAMP(NANOS) → MICROS-NTZ), and a real lake mixes more — the
+    * adaptive read probes one footer and normalizes every temporal column
+    * to TimestampType under the project's UTC session, so no query plan
+    * depends on which writer produced a file.
+    */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    sources.AdaptiveParquet.read(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -24,30 +31,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to infer
-    * as a timestamp (PARQUET_TYPE_ILLEGAL) unless the session sets
-    * `spark.sql.legacy.parquet.nanosAsLong`. This reader is SELF-CONTAINED
-    * in any session, flag or no flag: it supplies an explicit user schema
-    * with `ts` as LongType — the INT64 physical read is always legal, only
-    * schema INFERENCE trips on the nanos annotation — then truncates to
-    * microseconds with integer division, the same floor DuckDB applies when
-    * it narrows ns→µs, so both engines see identical values. `div` keeps
-    * the arithmetic in Long (a double roundtrip would lose precision at
-    * 1.7e18). Pinned in FormatsSpec against a default-config session.
+  /** events.ts has shipped in TWO parquet encodings across fixture
+    * generations — TIMESTAMP(NANOS) in rounds 1–7, TIMESTAMP(MICROS,
+    * adjustedToUTC=false) since round 8 — which is exactly the failure
+    * class [[sources.AdaptiveParquet]] exists for: footer-probed
+    * dispatch, ns→µs integer floor (DuckDB's own narrowing) for nanos
+    * files in ANY session (flag or no flag), NTZ→TIMESTAMP canonical
+    * cast under the UTC session otherwise. Every (encoding × session
+    * flag) combination is pinned in FormatsSpec against spec-written
+    * fixtures of all three encodings.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType), // TIMESTAMP(NANOS) read as raw int64
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType),
-      StructField("props", StringType)))
-    s.read.schema(schema).parquet(s"$d/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-  }
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -281,50 +281,29 @@ object Analytics {
   /** The shared histogram-rank pipeline behind [[q34Hist]] and [[q34c]]:
     * per-(status, price) counts with global cumulative rank, built without
     * ever sorting raw rows on the 3-value status key (steps 1–3 of
-    * q34Hist's doc). Returns one row per distinct (status, price) with
-    * columns (o_orderstatus, bkt, p, c, off, cnt, cum): the price covers
-    * global ranks (cum − c, cum].
+    * q34Hist's doc). A thin rename shim over [[histCumOn]] — ONE copy of
+    * the two-level census discipline — so the two cannot drift. Returns
+    * one row per distinct (status, price) with columns
+    * (o_orderstatus, bkt, p, c, off, cnt, cum): the price covers global
+    * ranks (cum − c, cum].
     */
-  private def histCum(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
-      .select(col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("p"))
-    val bktOfP = floor(col("p") / 512).cast("long")
-    val hist = base
-      .groupBy(col("o_orderstatus"), col("p"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("bkt", bktOfP)
-    // offsets aggregate STRAIGHT off a second pruned scan, not off `hist`:
-    // deriving them from `hist` re-runs the whole (status, price) shuffle a
-    // second time (the two plan branches diverge after filter pushdown, so
-    // ReuseExchange cannot merge them — verified on the executed plan).
-    // This way the heavy shuffle happens exactly once; the offsets branch
-    // is a map-side partial agg collapsing to ~|statuses|·10³ rows before
-    // its (tiny) exchange. A real deployment materializing `hist` would
-    // persist it instead of re-scanning.
-    val wB = Window.partitionBy(col("o_orderstatus")).orderBy(asc("bkt"))
-    val bucketOffsets = base
-      .groupBy(col("o_orderstatus"), bktOfP.as("bkt"))
-      .agg(count(lit(1)).as("bc"))
-      .select(
-        col("o_orderstatus"), col("bkt"),
-        coalesce(sum(col("bc")).over(
-          wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
-        sum(col("bc")).over(Window.partitionBy(col("o_orderstatus"))).as("cnt"))
-    val wIn = Window.partitionBy(col("o_orderstatus"), col("bkt"))
-      .orderBy(asc("p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.join(broadcast(bucketOffsets), Seq("o_orderstatus", "bkt"))
-      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
-  }
+  private def histCum(spark: SparkSession, dir: String): DataFrame =
+    histCumOn(Tables.orders(spark, dir)
+        .select(col("o_orderstatus").as("g"),
+          col("o_totalprice").cast("decimal(18,2)").as("p")))
+      .withColumnRenamed("g", "o_orderstatus")
 
-  /** [[histCum]] generalized to any (g, p) input: the same two-level
-    * histogram-rank census (coarse fixed-width buckets → broadcast
-    * offsets → within-(g, bkt) running counts) over a caller-supplied
-    * base instead of the orders scan. Like histCum, the offsets branch
-    * re-evaluates `base` rather than deriving from `hist` (the branches
-    * diverge after pushdown, ReuseExchange can't merge them) — callers
-    * whose base is more than a pruned scan should keep it cheap
+  /** The two-level histogram-rank census over any (g, p) input: coarse
+    * fixed-width buckets → broadcast offsets → within-(g, bkt) running
+    * counts. [[histCum]] is its orders-scan instantiation. The offsets
+    * branch re-evaluates `base` STRAIGHT off a second pruned scan rather
+    * than deriving from `hist`: the branches diverge after filter
+    * pushdown, so ReuseExchange cannot merge them, and deriving from
+    * `hist` would re-run the whole (g, p) shuffle — this way the heavy
+    * shuffle happens exactly once and the offsets branch is a map-side
+    * partial agg collapsing to ~|groups|·10³ rows before its tiny
+    * exchange. Callers whose base is more than a pruned scan should keep
+    * it cheap
     * (map-side joins only) or persist it. Columns in: (g, p decimal);
     * out: (g, bkt, p, c, off, cnt, cum) — p covers global ranks
     * (cum − c, cum] within its group.
@@ -477,12 +456,18 @@ object Analytics {
         sum(col("bf")).over(Window.partitionBy()).as("nf"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(asc("p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // degenerate-sample guard (q30 convention): if either status had zero
+    // rows the ECDF denominators are 0 and D is undefined — emit NULL
+    // identically in both engines rather than rely on either's
+    // divide-by-zero behavior. TPC-H orders always has both 'O' and 'F',
+    // so on the fixtures this branch never fires.
     val d = h.join(broadcast(off), "bkt")
       .select(col("p"), col("no"), col("nf"),
-        abs((col("oo") + sum(col("co")).over(wIn)).cast("double") /
-            col("no").cast("double") -
-          (col("of") + sum(col("cf")).over(wIn)).cast("double") /
-            col("nf").cast("double")).as("d"))
+        when(col("no") > 0 && col("nf") > 0,
+          abs((col("oo") + sum(col("co")).over(wIn)).cast("double") /
+              col("no").cast("double") -
+            (col("of") + sum(col("cf")).over(wIn)).cast("double") /
+              col("nf").cast("double"))).as("d"))
     val dm = d.groupBy().agg(max(col("d")).as("d_stat"))
     // 1-row scalar attach (the global max) — a broadcast nested loop
     // bounded by construction, PlanSpec-exempted as such (q73 precedent)
@@ -516,8 +501,9 @@ object Analytics {
       |  FROM h),
       |d AS (
       |  SELECT p, no, nf,
-      |         abs(CAST(cumo AS DOUBLE) / CAST(no AS DOUBLE)
-      |           - CAST(cumf AS DOUBLE) / CAST(nf AS DOUBLE)) AS d
+      |         CASE WHEN no > 0 AND nf > 0 THEN
+      |           abs(CAST(cumo AS DOUBLE) / CAST(no AS DOUBLE)
+      |             - CAST(cumf AS DOUBLE) / CAST(nf AS DOUBLE)) END AS d
       |  FROM c),
       |m AS (SELECT max(d) AS d_stat FROM d)
       |SELECT m.d_stat AS d_stat,

@@ -1020,9 +1020,18 @@ object Text {
     * has at least one near-duplicate. The oracle restates min-label
     * reachability as a DuckDB RECURSIVE CTE over the same brute-force pair
     * definition; both sides are exact integer computations.
+    *
+    * Runs [[dupComponentsStar]] — PROMOTED to the declared default in
+    * round 9 (VERDICT r8 #7): the plain propagation loop's per-iteration
+    * driver actions (convergence probe + localCheckpoint) made it
+    * latency-sensitive under load (2.4 s quiet → 14.3 s driver-r8), and
+    * the star loop is the 100 TB path anyway (O(log n) rounds vs
+    * diameter-bounded). The plain loop stays declared as [[q41b]] — same
+    * oracle, so the two loops' equivalence remains driver-verified at
+    * every SF, on top of PropertiesSpec's random-graph pin.
     */
   def q41(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dupComponents(minhashPairs(Tables.documents(spark, dir)))
+    val labels = dupComponentsStar(minhashPairs(Tables.documents(spark, dir)))
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
@@ -1031,12 +1040,14 @@ object Text {
       .orderBy("doc_id")
   }
 
-  /** q41b_dedup_clusters_star: q41 through [[dupComponentsStar]] — same
-    * clusters, O(log n) rounds instead of diameter-bounded propagation;
-    * shares q41's oracle so the equivalence is driver-verified at every SF.
+  /** q41b_dedup_clusters_plain: q41 through the plain min-label
+    * propagation loop [[dupComponents]] — the diameter-bounded
+    * cross-check (near-dup components are near-cliques, so it converges
+    * in ~2 rounds here); shares q41's oracle so the star/plain
+    * equivalence is driver-verified at every SF.
     */
   def q41b(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dupComponentsStar(minhashPairs(Tables.documents(spark, dir)))
+    val labels = dupComponents(minhashPairs(Tables.documents(spark, dir)))
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
@@ -1060,7 +1071,7 @@ object Text {
     */
   def q68(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val drops = dupComponents(minhashPairs(docs))
+    val drops = dupComponentsStar(minhashPairs(docs))
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     docs.join(drops, Seq("doc_id"), "left_anti")

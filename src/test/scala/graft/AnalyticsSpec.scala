@@ -210,7 +210,10 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     val prices = Tables.orders(spark, sf001)
       .select("o_orderstatus", "o_totalprice").collect()
-      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)).setScale(2)))
+      // o_totalprice ships as DOUBLE in the fixture; mirror q77's own
+      // cast-to-decimal(18,2) (Spark casts double->decimal HALF_UP)
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     rows.foreach { case (status, med, mad, n, nOut) =>
       val ps = prices(status).sorted
@@ -232,7 +235,9 @@ class AnalyticsSpec extends SparkSuite {
     val ps = Tables.orders(spark, sf001)
       .filter(col("o_orderstatus").isin("O", "F"))
       .select("o_orderstatus", "o_totalprice").collect()
-      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+      // o_totalprice ships as DOUBLE; mirror q78's cast-to-decimal(18,2)
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
     val o = ps.filter(_._1 == "O").map(_._2)
     val f = ps.filter(_._1 == "F").map(_._2)
     assert(nO == o.length.toLong && nF == f.length.toLong)

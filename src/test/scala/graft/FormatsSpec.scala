@@ -8,6 +8,38 @@ import java.nio.file.Files
   */
 class FormatsSpec extends SparkSuite {
 
+  /** Writes one parquet file under `dir` with the exact logical types of
+    * `schema` — the only way to produce encodings Spark itself cannot
+    * write (TIMESTAMP(NANOS)). Row values are (columnName -> value) in
+    * schema order; Long/String/Double/Int/Boolean supported.
+    */
+  private def writeNanosParquet(
+      dir: String,
+      schema: org.apache.parquet.schema.MessageType,
+      rows: Seq[Seq[(String, Any)]]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val gf = new SimpleGroupFactory(schema)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/part-0.parquet"))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withType(schema).build()
+    rows.foreach { r =>
+      val g = gf.newGroup()
+      r.foreach {
+        case (n, v: Long)    => g.add(n, v)
+        case (n, v: String)  => g.add(n, v)
+        case (n, v: Double)  => g.add(n, v)
+        case (n, v: Int)     => g.add(n, v)
+        case (n, v: Boolean) => g.add(n, v)
+        case (n, v) => fail(s"unsupported test value $n=$v")
+      }
+      w.write(g)
+    }
+    w.close()
+  }
+
   test("orders round-trip csv and json losslessly under an explicit schema") {
     val root = Files.createTempDirectory("graft_fmt_").toString
     val orders = gen.OrderGen.orders(spark, 60, seed = 29)
@@ -26,27 +58,137 @@ class FormatsSpec extends SparkSuite {
     assert(fromJson.except(orders).isEmpty && orders.except(fromJson).isEmpty)
   }
 
-  test("events reads in a default-config session (no nanosAsLong flag)") {
-    // a user session without spark.sql.legacy.parquet.nanosAsLong must
-    // still read the TIMESTAMP(NANOS) events fixture: Tables.events
-    // supplies an explicit long schema, so only INFERENCE needs the flag
-    val fresh = spark.newSession()
-    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    // control: schema inference indeed fails without the flag
-    intercept[Exception] { fresh.read.parquet(s"$sf0001/events.parquet") }
-    val df = Tables.events(fresh, sf0001)
-    assert(df.schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampType)
-    // value parity against the LEGACY path, reconstructed inline: a
-    // flag-enabled inference read (SparkSuite's session sets nanosAsLong,
-    // so ts infers as raw long) plus the same ns→µs floor. Comparing two
-    // calls of the explicit-schema reader would be vacuous.
-    val a = df.orderBy("event_id").limit(20).collect().map(_.toSeq)
-    val legacy = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-      .select(df.columns.map(org.apache.spark.sql.functions.col): _*)
-    val b = legacy.orderBy("event_id").limit(20).collect().map(_.toSeq)
-    assert(a.toSeq == b.toSeq && a.nonEmpty)
+  test("Tables.events adapts to ns/µs/UTC-µs encodings, flag or no flag") {
+    // The driver's events fixture has shipped as TIMESTAMP(NANOS) (rounds
+    // 1–7) and TIMESTAMP(MICROS, adjustedToUTC=false) (round 8+). Never
+    // assume the shared testdata's encoding: write our OWN tiny fixture in
+    // every encoding a lake can hold and assert Tables.events reads all of
+    // them to identical TimestampType values, with and without the
+    // spark.sql.legacy.parquet.nanosAsLong session flag.
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.TimestampType
+    val root = Files.createTempDirectory("graft_evt_").toString
+    val micros: Seq[Long] =
+      (0 until 7).map(i => 1704067200000000L + i * 987654321L) // 2024-01-01+
+    def rows(i: Int) = (i.toLong, micros(i), (i % 3).toLong, s"t$i", i * 1.5, "{}")
+
+    // --- µs NTZ fixture (the round-8 driver encoding) ------------------
+    import spark.implicits._
+    val base = micros.indices.map(rows).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    base.withColumn("ts", expr("timestamp_micros(ts)").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$root/ntz/events.parquet")
+
+    // --- µs adjustedToUTC=true fixture ---------------------------------
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      base.withColumn("ts", expr("timestamp_micros(ts)"))
+        .coalesce(1).write.parquet(s"$root/utc/events.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+
+    // --- TIMESTAMP(NANOS) fixture (rounds 1–7), via parquet-hadoop -----
+    // Spark cannot write nanos; drive the example writer directly. A +437ns
+    // remainder checks the ns→µs floor (DuckDB narrows the same way).
+    {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val schema = Types.buildMessage()
+        .required(INT64).named("event_id")
+        .required(INT64).as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+        .required(INT64).named("user_id")
+        .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+        .required(DOUBLE).named("value")
+        .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+        .named("events")
+      writeNanosParquet(s"$root/ns/events.parquet", schema,
+        micros.indices.map { i =>
+          val (id, us, uid, et, v, p) = rows(i)
+          Seq("event_id" -> id, "ts" -> (us * 1000L + 437L), "user_id" -> uid,
+            "event_type" -> et, "value" -> v, "props" -> p)
+        })
+    }
+
+    val noFlag = spark.newSession()
+    noFlag.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    // control: the failure mode the adaptive reader guards — flag-off
+    // INFERENCE on a nanos file is illegal (the int64 read itself is not)
+    intercept[Exception] { noFlag.read.parquet(s"$root/ns/events.parquet") }
+
+    for {
+      enc <- Seq("ntz", "utc", "ns")
+      sess <- Seq(spark /* nanosAsLong=true */, noFlag)
+    } {
+      val df = Tables.events(sess, s"$root/$enc")
+      assert(df.schema("ts").dataType == TimestampType, s"$enc type")
+      val got = df.select(col("event_id"), expr("unix_micros(ts)"))
+        .orderBy("event_id").collect().map(_.getLong(1)).toSeq
+      assert(got == micros, s"$enc values (flag=${sess eq spark})")
+    }
+  }
+
+  test("Tables.orders adapts to ntz/µs/ms/ns o_orderdate encodings") {
+    // the same discipline for the next table the driver may regenerate:
+    // orders across FOUR temporal encodings, all normalized by the
+    // adaptive read to TimestampType with identical values
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.TimestampType
+    val root = Files.createTempDirectory("graft_ord_").toString
+    val micros: Seq[Long] =
+      (0 until 5).map(i => 1735689600000000L + i * 86400000000L) // 2025-01-01+, day-aligned (ms-safe)
+    import spark.implicits._
+    val base = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, i.toLong % 3, "O", 100.0 + i, us, s"$i-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+    base.withColumn("o_orderdate",
+        expr("timestamp_micros(o_orderdate)").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$root/ntz/orders.parquet")
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      base.withColumn("o_orderdate", expr("timestamp_micros(o_orderdate)"))
+        .coalesce(1).write.parquet(s"$root/us/orders.parquet")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      base.withColumn("o_orderdate", expr("timestamp_micros(o_orderdate)"))
+        .coalesce(1).write.parquet(s"$root/ms/orders.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val schema = Types.buildMessage()
+        .required(INT64).named("o_orderkey")
+        .required(INT64).named("o_custkey")
+        .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderstatus")
+        .required(DOUBLE).named("o_totalprice")
+        .required(INT64).as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("o_orderdate")
+        .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderpriority")
+        .named("orders")
+      writeNanosParquet(s"$root/ns/orders.parquet", schema,
+        micros.zipWithIndex.map { case (us, i) =>
+          Seq("o_orderkey" -> i.toLong, "o_custkey" -> (i.toLong % 3),
+            "o_orderstatus" -> "O", "o_totalprice" -> (100.0 + i),
+            "o_orderdate" -> (us * 1000L + 250L), "o_orderpriority" -> s"$i-URGENT")
+        })
+    }
+
+    val noFlag = spark.newSession()
+    noFlag.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    for {
+      enc <- Seq("ntz", "us", "ms", "ns")
+      sess <- Seq(spark, noFlag)
+    } {
+      val df = Tables.orders(sess, s"$root/$enc")
+      assert(df.schema("o_orderdate").dataType == TimestampType, s"$enc type")
+      val got = df.select(col("o_orderkey"), expr("unix_micros(o_orderdate)"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey").collect()
+      assert(got.map(_.getLong(1)).toSeq == micros, s"$enc dates")
+      assert(got.map(_.getDouble(2)).toSeq == micros.indices.map(100.0 + _),
+        s"$enc prices survive the explicit-schema path")
+    }
   }
 }

@@ -115,6 +115,25 @@ class ScaleSpec extends SparkSuite {
     }).filterNot(_.child.collectFirst { case a: BaseAggregateExec => a }.isDefined)
   }
 
+  /** Vacuity guard for [[rawKeyShuffles]]: every hash exchange whose
+    * partitioning references `key` AT ALL (alone or inside a composite).
+    * A shape test should assert this is nonEmpty before asserting
+    * rawKeyShuffles is empty — otherwise a renamed column makes the
+    * bare-key check match nothing and pass against any plan.
+    */
+  private def hashShufflesReferencing(
+      df: org.apache.spark.sql.DataFrame, key: String) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.flatMap(_.references.toSeq.map(_.name)).contains(key)
+      case _ => false
+    })
+  }
+
   test("q34b/q37b: no shuffle of raw rows on the low-cardinality key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try assertRawKeyShuffleShapes()
@@ -141,9 +160,16 @@ class ScaleSpec extends SparkSuite {
       // the Scaladoc claim at Analytics.q77: both median passes run the
       // histogram-rank census on the (status, value) composite; raw rows
       // never hash-partition on the bare 3-value status key, and the
-      // med/MAD fences attach by broadcast for the map-side count
-      assert(rawKeyShuffles(ops.Analytics.q77(spark, sf0001), "o_orderstatus").isEmpty,
-        "q77 must only hash-partition o_orderstatus above an aggregate")
+      // med/MAD fences attach by broadcast for the map-side count.
+      // q77 aliases o_orderstatus to `g` in its first projection, so the
+      // shape check must use the alias — and guard its own non-vacuity:
+      // at least one composite shuffle must actually REFERENCE g, else
+      // the isEmpty assert would pass trivially against a renamed plan.
+      val plan = ops.Analytics.q77(spark, sf0001)
+      assert(hashShufflesReferencing(plan, "g").nonEmpty,
+        "vacuity guard: q77's census must shuffle on a g-containing composite")
+      assert(rawKeyShuffles(plan, "g").isEmpty,
+        "q77 must only hash-partition the status key above an aggregate")
       assert(ops.Analytics.q77(spark, sf0001).queryExecution.sparkPlan
         .toString.contains("BroadcastHashJoin"),
         "q77 must broadcast the med/MAD fences back onto fact rows")

@@ -593,6 +593,34 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("two CC loops run CONCURRENTLY on one session, deterministically") {
+    // withoutConstraintPropagation save/restores SESSION-global conf; the
+    // per-session lock serializes concurrent loops so one loop's restore
+    // cannot re-enable propagation mid-iteration of the other (the window
+    // that nondeterministically resurfaced the UnionBase.rewriteConstraints
+    // crash). Both inputs are UNION-shaped — the exact shape that trips the
+    // optimizer defect when propagation is on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def unionPairs(off: Long) = {
+      val chain = (0L until 15L).map(i => (off + i, off + i + 1))
+        .toDF("doc_a", "doc_b")
+      val skips = (0L until 14L by 2).map(i => (off + i, off + i + 2))
+        .toDF("doc_a", "doc_b")
+      chain.union(skips) // one 16-node component with shortcut edges
+    }
+    val f1 = Future(Text.dupComponents(unionPairs(0), maxIters = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val f2 = Future(Text.dupComponentsStar(unionPairs(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val r1 = Await.result(f1, 180.seconds)
+    val r2 = Await.result(f2, 180.seconds)
+    assert(r1.map(_._1).toSet == (0L to 15L).toSet &&
+      r1.map(_._2).toSet == Set(0L), "plain loop labels its full chain")
+    assert(r2.map(_._2).toSet == Set(1000L), "star loop labels its chain")
+  }
+
   test("q49 pipeline output is consistent with its declared component stages") {
     import org.apache.spark.sql.functions._
     val out = ops.TextAnalysis.q49(spark, sf001)
