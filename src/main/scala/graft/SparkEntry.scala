@@ -176,6 +176,10 @@ object SparkEntry {
     "q77_mad_outliers"     -> ((s, d) => ops.Analytics.q77(s, d)),
     // two-sample KS distance between status price distributions
     "q78_ks_test"          -> ((s, d) => ops.Analytics.q78(s, d)),
+    // near-dup contamination matrix by source pair (x02 pairs + rates)
+    "q79_cross_source_dups" -> ((s, d) => ops.Text.q79(s, d)),
+    // per-doc 8-gram overlap with the rest of the corpus (join-free census)
+    "q80_ngram_novelty"    -> ((s, d) => ops.Text.q80(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -296,6 +300,8 @@ object SparkEntry {
     "q76_cooccur"          -> ops.Analytics.q76Sql,
     "q77_mad_outliers"     -> ops.Analytics.q77Sql,
     "q78_ks_test"          -> ops.Analytics.q78Sql,
+    "q79_cross_source_dups" -> ops.Text.q79Sql,
+    "q80_ngram_novelty"    -> ops.Text.q80Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -1172,6 +1172,145 @@ object Text {
       |GROUP BY degree
       |ORDER BY degree""".stripMargin
 
+  /** q79_cross_source_dups: the near-dup CONTAMINATION MATRIX by source —
+    * for every unordered source pair (a ≤ b) with at least one x02
+    * near-dup pair across it: the pair count, both source sizes, and the
+    * dup rate n_pairs / possible-pairs (n_a·n_b across two sources,
+    * C(n_a, 2) within one). The provenance diagnostic read before mixing
+    * crawls into a training corpus: a high CROSS rate means two
+    * "different" sources are substantially the same crawl twice (dedup
+    * across them before weighting either), a high WITHIN rate flags a
+    * source's own boilerplate.
+    *
+    * Scale: the pair list (ids only — a sliver of the corpus) joins
+    * twice against the 2-column (doc_id, source) projection on the
+    * unique doc_id key; per-source totals are a map-side-combined count
+    * whose ≤ |sources| rows attach by broadcast. Counts are exact longs;
+    * the rate is ONE IEEE divide of exact longs — identical across
+    * engines.
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val labeled = minhashPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    labeled.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(sizes.select(
+        col("source").as("source_a"), col("n").as("n_docs_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(
+        col("source").as("source_b"), col("n").as("n_docs_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_docs_a").cast("long").as("n_docs_a"),
+        col("n_docs_b").cast("long").as("n_docs_b"),
+        (col("n_pairs").cast("double") /
+          when(col("source_a") === col("source_b"),
+              expr("(n_docs_a * (n_docs_a - 1)) div 2"))
+            .otherwise(col("n_docs_a") * col("n_docs_b"))
+            .cast("double")).as("dup_rate"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q79Sql: String =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS s
+      |  FROM documents),
+      |pairs AS MATERIALIZED (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.9),
+      |lab AS (
+      |  SELECT least(da.source, db.source) AS source_a,
+      |         greatest(da.source, db.source) AS source_b
+      |  FROM pairs p
+      |  JOIN documents da ON p.doc_a = da.doc_id
+      |  JOIN documents db ON p.doc_b = db.doc_id),
+      |ns AS (SELECT source, count(*) AS n FROM documents GROUP BY source)
+      |SELECT source_a, source_b,
+      |       CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(max(na.n) AS BIGINT) AS n_docs_a,
+      |       CAST(max(nb.n) AS BIGINT) AS n_docs_b,
+      |       CAST(count(*) AS DOUBLE) /
+      |         CAST(CASE WHEN source_a = source_b
+      |              THEN (max(na.n) * (max(na.n) - 1)) // 2
+      |              ELSE max(na.n) * max(nb.n) END AS DOUBLE) AS dup_rate
+      |FROM lab
+      |JOIN ns na ON lab.source_a = na.source
+      |JOIN ns nb ON lab.source_b = nb.source
+      |GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** q80_ngram_novelty: per-document 8-gram overlap with the REST of the
+    * corpus — n_grams (the doc's distinct word 8-grams), n_shared (those
+    * appearing in at least one OTHER document) and shared_frac. The
+    * within-corpus generalization of q65's cross-corpus decontamination,
+    * and the triage signal pair-threshold dedup cannot give: a document
+    * can clear every x02 pair test yet be 80% stitched from corpus
+    * boilerplate. Docs shorter than 8 words have no grams and are
+    * excluded (x02's shingle-less rule; q21 covers them).
+    *
+    * Scale: the plan is deliberately JOIN-FREE on the gram key. A gram
+    * with df = 1 belongs to exactly one document, so
+    * n_shared = n_grams − n_unique: one corpus pass explodes distinct
+    * (doc, gram); the gram-key census agg(count, min(doc_id)) is
+    * map-side-combinable, so even a corpus-universal boilerplate gram
+    * pre-aggregates in every map task instead of funneling df rows
+    * through one reducer (the hot-key trap of the naive
+    * window-over-gram or join-back-df forms); its df = 1 slice regroups
+    * by owner doc, and the final doc-key folds are map-side counts.
+    * Nothing ever materializes per-(doc, gram) document frequencies.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(nativeShingles(col("text"), 8)).as("gram"))
+    val census = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+    val uniq = census.filter(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L)))
+          .cast("long").as("n_shared"),
+        ((col("n_grams") - coalesce(col("n_unique"), lit(0L))).cast("double") /
+          col("n_grams").cast("double")).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+      |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))) AS gram
+      |  FROM d),
+      |census AS (SELECT gram, count(*) AS df, min(doc_id) AS owner FROM g GROUP BY gram),
+      |uniq AS (SELECT owner AS doc_id, count(*) AS n_unique FROM census WHERE df = 1 GROUP BY owner),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |       CAST(t.n_grams AS BIGINT) AS n_grams,
+      |       CAST(t.n_grams - coalesce(u.n_unique, 0) AS BIGINT) AS n_shared,
+      |       CAST(t.n_grams - coalesce(u.n_unique, 0) AS DOUBLE)
+      |         / CAST(t.n_grams AS DOUBLE) AS shared_frac
+      |FROM tot t LEFT JOIN uniq u USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** `AS MATERIALIZED` on every non-recursive CTE is load-bearing: DuckDB
     * inlines plain CTEs, so the recursive member would otherwise re-run
     * the full all-pairs shingle join on EVERY fixpoint iteration.

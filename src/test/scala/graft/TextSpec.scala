@@ -593,6 +593,59 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("q79 cross-source matrix matches a driver recount of x02's pairs") {
+    val pairs = ops.Text.x02(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sizes = src.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = ops.Text.q79(spark, sf0001).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == expect.keySet)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (na, nb) = (sizes(key._1), sizes(key._2))
+      assert(r.getLong(2) == expect(key), s"$key n_pairs")
+      assert((r.getLong(3), r.getLong(4)) == (na, nb), s"$key sizes")
+      val possible = if (key._1 == key._2) na * (na - 1) / 2 else na * nb
+      assert(r.getDouble(5) == expect(key).toDouble / possible.toDouble, s"$key rate")
+    }
+  }
+
+  test("q80 novelty matches a driver 8-gram recount; plan joins no grams") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramsOf = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1).toSeq.sliding(8)
+        .filter(_.size == 8).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = gramsOf.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val got = ops.Text.q80(spark, sf0001).collect()
+    val expectIds = gramsOf.filter(_._2.nonEmpty).keySet
+    assert(got.map(_.getLong(0)).toSet == expectIds, "short docs excluded")
+    got.foreach { r =>
+      val g = gramsOf(r.getLong(0))
+      val shared = g.count(df(_) > 1).toLong
+      assert(r.getLong(1) == g.size.toLong, s"doc ${r.getLong(0)} n_grams")
+      assert(r.getLong(2) == shared, s"doc ${r.getLong(0)} n_shared")
+      assert(r.getDouble(3) == shared.toDouble / g.size.toDouble)
+    }
+    // the Scaladoc's scale claim: no join operator keyed on the gram —
+    // shared counts come from the map-side-combinable census, never a
+    // per-(doc, gram) df join-back (the hot-key trap)
+    val plan = ops.Text.q80(spark, sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin [gram") &&
+      !plan.contains("ShuffledHashJoin [gram"),
+      "q80 must not join on the gram key")
+  }
+
   test("two CC loops run CONCURRENTLY on one session, deterministically") {
     // withoutConstraintPropagation save/restores SESSION-global conf; the
     // per-session lock serializes concurrent loops so one loop's restore
