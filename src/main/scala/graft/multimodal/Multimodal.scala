@@ -11,10 +11,16 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * packed RGB planes in [[Codec.decodeImage]]. AUDIO decode is REAL too:
   * WAV/RIFF containers parse through `javax.sound.sampled` (pure JDK) to
   * normalized float samples in [[Codec.decodeAudio]], with
-  * [[Codec.encodeWavPcm16]] as the matching sink-side encoder. Only VIDEO
-  * remains a clearly-marked deterministic STUB (no stdlib H.264 codec
-  * exists): its bytes are treated as already-decoded raw frame planes,
-  * and the "raw-rgb"/"raw-pcm" fixture formats pass through the same way.
+  * [[Codec.encodeWavPcm16]] as the matching sink-side encoder. VIDEO
+  * decode is REAL for Motion-JPEG AVI (the one mainstream video container
+  * a zero-dependency JVM can genuinely handle — every frame an
+  * independent JPEG): [[Codec.decodeFrame]] demuxes the RIFF container
+  * and decodes frames through the same `ImageIO` path as stills, with
+  * [[Codec.encodeMjpegAvi]]/[[Codec.encodeJpeg]] as the sink-side
+  * encoders. Inter-predicted codecs (H.264…) still require a library in
+  * a real deployment — the `format` dispatch is the extension point; the
+  * "raw-rgb"/"raw-pcm"/"raw-gray-frames" fixture formats pass through as
+  * declared raw planes.
   * Everything Spark-side is real and tested — the schema, the
   * `mapPartitions`/`flatMap` batch shape (one iterator per partition, no
   * per-row task overhead, bounded memory), the metadata propagation, and
@@ -37,11 +43,12 @@ object Multimodal {
   case class AssetFeature(asset_id: Long, kind: String, embedding: Array[Float])
   case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Codec boundary. Image decode is REAL (JDK `javax.imageio`) and audio
+  /** Codec boundary. Image decode is REAL (JDK `javax.imageio`), audio
     * decode is REAL (JDK `javax.sound.sampled`, WAV/RIFF → PCM16 →
-    * floats); only video frame extraction remains a deterministic STUB
-    * whose body a real deployment replaces with an H.264 library call —
-    * signatures and call sites are the production shape either way.
+    * floats), and video frame extraction is REAL for MJPEG-AVI (RIFF
+    * demux + per-frame `ImageIO` JPEG decode). Raw fixture formats pass
+    * through as declared; inter-predicted codecs plug in at the same
+    * `format` dispatch with a library decoder.
     */
   object Codec {
     /** Decode an image to a packed row-major W*H*3 RGB plane plus its TRUE
@@ -146,10 +153,127 @@ object Multimodal {
       buf.array()
     }
 
-    /** STUB: "decode" one video frame — frame f is the f-th W*H slice. */
-    def decodeFrame(media: Array[Byte], meta: AssetMeta, f: Int): Array[Byte] = {
-      val sz = meta.width * meta.height
-      java.util.Arrays.copyOfRange(media, f * sz, (f + 1) * sz)
+    /** Decode one video frame. REAL for `mjpeg-avi`: the RIFF/AVI
+      * container demuxes through [[mjpegFrameChunks]] (a pure byte-walk,
+      * zero dependencies) and the f-th `00dc` chunk — a complete JPEG —
+      * decodes through the SAME `ImageIO` path as still images, returning
+      * a packed W*H*3 RGB plane. Motion-JPEG is the one mainstream video
+      * container a zero-dependency JVM can genuinely decode (every frame
+      * is an independent JPEG; no inter-frame prediction), which is why
+      * it closes the former video stub honestly: container parse and
+      * pixel decode are both real. Inter-predicted codecs (H.264 etc.)
+      * still need a library in a real deployment — same call site, the
+      * `format` dispatch below is the extension point. The synthetic
+      * `raw-gray-frames` format remains a declared raw passthrough
+      * (frame f = the f-th W*H plane), the video analogue of `raw-rgb`.
+      */
+    def decodeFrame(media: Array[Byte], meta: AssetMeta, f: Int): Array[Byte] =
+      meta.format match {
+        case "mjpeg-avi" =>
+          val chunks = mjpegFrameChunks(media)
+          require(f < chunks.length,
+            s"frame $f out of range (${chunks.length} frames in container)")
+          val (off, len) = chunks(f)
+          decodeImage(java.util.Arrays.copyOfRange(media, off, off + len),
+            AssetMeta(0, 0, 0, 1, "jpeg"))._1
+        case _ =>
+          val sz = meta.width * meta.height
+          java.util.Arrays.copyOfRange(media, f * sz, (f + 1) * sz)
+      }
+
+    /** Demux an MJPEG RIFF/AVI container: (offset, length) of every video
+      * frame chunk (`##dc`/`##db`) inside the `movi` list, in stream
+      * order. A minimal, honest RIFF walk — fourcc + little-endian size,
+      * chunks padded to even offsets, lists recursed — not a validator:
+      * unknown chunks are skipped, which is exactly how players treat
+      * AVI's zoo of optional chunks.
+      */
+    private[graft] def mjpegFrameChunks(
+        media: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      def fourcc(o: Int) = new String(media, o, 4, "US-ASCII")
+      def u32(o: Int) =
+        (media(o) & 0xFF) | ((media(o + 1) & 0xFF) << 8) |
+          ((media(o + 2) & 0xFF) << 16) | ((media(o + 3) & 0xFF) << 24)
+      require(media.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+        "not a RIFF/AVI container")
+      val out = IndexedSeq.newBuilder[(Int, Int)]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var o = start
+        while (o + 8 <= end) {
+          val id = fourcc(o); val sz = u32(o + 4)
+          if (id == "LIST") {
+            val listType = fourcc(o + 8)
+            walk(o + 12, o + 8 + sz, inMovi || listType == "movi")
+          } else if (inMovi && id.length == 4 &&
+              id(0).isDigit && id(1).isDigit &&
+              (id.substring(2) == "dc" || id.substring(2) == "db")) {
+            out += ((o + 8, sz))
+          }
+          o += 8 + sz + (sz & 1) // chunks pad to even boundaries
+        }
+      }
+      walk(12, math.min(media.length, 8 + u32(4)), inMovi = false)
+      out.result()
+    }
+
+    /** Encode JPEG frames into an MJPEG RIFF/AVI container — the
+      * sink-side inverse of [[decodeFrame]]'s demux (avih + one `vids`
+      * stream with an `MJPG` BITMAPINFOHEADER + a `movi` list of `00dc`
+      * chunks), and the fixture generator's way of producing REAL
+      * parseable video bytes deterministically.
+      */
+    def encodeMjpegAvi(
+        jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le(v: Int): Array[Byte] = Array(
+        (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      def cc(s: String) = s.getBytes("US-ASCII")
+      val maxFrame = if (jpegFrames.isEmpty) 0 else jpegFrames.map(_.length).max
+      val avih = Array.concat(le(1000000 / math.max(fps, 1)), le(0), le(0),
+        le(0), le(jpegFrames.length), le(0), le(1), le(maxFrame),
+        le(w), le(h), le(0), le(0), le(0), le(0))
+      val strh = Array.concat(cc("vids"), cc("MJPG"), le(0), le(0), le(0),
+        le(1), le(fps), le(0), le(jpegFrames.length), le(maxFrame), le(-1),
+        le(0), le(0), le((h << 16) | w)) // rcFrame: (0,0) .. (w,h) as shorts
+      val strf = Array.concat(le(40), le(w), le(h), le((24 << 16) | 1),
+        cc("MJPG"), le(w * h * 3), le(0), le(0), le(0), le(0))
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+        Array.concat(cc(id), le(body.length), body, pad)
+      }
+      def list(listType: String, body: Array[Byte]): Array[Byte] =
+        Array.concat(cc("LIST"), le(body.length + 4), cc(listType), body)
+      val hdrl = list("hdrl", Array.concat(
+        chunk("avih", avih), list("strl",
+          Array.concat(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi",
+        Array.concat(jpegFrames.map(f => chunk("00dc", f)): _*))
+      val body = Array.concat(cc("AVI "), hdrl, movi)
+      bos.write(cc("RIFF")); bos.write(le(body.length)); bos.write(body)
+      bos.toByteArray
+    }
+
+    /** Encode a packed W*H*3 RGB plane as JPEG bytes (JDK `ImageIO`) —
+      * the per-frame encoder feeding [[encodeMjpegAvi]].
+      */
+    def encodeJpeg(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          img.setRGB(x, y, ((rgb(o) & 0xFF) << 16) |
+            ((rgb(o + 1) & 0xFF) << 8) | (rgb(o + 2) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
     }
   }
 
@@ -220,6 +344,24 @@ object Multimodal {
             // |PCM sample|; -32768 maps a hair over 1, clamp it back
             while (i < s.length) {
               out(i) = math.min(math.abs(s(i)), 1.0f); i += 1
+            }
+            out
+          case "video" if a.meta.format == "mjpeg-avi" =>
+            // demux ONCE (the per-frame decodeFrame would re-walk the
+            // container per frame — O(frames²) on long clips), then the
+            // same real JPEG decode as stills, frame planes concatenated
+            val planes = Codec.mjpegFrameChunks(a.media).map {
+              case (off, len) => Codec.decodeImage(
+                java.util.Arrays.copyOfRange(a.media, off, off + len),
+                AssetMeta(0, 0, 0, 1, "jpeg"))._1
+            }
+            val out = new Array[Float](planes.map(_.length).sum)
+            var o = 0
+            planes.foreach { pl =>
+              var i = 0
+              while (i < pl.length) {
+                out(o) = (pl(i) & 0xFF) / 255.0f; o += 1; i += 1
+              }
             }
             out
           case _ =>

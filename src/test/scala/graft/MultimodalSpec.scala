@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: schema, determinism, batch-shape operators, and
-  * composition with the vector search ops. The codec layer is the
-  * documented stub; everything asserted here is the real Spark surface.
+  * composition with the vector search ops. The codec layer is REAL for
+  * images (ImageIO), audio (javax.sound WAV) and MJPEG-AVI video (RIFF
+  * demux + per-frame JPEG decode) — each pinned by a round-trip here;
+  * raw fixture formats pass through as declared.
   */
 class MultimodalSpec extends SparkSuite {
   import graft.multimodal.Multimodal
@@ -156,6 +158,68 @@ class MultimodalSpec extends SparkSuite {
     assert(resized(1L).media.sameElements(resized(2L).media))
     assert(resized(1L).meta.format == "raw-rgb" &&
       resized(1L).meta.width == 4 && resized(1L).meta.height == 4)
+  }
+
+  test("MJPEG-AVI video decode is real: RIFF demux + per-frame JPEG decode") {
+    import spark.implicits._
+    val (w, h, n) = (16, 12, 6)
+    // solid-color frames: JPEG is lossy, but a constant block decodes to
+    // within a couple of quanta of itself — a content check that cannot
+    // pass by byte-slicing the container
+    val colors = (0 until n).map(f => ((20 + f * 35) % 256, 200 - f * 20, 40 + f * 30))
+    val jpegs = colors.map { case (r, g, b) =>
+      val plane = new Array[Byte](w * h * 3)
+      for (i <- 0 until w * h) {
+        plane(3 * i) = r.toByte; plane(3 * i + 1) = g.toByte
+        plane(3 * i + 2) = b.toByte
+      }
+      Multimodal.Codec.encodeJpeg(plane, w, h)
+    }
+    val avi = Multimodal.Codec.encodeMjpegAvi(jpegs, w, h, fps = 10)
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ",
+      "fixture must be a real RIFF/AVI container")
+    // the demux finds exactly the n frame chunks, each a complete JPEG
+    val chunks = Multimodal.Codec.mjpegFrameChunks(avi)
+    assert(chunks.length == n)
+    chunks.foreach { case (off, len) =>
+      assert((avi(off) & 0xFF) == 0xFF && (avi(off + 1) & 0xFF) == 0xD8,
+        "each movi chunk must start with a JPEG SOI marker")
+      assert(len == jpegs(chunks.indexOf((off, len))).length)
+    }
+    val asset = Multimodal.Asset(7L, "video", avi,
+      Multimodal.AssetMeta(w, h, 0, n, "mjpeg-avi"))
+    // sampleFrames decodes real pixels at the sampled indices
+    val frames = Multimodal.sampleFrames(spark.createDataset(Seq(asset)), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    frames.foreach { fr =>
+      assert(fr.frame.length == w * h * 3)
+      val (r, g, b) = colors(fr.frame_idx)
+      // mean decoded channel within 3/255 of the encoded solid color
+      def mean(c: Int) = (0 until w * h).map(i => fr.frame(3 * i + c) & 0xFF)
+        .sum.toDouble / (w * h)
+      assert(math.abs(mean(0) - r) <= 3 && math.abs(mean(1) - g) <= 3 &&
+        math.abs(mean(2) - b) <= 3, s"frame ${fr.frame_idx} color drifted")
+    }
+    // featurize pools DECODED frame pixels, not container bytes: embedding
+    // of the video equals the embedding of the concatenated decoded planes
+    val planes = (0 until n).flatMap(f =>
+      Multimodal.Codec.decodeFrame(avi, asset.meta, f))
+    val rawEquiv = Multimodal.Asset(8L, "video", planes.toArray,
+      Multimodal.AssetMeta(w, h * n, 0, n, "raw-gray-frames"))
+    val feats = Multimodal.featurize(
+        spark.createDataset(Seq(asset, rawEquiv)), dim = 16)
+      .collect().map(f => f.asset_id -> f.embedding.toSeq).toMap
+    assert(feats(7L) == feats(8L),
+      "video must featurize from decoded pixels, not container bytes")
+    // out-of-range frame fails loudly; garbage is not a container
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeFrame(avi, asset.meta, n)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.mjpegFrameChunks(Array[Byte](1, 2, 3, 4))
+    }
   }
 
   test("end to end: featurize -> cosine top-k over asset embeddings") {
