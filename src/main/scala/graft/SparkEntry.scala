@@ -40,6 +40,10 @@ object SparkEntry {
     "q17_decimal_round"    -> ((s, d) => ops.Functions.q17(s, d)),
     "q18_json_extract"     -> ((s, d) => ops.Functions.q18(s, d)),
     "q19_window_tumbling"  -> ((s, d) => ops.Aggregates.q19(s, d)),
+    // hopping 1h/15min windows: 4 overlapping windows per event
+    "q81_window_hopping"   -> ((s, d) => ops.Aggregates.q81(s, d)),
+    // last-touch attribution: purchase -> latest same-user click within 1h
+    "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
     // same output as q20 via the skew-safe salt-then-merge plan — shares
     // q20's oracle, so the equivalence is driver-verified at every SF
@@ -234,6 +238,8 @@ object SparkEntry {
     "q17_decimal_round"    -> ops.Functions.q17Sql,
     "q18_json_extract"     -> ops.Functions.q18Sql,
     "q19_window_tumbling"  -> ops.Aggregates.q19Sql,
+    "q81_window_hopping"   -> ops.Aggregates.q81Sql,
+    "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,
     "q21_dedup_exact"      -> ops.Text.q21Sql,

@@ -433,6 +433,51 @@ object Aggregates {
       |GROUP BY 1, 2
       |ORDER BY hour_start, event_type""".stripMargin
 
+  /** q81_window_hopping: HOPPING windows — 1-hour windows sliding every
+    * 15 minutes, each event landing in exactly size/slide = 4 overlapping
+    * windows; per (window_start, event_type): count, exact-decimal value
+    * sum, distinct users. Completes the window family's missing member:
+    * q19 tumbles (one window per event), q20/q42 sessionize (data-driven
+    * bounds), q81 hops (fixed overlapping bounds) — the smoothing an
+    * alerting dashboard reads when hourly tumbling is too coarse and
+    * minutely too noisy.
+    *
+    * Scale shape: Spark plans `window(size, slide)` as an Expand (4
+    * window-tagged copies per event) ABOVE the scan but BELOW a partial
+    * aggregate, so the 4× fan-out collapses map-side to
+    * ≤ 4·hops·types rows before any exchange — the shuffle carries
+    * aggregate rows, never events. countDistinct adds the standard
+    * two-phase expansion; value sums are exact decimal (D7), one output
+    * cast to double.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_start", "event_type")
+
+  /** q81's restatement: the k = 0..3 hop expansion spelled out on exact
+    * microsecond epochs (`make_timestamp` keeps the window starts naive —
+    * DuckDB's `to_timestamp` would yield TIMESTAMPTZ and break the naive
+    * compare), aligned to slide multiples exactly like Spark's window().
+    */
+  val q81Sql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+      |         AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** q20_sessionize: gap-based sessionization (30-min gap) via lag + running
     * sum — the batch form of a streaming session window. Gap comparison runs
     * on microsecond epochs, identical in both engines.

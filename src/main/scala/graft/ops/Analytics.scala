@@ -771,6 +771,66 @@ object Analytics {
       |LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** q82_attribution: LAST-TOUCH ATTRIBUTION — every purchase event
+    * credited to the same user's most recent click within the preceding
+    * hour (ties on ts broken toward the larger event_id — the
+    * lexicographic struct-max order, identical in both engines). The
+    * sequence-analytics member the funnel family lacks: q53 checks stage
+    * ORDER, q72 measures adjacency, q82 pins each conversion to the touch
+    * that gets credit — the query behind CTR and campaign-attribution
+    * reporting.
+    *
+    * Scale shape: ONE running window over the high-cardinality user key
+    * (narrow partitions at any size — q72's argument) carries a 2-field
+    * struct of the latest click seen so far; no self-join, no per-pair
+    * fan-out, and the 1-hour cutoff is a codegen'd filter on exact µs.
+    * gap_sec is exact integer µs division.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("lc",
+        max(when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("event_id").as("cid")))).over(w))
+      .filter(col("event_type") === "purchase" && col("lc").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("lc.cts")) <= 3600000000L)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("lc.cid").as("click_id"),
+        col("lc.cts").as("click_ts"),
+        expr("(unix_micros(ts) - unix_micros(lc.cts)) div 1000000")
+          .cast("long").as("gap_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** q82's restatement: the same running struct-max window (DuckDB
+    * struct comparison is field-order lexicographic like Spark's) on the
+    * same (ts, event_id) order, the same exact-µs cutoff.
+    */
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT *,
+      |         max(CASE WHEN event_type = 'click'
+      |             THEN {'cts': ts, 'cid': event_id} END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+      |  FROM e)
+      |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+      |       lc.cid AS click_id, lc.cts AS click_ts,
+      |       CAST((epoch_us(ts) - epoch_us(lc.cts)) // 1000000 AS BIGINT) AS gap_sec
+      |FROM w
+      |WHERE event_type = 'purchase' AND lc IS NOT NULL
+      |  AND epoch_us(ts) - epoch_us(lc.cts) <= 3600000000
+      |ORDER BY purchase_id""".stripMargin
+
   /** q54_retention: weekly cohort retention — users grouped by the ISO
     * week of their first event; `n_users` counts the distinct users of
     * cohort w active again k weeks later. Two shuffles on user_id (first

@@ -29,6 +29,58 @@ class AnalyticsSpec extends SparkSuite {
     assert(n3 > 0, "fixture should carry some full conversions")
   }
 
+  test("q81 hopping windows: every event in exactly 4 aligned windows, counts exact") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hopUs = 900000000L // 15 min
+    val expanded = ev.flatMap { case (us, tpe, uid) =>
+      (0 until 4).map(k => ((us / hopUs - k) * hopUs, tpe, uid))
+    }
+    val expectN = expanded.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.length.toLong).toMap
+    val expectU = expanded.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).distinct.length.toLong).toMap
+    val got = ops.Aggregates.q81(spark, sf0001).collect()
+    assert(got.map(_.getLong(2)).sum == 4L * ev.length,
+      "each event must land in exactly size/slide = 4 windows")
+    assert(got.length == expectN.size)
+    got.foreach { r =>
+      val startUs = r.getTimestamp(0).getTime * 1000L // 900s-aligned, ms exact
+      assert(startUs % hopUs == 0, "window starts align to the slide")
+      val key = (startUs, r.getString(1))
+      assert(r.getLong(2) == expectN(key), s"$key n_events")
+      assert(r.getLong(4) == expectU(key), s"$key n_users")
+    }
+  }
+
+  test("q82 attribution matches a sequential latest-click-within-1h recount") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = scala.collection.mutable.Map[Long, (Long, Long)]()
+    ev.groupBy(_._2).values.foreach { rows =>
+      // the window's (ts, event_id) order: a same-ts click with a SMALLER
+      // id is visible to the purchase, a larger one is not
+      var lastClick: Option[(Long, Long)] = None // (us, id)
+      rows.sortBy(r => (r._3, r._1)).foreach { case (id, _, us, tpe) =>
+        if (tpe == "click") lastClick = Some((us, id))
+        else lastClick.foreach { case (cus, cid) =>
+          if (us - cus <= 3600000000L) expect(id) = (cid, (us - cus) / 1000000L)
+        }
+      }
+    }
+    val got = ops.Analytics.q82(spark, sf0001).collect()
+    assert(got.nonEmpty && got.map(_.getLong(0)).toSet == expect.keySet)
+    got.foreach { r =>
+      val (cid, gap) = expect(r.getLong(0))
+      assert(r.getLong(3) == cid, s"purchase ${r.getLong(0)} credited click")
+      assert(r.getLong(5) == gap, s"purchase ${r.getLong(0)} gap")
+    }
+  }
+
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {
     val rows = ops.Analytics.q54(spark, sf001).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
