@@ -184,6 +184,8 @@ object SparkEntry {
     "q79_cross_source_dups" -> ((s, d) => ops.Text.q79(s, d)),
     // per-doc 8-gram overlap with the rest of the corpus (join-free census)
     "q80_ngram_novelty"    -> ((s, d) => ops.Text.q80(s, d)),
+    // entity resolution endpoint: q74's fuzzy pairs -> canonical clusters
+    "q83_entity_resolution" -> ((s, d) => ops.Text.q83(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -308,6 +310,7 @@ object SparkEntry {
     "q78_ks_test"          -> ops.Analytics.q78Sql,
     "q79_cross_source_dups" -> ops.Text.q79Sql,
     "q80_ngram_novelty"    -> ops.Text.q80Sql,
+    "q83_entity_resolution" -> ops.Text.q83Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

@@ -1103,19 +1103,29 @@ object Text {
     * output: both engines' `levenshtein` is classic unit-cost edit
     * distance, identical on ASCII (D6).
     */
-  def q74(spark: SparkSession, dir: String): DataFrame = {
-    val names = Tables.part(spark, dir)
-      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+  /** The dictionary-first fuzzy pair core shared by [[q74]] (the pair
+    * list) and [[q83]] (its cluster resolution): distinct spellings with
+    * their part counts, length-band equi-joined (hash join, no nested
+    * loop) and Levenshtein-verified at `maxDist`.
+    */
+  private def fuzzyNamePairs(
+      names: DataFrame, maxDist: Int = 2): DataFrame = {
     val a = names.select(col("p_name").as("name_a"),
       col("n").as("n_parts_a"), length(col("p_name")).as("la"))
     val b = names.select(col("p_name").as("name_b"),
       col("n").as("n_parts_b"), length(col("p_name")).as("lb"))
     val bx = b.withColumn("la",
-      explode(array((-2 to 2).map(d => col("lb") + d): _*)))
+      explode(array((-maxDist to maxDist).map(d => col("lb") + d): _*)))
     a.join(bx, Seq("la"))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      .filter(col("dist") <= maxDist)
+  }
+
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    fuzzyNamePairs(names)
       .select(col("name_a"), col("name_b"), col("dist"),
         col("n_parts_a"), col("n_parts_b"))
       .orderBy("name_a", "name_b")
@@ -1130,6 +1140,60 @@ object Text {
       |  ON a.p_name < b.p_name AND abs(len(a.p_name) - len(b.p_name)) <= 2
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
+
+  /** q83_entity_resolution: the ENTITY-RESOLUTION ENDPOINT of the q74
+    * fuzzy-name family — edit-distance pairs resolved into canonical
+    * spelling clusters: (name, canonical_name, cluster_size, n_parts)
+    * for every spelling with at least one ≤ 2-edit neighbor, where the
+    * canonical spelling is the cluster's lexicographic minimum. q74
+    * finds the pairs, q83 resolves them — the same find→resolve step
+    * x02→q41 takes for documents, completing the dedup taxonomy's ER
+    * branch (a catalog merge wants one row per entity, not a pair list).
+    *
+    * Scale: [[dupComponentsStar]] is id-type-agnostic — the O(log n)
+    * min-rewiring rounds run directly on the STRING spellings (least/
+    * greatest and the joins are plain string comparisons), over a pair
+    * list that is dictionary-bounded (≪ corpus); part counts attach by
+    * one equi-join on the unique spelling key. Integer-exact counts;
+    * the oracle restates reachability as a RECURSIVE CTE over the same
+    * Levenshtein pair definition (DuckDB's levenshtein is identical on
+    * ASCII, D6).
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+    val labels = dupComponentsStar(
+      fuzzyNamePairs(names), aCol = "name_a", bCol = "name_b")
+    labels.join(names, labels("id") === names("p_name"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("name"), col("comp").as("canonical_name"),
+        col("cluster_size"), col("n").cast("long").as("n_parts"))
+      .orderBy("name")
+  }
+
+  val q83Sql: String =
+    """WITH RECURSIVE names AS MATERIALIZED (
+      |  SELECT p_name, count(*) AS n FROM part GROUP BY p_name),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.p_name AS na, b.p_name AS nb
+      |  FROM names a JOIN names b
+      |    ON a.p_name < b.p_name AND abs(len(a.p_name) - len(b.p_name)) <= 2
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+      |und AS MATERIALIZED (
+      |  SELECT na AS s, nb AS d FROM pairs
+      |  UNION
+      |  SELECT nb AS s, na AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+      |  UNION
+      |  SELECT u.s, reach.r FROM und u JOIN reach ON u.d = reach.id)
+      |SELECT id AS name, comp AS canonical_name,
+      |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size,
+      |       CAST(n AS BIGINT) AS n_parts
+      |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |JOIN names ON id = p_name
+      |ORDER BY name""".stripMargin
 
   /** q75_dup_degree: DEGREE HISTOGRAM of the near-duplicate graph —
     * (degree, n_docs) over x02's minhash pair list, the one-glance shape

@@ -646,6 +646,34 @@ class TextSpec extends SparkSuite {
       "q80 must not join on the gram key")
   }
 
+  test("q83 entity clusters match a driver union-find over q74's pairs") {
+    val pairs = ops.Text.q74(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.nonEmpty, "fixture must contain fuzzy name pairs")
+    // min-rooted union-find: each union keeps the lexicographically
+    // smaller root, so a component's root IS its minimum member — the
+    // same canonical q83 declares
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byComp = members.groupBy(find)
+    val got = ops.Text.q83(spark, sf001).collect()
+    assert(got.map(_.getString(0)).toSet == members.toSet)
+    got.foreach { r =>
+      val comp = find(r.getString(0))
+      assert(r.getString(1) == comp, s"${r.getString(0)} canonical spelling")
+      assert(r.getLong(2) == byComp(comp).size.toLong,
+        s"${r.getString(0)} cluster size")
+    }
+  }
+
   test("two CC loops run CONCURRENTLY on one session, deterministically") {
     // withoutConstraintPropagation save/restores SESSION-global conf; the
     // per-session lock serializes concurrent loops so one loop's restore
