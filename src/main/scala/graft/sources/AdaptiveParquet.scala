@@ -69,6 +69,22 @@ object AdaptiveParquet {
         }
     }
 
+  /** Schema-evolution tolerant read across file GENERATIONS: each path is
+    * read adaptively (so the temporal-encoding axis is already
+    * normalized), then union'd BY NAME with missing columns null-filled —
+    * the lake reality where yesterday's files lack the column added today
+    * and may carry a different timestamp encoding besides. Positional
+    * union would be silently wrong under reordered columns; name-keyed
+    * union with null-fill is what a table format's schema evolution
+    * resolves to. A genuine type conflict (same name, incompatible types
+    * beyond Spark's coercions) fails loudly in `unionByName`.
+    */
+  def readEvolved(s: SparkSession, paths: String*): DataFrame = {
+    require(paths.nonEmpty, "readEvolved needs at least one path")
+    paths.map(read(s, _))
+      .reduceLeft(_.unionByName(_, allowMissingColumns = true))
+  }
+
   private val NanosMarker = "graft.parquet.nanos"
 
   /** Footer probe: None = no nanos columns (native read is safe);

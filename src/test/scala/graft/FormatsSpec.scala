@@ -191,4 +191,46 @@ class FormatsSpec extends SparkSuite {
         s"$enc prices survive the explicit-schema path")
     }
   }
+
+  test("readEvolved unions generations by name, null-filling and re-encoding") {
+    // the round-8 driver event in one test: generation 1 is nanos-encoded
+    // AND lacks a column that generation 2 (µs-NTZ) adds — the evolved
+    // read must normalize both encodings to TimestampType, align columns
+    // by NAME, and null-fill the missing one
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.TimestampType
+    val root = Files.createTempDirectory("graft_evo_").toString
+    val us1 = 1704067200000000L
+    val us2 = 1704153600000000L
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val v1 = Types.buildMessage()
+        .required(INT64).named("o_orderkey")
+        .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderstatus")
+        .required(INT64).as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("o_orderdate")
+        .named("orders")
+      writeNanosParquet(s"$root/v1/orders.parquet", v1, Seq(Seq(
+        "o_orderkey" -> 1L, "o_orderstatus" -> "O",
+        "o_orderdate" -> (us1 * 1000L + 9L))))
+    }
+    import spark.implicits._
+    Seq((2L, "F", us2, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority")
+      .withColumn("o_orderdate",
+        expr("timestamp_micros(o_orderdate)").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(s"$root/v2/orders.parquet")
+
+    val df = sources.AdaptiveParquet.readEvolved(spark,
+      s"$root/v1/orders.parquet", s"$root/v2/orders.parquet")
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    val rows = df.select(col("o_orderkey"), expr("unix_micros(o_orderdate)"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == us1 && rows(0).isNullAt(2),
+      "generation-1 rows null-fill the added column, ns floored to µs")
+    assert(rows(1).getLong(1) == us2 && rows(1).getString(2) == "1-URGENT")
+  }
 }

@@ -134,6 +134,33 @@ class ScaleSpec extends SparkSuite {
     })
   }
 
+  test("q81: the 4x hop Expand collapses into a partial agg below every exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the Scaladoc claim at Aggregates.q81: window(size, slide) fans out
+      // 4 tagged copies per event, but the fan-out must aggregate
+      // map-side BEFORE any shuffle — an Expand above an exchange would
+      // ship 4x the events
+      import org.apache.spark.sql.execution.ExpandExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      val plan = ops.Aggregates.q81(spark, sf0001).queryExecution.executedPlan
+      val expands = plan.collect { case e: ExpandExec => e }
+      assert(expands.nonEmpty, "vacuity guard: the hop fan-out must plan as Expand")
+      // every exchange's subtree must already contain an aggregate above
+      // any Expand it carries (partial agg between Expand and shuffle)
+      plan.collect { case ex: ShuffleExchangeExec => ex }.foreach { ex =>
+        val hasExpand = ex.child.collectFirst { case e: ExpandExec => e }.isDefined
+        if (hasExpand) {
+          val agg = ex.child.collectFirst { case a: BaseAggregateExec => a }
+          assert(agg.isDefined &&
+            agg.get.collectFirst { case e: ExpandExec => e }.isDefined,
+            "Expand must sit below a partial aggregate, not ship raw fan-out")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q34b/q37b: no shuffle of raw rows on the low-cardinality key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try assertRawKeyShuffleShapes()
