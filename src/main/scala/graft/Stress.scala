@@ -55,7 +55,8 @@ object Stress {
           .filter(col("rn") === 1).drop("rn"))
       }) ++ vectorAssignment(spark, n / 10) ++
       saltedJoinStage(spark, n) ++ prefixScanStage(spark, n) ++
-      ccStarStage(spark, n / 10) ++ groupRankStage(spark, n)
+      ccStarStage(spark, n / 10) ++ groupRankStage(spark, n) ++
+      gramCensusStage(spark, n / 10) ++ hoppingStage(spark, n)
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -140,6 +141,77 @@ object Stress {
       },
       time(s"group_rank_bucketed_${n}") {
         noop(ops.TextAnalysis.bucketedGroupRank(base, "lang", "ttr", "doc_id"))
+      })
+  }
+
+  /** q80's gram census at corpus volume, with a PLANTED boilerplate gram
+    * (an 8-word constant prefix on 30% of docs — one gram whose document
+    * frequency is 0.3·n). The join-free form computes shared counts from
+    * the map-side-combinable census (count, min owner); the naive
+    * join-back form re-attaches per-gram document frequencies to every
+    * (doc, gram) row, so the planted gram's df rows all meet one reducer.
+    * The measured gap IS the hot-key funnel q80's Scaladoc claims to
+    * avoid.
+    */
+  private def gramCensusStage(
+      spark: SparkSession, nDocs: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    // ~16 words/doc from a 50k-type vocab; deterministic, generation fused
+    def docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(10)) < 3,
+          lit("b0 b1 b2 b3 b4 b5 b6 b7 ")).otherwise(lit("")),
+        concat_ws(" ", (0 until 16).map(k =>
+          conv(pmod(hash(col("id") * 31 + lit(k)), lit(50000)).cast("string"),
+            10, 36)): _*)).as("text"))
+    def grams = docs.select(col("doc_id"),
+      explode(ops.Text.nativeShingles(col("text"), 8)).as("gram"))
+    Seq(
+      time(s"gram_census_joinfree_${nDocs}") {
+        val census = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+        val uniq = census.filter(col("df") === 1)
+          .groupBy(col("owner").as("doc_id"))
+          .agg(count(lit(1)).as("n_unique"))
+        noop(grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(uniq, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared")))
+      },
+      time(s"gram_census_joinback_${nDocs}") {
+        val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        noop(grams.join(dfreq, Seq("gram"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared")))
+      })
+  }
+
+  /** q81's hop fan-out at volume: hopping (1 h / 15 min — 4 windows per
+    * event) vs plain tumbling on the same synthetic stream. Because the
+    * Expand collapses into the partial aggregate BEFORE the exchange
+    * (ScaleSpec-pinned), the hopping form should cost far less than 4×
+    * the tumbling form — the measured ratio is the map-side collapse.
+    */
+  private def hoppingStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def events = spark.range(n).select(
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(col("id") * 48271L, lit(2592000L)) * 1000000L).as("ts"),
+      concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+      (pmod(col("id") * 2654435761L, lit(1000L)).cast("double") / 10.0).as("value"))
+    def agg(win: org.apache.spark.sql.Column) = events
+      .groupBy(win.getField("start").as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("total"))
+    Seq(
+      time(s"window_tumbling_${n}") {
+        noop(agg(window(col("ts"), "1 hour")))
+      },
+      time(s"window_hopping4x_${n}") {
+        noop(agg(window(col("ts"), "1 hour", "15 minutes")))
       })
   }
 

@@ -210,7 +210,7 @@ object Relational {
     * fallback a stats-less session needs.
     */
   private[graft] def bloomSizing(build: DataFrame, keyCol: String): (Long, Long) = {
-    val ndv = build.agg(approx_count_distinct(col(keyCol))).head.getLong(0)
+    val ndv = build.agg(approx_count_distinct(col(keyCol))).head().getLong(0)
     val est = math.max(1024L, 2L * ndv)
     (est, 8L * est)
   }

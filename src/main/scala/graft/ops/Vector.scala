@@ -279,7 +279,7 @@ object Vector {
     points
       .withColumn("p_n", nNorm(col("vec")))
       .withColumn("best", explode(slice(array_sort(scored, bestFirst), 1, n)))
-      .select(points.columns.map(col) :+ col("best.cell").as("cell")
+      .select(points.columns.toIndexedSeq.map(col) :+ col("best.cell").as("cell")
         :+ col("best.sim").as("sim"): _*)
   }
 

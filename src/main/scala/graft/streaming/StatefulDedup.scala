@@ -72,7 +72,7 @@ object StatefulDedup {
               else Iterator.single(batch.minBy(r => (r.ts.getTime, r.doc_id)))
             state.update(batch.map(_.ts.getTime).max)
             state.setTimeoutTimestamp(
-              math.max(state.get + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs() + 1))
             out
           }
       }

@@ -252,7 +252,7 @@ class TextSpec extends SparkSuite {
       _.as[(Long, Long, Double)].collect().toSet)
     assert(swept == raw && swept.nonEmpty)
     // the loan scope swept its own persists — nothing new outlives it
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
   }
 
