@@ -38,6 +38,30 @@ object Windows {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** x17_stream_hopping: watermarked HOPPING windows — the streaming form
+    * of q81, each event counted into size/slide overlapping windows, every
+    * window emitted exactly once when the watermark passes its end.
+    * State is one row per OPEN (window, event_type) — at any instant
+    * size/slide windows overlap the present, so state is (size/slide)×
+    * the tumbling form's, still bounded and watermark-pruned. Works
+    * identically on a batch frame (parity-pinned against q81's shape).
+    */
+  def hopping(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Native session windows (the streaming form of q20's lag+cumsum
     * sessionization): a session closes `gap` after its last event, and the
     * watermark finalizes it. State per open session, pruned on close.

@@ -64,6 +64,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("x17: hopping windows count each event size/slide times; watermark finalizes per hop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Windows.hopping(input.toDF(), "1 hour", "15 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("x17out")
+      .outputMode("append").start()
+    try {
+      // one event at 10:05 belongs to the 4 windows starting 09:15..10:00
+      input.addData(Ev(ts("2026-01-01 10:05:00"), "A", 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts("2026-01-01 11:40:00"), "B", 1.0))
+      q.processAllAvailable()
+      // watermark 11:30: every window ending <= 11:30 finalized — that is
+      // all four A-windows (latest ends 11:00)
+      val outA = spark.table("x17out")
+        .filter(col("event_type") === "A").collect()
+      assert(outA.map(_.getAs[Timestamp]("window_start")).toSet ==
+        Set("09:15", "09:30", "09:45", "10:00")
+          .map(m => ts(s"2026-01-01 $m:00")),
+        "an event must be counted into exactly size/slide = 4 hops")
+      assert(outA.forall(r => r.getAs[Long]("n_events") == 1 &&
+        r.getAs[java.math.BigDecimal]("total_value").doubleValue == 2.0))
+      // a late event 65 min behind the watermark is dropped from every hop
+      input.addData(
+        Ev(ts("2026-01-01 10:25:00"), "A", 100.0), // late
+        Ev(ts("2026-01-01 13:00:00"), "C", 1.0))
+      q.processAllAvailable()
+      val again = spark.table("x17out")
+        .filter(col("event_type") === "A").collect()
+      assert(again.length == 4 &&
+        again.forall(_.getAs[Long]("n_events") == 1),
+        "late data must not re-open or re-emit any hop")
+    } finally q.stop()
+  }
+
+  test("x17 parity: hopping on a batch frame matches the q81-style aggregate") {
+    import spark.implicits._
+    val batch = Seq(
+      Ev(ts("2026-01-01 10:05:00"), "A", 1.0),
+      Ev(ts("2026-01-01 10:20:00"), "A", 2.0),
+      Ev(ts("2026-01-01 11:05:00"), "B", 3.0)).toDF()
+    val out = Windows.hopping(batch, "1 hour", "15 minutes", "10 minutes")
+      .collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == 3 * 4,
+      "each batch event lands in exactly 4 hops")
+    val a1030 = out.filter(r =>
+      r.getAs[Timestamp]("window_start") == ts("2026-01-01 10:00:00") &&
+        r.getAs[String]("event_type") == "A")
+    assert(a1030.length == 1 && a1030.head.getAs[Long]("n_events") == 2,
+      "the 10:00 hop holds both A events")
+  }
+
   test("x03 extra: native session_window splits on the gap, closes via watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
