@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract drift guard: SURVEY.md §2.3 is the operator inventory the
+  * round audit reads line by line, and `SparkEntry` is what the driver
+  * actually runs — the two have drifted before (q77/q78 shipped
+  * oracle-green but undocumented in round 8, flagged by the audit). This
+  * spec makes that drift a test failure instead of a verdict finding.
+  */
+class InventorySpec extends AnyFunSuite {
+
+  private lazy val surveyRows: Map[String, String] = {
+    val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    try {
+      src.getLines()
+        .filter(l => l.startsWith("| q") || l.startsWith("| x"))
+        .map { l =>
+          val cells = l.split("\\|").map(_.trim)
+          cells(1) -> cells.last // id -> oracle marker (✓ or —)
+        }
+        .toMap
+    } finally src.close()
+  }
+
+  test("every declared query has a SURVEY §2.3 inventory row") {
+    val missing = SparkEntry.queries.keySet -- surveyRows.keySet
+    assert(missing.isEmpty,
+      s"declared but undocumented in SURVEY §2.3: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every oracle belongs to a declared query, and ✓ rows have oracles") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries with no declared query: ${orphans.toSeq.sorted.mkString(", ")}")
+    // a SURVEY row marked ✓ that is declared must carry an oracle — a ✓
+    // without one silently downgrades the driver's check to rows-only
+    val brokenTick = surveyRows.collect {
+      case (id, "✓") if SparkEntry.queries.contains(id) &&
+        !SparkEntry.oracleSql.contains(id) => id
+    }
+    assert(brokenTick.isEmpty,
+      s"SURVEY marks ✓ but no oracleSql exists: ${brokenTick.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the rows-only set is exactly the documented sketch/ANN family") {
+    // accidentally DROPPING an oracle downgrades a query to the driver's
+    // weak rows-only check without any failure — pin the exact set of
+    // intentional omissions (each justified in its SURVEY row) so the
+    // downgrade is loud
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val documented = Set(
+      "x05_approx_distinct",   // HLL sketch differs from DuckDB's
+      "x06_ann_simhash",       // recall-pinned vs x01 in VectorSpec
+      "x07_simhash_dedup",     // signature family, spec-green
+      "x09_approx_percentile", // GK sketch differs from DuckDB's t-digest
+      "x11_ann_ivf",           // q71 is its oracle-gated twin
+      "x14_heavy_hitters")     // guarantee pinned in HeavyHittersSpec
+    assert(rowsOnly == documented,
+      s"rows-only drift: unexpected=${(rowsOnly -- documented).toSeq.sorted
+        .mkString(", ")} missingOmissions=${(documented -- rowsOnly).toSeq.sorted
+        .mkString(", ")}")
+  }
+}
