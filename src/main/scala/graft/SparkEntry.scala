@@ -42,6 +42,10 @@ object SparkEntry {
     "q19_window_tumbling"  -> ((s, d) => ops.Aggregates.q19(s, d)),
     // hopping 1h/15min windows: 4 overlapping windows per event
     "q81_window_hopping"   -> ((s, d) => ops.Aggregates.q81(s, d)),
+    // day -> hour -> type subtotals in one pass (temporal rollup)
+    "q84_time_rollup"      -> ((s, d) => ops.Aggregates.q84(s, d)),
+    // weighted median: the price at which half the shipped quantity is cheaper
+    "q85_weighted_median"  -> ((s, d) => ops.Analytics.q85(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -241,6 +245,8 @@ object SparkEntry {
     "q18_json_extract"     -> ops.Functions.q18Sql,
     "q19_window_tumbling"  -> ops.Aggregates.q19Sql,
     "q81_window_hopping"   -> ops.Aggregates.q81Sql,
+    "q84_time_rollup"      -> ops.Aggregates.q84Sql,
+    "q85_weighted_median"  -> ops.Analytics.q85Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -478,6 +478,56 @@ object Aggregates {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** q84_time_rollup: the TIME-HIERARCHY rollup — (day → hour →
+    * event_type) subtotals over events in one pass, the temporal member
+    * of the grouping-sets family (q10 rolls up CATEGORICAL dims; every
+    * ops dashboard's "daily total with hourly drill-down" is this
+    * query). Grouping ids disambiguate subtotal rows from real NULLs,
+    * q10's discipline.
+    *
+    * Scale shape: rollup plans one Expand (4 grouping sets) below a
+    * partial aggregate — subtotal rows collapse map-side exactly like
+    * q81's hop fan-out; the hierarchy day ⊃ hour means the expansion
+    * never multiplies distinct keys beyond ~4·hours·types.
+    */
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        date_trunc("day", col("ts")).as("day"),
+        date_trunc("hour", col("ts")).as("hr"),
+        col("event_type"), col("value"))
+      .rollup(col("day"), col("hr"), col("event_type"))
+      .agg(
+        grouping(col("day")).cast("int").as("g_day"),
+        grouping(col("hr")).cast("int").as("g_hr"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy(
+        asc_nulls_first("day"), asc_nulls_first("hr"),
+        asc_nulls_first("event_type"),
+        asc("g_day"), asc("g_hr"), asc("g_type"))
+
+  /** DuckDB's date_trunc('day', ts) yields a DATE where Spark keeps a
+    * TIMESTAMP — the oracle casts the day level back so both engines
+    * compare naive timestamps (GROUPING references the identical cast
+    * expression, as ROLLUP requires).
+    */
+  val q84Sql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |       date_trunc('hour', ts) AS hr,
+      |       event_type,
+      |       CAST(GROUPING(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS INTEGER) AS g_day,
+      |       CAST(GROUPING(date_trunc('hour', ts)) AS INTEGER) AS g_hr,
+      |       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP),
+      |                 date_trunc('hour', ts), event_type)
+      |ORDER BY day ASC NULLS FIRST, hr ASC NULLS FIRST,
+      |         event_type ASC NULLS FIRST, g_day ASC, g_hr ASC, g_type ASC""".stripMargin
+
   /** q20_sessionize: gap-based sessionization (30-min gap) via lag + running
     * sum — the batch form of a streaming session window. Gap comparison runs
     * on microsecond epochs, identical in both engines.

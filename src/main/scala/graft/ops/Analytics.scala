@@ -330,6 +330,76 @@ object Analytics {
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
   }
 
+  /** q85_weighted_median: per-returnflag WEIGHTED median — the smallest
+    * price p whose cumulative quantity weight reaches half the group
+    * total (min p with 2·cumW(p) ≥ W). The weighted member of the
+    * median family: q34's rank counts rows, q85's rank counts UNITS —
+    * "the price at which half the shipped quantity is cheaper", the
+    * inventory/pricing form of a median, and the capability a plain
+    * percentile cannot express.
+    *
+    * Scale shape: the histCumOn two-level census generalized from row
+    * counts to DECIMAL weight sums — identical shuffle story (raw rows
+    * hash only on the high-cardinality (flag, price) composite, coarse
+    * bucket offsets broadcast, within-bucket running sums), and every
+    * comparison (2·cum ≥ W) is exact decimal, so both engines select
+    * the identical price; the only doubles are the output casts (D7).
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("decimal(18,2)").as("p"),
+      col("l_quantity").cast("decimal(18,2)").as("w"))
+    val bktOfP = floor(col("p") / 4096).cast("long")
+    val hist = base.groupBy(col("g"), col("p"))
+      .agg(sum(col("w")).as("c"))
+      .withColumn("bkt", bktOfP)
+    // offsets straight off a second pruned scan (histCumOn's argument)
+    val wB = Window.partitionBy(col("g")).orderBy(asc("bkt"))
+    val offs = base.groupBy(col("g"), bktOfP.as("bkt"))
+      .agg(sum(col("w")).as("bc"))
+      .select(col("g"), col("bkt"),
+        coalesce(sum(col("bc")).over(
+            wB.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(28,2)")).as("off"),
+        sum(col("bc")).over(Window.partitionBy(col("g"))).as("tot"))
+    val wIn = Window.partitionBy(col("g"), col("bkt")).orderBy(asc("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.join(broadcast(offs), Seq("g", "bkt"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("g"))
+      .agg(min(col("p")).cast("double").as("w_median"),
+        max(col("tot")).cast("double").as("total_weight"))
+      .select(col("g").as("l_returnflag"), col("w_median"),
+        col("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q85's restatement: plain per-group running weight windows over the
+    * (flag, price) histogram (the oracle may sort whole groups; the
+    * engine side may not), the same exact-decimal half-weight rule.
+    */
+  val q85Sql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS w
+      |  FROM lineitem),
+      |h AS (SELECT g, p, sum(w) AS c FROM base GROUP BY g, p),
+      |cum AS (
+      |  SELECT g, p,
+      |         sum(c) OVER (PARTITION BY g ORDER BY p ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |         sum(c) OVER (PARTITION BY g) AS tot
+      |  FROM h)
+      |SELECT g AS l_returnflag,
+      |       CAST(min(p) AS DOUBLE) AS w_median,
+      |       CAST(max(tot) AS DOUBLE) AS total_weight
+      |FROM cum
+      |WHERE cw * 2 >= tot
+      |GROUP BY g
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q77_mad_outliers: per-group ROBUST outlier detection — the median
     * absolute deviation. Each status gets its discrete median (the
     * rank-⌈n/2⌉ order statistic), the discrete median of |p − med| (the

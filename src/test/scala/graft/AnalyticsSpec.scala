@@ -81,6 +81,53 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q84 time rollup: hierarchy totals reconcile at every level") {
+    val rows = ops.Aggregates.q84(spark, sf0001).collect()
+    def n(r: org.apache.spark.sql.Row) = r.getLong(6)
+    val grand = rows.filter(r => r.getInt(3) == 1 && r.getInt(4) == 1 &&
+      r.getInt(5) == 1)
+    assert(grand.length == 1, "exactly one grand-total row")
+    val total = graft.Tables.events(spark, sf0001).count()
+    assert(n(grand.head) == total)
+    // each day subtotal equals the sum of its hour subtotals, and the
+    // leaf (day, hr, type) rows sum to their (day, hr) subtotal
+    val daySub = rows.filter(r => r.getInt(3) == 0 && r.getInt(4) == 1)
+      .map(r => r.getTimestamp(0) -> n(r)).toMap
+    val hourSub = rows.filter(r => r.getInt(3) == 0 && r.getInt(4) == 0 &&
+      r.getInt(5) == 1)
+    assert(hourSub.groupBy(_.getTimestamp(0)).forall { case (d, hs) =>
+      hs.map(n).sum == daySub(d)
+    }, "day subtotals must equal the sum of their hours")
+    val leaves = rows.filter(r => r.getInt(5) == 0)
+    assert(leaves.groupBy(r => (r.getTimestamp(0), r.getTimestamp(1)))
+      .forall { case ((d, h), ls) =>
+        ls.map(n).sum == hourSub.find(r =>
+          r.getTimestamp(0) == d && r.getTimestamp(1) == h).map(n).get
+      }, "hour subtotals must equal the sum of their type leaves")
+  }
+
+  test("q85 weighted median matches a brute-force cumulative-weight scan") {
+    val rows = ops.Analytics.q85(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val base = graft.Tables.lineitem(spark, sf001)
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    rows.foreach { case (flag, med, totW) =>
+      val grp = base(flag).map(t => (t._2, t._3)).sortBy(_._1)
+      val tot = grp.map(_._2).sum
+      assert(totW == tot.toDouble, s"$flag total weight")
+      var cum = BigDecimal(0)
+      val expected = grp.collectFirst {
+        case (p, w) if { cum += w; cum * 2 >= tot } => p
+      }.get
+      assert(med == expected.toDouble, s"$flag weighted median")
+    }
+  }
+
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {
     val rows = ops.Analytics.q54(spark, sf001).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
