@@ -216,7 +216,11 @@ object SparkEntry {
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
     // HeavyHittersSpec against exact counts
-    "x14_heavy_hitters"    -> ((s, d) => functions.HeavyHitters.x14(s, d))
+    "x14_heavy_hitters"    -> ((s, d) => functions.HeavyHitters.x14(s, d)),
+    // materialized mergeable HLL sketch columns: per-day sketches union'd
+    // to range answers without rescanning events (rows-only; error pinned
+    // in SketchesSpec)
+    "x18_sketch_columns"   -> ((s, d) => ops.Sketches.x18(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */

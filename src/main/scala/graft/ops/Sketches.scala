@@ -52,4 +52,42 @@ object Sketches {
           .as("approx_p90"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
+
+  /** x18_sketch_columns: MATERIALIZED, MERGEABLE sketch columns — the
+    * 100 TB pattern x05's inline aggregate only hints at: per-day
+    * Datasketches HLL sketches stored AS COLUMNS (one binary per day),
+    * then re-aggregated with `hll_union_agg` to answer "distinct users
+    * over any day range" WITHOUT rescanning events — the pre-aggregation
+    * a lakehouse materializes once and every dashboard reads. Output is
+    * one row per day (estimate beside the exact count) plus a grand
+    * row (day = NULL) whose estimate comes only from UNIONING the daily
+    * sketches — never from re-touching raw events — next to the exact
+    * overall distinct for the spec's error pin.
+    *
+    * Determinism: HLL register updates are max-folds — commutative and
+    * associative — so estimates are partitioning-independent; but the
+    * sketch LAYOUT differs from DuckDB's, so rows-only check (x05
+    * precedent) with the error + merge-consistency bounds pinned in
+    * SketchesSpec.
+    */
+  def x18(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"),
+        countDistinct(col("user_id")).as("exact_users"))
+    // a real deployment persists `daily` (day, sketch) as a table; the
+    // range query below reads ONLY sketches
+    val overall = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+    val exactOverall = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    daily.select(col("day"),
+        hll_sketch_estimate(col("sketch")).as("est_users"),
+        col("exact_users"))
+      .unionByName(
+        overall.crossJoin(exactOverall)
+          .select(lit(null).cast("timestamp").as("day"),
+            col("est_users"), col("exact_users")))
+      .orderBy(asc_nulls_first("day"))
+  }
 }

@@ -55,7 +55,8 @@ class InventorySpec extends AnyFunSuite {
       "x07_simhash_dedup",     // signature family, spec-green
       "x09_approx_percentile", // GK sketch differs from DuckDB's t-digest
       "x11_ann_ivf",           // q71 is its oracle-gated twin
-      "x14_heavy_hitters")     // guarantee pinned in HeavyHittersSpec
+      "x14_heavy_hitters",     // guarantee pinned in HeavyHittersSpec
+      "x18_sketch_columns")    // Datasketches layout differs from DuckDB's
     assert(rowsOnly == documented,
       s"rows-only drift: unexpected=${(rowsOnly -- documented).toSeq.sorted
         .mkString(", ")} missingOmissions=${(documented -- rowsOnly).toSeq.sorted

@@ -31,6 +31,27 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("x18 sketch columns: per-day estimates within HLL error; union answers ranges") {
+    val rows = ops.Sketches.x18(spark, sf001).collect()
+    val (grand, daily) = rows.partition(_.isNullAt(0))
+    assert(grand.length == 1 && daily.nonEmpty)
+    // lgK=12 HLL: relative standard error ~1.6%; pin a generous 3σ ≈ 5%
+    (daily :+ grand.head).foreach { r =>
+      val (est, exact) = (r.getLong(1).toDouble, r.getLong(2))
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 2.0),
+        s"day=${r.get(0)} est=$est exact=$exact")
+    }
+    // merge consistency: the union estimate covers at least the biggest
+    // day and at most the sum of days (set algebra survives the sketch)
+    val dayEsts = daily.map(_.getLong(1).toDouble)
+    val g = grand.head.getLong(1).toDouble
+    assert(g >= dayEsts.max * 0.95 && g <= dayEsts.sum * 1.05)
+    // the grand row's exact equals the true overall distinct
+    val exactAll = graft.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(grand.head.getLong(2) == exactAll)
+  }
+
   test("q30b closed-form corr/slope/intercept agrees with Spark's streaming builtins") {
     import org.apache.spark.sql.functions._
     // the builtins are partition-order-dependent floats (why q30b exists);
