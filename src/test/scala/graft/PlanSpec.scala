@@ -145,11 +145,13 @@ class PlanSpec extends SparkSuite {
     // tiny probe side) — x01 and its dequantized twin q60; q73's one BNLJ
     // is the 1-row scalar attach of its coverage denominator (bounded by
     // construction — an aggregate's single row cross-joined broadcast);
-    // q78's is the same shape (the 1-row global-max D attach);
+    // q78's is the same shape (the 1-row global-max D attach); x18's is
+    // the 1-row×1-row stitch of the union estimate beside the exact
+    // overall count (both sides aggregates — bounded by construction);
     // everything else — x11's cell assignment included, now a map-side
     // argmax over the literal centroid array — must be hash/sort-merge joins
     val nlAllowed = Set("x01_vector_cosine", "q60_search_quantized",
-      "q73_vocab_coverage", "q78_ks_test")
+      "q73_vocab_coverage", "q78_ks_test", "x18_sketch_columns")
     SparkEntry.queries.keys.filterNot(nlAllowed).foreach { n =>
       assert(!plan(n).contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join")

@@ -161,6 +161,39 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q85: weighted census on the composite — no raw-row shuffle on the flag key") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // q85 aliases l_returnflag to `g`; same guard discipline as q77 —
+      // prove a g-composite shuffle exists, then that no raw-row exchange
+      // partitions on the bare 3-value key
+      val plan = ops.Analytics.q85(spark, sf0001)
+      assert(hashShufflesReferencing(plan, "g").nonEmpty,
+        "vacuity guard: q85's census must shuffle on a g-containing composite")
+      assert(rawKeyShuffles(plan, "g").isEmpty,
+        "q85 must only hash-partition the flag key above an aggregate")
+      assert(plan.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "q85 must broadcast the bucket offsets back onto census rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q82: one user-key window, no join anywhere in the plan") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = ops.Analytics.q82(spark, sf0001).queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      val hashEx = plan.collect { case e: ShuffleExchangeExec => e }
+        .filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      assert(hashEx.length == 1, s"q82 must shuffle exactly once, got ${hashEx.length}")
+      assert(hashEx.head.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.flatMap(_.references.toSeq.map(_.name)) == Seq("user_id"),
+        "the one shuffle must key on user_id for the running window")
+      assert(!plan.toString.contains("Join"),
+        "attribution must carry the latest click in the window, never a self-join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q34b/q37b: no shuffle of raw rows on the low-cardinality key") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try assertRawKeyShuffleShapes()
