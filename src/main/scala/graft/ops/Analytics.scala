@@ -330,6 +330,52 @@ object Analytics {
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
   }
 
+  /** q86_profile: COLUMN PROFILING over orders — one row per column with
+    * (n_rows, n_nulls, n_distinct): the data-quality pass a pipeline runs
+    * before trusting a new drop (null-rate spikes and cardinality
+    * collapses are the two cheapest corruption detectors), and the
+    * integer-only subset of a stats catalog a CBO would consume.
+    *
+    * Scale shape: ONE scan computes every column's null count and
+    * distinct count in a single aggregate — Spark plans the N distinct
+    * aggregates as one Expand (N tagged copies per row) UNDER a partial
+    * aggregate, the q81/q84 fan-out discipline, so the shuffle carries
+    * per-column partial states, never N copies of the data; the wide
+    * 1-row result unpivots to long form with a literal `stack`
+    * (driver-side column list — schema metadata, not data). All counts
+    * exact longs.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = o.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      countDistinct(col(c)).as(s"__d_$c")))
+    val allAggs = count(lit(1)).as("__rows") +: aggs
+    val wide = o.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+    wide.select(col("__rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        col("n_nulls").cast("long").as("n_nulls"),
+        col("n_distinct").cast("long").as("n_distinct"))
+      .orderBy("column_name")
+  }
+
+  /** q86's restatement: one UNION ALL branch per column (the oracle may
+    * scan six times; the engine side must not).
+    */
+  val q86Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** q85_weighted_median: per-returnflag WEIGHTED median — the smallest
     * price p whose cumulative quantity weight reaches half the group
     * total (min p with 2·cumW(p) ≥ W). The weighted member of the

@@ -128,6 +128,27 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q86 profile matches per-column recounts, from exactly one scan") {
+    val o = graft.Tables.orders(spark, sf0001)
+    val rows = ops.Analytics.q86(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == o.columns.sorted.toSeq)
+    val n = o.count()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == n, s"$c n_rows")
+      assert(r.getLong(2) == o.filter(col(c).isNull).count(), s"$c n_nulls")
+      assert(r.getLong(3) == o.select(c).distinct().count(), s"$c n_distinct")
+    }
+    // the Scaladoc claim: ALL per-column counts come from ONE pass — a
+    // profile that scans once per column re-reads the table N times
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose children are invisible to collect
+    val scans = ops.Analytics.q86(spark, sf0001).queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.length == 1, s"profile must scan once, got ${scans.length}")
+  }
+
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {
     val rows = ops.Analytics.q54(spark, sf001).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
