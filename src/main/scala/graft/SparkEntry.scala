@@ -48,6 +48,8 @@ object SparkEntry {
     "q85_weighted_median"  -> ((s, d) => ops.Analytics.q85(s, d)),
     // column profiling: per-column null + distinct counts in one scan
     "q86_profile"          -> ((s, d) => ops.Analytics.q86(s, d)),
+    // exact cumulative distinct users per day via first-seen reduction
+    "q87_user_growth"      -> ((s, d) => ops.Analytics.q87(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -254,6 +256,7 @@ object SparkEntry {
     "q84_time_rollup"      -> ops.Aggregates.q84Sql,
     "q85_weighted_median"  -> ops.Analytics.q85Sql,
     "q86_profile"          -> ops.Analytics.q86Sql,
+    "q87_user_growth"      -> ops.Analytics.q87Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

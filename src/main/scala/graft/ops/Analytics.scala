@@ -330,6 +330,47 @@ object Analytics {
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
   }
 
+  /** q87_user_growth: CUMULATIVE DISTINCT users per day — (day,
+    * new_users, cum_users) where cum_users on day d is the exact count
+    * of distinct users seen on or before d. The growth-dashboard
+    * primitive, and the query naive composition gets catastrophically
+    * wrong at scale: countDistinct per expanding window re-scans
+    * every prior day per day (O(days·events)); the exact-and-linear
+    * form is one first-seen reduction — a user contributes to
+    * cum_users exactly from their FIRST day — then a running sum over
+    * ≤ days aggregate rows.
+    *
+    * Scale shape: one map-side-combinable min(day) per user (user-key
+    * shuffle, high cardinality), one tiny per-day count, and the only
+    * unpartitioned window runs over ≤ |days| rows (the q78-offsets
+    * precedent: bounded by construction). Exact longs throughout; the
+    * final day's cum_users IS the corpus's distinct user count
+    * (spec-pinned, and the exact anchor x18's sketch estimates are
+    * judged against).
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+    firstSeen.groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      .select(col("day"), col("new_users"),
+        sum(col("new_users")).over(Window.orderBy(asc("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("cum_users"))
+      .orderBy("day")
+  }
+
+  val q87Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+      |SELECT day, CAST(new_users AS BIGINT) AS new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d
+      |ORDER BY day""".stripMargin
+
   /** q86_profile: COLUMN PROFILING over orders — one row per column with
     * (n_rows, n_nulls, n_distinct): the data-quality pass a pipeline runs
     * before trusting a new drop (null-rate spikes and cardinality

@@ -149,6 +149,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(scans.length == 1, s"profile must scan once, got ${scans.length}")
   }
 
+  test("q87 growth curve telescopes and ends at the exact distinct total") {
+    val rows = ops.Analytics.q87(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sortBy(_.getTime).toSeq)
+    // cum telescopes: each day's cum = previous cum + its new_users
+    rows.foldLeft(0L) { case (prev, (_, nu, cum)) =>
+      assert(cum == prev + nu); cum
+    }
+    // driver recount of first-seen days
+    val firstSeen = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2.getTime).min).toMap
+    val perDay = firstSeen.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { case (day, nu, _) =>
+      assert(nu == perDay(day.getTime), s"$day new_users")
+    }
+    // the curve's endpoint IS the corpus's exact distinct user count —
+    // the anchor x18's sketch estimates are judged against
+    assert(rows.last._3 == firstSeen.size.toLong)
+  }
+
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {
     val rows = ops.Analytics.q54(spark, sf001).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
