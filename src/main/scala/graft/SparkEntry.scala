@@ -50,6 +50,8 @@ object SparkEntry {
     "q86_profile"          -> ((s, d) => ops.Analytics.q86(s, d)),
     // exact cumulative distinct users per day via first-seen reduction
     "q87_user_growth"      -> ((s, d) => ops.Analytics.q87(s, d)),
+    // referential-integrity audit: FK orphan counts per relationship
+    "q88_integrity"        -> ((s, d) => ops.Analytics.q88(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -257,6 +259,7 @@ object SparkEntry {
     "q85_weighted_median"  -> ops.Analytics.q85Sql,
     "q86_profile"          -> ops.Analytics.q86Sql,
     "q87_user_growth"      -> ops.Analytics.q87Sql,
+    "q88_integrity"        -> ops.Analytics.q88Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -330,6 +330,70 @@ object Analytics {
       .withColumn("cum", col("off") + sum(col("c")).over(wIn))
   }
 
+  /** q88_integrity: REFERENTIAL-INTEGRITY audit — one row per declared
+    * FK relationship with (n_rows, n_orphans): the data-quality sibling
+    * of q86's column profile, checking the star schema's joinability
+    * before any query trusts it (an orphan fact row silently vanishes
+    * from every inner join downstream — this is the reference target's
+    * FK constraints, `init/postgres-2/init.sql`, as a batch audit). All
+    * four counts are zero on intact TPC-H data; the values are verified
+    * against DuckDB regardless, and the planted-orphan behavior is
+    * spec-pinned through the shared [[orphanCounts]] helper.
+    *
+    * Scale shape: each relationship is ONE left join of the fact's key
+    * projection against the DISTINCT parent keys with a hit marker,
+    * folded map-side to (count, null-hits) — no anti-join + count pair
+    * scanning twice, no 1-row cross-joins; dims small enough broadcast,
+    * the lineitem→orders leg shuffles on the high-cardinality orderkey.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      orphanCounts("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+      orphanCounts("lineitem.l_partkey -> part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      orphanCounts("lineitem.l_suppkey -> supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      orphanCounts("orders.o_custkey -> customer", o, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("relationship")
+  }
+
+  /** One FK audit leg: the child's key projection LEFT-joined against the
+    * distinct parent keys with a constant hit marker, folded to
+    * (n_rows, n_orphans) in one aggregate. Shared by q88 and its
+    * planted-orphan spec.
+    */
+  private[graft] def orphanCounts(
+      name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__hit", lit(1)), Seq(childKey), "left")
+      .groupBy()
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("relationship"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_orphans").cast("long").as("n_orphans"))
+
+  val q88Sql: String = {
+    def leg(name: String, child: String, ck: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS relationship,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS __k FROM $parent) p
+         |  ON c.$ck = p.__k""".stripMargin
+    Seq(
+      leg("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      leg("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+      leg("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      leg("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+  }
+
   /** q87_user_growth: CUMULATIVE DISTINCT users per day — (day,
     * new_users, cum_users) where cum_users on day d is the exact count
     * of distinct users seen on or before d. The growth-dashboard

@@ -173,6 +173,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.last._3 == firstSeen.size.toLong)
   }
 
+  test("q88 integrity: clean fixture audits zero orphans; planted orphans counted") {
+    import spark.implicits._
+    val rows = ops.Analytics.q88(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)} checked nothing")
+      assert(r.getLong(2) == 0L, s"${r.getString(0)} orphans on intact TPC-H")
+    }
+    // the helper counts planted violations, not just zeros
+    val child = Seq(1L, 2L, 3L, 99L, 98L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L, 4L).toDF("pk")
+    val audited = ops.Analytics.orphanCounts("t", child, "fk", parent, "pk")
+      .collect().head
+    assert(audited.getLong(1) == 5L && audited.getLong(2) == 2L)
+  }
+
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {
     val rows = ops.Analytics.q54(spark, sf001).collect()
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
