@@ -34,10 +34,15 @@ case class DequantSym(child: Expression) extends UnaryExpression {
   override def prettyName: String = "dequant_sym"
 
   override protected def nullSafeEval(a: Any): Any =
-    DequantSym.eval(a.asInstanceOf[ArrayData])
+    DequantSym.dequantize(a.asInstanceOf[ArrayData])
 
+  // NOTE: the helper must NOT be named `eval` — the class inherits
+  // `eval(InternalRow)` from Expression, and scalac suppresses a companion's
+  // static forwarder when the class already has a member of that name, so the
+  // generated Java would fail Janino and silently fall back to interpretation
+  // (found by the round-9 review; ExtSpec's codegen-only guard pins this).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.ext.DequantSym.eval($a)")
+    defineCodeGen(ctx, ev, a => s"graft.ext.DequantSym.dequantize($a)")
 
   override protected def withNewChildInternal(newChild: Expression): DequantSym =
     copy(child = newChild)
@@ -53,7 +58,7 @@ object DequantSym {
     * `NOT isnan(mx) AND mx > 0` — identical branch choice in both
     * engines for every input, NaN-bearing or not.
     */
-  def eval(a: ArrayData): ArrayData = {
+  def dequantize(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var mx = 0.0
     var seen = false

@@ -34,17 +34,22 @@ case class Quant8Sym(child: Expression) extends UnaryExpression {
   override def prettyName: String = "quant8_sym"
 
   override protected def nullSafeEval(a: Any): Any =
-    Quant8Sym.eval(a.asInstanceOf[ArrayData])
+    Quant8Sym.quantize(a.asInstanceOf[ArrayData])
 
+  // NOTE: the helper must NOT be named `eval` — the class inherits
+  // `eval(InternalRow)` from Expression, and scalac suppresses a companion's
+  // static forwarder when the class already has a member of that name, so the
+  // generated Java would fail Janino and silently fall back to interpretation
+  // (found by the round-9 review; ExtSpec's codegen-only guard pins this).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.ext.Quant8Sym.eval($a)")
+    defineCodeGen(ctx, ev, a => s"graft.ext.Quant8Sym.quantize($a)")
 
   override protected def withNewChildInternal(newChild: Expression): Quant8Sym =
     copy(child = newChild)
 }
 
 object Quant8Sym {
-  def eval(a: ArrayData): InternalRow = {
+  def quantize(a: ArrayData): InternalRow = {
     val n = a.numElements()
     var mx = 0.0
     var seen = false

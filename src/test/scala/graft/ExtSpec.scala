@@ -307,4 +307,68 @@ class ExtSpec extends SparkSuite {
           .filterNot(_ == EliminateIdentityConvert)
     }
   }
+
+  test("every ext expression codegen-compiles — no silent interpreter fallback") {
+    // Round-9 review found Quant8Sym/DequantSym emitting a call to a
+    // companion helper named `eval`: scalac suppresses the static forwarder
+    // when the class inherits a member of that name (Expression.eval), so
+    // Janino failed at runtime and Spark silently fell back to interpreted
+    // mode — answers right, whole-stage fusion lost. This guard compiles
+    // EVERY ext expression through GenerateUnsafeProjection, which has no
+    // fallback layer: a suppressed forwarder (or any emit typo) fails the
+    // build here instead of warning in a log nobody reads. It then checks
+    // the COMPILED output equals the interpreted eval on a sample row, so
+    // an emit that compiles but calls the wrong helper also fails.
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression => CExpr}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ext._
+
+    def ref(i: Int, dt: DataType) = BoundReference(i, dt, nullable = true)
+    val fa = ArrayType(FloatType)
+    val da = ArrayType(DoubleType)
+    val la = ArrayType(LongType)
+    val sa = ArrayType(StringType)
+    def arr(vs: Any*) = new GenericArrayData(vs.toArray)
+    def utf(s: String) = UTF8String.fromString(s)
+
+    val cases: Seq[(String, CExpr, InternalRow)] = Seq(
+      ("eur_convert",
+        EurConvert(ref(0, DecimalType(28, 8)), ref(1, StringType), ref(2, DoubleType)),
+        InternalRow(org.apache.spark.sql.types.Decimal("10.12345678"), utf("USD"), 2.0)),
+      ("vec_dot", VecDot(ref(0, fa), ref(1, fa)),
+        InternalRow(arr(1.0f, 2.0f, 3.0f), arr(0.5f, -1.0f, 2.0f))),
+      ("vec_dot_d", VecDotD(ref(0, da), ref(1, da)),
+        InternalRow(arr(1.0, 2.0, 3.0), arr(0.5, -1.0, 2.0))),
+      ("quant8_sym", Quant8Sym(ref(0, fa)),
+        InternalRow(arr(0.25f, -1.5f, 0.0f, 0.75f))),
+      ("dequant_sym", DequantSym(ref(0, fa)),
+        InternalRow(arr(0.25f, -1.5f, 0.0f, 0.75f))),
+      ("simhash_sig", SimHashSig(ref(0, la)),
+        InternalRow(arr(0x1234L, 0x8421L, -7L))),
+      ("simhash_bucket", SimHashBucket(ref(0, da), 4, 12),
+        InternalRow(arr(0.1, -0.2, 0.3, -0.4))),
+      ("rolling_hash", RollingHash(ref(0, StringType)),
+        InternalRow(utf("the quick brown fox"))),
+      ("minhash_bands", MinHashBands(ref(0, sa), 32, 8),
+        InternalRow(arr(utf("sh a"), utf("sh b"), utf("sh c")))),
+      ("word_ngrams", WordNgrams(ref(0, StringType), 3, true),
+        InternalRow(utf("one two three four five"))))
+
+    cases.foreach { case (name, e, row) =>
+      val proj =
+        try GenerateUnsafeProjection.generate(Seq(e))
+        catch {
+          case t: Throwable =>
+            fail(s"$name failed codegen compile (silent-fallback regression): $t")
+        }
+      val conv = CatalystTypeConverters.createToScalaConverter(e.dataType)
+      val compiled = conv(proj(row).get(0, e.dataType))
+      val interpreted = conv(e.eval(row))
+      assert(compiled == interpreted,
+        s"$name compiled/interpreted divergence: $compiled vs $interpreted")
+    }
+  }
 }
