@@ -226,7 +226,17 @@ object SparkEntry {
     // materialized mergeable HLL sketch columns: per-day sketches union'd
     // to range answers without rescanning events (rows-only; error pinned
     // in SketchesSpec)
-    "x18_sketch_columns"   -> ((s, d) => ops.Sketches.x18(s, d))
+    "x18_sketch_columns"   -> ((s, d) => ops.Sketches.x18(s, d)),
+    // Streaming gates (round 10): each production streaming operator fed
+    // the REAL fixture through a MemoryStream in chronological
+    // micro-batches, its finalized sink oracle-compared against the batch
+    // twin's SQL (x03b~q19, x17b~q81, x16b~q21, x15b~q72, x13b ~ an
+    // interval-join restatement). See streaming/StreamGates.scala.
+    "x03b_stream_tumbling_gate" -> ((s, d) => streaming.StreamGates.x03b(s, d)),
+    "x17b_stream_hopping_gate"  -> ((s, d) => streaming.StreamGates.x17b(s, d)),
+    "x16b_stream_dedup_gate"    -> ((s, d) => streaming.StreamGates.x16b(s, d)),
+    "x15b_stream_transitions_gate" -> ((s, d) => streaming.StreamGates.x15b(s, d)),
+    "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -339,6 +349,13 @@ object SparkEntry {
     "x01_vector_cosine"    -> ops.Vector.x01Sql,
     "x02_minhash_dedup"    -> ops.Text.x02Sql,
     "x08_cosine_blocked"   -> ops.Vector.x08Sql,
-    "x10_jaccard_join"     -> ops.Text.x10Sql
+    "x10_jaccard_join"     -> ops.Text.x10Sql,
+    // streaming gates: the batch twin's oracle (or its streaming-computable
+    // projection — countDistinct is not a streaming aggregate)
+    "x03b_stream_tumbling_gate" -> streaming.StreamGates.x03bSql,
+    "x17b_stream_hopping_gate"  -> streaming.StreamGates.x17bSql,
+    "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,
+    "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
+    "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql
   )
 }

@@ -1,0 +1,253 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-gated STREAMING parity entries (round-10, VERDICT r9 #2): each
+  * streaming operator (x03/x13/x15/x16/x17) gets a declared query that
+  * feeds the REAL fixture through a `MemoryStream` in chronological
+  * micro-batches, runs the production streaming operator, and returns the
+  * finalized sink — compared by the driver (rows + schema + hash) against
+  * a DuckDB oracle over the same parquet. This turns the MemoryStream
+  * specs' "semantics look right" into the same hard gate every batch
+  * query passes.
+  *
+  * Why collecting the fixture to the driver is correct HERE and nowhere
+  * else: a MemoryStream is fed from driver memory by definition — it is
+  * the deterministic-replay harness, not the production source (that is
+  * `readStream` over files/Kafka, exercised in IncrementalPipeline). The
+  * collected input is the benchmark fixture, bounded by SF; the streaming
+  * OPERATORS under test still execute distributed (state-store shuffles
+  * on the group keys), exactly as they would against a real source.
+  *
+  * Chronological chunking is what makes stream ≡ batch provable:
+  *  - rows are fed sorted by event time, so no row is ever behind the
+  *    watermark (watermark after chunk k = max(ts ≤ chunk k) − lateness
+  *    < min ts of chunk k+1) → nothing is late-dropped;
+  *  - watermarked aggregates are flushed by two sentinel batches far past
+  *    the data's horizon (the first advances the watermark past every
+  *    real window's end, the second triggers the emitting micro-batch),
+  *    then the sentinels' own windows are filtered out by type;
+  *  - stateful ops whose cross-batch contract is arrival order (dedup
+  *    keep-first, transition stitching) see arrival order == the batch
+  *    query's (ts / doc_id) order, so their running output equals the
+  *    retrospective batch answer.
+  */
+object StreamGates {
+
+  case class GateEv(ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class GateUserEv(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  case class GateImp(user_id: Long, imp_id: Long,
+      imp_ts: java.sql.Timestamp)
+  case class GateClk(click_user: Long, click_id: Long,
+      click_ts: java.sql.Timestamp)
+
+  private val Flush = "__flush__"
+  private val Chunks = 4
+
+  /** Feed `rows` through a MemoryStream in `Chunks` order-preserving
+    * micro-batches (plus optional flush batches), run `body`, return the
+    * finalized memory-sink table. One micro-batch per chunk — each
+    * `processAllAvailable` drains the added chunk before the next is
+    * offered, so batch boundaries are deterministic.
+    */
+  private def feed[T <: Product](
+      spark: SparkSession, name: String, rows: Seq[T],
+      flushes: Seq[Seq[T]] = Nil)(body: DataFrame => DataFrame)(
+      implicit enc: Encoder[T]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[T]
+    spark.catalog.dropTempView(name)
+    val q = body(input.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try {
+      val size = math.max(1, (rows.length + Chunks - 1) / Chunks)
+      rows.grouped(size).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      flushes.foreach { f =>
+        if (f.nonEmpty) { input.addData(f: _*); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Events sorted chronologically, as the (ts, type, value) gate rows,
+    * plus the two sentinel flush batches (3 h and 6 h past the horizon:
+    * the first's event time overtakes every real window end by more than
+    * any lateness/slide in play, the second triggers the batch that emits
+    * under the advanced watermark).
+    */
+  private def eventRows(spark: SparkSession, dir: String)
+      : (Seq[GateEv], Seq[Seq[GateEv]]) = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .orderBy("ts").as[GateEv].collect().toSeq
+    val maxMs = rows.last.ts.getTime
+    val sentinel = (h: Int) =>
+      Seq(GateEv(new java.sql.Timestamp(maxMs + h * 3600000L), Flush, 0.0))
+    (rows, Seq(sentinel(3), sentinel(6)))
+  }
+
+  /** x03b: the production tumbling-window stream (Windows.tumbling) over
+    * the events fixture == the batch hourly aggregate (q19 minus the
+    * distinct-user count — streaming aggregates can't countDistinct;
+    * that column stays q19's).
+    */
+  def x03b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (rows, flushes) = eventRows(spark, dir)
+    feed(spark, "gate_x03b", rows, flushes)(
+      Windows.tumbling(_, "1 hour", "10 minutes"))
+      .filter(col("event_type") =!= Flush)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val x03bSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** x17b: the production hopping-window stream (Windows.hopping) == the
+    * batch q81 hop expansion (minus the distinct-user count).
+    */
+  def x17b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (rows, flushes) = eventRows(spark, dir)
+    feed(spark, "gate_x17b", rows, flushes)(
+      Windows.hopping(_, "1 hour", "15 minutes", "10 minutes"))
+      .filter(col("event_type") =!= Flush)
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** q81Sql's k = 0..3 hop expansion, minus n_users (see q81Sql for the
+    * make_timestamp/epoch_us alignment rationale).
+    */
+  val x17bSql: String =
+    """SELECT make_timestamp((epoch_us(ts) // 900000000 - k.k) * 900000000)
+      |         AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** x16b: the production stateful dedup stream (StatefulDedup.dedupStream)
+    * over documents keyed by the word-set fingerprint == batch q21.
+    * Feeding in doc_id order makes the stream's keep-FIRST-arrival equal
+    * the batch keep-LOWEST-doc_id; the survivors join back to the table
+    * for their attribute columns (a doc_id equi-join on the deduped,
+    * strictly smaller survivor set). Shares q21's oracle verbatim.
+    */
+  def x16b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rows = docs
+      .select(graft.ops.Text.wordSetFingerprint(col("text")).as("key"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").as[StatefulDedup.Keyed].collect().toSeq
+    feed(spark, "gate_x16b", rows)(
+      df => StatefulDedup.dedupStream(df.as[StatefulDedup.Keyed]).toDF())
+      .select("doc_id")
+      .join(docs, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** x15b: the production stateful transition stream
+    * (Transitions.transitions) over events, its emitted hops aggregated
+    * to the transition matrix == batch q72. Chronological (ts, event_id)
+    * feeding makes cross-batch stitch order equal the batch query's
+    * window order. Shares q72's oracle verbatim.
+    */
+  def x15b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("ts", "event_id").as[GateUserEv].collect().toSeq
+      .map(e => Transitions.UserEvent(e.user_id, e.ts, e.event_id,
+        e.event_type))
+    val wFrom = Window.partitionBy(col("from_type"))
+    feed(spark, "gate_x15b", rows)(
+      df => Transitions.transitions(df.as[Transitions.UserEvent]).toDF())
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wFrom).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** x13b: the production watermarked interval join (Joins.clickAttribution,
+    * inner form) — view events as impressions, click events by the same
+    * user within 15 min after as clicks. Both streams advance in lockstep
+    * over the same four TIME slices, so at every click's processing batch
+    * its candidate views are already in state and not yet watermark-evicted
+    * (watermark < the slice's min ts ≤ click_ts ≤ imp_ts + 15 min).
+    */
+  def x13b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("imp_id"),
+        col("ts").as("imp_ts"))
+      .orderBy("imp_ts", "imp_id").as[GateImp].collect().toSeq
+    val clks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .orderBy("click_ts", "click_id").as[GateClk].collect().toSeq
+
+    // shared time-slice boundaries keep the two streams' watermarks in step
+    val lo = math.min(imps.head.imp_ts.getTime, clks.head.click_ts.getTime)
+    val hi = math.max(imps.last.imp_ts.getTime, clks.last.click_ts.getTime)
+    val step = math.max(1L, (hi - lo) / Chunks + 1)
+    def sliceOf(ms: Long) = ((ms - lo) / step).toInt
+
+    val impIn = MemoryStream[GateImp]
+    val clkIn = MemoryStream[GateClk]
+    spark.catalog.dropTempView("gate_x13b")
+    val q = Joins.clickAttribution(impIn.toDF(), clkIn.toDF(),
+        within = "15 minutes", lateness = "10 minutes", leftOuter = false)
+      .writeStream.format("memory").queryName("gate_x13b")
+      .outputMode("append").start()
+    try {
+      (0 until Chunks).foreach { k =>
+        val is = imps.filter(i => sliceOf(i.imp_ts.getTime) == k)
+        val cs = clks.filter(c => sliceOf(c.click_ts.getTime) == k)
+        if (is.nonEmpty) impIn.addData(is: _*)
+        if (cs.nonEmpty) clkIn.addData(cs: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("gate_x13b")
+      .select("user_id", "imp_id", "imp_ts", "click_id", "click_ts")
+      .orderBy("imp_id", "click_id")
+  }
+
+  val x13bSql: String =
+    """SELECT i.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+      |       c.event_id AS click_id, c.ts AS click_ts
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'view') i
+      |JOIN (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'click') c
+      |  ON i.user_id = c.user_id
+      | AND c.ts >= i.ts
+      | AND epoch_us(c.ts) - epoch_us(i.ts) <= 900000000
+      |ORDER BY imp_id, click_id""".stripMargin
+}
