@@ -232,6 +232,9 @@ object SparkEntry {
     // micro-batches, its finalized sink oracle-compared against the batch
     // twin's SQL (x03b~q19, x17b~q81, x16b~q21, x15b~q72, x13b ~ an
     // interval-join restatement). See streaming/StreamGates.scala.
+    // schema-evolution read under the gate: two derived generations with
+    // disjoint column sets union'd by name through AdaptiveParquet
+    "q89_schema_evolution" -> ((s, d) => sources.AdaptiveParquet.q89(s, d)),
     "x03b_stream_tumbling_gate" -> ((s, d) => streaming.StreamGates.x03b(s, d)),
     "x17b_stream_hopping_gate"  -> ((s, d) => streaming.StreamGates.x17b(s, d)),
     "x16b_stream_dedup_gate"    -> ((s, d) => streaming.StreamGates.x16b(s, d)),
@@ -352,6 +355,7 @@ object SparkEntry {
     "x10_jaccard_join"     -> ops.Text.x10Sql,
     // streaming gates: the batch twin's oracle (or its streaming-computable
     // projection — countDistinct is not a streaming aggregate)
+    "q89_schema_evolution" -> sources.AdaptiveParquet.q89Sql,
     "x03b_stream_tumbling_gate" -> streaming.StreamGates.x03bSql,
     "x17b_stream_hopping_gate"  -> streaming.StreamGates.x17bSql,
     "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,

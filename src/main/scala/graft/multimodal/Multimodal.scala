@@ -201,6 +201,12 @@ object Multimodal {
         var o = start
         while (o + 8 <= end) {
           val id = fourcc(o); val sz = u32(o + 4)
+          // a corrupt/malicious size (u32 ≥ 2^31 read as negative, or one
+          // overrunning the parent) would stall or reverse the walk —
+          // fail loudly instead of spinning an executor task (ADVICE r9)
+          require(sz >= 0 && o + 8 + sz <= end,
+            s"corrupt RIFF chunk '$id' at offset $o: size $sz overruns " +
+              s"the enclosing list (end $end)")
           if (id == "LIST") {
             val listType = fourcc(o + 8)
             walk(o + 12, o + 8 + sz, inMovi || listType == "movi")

@@ -374,7 +374,10 @@ object Analytics {
         .withColumn("__hit", lit(1)), Seq(childKey), "left")
       .groupBy()
       .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        // coalesce: sum over ZERO rows is NULL — an empty child relation
+        // must audit as (0, 0), not (0, NULL) (ADVICE r9)
+        coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_orphans"))
       .select(lit(name).as("relationship"),
         col("n_rows").cast("long").as("n_rows"),
         col("n_orphans").cast("long").as("n_orphans"))
@@ -383,7 +386,7 @@ object Analytics {
     def leg(name: String, child: String, ck: String, parent: String, pk: String) =
       s"""SELECT '$name' AS relationship,
          |       CAST(count(*) AS BIGINT) AS n_rows,
-         |       CAST(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |       CAST(coalesce(sum(CASE WHEN p.__k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
          |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS __k FROM $parent) p
          |  ON c.$ck = p.__k""".stripMargin
     Seq(
@@ -450,9 +453,22 @@ object Analytics {
     * (driver-side column list — schema metadata, not data). All counts
     * exact longs.
     */
+  /** The orders fixture schema both q86 sides profile — ONE source of
+    * truth for the Scala aggregate and the SQL oracle (ADVICE r9: the two
+    * lists were maintained separately and would diverge silently on a
+    * fixture schema change). q86 asserts the runtime schema against it,
+    * so a regenerated fixture fails with a precise message instead of a
+    * generic oracle mismatch.
+    */
+  private[graft] val q86Cols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
   def q86(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val cols = o.columns.toSeq
+    require(cols == q86Cols,
+      s"q86: orders fixture schema drifted — update q86Cols (and check " +
+        s"FIXTURES.md). fixture=${cols.mkString(",")} expected=${q86Cols.mkString(",")}")
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
       countDistinct(col(c)).as(s"__d_$c")))
@@ -471,9 +487,7 @@ object Analytics {
     * scan six times; the engine side must not).
     */
   val q86Sql: String = {
-    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_totalprice", "o_orderdate", "o_orderpriority")
-    cols.map { c =>
+    q86Cols.map { c =>
       s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct

@@ -44,15 +44,17 @@ object AdaptiveParquet {
 
   /** Memoized per-path temporal profile: which columns are nanos-encoded
     * (need the raw-int64 fallback) — None means "no nanos, native read".
-    * Keyed by path string; fixture files are immutable for the process
-    * lifetime, and a stale entry can only occur if a caller rewrites a
-    * file in place mid-run (not a supported pattern for bench/verify).
+    * Keyed by (path, probed file's length + mtime), so a fixture
+    * REGENERATED at the same path mid-process — the exact scenario this
+    * class exists for — re-probes instead of reusing a stale profile
+    * (ADVICE r9). The stat is one driver-side FS call per read, the same
+    * listing the probe needs anyway.
     */
   private val profiles =
     new java.util.concurrent.ConcurrentHashMap[String, Option[StructType]]()
 
   def read(s: SparkSession, path: String): DataFrame =
-    profiles.computeIfAbsent(path, p => probe(s, p)) match {
+    profiles.computeIfAbsent(cacheKey(s, path), _ => probe(s, path)) match {
       case None =>
         val df = s.read.parquet(path)
         df.schema.fields.foldLeft(df) {
@@ -84,6 +86,47 @@ object AdaptiveParquet {
     paths.map(read(s, _))
       .reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** q89_schema_evolution: [[readEvolved]] under the driver's oracle gate
+    * (round-10, VERDICT r9 #4 — the axis fixture regeneration burned the
+    * build twice). The query derives two file GENERATIONS from the orders
+    * fixture — gen1 carries (o_orderkey, o_custkey, o_totalprice) for even
+    * keys, gen2 carries (o_orderkey, o_orderstatus, o_orderdate) for odd
+    * keys, disjoint column sets with a temporal column only one side has —
+    * writes them to a scratch dir (fixed path + overwrite: idempotent
+    * across the bench's repeated runs), and reads them back through the
+    * adaptive union-by-name + null-fill path. The oracle restates the
+    * evolution directly over the original table, so a positional union, a
+    * dropped null-fill, or a temporal mis-dispatch all hash-mismatch.
+    *
+    * The scratch write is the point, not an anti-pattern: schema evolution
+    * is a property of FILES, so the gate must produce files; everything
+    * stays distributed (write + read are executor-side).
+    */
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.orders(s, dir)
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q89_generations").getAbsolutePath
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    readEvolved(s, s"$root/gen1", s"$root/gen2")
+      .orderBy("o_orderkey")
+  }
+
+  val q89Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |       CAST(NULL AS VARCHAR) AS o_orderstatus,
+      |       CAST(NULL AS TIMESTAMP) AS o_orderdate
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+      |       CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus, o_orderdate
+      |FROM orders WHERE o_orderkey % 2 = 1
+      |ORDER BY o_orderkey""".stripMargin
 
   private val NanosMarker = "graft.parquet.nanos"
 
@@ -162,15 +205,13 @@ object AdaptiveParquet {
     }
   }
 
-  /** Reads ONE footer's MessageType. `path` may be a single file or a
-    * (possibly partition-nested) directory; the first data file in
-    * depth-first name order is probed — deterministic, and a homogeneous
-    * directory (the only layout the explicit-schema path supports anyway)
-    * makes any file representative.
+  /** First data file under `path` in depth-first name order —
+    * deterministic, and a homogeneous directory (the only layout the
+    * explicit-schema path supports anyway) makes any file representative.
     */
-  private def footerSchema(
-      s: SparkSession, path: String): org.apache.parquet.schema.MessageType = {
-    import org.apache.hadoop.fs.{FileSystem, Path}
+  private def firstDataFile(
+      s: SparkSession, path: String): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
     val conf = s.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -186,8 +227,22 @@ object AdaptiveParquet {
         .flatMap(c => firstFile(c.getPath))
         .nextOption()
     }
-    val file = firstFile(root).getOrElse(throw new IllegalArgumentException(
+    firstFile(root).getOrElse(throw new IllegalArgumentException(
       s"AdaptiveParquet: no data files under $path"))
+  }
+
+  /** Memo key: path + the probed file's length and mtime (see [[profiles]]). */
+  private def cacheKey(s: SparkSession, path: String): String = {
+    val f = firstDataFile(s, path)
+    val st = f.getFileSystem(s.sessionState.newHadoopConf()).getFileStatus(f)
+    s"$path@${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** Reads ONE footer's MessageType (of the [[firstDataFile]] under `path`). */
+  private def footerSchema(
+      s: SparkSession, path: String): org.apache.parquet.schema.MessageType = {
+    val conf = s.sessionState.newHadoopConf()
+    val file = firstDataFile(s, path)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try reader.getFooter.getFileMetaData.getSchema

@@ -187,6 +187,12 @@ class AnalyticsSpec extends SparkSuite {
     val audited = ops.Analytics.orphanCounts("t", child, "fk", parent, "pk")
       .collect().head
     assert(audited.getLong(1) == 5L && audited.getLong(2) == 2L)
+    // an EMPTY child relation audits (0, 0), not (0, NULL) — the sum over
+    // zero rows is null without the coalesce (ADVICE r9)
+    val empty = ops.Analytics.orphanCounts("t0",
+      child.limit(0), "fk", parent, "pk").collect().head
+    assert(!empty.isNullAt(2) && empty.getLong(1) == 0L &&
+      empty.getLong(2) == 0L, "empty child must audit as (0, 0)")
   }
 
   test("q54 cohort offsets are non-negative and offset-0 covers every cohort user") {

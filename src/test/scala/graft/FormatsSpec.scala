@@ -233,4 +233,48 @@ class FormatsSpec extends SparkSuite {
       "generation-1 rows null-fill the added column, ns floored to µs")
     assert(rows(1).getLong(1) == us2 && rows(1).getString(2) == "1-URGENT")
   }
+
+  test("footer-probe memo re-probes a fixture regenerated at the same path") {
+    // ADVICE r9: the memo was keyed by path string alone, so regenerating
+    // a fixture in place with a DIFFERENT temporal encoding (the exact
+    // driver-regeneration scenario AdaptiveParquet exists for) reused the
+    // stale profile. The key now includes the probed file's length+mtime.
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.TimestampType
+    val root = Files.createTempDirectory("graft_regen_").toString
+    val dir = s"$root/t.parquet"
+    val us = 1704067200000000L
+
+    // generation A: Spark-native µs-NTZ — profiles as "native read"
+    import spark.implicits._
+    Seq((1L, us)).toDF("id", "ts")
+      .withColumn("ts", expr("timestamp_micros(ts)").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(dir)
+    val a = sources.AdaptiveParquet.read(spark, dir)
+    assert(a.schema("ts").dataType == TimestampType)
+    assert(a.select(expr("unix_micros(ts)")).head().getLong(0) == us)
+
+    // regenerate IN PLACE as TIMESTAMP(NANOS): a stale "native" profile
+    // would read raw int64 ns (values 1000x off) instead of re-probing
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(new java.io.File(dir))
+    locally {
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val schema = Types.buildMessage()
+        .required(INT64).named("id")
+        .required(INT64).as(LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+        .named("t")
+      writeNanosParquet(dir, schema,
+        Seq(Seq("id" -> 2L, "ts" -> (us * 1000L + 437L))))
+    }
+    val b = sources.AdaptiveParquet.read(spark, dir)
+    assert(b.schema("ts").dataType == TimestampType,
+      "stale memo: regenerated nanos fixture not re-probed")
+    assert(b.select(expr("unix_micros(ts)")).head().getLong(0) == us,
+      "regenerated fixture must re-probe and floor ns to µs")
+  }
 }

@@ -220,6 +220,15 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Multimodal.Codec.mjpegFrameChunks(Array[Byte](1, 2, 3, 4))
     }
+    // a corrupt chunk size (negative-as-u32 or parent-overrunning) must
+    // throw, not stall or reverse the walk into an infinite loop
+    // (ADVICE r9): flip the first movi chunk's size to 0xFFFFFFFF
+    val corrupt = avi.clone()
+    val (off0, _) = chunks.head
+    (0 until 4).foreach(i => corrupt(off0 - 4 + i) = 0xFF.toByte)
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.mjpegFrameChunks(corrupt)
+    }
   }
 
   test("end to end: featurize -> cosine top-k over asset embeddings") {
