@@ -332,23 +332,18 @@ object Vector {
       vecCol: String = "embedding",
       nlist: Int = 16,
       nprobe: Int = 4,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      lloydIters: Int = 3): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
-    // seed centroids: first nlist vectors by id (deterministic)
-    val seeds = c0.orderBy("id").limit(nlist)
-      .select(col("id").as("cell"), col("vec").as("cvec"))
-      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    val refined = seedCentroids(c0, nlist, lloydIters)
     // empty corpus: no centroids to quantize against — degrade to an empty
     // result (the round-5 crossJoin form's behavior), never a throw
-    if (seeds.isEmpty)
+    if (refined.isEmpty)
       return probes.select(col(idCol).as("probe_id"),
         col(idCol).as("neighbor_id"), lit(0.0).as("cosine"),
         lit(0).cast("int").as("rank")).limit(0)
-
-    val refined = lloydStep(c0, seeds)
-      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
 
     val assigned = nearestCells(c0, refined, 1)
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
@@ -370,6 +365,94 @@ object Vector {
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Deterministic k-means‖-style centroid seeding + `lloydIters` Lloyd
+    * refinements — the quantizer shared by [[ivfTopK]] and [[ivfBuild]]
+    * (ONE implementation so the two paths assign, and therefore search,
+    * identically; pinned bit-exact in VectorSpec).
+    *
+    * Round-10 upgrade (VERDICT r9 #5): the old seeds were the first
+    * `nlist` corpus vectors by id — deterministic but clustering-quality
+    * poor on clustered corpora (ids carry no geometry; adjacent ids can
+    * seed the same cluster, silently degrading nprobe<nlist recall).
+    * Now:
+    *  1. ONE corpus pass takes a hash-ordered candidate sample
+    *     (`xxhash64(id)` order — deterministic at any parallelism, no
+    *     rand(); TakeOrdered, never a full sort) of 8·nlist vectors;
+    *  2. greedy FARTHEST-POINT over the sample, driver-side (the sample
+    *     is index metadata — ≤ 8·nlist rows): start from the sample's
+    *     hash-first vector, repeatedly add the candidate maximizing its
+    *     min cosine distance to the chosen set, ties by sample order —
+    *     the standard k-means++/k-means‖ maximal-spread heuristic, made
+    *     deterministic by replacing the D²-sampling with its argmax;
+    *  3. `lloydIters` Lloyd steps as DataFrame aggregates (order-
+    *     independent decimal sums — see [[lloydStep]]), one corpus pass
+    *     each.
+    *
+    * At 100 TB: step 1 reads id+vec only, step 2 is O(nlist²·dim) on the
+    * driver, step 3 is the same aggregate the old path ran once — the
+    * seeding cost is `lloydIters` extra corpus passes at BUILD time,
+    * bought back at every nprobe<nlist search by the recall the spread
+    * seeds preserve (floor pinned in VectorSpec).
+    */
+  private[graft] def seedCentroids(
+      c0: DataFrame, nlist: Int, lloydIters: Int): Seq[(Any, Seq[Float])] = {
+    val sample = c0
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.max(8 * nlist, 64))
+      .collect().toSeq
+      .map(r => (r.get(0), r.getSeq[Float](1)))
+      .filter(_._2 != null)
+    if (sample.isEmpty) return Nil
+
+    def norm(v: Seq[Float]): Double =
+      math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+    // zero-norm vectors have no direction — exclude them from seeding
+    // (they still assign to SOME cell at search time, as before)
+    val pool = {
+      val nz = sample.map { case (id, v) => (id, v, norm(v)) }
+        .filter(_._3 > 0)
+      if (nz.nonEmpty) nz else sample.map { case (id, v) => (id, v, 1.0) }
+    }
+    def cosDist(a: (Any, Seq[Float], Double), b: (Any, Seq[Float], Double)): Double = {
+      val n = math.min(a._2.length, b._2.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a._2(i).toDouble * b._2(i); i += 1 }
+      1.0 - s / (a._3 * b._3)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    val minDist = scala.collection.mutable.ArrayBuffer.from(
+      pool.map(cosDist(_, pool.head)))
+    while (chosen.size < math.min(nlist, pool.size)) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < pool.size) {
+        if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      val next = pool(best)
+      chosen += next
+      minDist(best) = Double.NegativeInfinity // never re-chosen
+      var j = 0
+      while (j < pool.size) {
+        if (minDist(j) > Double.NegativeInfinity) {
+          val d = cosDist(pool(j), next)
+          if (d < minDist(j)) minDist(j) = d
+        }
+        j += 1
+      }
+    }
+    var seeds: Seq[(Any, Seq[Float])] = chosen.toSeq.map(t => (t._1, t._2))
+    var it = 0
+    while (it < lloydIters) {
+      seeds = lloydStep(c0, seeds)
+        .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+      it += 1
+    }
+    seeds
   }
 
   /** One Lloyd refinement step over seed centroids: elementwise mean of
@@ -421,22 +504,27 @@ object Vector {
       indexDir: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      nlist: Int = 16): Unit = {
+      nlist: Int = 16,
+      lloydIters: Int = 3): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val seeds = c0.orderBy("id").limit(nlist)
-      .select(col("id").as("cell"), col("vec").as("cvec"))
-      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
-    require(seeds.nonEmpty, "cannot build an IVF index over an empty corpus")
-    val refinedDf = lloydStep(c0, seeds)
-    // collect once (nlist rows — index metadata), persist the same rows:
-    // re-writing the DataFrame would recompute the Lloyd aggregate
-    val rows = refinedDf.collect()
+    val refined = seedCentroids(c0, nlist, lloydIters)
+    require(refined.nonEmpty, "cannot build an IVF index over an empty corpus")
+    // persist the already-collected quantizer (nlist rows — index
+    // metadata) rather than re-running the Lloyd aggregates; the cell
+    // column keeps the caller's id type
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", c0.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
     spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), refinedDf.schema)
+        spark.sparkContext.parallelize(
+          refined.toIndexedSeq.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2)), 1),
+        centSchema)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
-    val refined = rows.toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
     nearestCells(c0, refined, 1)
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
         col("id").as("neighbor_id"), col("vec").as("c_vec"))
