@@ -227,6 +227,9 @@ object SparkEntry {
     // to range answers without rescanning events (rows-only; error pinned
     // in SketchesSpec)
     "x18_sketch_columns"   -> ((s, d) => ops.Sketches.x18(s, d)),
+    // q86's profile with HLL-sketch distinct counts — the 100 TB stats
+    // pass (rows-only; 3-sigma bound vs exact q86 pinned in SketchesSpec)
+    "x19_profile_sketch"   -> ((s, d) => ops.Sketches.x19(s, d)),
     // Streaming gates (round 10): each production streaming operator fed
     // the REAL fixture through a MemoryStream in chronological
     // micro-batches, its finalized sink oracle-compared against the batch

@@ -452,6 +452,12 @@ object Analytics {
     * 1-row result unpivots to long form with a literal `stack`
     * (driver-side column list — schema metadata, not data). All counts
     * exact longs.
+    *
+    * EXACT by contract — countDistinct still shuffles every distinct
+    * (column, value) pair. At 100 TB a stats pass uses the sketch form
+    * ([[Sketches.x19]]): same profile, distinct counts as mergeable HLL
+    * sketches, shuffle O(columns) instead of O(values), 3σ error pinned
+    * against this query in SketchesSpec.
     */
   /** The orders fixture schema both q86 sides profile — ONE source of
     * truth for the Scala aggregate and the SQL oracle (ADVICE r9: the two

@@ -70,6 +70,39 @@ object Sketches {
     * precedent) with the error + merge-consistency bounds pinned in
     * SketchesSpec.
     */
+  /** x19_profile_sketch: q86's column profile with the distinct counts as
+    * HLL SKETCHES instead of exact countDistinct — the 100 TB stats pass
+    * (VERDICT r9 design note): q86's exact per-column distinct shuffles
+    * every distinct (column, value) pair, correct by contract but
+    * O(values) network; this variant's shuffle carries one fixed-size
+    * sketch per column per mapper — O(columns) — and keeps the exact
+    * n_rows/n_nulls beside the estimate. Columns sketch through a string
+    * cast (bijective on values, so distinct counts are preserved; nulls
+    * stay null and are skipped by the sketch exactly as countDistinct
+    * skips them).
+    *
+    * Rows-only (Datasketches layout ≠ DuckDB's — x05 precedent); the
+    * lgK=12 3σ relative-error bound is pinned per column against the
+    * oracle-gated exact q86 in SketchesSpec.
+    */
+  def x19(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cols = graft.ops.Analytics.q86Cols
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      hll_sketch_estimate(
+        hll_sketch_agg(col(c).cast("string"), lit(12))).as(s"__d_$c")))
+    val allAggs = count(lit(1)).as("__rows") +: aggs
+    val wide = o.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+    wide.select(col("__rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, est_distinct)"))
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        col("n_nulls").cast("long").as("n_nulls"),
+        col("est_distinct").cast("long").as("est_distinct"))
+      .orderBy("column_name")
+  }
+
   def x18(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))

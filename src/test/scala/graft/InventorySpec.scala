@@ -56,7 +56,8 @@ class InventorySpec extends AnyFunSuite {
       "x09_approx_percentile", // GK sketch differs from DuckDB's t-digest
       "x11_ann_ivf",           // q71 is its oracle-gated twin
       "x14_heavy_hitters",     // guarantee pinned in HeavyHittersSpec
-      "x18_sketch_columns")    // Datasketches layout differs from DuckDB's
+      "x18_sketch_columns",    // Datasketches layout differs from DuckDB's
+      "x19_profile_sketch")    // sketch profile; 3σ vs exact q86 in SketchesSpec
     assert(rowsOnly == documented,
       s"rows-only drift: unexpected=${(rowsOnly -- documented).toSeq.sorted
         .mkString(", ")} missingOmissions=${(documented -- rowsOnly).toSeq.sorted

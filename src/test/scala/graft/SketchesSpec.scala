@@ -52,6 +52,25 @@ class SketchesSpec extends SparkSuite {
     assert(grand.head.getLong(2) == exactAll)
   }
 
+  test("x19 sketch profile: per-column estimates within 3 sigma of exact q86") {
+    import org.apache.spark.sql.functions._
+    val exact = ops.Analytics.q86(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val sk = ops.Sketches.x19(spark, sf001).collect()
+    assert(sk.map(_.getString(0)).toSeq == exact.keys.toSeq.sorted,
+      "sketch profile must cover exactly q86's columns")
+    // lgK=12 ⇒ relative standard error ≈ 1.04/√4096 ≈ 1.63%; 3σ ≈ 4.9%
+    sk.foreach { r =>
+      val (nRows, nNulls, nDistinct) = exact(r.getString(0))
+      assert(r.getLong(1) == nRows && r.getLong(2) == nNulls,
+        s"${r.getString(0)}: n_rows/n_nulls must be EXACT, not sketched")
+      val rel = math.abs(r.getLong(3).toDouble / nDistinct - 1.0)
+      assert(rel <= 0.049,
+        s"${r.getString(0)}: est=${r.getLong(3)} exact=$nDistinct rel=$rel")
+    }
+  }
+
   test("q30b closed-form corr/slope/intercept agrees with Spark's streaming builtins") {
     import org.apache.spark.sql.functions._
     // the builtins are partition-order-dependent floats (why q30b exists);
