@@ -50,7 +50,10 @@ object Bench {
     // only at successful end-of-run, so a crashed bench must leave NO file
     // rather than last run's numbers masquerading as this run's result.
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("bench_out.json"))
-    val runs = 3
+    // default 3 (median-of-3, see header); SPARK_GRAFT_RUNS=1 for long
+    // large-SF pins where per-run durations dwarf the run-to-run noise
+    // the median exists to absorb. The driver never sets it.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     var failed = List.empty[String]
     // JSON numbers must be locale-independent: the f-interpolator uses the
     // default locale, and a comma-decimal locale would corrupt the
@@ -109,6 +112,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Trivial-query floor (VERDICT r9 #9): the sum of the three cheapest
+    // fixed-cost queries (scan+project, top-k, decimal round) is the
+    // host-speed normalizer every round's judge re-derived by hand to
+    // separate "this box is slower today" from "this plan regressed".
+    // Emitting it in the artifact makes cross-round ratios one division:
+    //   normalized(q) = t_r{N}(q) / floor_r{N} vs t_r{M}(q) / floor_r{M}.
+    val floorQs = Seq("q01_scan_project", "q13_topk", "q17_decimal_round")
+    val floorSec = results.collect {
+      case (k, v, _) if floorQs.contains(k) && v >= 0 => v
+    }.sum
+    val floorJson =
+      s""""floor":{"queries":${floorQs.map("\"" + _ + "\"").mkString("[", ",", "]")},"sec":${fmt(floorSec, 3)}}"""
     // The harness keeps only the LAST ~2000 chars of output. The raw-times
     // diagnostics line grew past that in round 4 and clipped the headline
     // line out of the capture window — so diagnostics print FIRST and the
@@ -118,7 +133,7 @@ object Bench {
     // HEADLINE line too, so partial-failure evidence survives even when the
     // diag line is clipped (ADVICE r5).
     val headline =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flaky,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,"sf":"$sfDir"}"""
     println(s"""{"diag":"raw_times","runs":$runs,"times":$rawTimes,"flaky":$flaky}""")
     println(headline)
     // Bare machine-readable copy: sbt wraps stdout in [info]/[success]
@@ -134,7 +149,7 @@ object Bench {
     // null. This line carries the totals (the per-query map lives in the
     // headline above and in bench_out.json) and is ~200 chars, so it
     // survives the window whole and parses no matter how the driver scans.
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flaky,"runs":$runs,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,"sf":"$sfDir","detail":"bench_out.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up for bench pins beyond the driver's sf0.1
+  * (VERDICT r9 #3): derive an sfK-equivalent directory from sf0.1 by
+  * replicating every SCALING table `copies` times with per-copy key
+  * offsets, so a 10-copy derivation is the sf1 point on the same schema.
+  * Bench-only — correctness stays on the driver's own fixtures.
+  *
+  * Fidelity rules (what makes the derived data behave like bigger data
+  * rather than 10 pasted copies):
+  *  - Fixed-size dims (region, nation) are NOT replicated — TPC-H keeps
+  *    them constant across scale factors, and so do the fixtures.
+  *  - Every surrogate/foreign key shifts by `copy × rowcount(sf0.1 table)`
+  *    (keys are dense 0..N-1), so referential integrity and join
+  *    selectivity are preserved copy-by-copy and keys never collide.
+  *  - Document TEXT is passed through a per-copy frequent-letter
+  *    permutation (`translate`, length-preserving): within a copy the
+  *    shingle/near-dup structure is EXACTLY the fixture's, while
+  *    cross-copy token sets diverge — without this, every fixture dup
+  *    cluster would become a `copies×` bigger cluster and the LSH
+  *    candidate-pair volume would grow quadratically in `copies`,
+  *    which is a property of pasting, not of larger corpora.
+  *  - EMBEDDINGS get a per-copy coordinate rotation + deterministic sign
+  *    flips — an orthogonal transform, so all within-copy inner products
+  *    (and thus q47/x01/x08's cosine structure) are bit-preserved up to
+  *    float addition order, while cross-copy cosines decorrelate instead
+  *    of duplicating every near-dup pair `copies×`.
+  *  - Timestamps are NOT shifted: the same time span at `copies×` event
+  *    density is the realistic shape of a bigger deployment (windows get
+  *    denser, not more numerous).
+  *
+  *   SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.ScaleUp"   # → target/sf1
+  */
+object ScaleUp {
+
+  /** Per-copy letter permutation: rotate the 7 most frequent letters by
+    * `copy` positions. Identity for copy 0 (the fixture itself survives
+    * verbatim); length-preserving for all copies.
+    */
+  private def perturbText(c: Column, copy: Int): Column = {
+    val alphabet = "etaoins"
+    if (copy == 0) c
+    else {
+      val k = copy % alphabet.length
+      translate(c, alphabet, alphabet.drop(k) + alphabet.take(k))
+    }
+  }
+
+  /** Per-copy orthogonal transform: rotate coordinates by `copy` and flip
+    * signs from a deterministic per-copy pattern. Orthogonal ⇒ within-copy
+    * cosines are preserved; cross-copy cosines scramble toward 0.
+    */
+  private def perturbVec(c: Column, copy: Int, dim: Int): Column = {
+    if (copy == 0) c
+    else {
+      val k = copy % dim
+      val rotated =
+        if (k == 0) c
+        else concat(slice(c, k + 1, dim - k), slice(c, 1, k))
+      // signs from a tiny splitmix-ish integer hash of (copy, index):
+      // deterministic, no RNG state, same for every row of the copy
+      val signs = array((0 until dim).map { i =>
+        val h = (copy * 0x9E3779B9L + i * 0x85EBCA6BL)
+        lit(if (((h ^ (h >>> 13)) & 1L) == 0L) 1.0f else -1.0f)
+      }: _*)
+      zip_with(rotated, signs, (x, s) => (x * s).cast("float"))
+    }
+  }
+
+  /** One scaled table: the union of `copies` key-shifted (and, for text /
+    * vector payloads, decorrelated) images of the sf0.1 table.
+    */
+  private def scaled(spark: SparkSession, src: String, table: String,
+      copies: Int)(transform: (DataFrame, Int, Long) => DataFrame): DataFrame = {
+    val base = spark.read.parquet(s"$src/$table.parquet")
+    val stride = base.count()
+    (0 until copies).map(k => transform(base, k, stride)).reduce(_ union _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def off(c: String, k: Int, stride: Long): Column =
+      col(c) + lit(k * stride)
+    def write(df: DataFrame, table: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+
+    // fixed dims: byte-for-byte pass-through
+    Seq("region", "nation").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t, 1)
+    }
+    // strides of the FK targets, needed by the fact tables below
+    val custN = spark.read.parquet(s"$src/customer.parquet").count()
+    val suppN = spark.read.parquet(s"$src/supplier.parquet").count()
+    val partN = spark.read.parquet(s"$src/part.parquet").count()
+    val ordN  = spark.read.parquet(s"$src/orders.parquet").count()
+    // user_id is dense from 0, so the stride is max+1 (1500 at sf0.1) —
+    // derived, not hardcoded, so any source SF scales correctly
+    val userStride = spark.read.parquet(s"$src/events.parquet")
+      .agg(max(col("user_id"))).head().getLong(0) + 1L
+
+    write(scaled(spark, src, "customer", copies) { (df, k, s) =>
+      df.withColumn("c_custkey", off("c_custkey", k, s))
+    }, "customer", math.max(1, copies / 5))
+    write(scaled(spark, src, "supplier", copies) { (df, k, s) =>
+      df.withColumn("s_suppkey", off("s_suppkey", k, s))
+    }, "supplier", 1)
+    write(scaled(spark, src, "part", copies) { (df, k, s) =>
+      df.withColumn("p_partkey", off("p_partkey", k, s))
+    }, "part", math.max(1, copies / 5))
+    write(scaled(spark, src, "orders", copies) { (df, k, s) =>
+      df.withColumn("o_orderkey", off("o_orderkey", k, s))
+        .withColumn("o_custkey", off("o_custkey", k, custN))
+    }, "orders", copies)
+    write(scaled(spark, src, "lineitem", copies) { (df, k, s) =>
+      df.withColumn("l_orderkey", off("l_orderkey", k, ordN))
+        .withColumn("l_partkey", off("l_partkey", k, partN))
+        .withColumn("l_suppkey", off("l_suppkey", k, suppN))
+    }, "lineitem", copies * 2)
+    write(scaled(spark, src, "events", copies) { (df, k, s) =>
+      df.withColumn("event_id", off("event_id", k, s))
+        .withColumn("user_id", off("user_id", k, userStride))
+    }, "events", copies)
+    write(scaled(spark, src, "documents", copies) { (df, k, s) =>
+      df.withColumn("doc_id", off("doc_id", k, s))
+        .withColumn("text", perturbText(col("text"), k))
+    }, "documents", copies)
+    val dim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0)
+    write(scaled(spark, src, "embeddings", copies) { (df, k, s) =>
+      df.withColumn("vec_id", off("vec_id", k, s))
+        .withColumn("embedding", perturbVec(col("embedding"), k, dim))
+    }, "embeddings", math.max(1, copies / 2))
+
+    println(s"""{"metric":"scaleup","copies":$copies,"src":"$src","out":"$out"}""")
+    spark.stop()
+  }
+}

@@ -38,7 +38,14 @@ object Stress {
 
 
     noop(spark.range(1000).toDF()) // session warmup
-    val results = Seq(
+    // comma-separated stage filter for single-probe runs (e.g.
+    // SPARK_GRAFT_STRESS_STAGES=ledger); unset = every stage, the
+    // full-probe default used for SCALE.md round entries
+    val stages = sys.env.get("SPARK_GRAFT_STRESS_STAGES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(stage: String)(thunk: => Seq[(String, Double)]) =
+      if (stages.forall(_.contains(stage))) thunk else Seq.empty
+    val results = want("flagship") { Seq(
       time("generate_only") { noop(orders) },
       time("convert") {
         noop(streaming.IncrementalPipeline.convertBatch(orders, rates, ts))
@@ -53,10 +60,15 @@ object Stress {
           .orderBy(desc("order_date"), desc("order_id"))
         noop(orders.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn"))
-      }) ++ vectorAssignment(spark, n / 10) ++
-      saltedJoinStage(spark, n) ++ prefixScanStage(spark, n) ++
-      ccStarStage(spark, n / 10) ++ groupRankStage(spark, n) ++
-      gramCensusStage(spark, n / 10) ++ hoppingStage(spark, n)
+      }) } ++
+      want("vector") { vectorAssignment(spark, n / 10) } ++
+      want("salted") { saltedJoinStage(spark, n) } ++
+      want("prefix") { prefixScanStage(spark, n) } ++
+      want("cc") { ccStarStage(spark, n / 10) } ++
+      want("rank") { groupRankStage(spark, n) } ++
+      want("gram") { gramCensusStage(spark, n / 10) } ++
+      want("hopping") { hoppingStage(spark, n) } ++
+      want("ledger") { ledgerCompactionStage(spark, n) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -213,6 +225,64 @@ object Stress {
       time(s"window_hopping4x_${n}") {
         noop(agg(window(col("ts"), "1 hour", "15 minutes")))
       })
+  }
+
+  /** The incremental pipeline's ledger after sustained operation
+    * (VERDICT r9 #8): every [[graft.streaming.IncrementalPipeline.runBatch]]
+    * appends one small file per batch, so a pipeline that has run 1000
+    * micro-batches anti-joins its source against a 1000-file ledger —
+    * footer reads and task scheduling scale with the COMMIT COUNT, not the
+    * id count. The probe replays that commit history literally (default
+    * 1000 single-file appends, `SPARK_GRAFT_STRESS_BATCHES` to vary),
+    * measures the pickup anti-join against the fragmented ledger, runs
+    * [[graft.streaming.IncrementalPipeline.compactLedger]], and re-measures.
+    * "Flat after compaction" is pinned by the third timing: the same
+    * pickup against a BORN-COMPACT ledger (identical ids written in one
+    * commit) — post-compaction latency should sit at that anchor, i.e. the
+    * accumulated commit history costs nothing after maintenance.
+    */
+  private def ledgerCompactionStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{IncrementalPipeline => IP}
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STRESS_BATCHES", "1000").toInt
+    val perBatch = 1000L
+    val ledgerIdSpace = batches * perBatch
+    val root = java.nio.file.Files.createTempDirectory("graft_ledger_stress")
+      .toString
+    val fragDir = s"$root/ledger_frag"
+    val flatDir = s"$root/ledger_flat"
+    val ts = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    def ledgerChunk(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        format_string("o%012d", col("id")).as("order_id"),
+        lit(ts).as("processed_at"))
+    // source: half already-ledgered ids, half fresh — the steady-state mix
+    def source = spark.range(n).select(
+      format_string("o%012d", pmod(col("id") * 2654435761L,
+        lit(ledgerIdSpace * 2))).as("order_id"))
+    def pickupTime(name: String, dir: String) = time(name) {
+      noop(IP.pickup(source, spark.read.parquet(dir), "order_id", 30000))
+    }
+    def fileCount(dir: String): Double =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+        .toDouble
+    // replay the commit history: one real append per micro-batch
+    val buildFrag = time(s"ledger_append_${batches}x") {
+      (0 until batches).foreach { i =>
+        ledgerChunk(i * perBatch, (i + 1) * perBatch)
+          .coalesce(1).write.mode("append").parquet(fragDir)
+      }
+    }
+    ledgerChunk(0L, ledgerIdSpace).write.mode("overwrite").parquet(flatDir)
+    val filesBefore = s"ledger_files_fragmented" -> fileCount(fragDir)
+    val pickFrag = pickupTime(s"pickup_fragmented_${batches}f", fragDir)
+    val compact = time("ledger_compact") { IP.compactLedger(spark, fragDir) }
+    val filesAfter = s"ledger_files_compacted" -> fileCount(fragDir)
+    val pickCompacted = pickupTime("pickup_compacted", fragDir)
+    val pickAnchor = pickupTime("pickup_born_compact_anchor", flatDir)
+    Seq(buildFrag, filesBefore, pickFrag, compact, filesAfter,
+      pickCompacted, pickAnchor)
   }
 
   /** Hot-key join at volume: one key owns 90% of `n` fact rows against a

@@ -38,6 +38,20 @@ object Jdbc {
      else w).jdbc(url, table, new Properties())
   }
 
+  /** The writeback statement, identifier-quoted through Spark's own
+    * `JdbcDialects` registry (VERDICT r9 #7): the registry dispatches on the
+    * URL exactly as Spark's read/write paths do, so the one statement the
+    * DataFrame writer cannot express stays dialect-correct without engine
+    * changes — Derby and Postgres both resolve to ANSI double quotes, MySQL
+    * to backticks. Pointing at a real Postgres is then URL + column-type
+    * config only (spec-pinned in JdbcSpec's dialect matrix).
+    */
+  def updateSql(url: String, table: String): String = {
+    val d = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    s"UPDATE $table SET ${d.quoteIdentifier("processed_at")} = ? " +
+      s"WHERE ${d.quoteIdentifier("order_id")} = ?"
+  }
+
   /** `UPDATE <table> SET processed_at = ? WHERE order_id = ?` for every id,
     * batched `batchSize` at a time (`dags/order_currency_conversion_dag.py:141-150`).
     * Idempotent: re-running with the same ids just rewrites the marker.
@@ -48,10 +62,10 @@ object Jdbc {
       val conn = DriverManager.getConnection(url)
       try {
         conn.setAutoCommit(false)
-        // ANSI-quoted identifiers: Spark's JDBC writer creates quoted
-        // lowercase columns, which unquoted names would not resolve
-        val ps = conn.prepareStatement(
-          s"""UPDATE $table SET "processed_at" = ? WHERE "order_id" = ?""")
+        // quoted identifiers: Spark's JDBC writer creates quoted lowercase
+        // columns, which unquoted names would not resolve; quoting style
+        // comes from the dialect registry (see updateSql)
+        val ps = conn.prepareStatement(updateSql(url, table))
         var n = 0
         rows.foreach { r =>
           ps.setTimestamp(1, ts)

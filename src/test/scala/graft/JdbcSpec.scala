@@ -61,6 +61,19 @@ class JdbcSpec extends SparkSuite {
       .filter(col("processed_at") === ts).count() == 100)
   }
 
+  test("dialect matrix: the writeback SQL quotes identifiers per target database") {
+    // The seam a real Postgres/MySQL target goes through (VERDICT r9 #7):
+    // the statement text is produced by Spark's JdbcDialects registry, the
+    // same dispatch the reader/writer use, so only the URL changes. Derby
+    // falls to the ANSI default; Postgres ANSI-quotes; MySQL backticks.
+    assert(Jdbc.updateSql("jdbc:derby:memory:graftdb", "orders_src") ==
+      """UPDATE orders_src SET "processed_at" = ? WHERE "order_id" = ?""")
+    assert(Jdbc.updateSql("jdbc:postgresql://db:5432/orders", "orders_src") ==
+      """UPDATE orders_src SET "processed_at" = ? WHERE "order_id" = ?""")
+    assert(Jdbc.updateSql("jdbc:mysql://db:3306/orders", "orders_src") ==
+      "UPDATE orders_src SET `processed_at` = ? WHERE `order_id` = ?")
+  }
+
   test("partitioned parallel read: range-bounded queries, one per partition") {
     // scale-read shape: partitionColumn splits the scan into independent
     // range queries each executor issues on its own connection
