@@ -149,6 +149,24 @@ object GraftFunctions {
     }
   }
 
+  /** `simhash_tables(sig)` SQL builder: casts to long. */
+  def simHashTablesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "simhash_tables(sig)")
+    SimHashTables(Cast(args(0), org.apache.spark.sql.types.LongType))
+  }
+
+  val simHashTablesIdentifier: FunctionIdentifier = FunctionIdentifier("simhash_tables")
+  val simHashTablesInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHashTables].getName, "simhash_tables")
+
+  /** Idempotently register `simhash_tables` on a live session. */
+  def ensureSimHashTables(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(simHashTablesIdentifier)) {
+      reg.registerFunction(simHashTablesIdentifier, simHashTablesInfo, simHashTablesBuilder _)
+    }
+  }
+
   /** `simhash_bucket(vec, dim, bits)` SQL builder — dim/bits must be int
     * literals (they size the plan-time coordinate table).
     */
@@ -310,6 +328,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.simHashSigIdentifier, GraftFunctions.simHashSigInfo,
         GraftFunctions.simHashSigBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.simHashTablesIdentifier, GraftFunctions.simHashTablesInfo,
+        GraftFunctions.simHashTablesBuilder _))
     ext.injectFunction(
       (GraftFunctions.minHashBandsIdentifier, GraftFunctions.minHashBandsInfo,
         GraftFunctions.minHashBandsBuilder _))

@@ -1476,6 +1476,30 @@ object Text {
     bits.reduce((a, b) => a + b)
   }
 
+  /** The pure-Column formulation of the 64 two-level bucket keys —
+    * superseded by the native [[graft.ext.SimHashTables]] kernel in
+    * [[simhashPairsWide]]; retained so ExtSpec can pin the two key-for-key
+    * equal (a splice/shift mismatch would silently lose wide-radius
+    * recall).
+    */
+  private[graft] def hofWideKeys(sig: Column): Column = {
+    def keyExpr(j: Int, k: Int): Column = {
+      val c = shiftrightunsigned(sig, j * 8).bitwiseAND(lit(0xFFL))
+      // remaining 56 bits with byte j spliced out; j=7 would shift by 64,
+      // which Java/Spark wrap to shift-by-0 — special-case the halves
+      val low =
+        if (j == 0) lit(0L)
+        else sig.bitwiseAND(lit((1L << (8 * j)) - 1))
+      val high =
+        if (j == 7) lit(0L)
+        else shiftleft(shiftrightunsigned(sig, 8 * (j + 1)), 8 * j)
+      val rem = low.bitwiseOR(high)
+      val sc = shiftrightunsigned(rem, k * 7).bitwiseAND(lit(0x7FL))
+      lit((j * 8 + k).toLong << 15).bitwiseOR(shiftleft(c, 7)).bitwiseOR(sc)
+    }
+    array((for (j <- 0 until 8; k <- 0 until 8) yield keyExpr(j, k)): _*)
+  }
+
   /** SimHash near-dup pairs at Hamming distance <= maxHamming. Candidates
     * come from a self-join on signature chunks: with `numChunks` chunks,
     * any pair within Hamming (numChunks - 1) shares at least one identical
@@ -1484,7 +1508,9 @@ object Text {
     * the candidate set roughly as chunks·n²/2^chunkBits: the DEFAULT is the
     * scale-safe 4×16-bit / radius-3 configuration (Manku-style); 8×8-bit /
     * radius-7 is appropriate only while n/256 docs per bucket stays small —
-    * opt in explicitly, as [[x07]] does for this fixture corpus.
+    * past that, use [[simhashPairsWide]], the two-level exact formulation
+    * [[x07]] runs (this single-level form is retained as its parity
+    * baseline and as the radius-3 default path).
     */
   def simhashPairs(
       docs: DataFrame,
@@ -1519,12 +1545,74 @@ object Text {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide-radius (Hamming <= 7) SimHash pairs with TWO-LEVEL pigeonhole
+    * banding — exact recall like [[simhashPairs]](maxHamming=7,
+    * numChunks=8), but with 16× fewer candidate pairs and a key space of
+    * 64·2^15 ≈ 2M buckets instead of 8·2^8 = 2048.
+    *
+    * Why: the round-10 sf1 pin measured the single-level radius-7 form at
+    * 33.7× its sf0.1 time for 10× the docs — the n²/256 bucket-occupancy
+    * model its own doc predicts (50k docs / 256 buckets ≈ 195 docs per
+    * bucket ≈ 78M pair evaluations), and 2048 distinct join keys cap
+    * shuffle parallelism at cluster scale. Pigeonhole composes: a pair
+    * within Hamming 7 has ≥1 of its 8 byte-chunks equal (≤7 differing
+    * bits touch ≤7 chunks), say chunk j — and then ALL differing bits lie
+    * in the remaining 56 bits, so of 8 seven-bit sub-chunks of those, ≥1
+    * is equal again. Every qualifying pair therefore shares at least one
+    * of 64 (j,k)-table keys (chunk_j, subchunk_jk) — 15 bits — and every
+    * candidate is verified by exact `bit_count(xor)`, so the output is
+    * IDENTICAL to the single-level form (TextSpec pins set-equality at
+    * sf0.01). Expected candidates: 64·n²/2^16 vs 8·n²/2^9 — 1/16, at the
+    * cost of a 64-wide explode (bit arithmetic, codegen'd) instead of
+    * 8-wide. Known residual quadratic: docs with IDENTICAL signatures
+    * share all 64 keys — inherent to any LSH; route exact dups through
+    * q21 first.
+    */
+  def simhashPairsWide(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < 8, s"two-level 8x8 banding guarantees radius 7, got $maxHamming")
+    graft.ext.GraftFunctions.ensureSimHashTables(docs.sparkSession)
+    val sig = simhashText(docs, idCol, textCol)
+    // the 64 packed (j,k)-table keys come from the native simhash_tables
+    // kernel (one JVM pass; see its doc for the key layout and the
+    // pigeonhole-twice exactness argument). The pure-Column formulation
+    // lives on as [[hofWideKeys]], ExtSpec-pinned value-equal — it was
+    // correct but its 64-expression array was a Janino compile bomb
+    // (hundreds of KB of generated Java, the dominant cold cost of x07).
+    val keys = sig.select(col("doc_id"), col("simhash"),
+      explode(call_function("simhash_tables", col("simhash"))).as("bk"))
+    val a = keys.select(col("bk"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = keys.select(col("bk"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    // SHUFFLE_HASH, not the planner's pick: statistics predate the 64-wide
+    // explode, so the optimizer sees a "small" side and broadcasts the
+    // ENTIRE exploded index — an n-proportional driver build/broadcast
+    // (measured 8.8 s of x07's 11.4 s at the sf1 pin, and structurally
+    // wrong on a cluster). Shuffling both sides on bk co-partitions ~2M
+    // near-uniform keys (max occupancy 26 at sf1); hash beats sort-merge
+    // because bucket joins need no order and the build side per partition
+    // is corpus/parallelism, not corpus.
+    a.hint("shuffle_hash").join(b, Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** x07_simhash_dedup: SimHash near-dup pairs over `documents` —
     * rows-only check; agreement with the minhash detector is pinned in
-    * TextSpec.
+    * TextSpec. Runs the two-level [[simhashPairsWide]] formulation
+    * (output-identical to single-level radius-7, 16× fewer candidates —
+    * see its doc and the round-10 SCALE.md entry).
     */
   def x07(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir), maxHamming = 7, numChunks = 8)
+    simhashPairsWide(Tables.documents(spark, dir), maxHamming = 7)
       .orderBy("doc_a", "doc_b")
 
   /** q73_vocab_coverage: the VOCABULARY COVERAGE CURVE over word

@@ -207,6 +207,25 @@ class ExtSpec extends SparkSuite {
     assert(nul.isNullAt(0))
   }
 
+  test("simhash_tables native kernel == the Column splice formulation, per key") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensureSimHashTables(spark)
+    // adversarial signatures: all-ones, zero, sign bit, byte-boundary
+    // patterns, plus pseudo-random longs — a splice/shift mismatch at the
+    // j=0/j=7 wrap edges or in the packed-key layout shows up key-for-key
+    val sigs = Seq(0L, -1L, Long.MinValue, Long.MaxValue,
+      0xFF00FF00FF00FF00L, 0x00FF00FF00FF00FFL, 0x8000000000000001L) ++
+      (1 to 40).map(i => scala.util.hashing.byteswap64(i * 2654435761L))
+    val out = sigs.toDF("sig").select(
+      call_function("simhash_tables", col("sig")).as("native"),
+      ops.Text.hofWideKeys(col("sig")).as("hof")).collect()
+    out.foreach { r =>
+      val native = r.getSeq[Long](0)
+      val hof = r.getSeq[Long](1)
+      assert(native == hof, s"native=$native hof=$hof")
+    }
+  }
+
   test("minhash_bands native kernel == the HOF band signatures, per band") {
     import spark.implicits._
     graft.ext.GraftFunctions.ensureMinHashBands(spark)
@@ -348,6 +367,8 @@ class ExtSpec extends SparkSuite {
         InternalRow(arr(0.25f, -1.5f, 0.0f, 0.75f))),
       ("simhash_sig", SimHashSig(ref(0, la)),
         InternalRow(arr(0x1234L, 0x8421L, -7L))),
+      ("simhash_tables", SimHashTables(ref(0, LongType)),
+        InternalRow(java.lang.Long.valueOf(0xDEADBEEFCAFE1234L))),
       ("simhash_bucket", SimHashBucket(ref(0, da), 4, 12),
         InternalRow(arr(0.1, -0.2, 0.3, -0.4))),
       ("rolling_hash", RollingHash(ref(0, StringType)),

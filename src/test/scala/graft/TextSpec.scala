@@ -144,6 +144,20 @@ class TextSpec extends SparkSuite {
     assert(!tight.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("two-level wide banding is output-identical to single-level radius 7") {
+    // both formulations are EXACT for radius <= 7 (pigeonhole arguments in
+    // their docs), so their pair sets must be equal — a splice/shift bug in
+    // the two-level key construction would silently lose recall here.
+    val docs = Tables.documents(spark, sf001)
+    val single = Text.simhashPairs(docs, maxHamming = 7, numChunks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val two = Text.simhashPairsWide(docs, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(single.nonEmpty, "vacuous: no radius-7 pairs in the sf0.01 corpus")
+    assert(two == single,
+      s"two-level-only: ${two -- single}; single-only: ${single -- two}")
+  }
+
   test("x07 simhash agrees with the minhash detector on the sf0.01 corpus") {
     val mh = Text.x02(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
