@@ -36,16 +36,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Per-copy letter permutation: rotate the 7 most frequent letters by
-    * `copy` positions. Identity for copy 0 (the fixture itself survives
-    * verbatim); length-preserving for all copies.
+  /** Per-copy letter permutation: two COMPOSED rotations over disjoint
+    * frequent-letter alphabets with coprime cycle lengths (8 and 13), so
+    * every copy < lcm(8,13) = 104 gets a DISTINCT permutation. A single
+    * 7-letter rotation (the first-cut form) aliased copies ≡ 0 (mod 7)
+    * back to the identity — cross-copy EXACT duplicates, which is
+    * precisely the pasted-corpus artifact this perturbation exists to
+    * avoid: dup-cluster sizes would grow as copies/7 and pair counts
+    * quadratically in that. Identity for copy 0 (the fixture itself
+    * survives verbatim); length-preserving for all copies.
     */
   private def perturbText(c: Column, copy: Int): Column = {
-    val alphabet = "etaoins"
+    val a1 = "etaoinsh" // 8-cycle
+    val a2 = "rdlcumwfgypbv" // 13-cycle, disjoint from a1
+    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
     if (copy == 0) c
     else {
-      val k = copy % alphabet.length
-      translate(c, alphabet, alphabet.drop(k) + alphabet.take(k))
+      val from = a1 + a2
+      val to = rot(a1, copy % a1.length) + rot(a2, copy % a2.length)
+      translate(c, from, to)
     }
   }
 
