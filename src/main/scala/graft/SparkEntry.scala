@@ -242,7 +242,10 @@ object SparkEntry {
     "x17b_stream_hopping_gate"  -> ((s, d) => streaming.StreamGates.x17b(s, d)),
     "x16b_stream_dedup_gate"    -> ((s, d) => streaming.StreamGates.x16b(s, d)),
     "x15b_stream_transitions_gate" -> ((s, d) => streaming.StreamGates.x15b(s, d)),
-    "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d))
+    "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d)),
+    // semantic cross-corpus decontamination: q65's embedding-space twin —
+    // train vectors within cosine >= 0.35 of any eval-slice vector
+    "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -363,6 +366,7 @@ object SparkEntry {
     "x17b_stream_hopping_gate"  -> streaming.StreamGates.x17bSql,
     "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
-    "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql
+    "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
+    "x20_embed_decontaminate"   -> ops.Vector.x20Sql
   )
 }

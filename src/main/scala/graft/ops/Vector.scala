@@ -1060,4 +1060,79 @@ object Vector {
       |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id)
       |WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin
+
+  /** x20_embed_decontaminate: SEMANTIC cross-corpus decontamination —
+    * flag every training vector whose embedding lies within cosine ≥
+    * `minCosine` of ANY held-out eval vector, with the hit count and the
+    * strongest match. The embedding-space member of the decontamination
+    * axis q65 opened (q65 catches verbatim 8-gram leakage; this catches
+    * paraphrased/near-duplicate leakage that shares no exact n-gram —
+    * the pair every modern pipeline runs side by side).
+    *
+    * Slice rule: eval = `vec_id % 20 = 0` (deterministic 5%, membership
+    * computable on both engines without a hash helper — embeddings carry
+    * no text for q65's content-hash rule, and id-modulus is the same
+    * "derivable from the row alone, no shuffle to define it" discipline).
+    *
+    * Plan shape: the eval suite broadcasts against one train-side scan —
+    * the SAME fixed-size-benchmark adjudication as q65's gram set and
+    * x01's probe block (PlanSpec whitelists the BNLJ). That contract is
+    * WHY exact brute-force is the right declared form: an eval suite is
+    * externally fixed (MMLU-sized, not corpus-sized), so the pair count
+    * is n·|eval| with |eval| a constant — linear in the corpus, one scan,
+    * no shuffle of vectors at all (the groupBy is on the pre-aggregated
+    * per-train-row hit stats, map-side combinable). When the eval side
+    * DOES grow corpus-like, the scale path is the bucketed approximate
+    * form ([[annTopK]]'s simhash_bucket equi-join) or x08's blocked
+    * handoff — both documented trades of recall for candidate volume.
+    *
+    * Exactness for the hash gate: per-pair cosines are bit-identical
+    * doubles in both engines (x01's fold-order argument), count is
+    * integer, and max over bit-identical doubles is order-independent —
+    * so `max_cosine` survives hashing even though it is a double.
+    */
+  def x20(spark: SparkSession, dir: String, minCosine: Double = 0.35): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", nNorm(col("embedding")))
+      // zero-norm guard: cosine would be NaN (x01's rule) — a zero vector
+      // can neither contaminate nor be contaminated
+      .filter(col("nrm") > 0)
+    val eval = e.filter(pmod(col("vec_id"), lit(20L)) === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_vec"),
+        col("nrm").as("e_nrm"))
+    val train = e.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
+    train.crossJoin(broadcast(eval))
+      .withColumn("cosine",
+        nCos(col("embedding"), col("e_vec"), col("nrm"), col("e_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** x01Sql's fold over the id-modulus slice split — same pair order,
+    * same ≥-threshold decision on bit-identical doubles.
+    */
+  val x20Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings),
+      |nz AS (SELECT * FROM v WHERE nrm > 0)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+      |       max(cosine) AS max_cosine
+      |FROM (
+      |  SELECT t.vec_id,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(t.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y) / (t.nrm * e.nrm) AS cosine
+      |  FROM nz t, nz e
+      |  WHERE t.vec_id % 20 <> 0 AND e.vec_id % 20 = 0)
+      |WHERE cosine >= 0.35
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
 }

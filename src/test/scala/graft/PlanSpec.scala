@@ -95,6 +95,22 @@ class PlanSpec extends SparkSuite {
       "the Zipf-small df table must broadcast against the exploded token stream")
   }
 
+  test("x07: the banded self-join shuffles on the key — never broadcasts the index") {
+    // round-10 sf1 finding: pre-explode statistics made the planner
+    // broadcast the ENTIRE 64×-exploded key index (n-proportional driver
+    // build — 8.8 of x07's 11.4 s at sf1, and wrong at any cluster
+    // scale). The SHUFFLE_HASH hint pins the co-partitioned shape; this
+    // guards the hint (and the native simhash_tables kernel feeding it)
+    // against a refactor that silently drops either.
+    val p = finalPlan("x07_simhash_dedup")
+    assert(p.contains("ShuffledHashJoin"),
+      s"banded self-join must be a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the exploded key index must never broadcast (n-proportional)")
+    assert(p.contains("simhash_tables"),
+      "key generation must run in the native kernel, not the Column array")
+  }
+
   test("q18: props parses ONCE — one from_json map build, probe-only predicate") {
     // the round-3 regression shape was 3 parses/row; the discipline is one
     // get_json_object probe (runs on every row, its pushed copy included)
@@ -150,8 +166,12 @@ class PlanSpec extends SparkSuite {
     // overall count (both sides aggregates — bounded by construction);
     // everything else — x11's cell assignment included, now a map-side
     // argmax over the literal centroid array — must be hash/sort-merge joins
+    // x20's BNLJ is the broadcast of the EVAL SUITE against one train
+    // scan — the q65 fixed-size-benchmark adjudication (|eval| is a
+    // contract constant, so pairs are n·|eval|, linear in the corpus)
     val nlAllowed = Set("x01_vector_cosine", "q60_search_quantized",
-      "q73_vocab_coverage", "q78_ks_test", "x18_sketch_columns")
+      "q73_vocab_coverage", "q78_ks_test", "x18_sketch_columns",
+      "x20_embed_decontaminate")
     SparkEntry.queries.keys.filterNot(nlAllowed).foreach { n =>
       assert(!plan(n).contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join")

@@ -430,4 +430,36 @@ class VectorSpec extends SparkSuite {
       .select(col("id"), col("comp"))
     assert(star.except(prop).isEmpty && prop.except(star).isEmpty)
   }
+
+  test("x20 embed-decontamination matches a driver recount and is non-vacuous") {
+    // the oracle gate proves engine parity; this pins the SEMANTICS
+    // against an independent driver-side recount (collect vectors, brute
+    // double-precision cosines, same slice rule) and guards vacuity — an
+    // empty result would hash-"pass" while testing nothing.
+    val out = Vector.x20(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty, "vacuous: no contaminated train vectors at sf0.01")
+    val vecs = graft.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val withN = vecs.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+      .filter(_._3 > 0)
+    val eval = withN.filter(_._1 % 20 == 0)
+    val expected = withN.filter(_._1 % 20 != 0).flatMap { case (id, v, n) =>
+      val hits = eval.map { case (_, ev, en) => dot(v, ev) / (n * en) }
+        .filter(_ >= 0.35)
+      if (hits.isEmpty) None else Some(id -> ((hits.length.toLong, hits.max)))
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"flag drift: only-engine=${out.keySet -- expected.keySet} " +
+        s"only-recount=${expected.keySet -- out.keySet}")
+    out.foreach { case (id, (n, mx)) =>
+      assert(n == expected(id)._1, s"hit count drift at $id")
+      assert(math.abs(mx - expected(id)._2) < 1e-12, s"max cosine drift at $id")
+    }
+  }
 }
