@@ -101,7 +101,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, out, copies)
+    println(s"""{"metric":"scaleup","copies":$copies,"src":"$src","out":"$out"}""")
+    spark.stop()
+  }
 
+  /** The whole derivation, callable from specs (ScaleUpSpec pins the
+    * fidelity contract the header documents).
+    */
+  def derive(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     def off(c: String, k: Int, stride: Long): Column =
       col(c) + lit(k * stride)
     def write(df: DataFrame, table: String, parts: Int): Unit =
@@ -154,8 +162,5 @@ object ScaleUp {
       df.withColumn("vec_id", off("vec_id", k, s))
         .withColumn("embedding", perturbVec(col("embedding"), k, dim))
     }, "embeddings", math.max(1, copies / 2))
-
-    println(s"""{"metric":"scaleup","copies":$copies,"src":"$src","out":"$out"}""")
-    spark.stop()
   }
 }
