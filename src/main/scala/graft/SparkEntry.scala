@@ -245,7 +245,10 @@ object SparkEntry {
     "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d)),
     // semantic cross-corpus decontamination: q65's embedding-space twin —
     // train vectors within cosine >= 0.35 of any eval-slice vector
-    "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d))
+    "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d)),
+    // incremental near-dup detection: today's delta probed against the
+    // standing corpus LSH buckets — pairs are delta-proportional
+    "x21_delta_dedup"      -> ((s, d) => ops.Text.x21(s, d))
   )
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
@@ -367,6 +370,7 @@ object SparkEntry {
     "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
-    "x20_embed_decontaminate"   -> ops.Vector.x20Sql
+    "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
+    "x21_delta_dedup"           -> ops.Text.x21Sql
   )
 }

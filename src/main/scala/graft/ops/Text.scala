@@ -622,6 +622,104 @@ object Text {
       |WHERE jaccard >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** INCREMENTAL near-dup detection: every (delta, corpus) pair at
+    * Jaccard ≥ `threshold` — the nightly-ingest shape. [[minhashPairs]]
+    * answers "which documents in this corpus duplicate each other";
+    * production pipelines mostly ask the ASYMMETRIC question "which of
+    * today's arrivals duplicate something we already have", and answering
+    * it with the self-join over corpus ∪ delta re-pays the corpus×corpus
+    * work every night. Here the corpus side's banded buckets are computed
+    * once (at 100 TB: persisted as the standing LSH index, the q71
+    * materialized-IVF discipline — the Scaladoc of both cross-references
+    * the pattern) and the delta probes them: the bucket join's output is
+    * |delta|-proportional, corpus-internal pairs never form.
+    *
+    * Same recall law as the self-join (1-(1-J^rows)^bands per pair), same
+    * exact-Jaccard verification of candidates, same shingle-less-doc
+    * exclusion. Delta-INTERNAL duplicates are deliberately out of scope —
+    * run [[minhashPairs]] over the (small) delta beside this.
+    *
+    * @return (delta_id, corpus_id, jaccard), all crossing pairs exact
+    */
+  def minhashDeltaPairs(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    graft.ext.GraftFunctions.ensureWordNgrams(corpus.sparkSession)
+    graft.ext.GraftFunctions.ensureMinHashBands(corpus.sparkSession)
+    // one signature pipeline per side, each hanging off its own exchange
+    // so ReuseExchange computes it once across the bucket and verify
+    // branches (minhashPairs' discipline, per side)
+    def sigOf(docs: DataFrame): DataFrame =
+      docs.select(col(idCol).as("doc_id"),
+          nativeShingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"),
+          call_function("minhash_bands",
+            col("sh"), lit(numHashes), lit(bands)).as("bsig"))
+        .repartition(col("doc_id"))
+    val cSig = sigOf(corpus)
+    val dSig = sigOf(delta)
+    def bucketsOf(sig: DataFrame, as: String): DataFrame = sig
+      .select(col("doc_id").as(as),
+        posexplode(col("bsig")).as(Seq("band", "sig")))
+    val cand = bucketsOf(dSig, "delta_id")
+      .join(bucketsOf(cSig, "corpus_id"), Seq("band", "sig"))
+      .select("delta_id", "corpus_id")
+      .distinct()
+    cand
+      .join(dSig.select(col("doc_id").as("delta_id"), col("sh").as("sh_d")),
+        Seq("delta_id"))
+      .join(cSig.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .select(col("delta_id"), col("corpus_id"),
+        size(array_intersect(col("sh_d"), col("sh_c"))).as("inter"),
+        size(col("sh_d")).as("n_d"), size(col("sh_c")).as("n_c"))
+      .select(col("delta_id"), col("corpus_id"),
+        (col("inter").cast("double") /
+          (col("n_d") + col("n_c") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** x21_delta_dedup: the incremental form over the fixture — delta =
+    * `doc_id % 5 = 4` (20% arrivals), corpus = the rest. Oracle-checked
+    * by brute cross-side Jaccard (x02's argument: candidate recall 1.0 on
+    * this corpus, exact verification makes every value deterministic).
+    * TextSpec additionally pins x21 ≡ the crossing subset of x02's
+    * self-join pairs — the asymmetric path cannot silently lose (or
+    * invent) a pair the symmetric detector sees.
+    */
+  def x21(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    minhashDeltaPairs(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4),
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 4))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** Brute-force cross-side restatement for the DuckDB oracle: same
+    * bigram shingles and threshold as [[x02Sql]], split by the id rule.
+    */
+  val x21Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS s
+      |  FROM documents)
+      |SELECT delta_id, corpus_id, jaccard FROM (
+      |  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+      |         CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
+      |           / CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s)) AS DOUBLE) AS jaccard
+      |  FROM sh d JOIN sh c ON d.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
+      |WHERE jaccard >= 0.9
+      |ORDER BY delta_id, corpus_id""".stripMargin
+
   // ---- x10: exact n-gram Jaccard join via prefix filtering ----
 
   /** EXACT n-gram Jaccard similarity join — every pair at or above

@@ -144,6 +144,28 @@ class TextSpec extends SparkSuite {
     assert(!tight.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("x21 delta pairs == the crossing subset of x02's self-join pairs") {
+    // the asymmetric detector must see exactly the symmetric detector's
+    // pairs that cross the delta/corpus boundary — a banding or side-mixup
+    // bug would lose (or invent) crossing pairs silently; jaccard values
+    // must agree exactly (same intersect/union integer arithmetic)
+    val x02 = Text.x02(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = x02.flatMap { case (a, b, j) =>
+      (a % 5 == 4, b % 5 == 4) match {
+        case (true, false) => Some(((a, b), j))
+        case (false, true) => Some(((b, a), j))
+        case _ => None // both-delta pairs are out of x21's declared scope
+      }
+    }.toMap
+    val got = Text.x21(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(expected.nonEmpty, "vacuous: no x02 pair crosses the 80/20 split")
+    assert(got.keySet == expected.keySet,
+      s"only-x21=${got.keySet -- expected.keySet} only-x02-crossing=${expected.keySet -- got.keySet}")
+    got.foreach { case (k, j) => assert(j == expected(k), s"jaccard drift at $k") }
+  }
+
   test("two-level wide banding is output-identical to single-level radius 7") {
     // both formulations are EXACT for radius <= 7 (pigeonhole arguments in
     // their docs), so their pair sets must be equal — a splice/shift bug in
