@@ -52,6 +52,8 @@ object SparkEntry {
     "q87_user_growth"      -> ((s, d) => ops.Analytics.q87(s, d)),
     // referential-integrity audit: FK orphan counts per relationship
     "q88_integrity"        -> ((s, d) => ops.Analytics.q88(s, d)),
+    // Pareto frontier on (price, qty) via two bucketed suffix-max passes
+    "q90_skyline"          -> ((s, d) => ops.Analytics.q90(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -282,6 +284,7 @@ object SparkEntry {
     "q86_profile"          -> ops.Analytics.q86Sql,
     "q87_user_growth"      -> ops.Analytics.q87Sql,
     "q88_integrity"        -> ops.Analytics.q88Sql,
+    "q90_skyline"          -> ops.Analytics.q90Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

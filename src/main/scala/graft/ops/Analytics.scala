@@ -1419,4 +1419,103 @@ object Analytics {
       |FROM co JOIN pt pa ON pa.event_type = co.type_a
       |        JOIN pt pb ON pb.event_type = co.type_b
       |ORDER BY type_a, type_b""".stripMargin
+
+  /** Suffix cumulative max: appends `out` = max(`value`) over all rows
+    * whose `order` column is ≥ the current row's (peers INCLUDED — the
+    * RANGE-frame semantics), without a global single-partition window.
+    *
+    * Decomposition (the q33c/q52 carry-in idiom): rows bucket by an
+    * equi-width split of `order` (one bounded 1-row min/max probe — index
+    * metadata, not corpus data); within a bucket a RANGE window partitioned
+    * on the bucket computes the local suffix max; across buckets the
+    * per-bucket maxima (≤ `nBuckets` rows) take a tiny prefix scan and
+    * broadcast back as each bucket's carry-in. Bucketing by value keeps
+    * order-ties in one bucket, so "higher bucket ⇒ strictly greater
+    * `order`" holds and local ∪ carry is exactly the `order` ≥ current
+    * suffix. O(n log(n/B)) in-bucket sorts on a range-balanced key vs the
+    * single-reducer global window — the same reason q52 scans, not sorts.
+    */
+  private[graft] def suffixCumMax(df: DataFrame, order: String,
+      value: String, out: String, nBuckets: Int = 64): DataFrame = {
+    val mm = df.agg(min(col(order)).cast("double"),
+      max(col(order)).cast("double")).head()
+    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) {
+      // empty input or a constant order column: one bucket, local = global
+      return df.withColumn(out, max(col(value)).over(
+        Window.partitionBy(lit(0)).orderBy(col(order).desc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val width = (mx - mn) / nBuckets
+    val bk = least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
+      lit(nBuckets - 1)).cast("int")
+    val bucketed = df.withColumn("__sb", bk)
+    val localW = Window.partitionBy(col("__sb")).orderBy(col(order).desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-bucket maxima -> carry-in from strictly higher buckets; the
+    // window runs over <= nBuckets aggregate rows (bounded by construction)
+    val carry = bucketed.groupBy(col("__sb"))
+      .agg(max(col(value)).as("__bm"))
+      .select(col("__sb"), max(col("__bm")).over(
+        Window.orderBy(col("__sb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)).as("__carry"))
+    bucketed
+      .join(broadcast(carry), Seq("__sb"))
+      .withColumn(out, greatest(max(col(value)).over(localW), col("__carry")))
+      .drop("__sb", "__carry")
+  }
+
+  /** q90_skyline: the PARETO FRONTIER of lineitem on (price ↑, qty ↑) —
+    * rows no other row strictly dominates (≥ on both axes, > on at least
+    * one). The preference/dominance operator class: "best tradeoff"
+    * curation (longest-AND-highest-quality documents, cheapest-AND-freshest
+    * suppliers) that top-k on any single score cannot express, and that
+    * the naive formulation (NOT EXISTS over all pairs) makes O(n²).
+    *
+    * Exact reduction to two suffix-max passes: a row is dominated iff
+    * max(qty | price' ≥ price) > qty  OR  max(price | qty' ≥ qty) > price
+    * — either witness is itself a strict dominator (the ≥-suffix includes
+    * the tie cases a one-axis sweep mishandles), and any dominator implies
+    * one of the two. Duplicates of a frontier point all survive, matching
+    * the NOT-EXISTS semantics (spec-pinned against literal brute force).
+    *
+    * Scale shape: two [[suffixCumMax]] passes — range-bucketed local RANGE
+    * windows plus a ≤64-row carry prefix — so the plan is two bucket-local
+    * sorts and two broadcast stitches; no global window, no self-join, no
+    * all-pairs anywhere. The oracle restates the frontier with DuckDB
+    * global windows (a different evaluation path than the bucketed plan).
+    */
+  /** The skyline core over any relation: keeps exactly the rows not
+    * strictly dominated on (`x` ↑, `y` ↑); all other columns pass through.
+    */
+  private[graft] def skylineOf(df: DataFrame, x: String, y: String): DataFrame =
+    suffixCumMax(suffixCumMax(df, order = x, value = y, out = "__my"),
+        order = y, value = x, out = "__mx")
+      .where(col("__my") <= col(y) && col("__mx") <= col(x))
+      .drop("__my", "__mx")
+
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    skylineOf(t, x = "price", y = "qty")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q90Sql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(l_extendedprice AS DOUBLE) AS price,
+      |         CAST(l_quantity AS DOUBLE) AS qty
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT *,
+      |         max(qty) OVER (ORDER BY price DESC
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS my,
+      |         max(price) OVER (ORDER BY qty DESC
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      |  FROM t)
+      |SELECT l_orderkey, l_linenumber, price, qty
+      |FROM w WHERE my <= qty AND mx <= price
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 }

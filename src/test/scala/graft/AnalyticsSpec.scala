@@ -436,4 +436,66 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.exists { case (_, p, w) => p != w },
       "expected at least one clipped price in the fixture")
   }
+
+  /** Brute-force NOT-EXISTS skyline: the textbook O(n²) definition q90's
+    * two-pass reduction must reproduce exactly, ties and all.
+    */
+  private def bruteSkyline(pts: Seq[(Double, Double)]): Seq[(Double, Double)] =
+    pts.filter { case (x, y) =>
+      !pts.exists { case (bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }
+
+  test("q90 skyline ≡ brute-force NOT EXISTS on a tie/duplicate-heavy fixture") {
+    import spark.implicits._
+    // hand-built edge cases: a frontier duplicate pair, an x-tie where only
+    // the higher y survives, a y-tie where only the higher x survives, an
+    // interior dominated point, and single-axis extremes
+    val pts = Seq(
+      (10.0, 1.0), (10.0, 1.0),      // duplicate frontier point (both survive)
+      (10.0, 0.5),                    // x-tie, lower y: dominated
+      (4.0, 4.0), (7.0, 4.0),        // y-tie: only x=7 survives
+      (5.0, 3.0),                     // interior: dominated by (7,4)
+      (1.0, 9.0),                     // y-extreme survives
+      (2.0, 2.0), (0.0, 0.0))        // dominated
+    val df = pts.zipWithIndex
+      .map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val got = ops.Analytics.skylineOf(df, "x", "y")
+      .select("x", "y").as[(Double, Double)].collect().sorted.toSeq
+    assert(got == bruteSkyline(pts).sorted,
+      s"skyline mismatch: got $got want ${bruteSkyline(pts).sorted}")
+  }
+
+  test("q90 skyline ≡ brute force on sf0.001 lineitem, and none dominated") {
+    import spark.implicits._
+    val pts = Tables.lineitem(spark, sf0001)
+      .select(col("l_extendedprice"), col("l_quantity"))
+      .as[(Double, Double)].collect().toSeq
+    val want = bruteSkyline(pts).sorted
+    val got = ops.Analytics.q90(spark, sf0001)
+      .select("price", "qty").as[(Double, Double)].collect().sorted.toSeq
+    assert(got == want, s"got ${got.length} rows, want ${want.length}")
+    assert(got.nonEmpty && got.length < pts.length)
+  }
+
+  test("suffixCumMax matches the naive suffix max, constant column included") {
+    import spark.implicits._
+    val data = Seq((1.0, 5.0), (2.0, 3.0), (2.0, 7.0), (3.0, 1.0),
+      (0.5, 9.0), (3.0, 1.0))
+    val out = ops.Analytics.suffixCumMax(
+        data.toDF("o", "v"), "o", "v", "m", nBuckets = 2)
+      .select("o", "v", "m").as[(Double, Double, Double)].collect()
+    out.foreach { case (o, v, m) =>
+      val want = data.filter(_._1 >= o).map(_._2).max
+      assert(m == want, s"suffix max at o=$o v=$v: got $m want $want")
+    }
+    // constant order column takes the single-bucket degenerate path
+    val const = Seq((1.0, 2.0), (1.0, 4.0), (1.0, 3.0))
+    val cm = ops.Analytics.suffixCumMax(
+        const.toDF("o", "v"), "o", "v", "m")
+      .select("m").as[Double].collect()
+    assert(cm.forall(_ == 4.0))
+  }
 }

@@ -191,4 +191,23 @@ class PlanSpec extends SparkSuite {
     assert(dec.contains("vec_dot_d"), "q60's dot must be the double kernel")
     assert(!dec.contains("transform("), "no interpreted lambda in the search path")
   }
+
+  test("q90: corpus windows are bucket-partitioned; carry stitches broadcast") {
+    val p = plan("q90_skyline")
+    // the two suffix-max RANGE windows must be partitioned on the range
+    // bucket — an unpartitioned RANGE window over the corpus is the
+    // single-reducer global sort the decomposition exists to avoid; the
+    // only unpartitioned window allowed is the ≤64-row carry prefix scan
+    // (a ROWS frame over the bucket-stats aggregate)
+    val rangeWindows = p.linesIterator
+      .filter(_.contains("specifiedwindowframe(RangeFrame")).toSeq
+    assert(rangeWindows.nonEmpty, "expected the suffix-max RANGE windows")
+    rangeWindows.foreach { l =>
+      assert(l.contains("windowspecdefinition(__sb#"),
+        s"corpus RANGE window not bucket-partitioned: $l")
+    }
+    // both carry joins attach as broadcasts of the tiny bucket-stats side
+    val stitches = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(stitches >= 2, s"expected 2 broadcast carry stitches, saw $stitches")
+  }
 }
