@@ -1436,16 +1436,23 @@ object Analytics {
     * single-reducer global window — the same reason q52 scans, not sorts.
     */
   private[graft] def suffixCumMax(df: DataFrame, order: String,
-      value: String, out: String, nBuckets: Int = 64): DataFrame = {
-    val mm = df.agg(min(col(order)).cast("double"),
-      max(col(order)).cast("double")).head()
-    if (mm.isNullAt(0) || mm.getDouble(0) == mm.getDouble(1)) {
+      value: String, out: String, nBuckets: Int = 64,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    // bounds may be precomputed by the caller (skylineOf probes both axes
+    // in ONE pass over the base relation — probing here on a derived df
+    // would re-execute its whole upstream dataflow just to read min/max)
+    val mm = bounds.getOrElse {
+      val r = df.agg(min(col(order)).cast("double"),
+        max(col(order)).cast("double")).head()
+      if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
+    }
+    if (mm._1 == mm._2) {
       // empty input or a constant order column: one bucket, local = global
       return df.withColumn(out, max(col(value)).over(
         Window.partitionBy(lit(0)).orderBy(col(order).desc)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
     }
-    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val (mn, mx) = mm
     val width = (mx - mn) / nBuckets
     val bk = least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
       lit(nBuckets - 1)).cast("int")
@@ -1488,11 +1495,18 @@ object Analytics {
   /** The skyline core over any relation: keeps exactly the rows not
     * strictly dominated on (`x` ↑, `y` ↑); all other columns pass through.
     */
-  private[graft] def skylineOf(df: DataFrame, x: String, y: String): DataFrame =
-    suffixCumMax(suffixCumMax(df, order = x, value = y, out = "__my"),
-        order = y, value = x, out = "__mx")
+  private[graft] def skylineOf(df: DataFrame, x: String, y: String): DataFrame = {
+    // both axes' bucket bounds from ONE bounded probe of the base relation
+    val r = df.agg(min(col(x)).cast("double"), max(col(x)).cast("double"),
+      min(col(y)).cast("double"), max(col(y)).cast("double")).head()
+    def b(i: Int) = if (r.isNullAt(i)) (0.0, 0.0)
+      else (r.getDouble(i), r.getDouble(i + 1))
+    suffixCumMax(
+        suffixCumMax(df, order = x, value = y, out = "__my", bounds = Some(b(0))),
+        order = y, value = x, out = "__mx", bounds = Some(b(2)))
       .where(col("__my") <= col(y) && col("__mx") <= col(x))
       .drop("__my", "__mx")
+  }
 
   def q90(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables.lineitem(spark, dir).select(

@@ -480,6 +480,24 @@ class AnalyticsSpec extends SparkSuite {
     assert(got.nonEmpty && got.length < pts.length)
   }
 
+  test("property: skyline ≡ brute force on random tie-heavy integer grids") {
+    import spark.implicits._
+    // small integer grids force duplicate points, axis ties, and empty
+    // equi-width buckets (12 distinct values across 64 buckets) — the
+    // boundary conditions of the bucket decomposition
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val pts = Seq.fill(200 + rnd.nextInt(200))(
+        (rnd.nextInt(12).toDouble, rnd.nextInt(12).toDouble))
+      val df = pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = ops.Analytics.skylineOf(df, "x", "y")
+        .select("x", "y").as[(Double, Double)].collect().sorted.toSeq
+      assert(got == bruteSkyline(pts).sorted, s"seed $seed: got $got")
+    }
+  }
+
   test("suffixCumMax matches the naive suffix max, constant column included") {
     import spark.implicits._
     val data = Seq((1.0, 5.0), (2.0, 3.0), (2.0, 7.0), (3.0, 1.0),
