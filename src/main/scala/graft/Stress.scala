@@ -68,7 +68,8 @@ object Stress {
       want("rank") { groupRankStage(spark, n) } ++
       want("gram") { gramCensusStage(spark, n / 10) } ++
       want("hopping") { hoppingStage(spark, n) } ++
-      want("ledger") { ledgerCompactionStage(spark, n) }
+      want("ledger") { ledgerCompactionStage(spark, n) } ++
+      want("skyline") { skylineStage(spark, n) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -206,6 +207,38 @@ object Stress {
     * (ScaleSpec-pinned), the hopping form should cost far less than 4×
     * the tumbling form — the measured ratio is the map-side collapse.
     */
+  /** q90's bucket decomposition vs the global-window skyline at 10M rows:
+    * both are the same exact two-suffix-max reduction; the difference is
+    * that the naive form runs each RANGE window unpartitioned — every row
+    * through ONE reducer's sort, twice — while the bucketed form sorts 64
+    * range-balanced buckets in parallel and stitches a ≤64-row carry. The
+    * measured gap is the single-reducer serialization, the term that grows
+    * without bound at cluster scale.
+    */
+  private def skylineStage(
+      spark: SparkSession, n: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // deterministic continuous axes; generation fused into each plan
+    def pts = spark.range(n).select(col("id"),
+      sin(col("id") * lit(2.1)).as("x"), sin(col("id") * lit(3.7)).as("y"))
+    def globalForm = {
+      val w1 = Window.orderBy(col("x").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = Window.orderBy(col("y").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.withColumn("__my", max(col("y")).over(w1))
+        .withColumn("__mx", max(col("x")).over(w2))
+        .where(col("__my") <= col("y") && col("__mx") <= col("x"))
+        .drop("__my", "__mx")
+    }
+    Seq(
+      time(s"skyline_bucketed_${n}") {
+        noop(ops.Analytics.skylineOf(pts, "x", "y"))
+      },
+      time(s"skyline_global_window_${n}") { noop(globalForm) })
+  }
+
   private def hoppingStage(
       spark: SparkSession, n: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
