@@ -54,6 +54,8 @@ object SparkEntry {
     "q88_integrity"        -> ((s, d) => ops.Analytics.q88(s, d)),
     // Pareto frontier on (price, qty) via two bucketed suffix-max passes
     "q90_skyline"          -> ((s, d) => ops.Analytics.q90(s, d)),
+    // the same frontier per l_returnflag group (per-category curation)
+    "q90b_skyline_grouped" -> ((s, d) => ops.Analytics.q90b(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -285,6 +287,7 @@ object SparkEntry {
     "q87_user_growth"      -> ops.Analytics.q87Sql,
     "q88_integrity"        -> ops.Analytics.q88Sql,
     "q90_skyline"          -> ops.Analytics.q90Sql,
+    "q90b_skyline_grouped" -> ops.Analytics.q90bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

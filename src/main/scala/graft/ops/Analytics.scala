@@ -1437,19 +1437,24 @@ object Analytics {
     */
   private[graft] def suffixCumMax(df: DataFrame, order: String,
       value: String, out: String, nBuckets: Int = 64,
-      bounds: Option[(Double, Double)] = None): DataFrame = {
+      bounds: Option[(Double, Double)] = None,
+      groupCols: Seq[String] = Nil): DataFrame = {
     // bounds may be precomputed by the caller (skylineOf probes both axes
     // in ONE pass over the base relation — probing here on a derived df
-    // would re-execute its whole upstream dataflow just to read min/max)
+    // would re-execute its whole upstream dataflow just to read min/max).
+    // With groupCols the suffix is per group; GLOBAL bounds stay valid for
+    // bucketing (the bucket is monotone in `order` within every group),
+    // only the carry becomes per-(group, bucket).
     val mm = bounds.getOrElse {
       val r = df.agg(min(col(order)).cast("double"),
         max(col(order)).cast("double")).head()
       if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     }
+    val grp = groupCols.map(col)
     if (mm._1 == mm._2) {
       // empty input or a constant order column: one bucket, local = global
       return df.withColumn(out, max(col(value)).over(
-        Window.partitionBy(lit(0)).orderBy(col(order).desc)
+        Window.partitionBy(grp :+ lit(0): _*).orderBy(col(order).desc)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
     }
     val (mn, mx) = mm
@@ -1457,17 +1462,19 @@ object Analytics {
     val bk = least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
       lit(nBuckets - 1)).cast("int")
     val bucketed = df.withColumn("__sb", bk)
-    val localW = Window.partitionBy(col("__sb")).orderBy(col(order).desc)
+    val localW = Window.partitionBy(grp :+ col("__sb"): _*)
+      .orderBy(col(order).desc)
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-bucket maxima -> carry-in from strictly higher buckets; the
-    // window runs over <= nBuckets aggregate rows (bounded by construction)
-    val carry = bucketed.groupBy(col("__sb"))
+    // per-(group, bucket) maxima -> carry-in from strictly higher buckets
+    // of the SAME group; the window runs over <= |groups|·nBuckets
+    // aggregate rows (bounded by construction)
+    val carry = bucketed.groupBy(grp :+ col("__sb"): _*)
       .agg(max(col(value)).as("__bm"))
-      .select(col("__sb"), max(col("__bm")).over(
-        Window.orderBy(col("__sb").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)).as("__carry"))
+      .select((grp :+ col("__sb")) :+ max(col("__bm")).over(
+        Window.partitionBy(grp: _*).orderBy(col("__sb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)).as("__carry"): _*)
     bucketed
-      .join(broadcast(carry), Seq("__sb"))
+      .join(broadcast(carry), groupCols :+ "__sb")
       .withColumn(out, greatest(max(col(value)).over(localW), col("__carry")))
       .drop("__sb", "__carry")
   }
@@ -1495,15 +1502,18 @@ object Analytics {
   /** The skyline core over any relation: keeps exactly the rows not
     * strictly dominated on (`x` ↑, `y` ↑); all other columns pass through.
     */
-  private[graft] def skylineOf(df: DataFrame, x: String, y: String): DataFrame = {
+  private[graft] def skylineOf(df: DataFrame, x: String, y: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     // both axes' bucket bounds from ONE bounded probe of the base relation
     val r = df.agg(min(col(x)).cast("double"), max(col(x)).cast("double"),
       min(col(y)).cast("double"), max(col(y)).cast("double")).head()
     def b(i: Int) = if (r.isNullAt(i)) (0.0, 0.0)
       else (r.getDouble(i), r.getDouble(i + 1))
     suffixCumMax(
-        suffixCumMax(df, order = x, value = y, out = "__my", bounds = Some(b(0))),
-        order = y, value = x, out = "__mx", bounds = Some(b(2)))
+        suffixCumMax(df, order = x, value = y, out = "__my",
+          bounds = Some(b(0)), groupCols = groupCols),
+        order = y, value = x, out = "__mx",
+        bounds = Some(b(2)), groupCols = groupCols)
       .where(col("__my") <= col(y) && col("__mx") <= col(x))
       .drop("__my", "__mx")
   }
@@ -1515,6 +1525,42 @@ object Analytics {
     skylineOf(t, x = "price", y = "qty")
       .orderBy("l_orderkey", "l_linenumber")
   }
+
+  /** q90b_skyline_grouped: q90's frontier PER GROUP (l_returnflag) — the
+    * "best tradeoff per category" shape a curation pipeline actually runs
+    * (longest-AND-cleanest documents per language, cheapest-AND-freshest
+    * per region). Same two-pass reduction with the group key prepended to
+    * every window partition; global bucket bounds stay valid per group
+    * (the bucket is monotone in the axis within any group), so the only
+    * structural change is the carry becoming per-(group, bucket) —
+    * |groups|·64 rows, still bounded, still a broadcast stitch. Group
+    * skew is absorbed the same way as ungrouped q90: a hot group's rows
+    * still spread over its 64 range buckets.
+    */
+  def q90b(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    skylineOf(t, x = "price", y = "qty", groupCols = Seq("l_returnflag"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
+  val q90bSql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber,
+      |         CAST(l_extendedprice AS DOUBLE) AS price,
+      |         CAST(l_quantity AS DOUBLE) AS qty
+      |  FROM lineitem),
+      |w AS (
+      |  SELECT *,
+      |         max(qty) OVER (PARTITION BY l_returnflag ORDER BY price DESC
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS my,
+      |         max(price) OVER (PARTITION BY l_returnflag ORDER BY qty DESC
+      |           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+      |  FROM t)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, price, qty
+      |FROM w WHERE my <= qty AND mx <= price
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
 
   val q90Sql: String =
     """WITH t AS (

@@ -498,6 +498,24 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q90b grouped skyline ≡ per-group brute force on sf0.001 lineitem") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      bruteSkyline(rs.map(r => (r._2, r._3))).map { case (x, y) => (g, x, y) }
+    }.sorted
+    val got = ops.Analytics.q90b(spark, sf0001)
+      .select("l_returnflag", "price", "qty")
+      .as[(String, Double, Double)].collect().sorted.toSeq
+    assert(got == want, s"got ${got.length} rows, want ${want.length}")
+    // every group contributes a frontier, and grouping must not collapse
+    // to the ungrouped frontier
+    assert(got.map(_._1).distinct.size == rows.map(_._1).distinct.size)
+    assert(got.length > ops.Analytics.q90(spark, sf0001).count())
+  }
+
   test("suffixCumMax matches the naive suffix max, constant column included") {
     import spark.implicits._
     val data = Seq((1.0, 5.0), (2.0, 3.0), (2.0, 7.0), (3.0, 1.0),
