@@ -69,7 +69,8 @@ object Stress {
       want("gram") { gramCensusStage(spark, n / 10) } ++
       want("hopping") { hoppingStage(spark, n) } ++
       want("ledger") { ledgerCompactionStage(spark, n) } ++
-      want("skyline") { skylineStage(spark, n) }
+      want("skyline") { skylineStage(spark, n) } ++
+      want("ivfappend") { ivfAppendStage(spark, n / 10) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -366,6 +367,39 @@ object Stress {
         noop(base.withColumn("cum", sum(col("n_tokens")).over(
           Window.orderBy(asc("h"), asc("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      })
+  }
+
+  /** Incremental IVF maintenance cost (VERDICT r10 #5, x21's precedent on
+    * the dedup side): build an index over `vn` synthetic vectors once,
+    * then compare appending a `vn/10` delta ([[ops.Vector.ivfAppend]] —
+    * one map-side argmax + one partitioned write over the DELTA, frozen
+    * quantizer) against the full rebuild a naive nightly pays
+    * ([[ops.Vector.ivfBuild]] over `vn + vn/10` — re-seeding, re-Lloyd,
+    * re-assigning the whole corpus). The append should price like the
+    * delta, the rebuild like the corpus; SCALE.md records the ratio.
+    */
+  private def ivfAppendStage(
+      spark: SparkSession, vn: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def vecs(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => sin(col("id") * 64 + d).cast("float")).as("embedding"))
+    val delta = vn / 10
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stress_ivf_").toString
+    val dirFull = java.nio.file.Files
+      .createTempDirectory("graft_stress_ivf_full_").toString
+    Seq(
+      time(s"ivf_build_${vn}") {
+        ops.Vector.ivfBuild(vecs(0, vn), dir, nlist = 64)
+      },
+      time(s"ivf_append_delta_${delta}") {
+        ops.Vector.ivfAppend(spark, dir, vecs(vn, vn + delta))
+      },
+      time(s"ivf_rebuild_${vn + delta}") {
+        ops.Vector.ivfBuild(vecs(0, vn + delta), dirFull, nlist = 64)
       })
   }
 }

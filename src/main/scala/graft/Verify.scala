@@ -18,8 +18,21 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    dump(spark, sfDir, outDir)
+    spark.stop()
+  }
+
+  /** The dump body, session-agnostic so a test can drive it against its
+    * own SparkSession (ScaleUpSpec's derived-fixture fidelity gate) —
+    * `only` restricts to a query subset; empty = the full surface (what
+    * the driver runs).
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,8 +58,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -1432,8 +1432,21 @@ object Analytics {
     * broadcast back as each bucket's carry-in. Bucketing by value keeps
     * order-ties in one bucket, so "higher bucket ⇒ strictly greater
     * `order`" holds and local ∪ carry is exactly the `order` ≥ current
-    * suffix. O(n log(n/B)) in-bucket sorts on a range-balanced key vs the
-    * single-reducer global window — the same reason q52 scans, not sorts.
+    * suffix. O(n log(n/B)) in-bucket sorts vs the single-reducer global
+    * window — the same reason q52 scans, not sorts. The split is
+    * EQUI-WIDTH on the value range, so it is balanced only for roughly
+    * uniform axes; a corpus concentrated in a narrow band lands in one
+    * bucket and the local sort degrades toward the global one. The
+    * skew-robust upgrade is equi-depth bounds (approxQuantile cut points
+    * instead of min/max width) — same carry algebra, since only "higher
+    * bucket ⇒ strictly greater `order`" is load-bearing.
+    *
+    * PRECONDITION: `order` must be non-NULL and finite. A NULL order
+    * yields a NULL bucket which the inner equi-join on __sb would
+    * silently DROP, and NaN casts to bucket 0 while sorting highest. The
+    * no-bounds path fails loudly on NULLs (the probe counts them);
+    * callers passing precomputed `bounds` (skylineOf does, and checks
+    * there) own the check.
     */
   private[graft] def suffixCumMax(df: DataFrame, order: String,
       value: String, out: String, nBuckets: Int = 64,
@@ -1446,13 +1459,26 @@ object Analytics {
     // bucketing (the bucket is monotone in `order` within every group),
     // only the carry becomes per-(group, bucket).
     val mm = bounds.getOrElse {
+      // count(*) vs count(order) piggybacks the NULL check on the probe
+      // we already pay for — a NULL-bearing caller fails loudly here
+      // instead of losing rows in the __sb equi-join below.
       val r = df.agg(min(col(order)).cast("double"),
-        max(col(order)).cast("double")).head()
+        max(col(order)).cast("double"),
+        count(lit(1)), count(col(order))).head()
+      require(r.getLong(2) == r.getLong(3),
+        s"suffixCumMax: order column '$order' has " +
+          s"${r.getLong(2) - r.getLong(3)} NULL rows (precondition)")
       if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
     }
     val grp = groupCols.map(col)
     if (mm._1 == mm._2) {
-      // empty input or a constant order column: one bucket, local = global
+      // Empty input or a constant order column: one bucket, local =
+      // global. NOTE this degenerate branch runs ONE unpartitioned (per
+      // group) RANGE window — a pathological constant-axis corpus at
+      // scale would serialize on a single reducer here. Fine for real
+      // axes (a constant axis means every row ties, so there is no order
+      // to decompose on); a caller feeding constant columns at corpus
+      // scale should pre-aggregate instead.
       return df.withColumn(out, max(col(value)).over(
         Window.partitionBy(grp :+ lit(0): _*).orderBy(col(order).desc)
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1504,9 +1530,16 @@ object Analytics {
     */
   private[graft] def skylineOf(df: DataFrame, x: String, y: String,
       groupCols: Seq[String] = Nil): DataFrame = {
-    // both axes' bucket bounds from ONE bounded probe of the base relation
+    // both axes' bucket bounds from ONE bounded probe of the base
+    // relation; the same probe counts NULLs on both axes so a NULL-bearing
+    // caller fails loudly (suffixCumMax precondition) instead of the
+    // __sb equi-join silently dropping rows.
     val r = df.agg(min(col(x)).cast("double"), max(col(x)).cast("double"),
-      min(col(y)).cast("double"), max(col(y)).cast("double")).head()
+      min(col(y)).cast("double"), max(col(y)).cast("double"),
+      count(lit(1)), count(col(x)), count(col(y))).head()
+    require(r.getLong(4) == r.getLong(5) && r.getLong(4) == r.getLong(6),
+      s"skylineOf: axis columns '$x'/'$y' contain NULLs " +
+        s"(${r.getLong(4) - r.getLong(5)}/${r.getLong(4) - r.getLong(6)} rows)")
     def b(i: Int) = if (r.isNullAt(i)) (0.0, 0.0)
       else (r.getDouble(i), r.getDouble(i + 1))
     suffixCumMax(

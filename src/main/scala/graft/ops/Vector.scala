@@ -361,8 +361,11 @@ object Vector {
       .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
       .withColumn("cosine",
         nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+      // no distinct: nearestCells(c0, _, 1) puts each corpus vector in
+      // exactly ONE cell, so the join on `cell` surfaces a
+      // (probe, neighbor) pair at most once — a distinct here would
+      // shuffle the whole candidate set for nothing
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -505,11 +508,15 @@ object Vector {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nlist: Int = 16,
-      lloydIters: Int = 3): Unit = {
+      lloydIters: Int = 3,
+      centroids: Option[Seq[(Any, Seq[Float])]] = None): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val refined = seedCentroids(c0, nlist, lloydIters)
+    // `centroids` lets a caller rebuild postings under a FROZEN quantizer
+    // (compaction after many ivfAppend deltas, or the append≡build spec
+    // pin) without re-paying — or re-randomizing — the training pass
+    val refined = centroids.getOrElse(seedCentroids(c0, nlist, lloydIters))
     require(refined.nonEmpty, "cannot build an IVF index over an empty corpus")
     // persist the already-collected quantizer (nlist rows — index
     // metadata) rather than re-running the Lloyd aggregates; the cell
@@ -530,6 +537,45 @@ object Vector {
         col("id").as("neighbor_id"), col("vec").as("c_vec"))
       .withColumn("c_norm", nNorm(col("c_vec")))
       .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Incremental IVF maintenance: assign ONLY the delta vectors against
+    * the index's FROZEN stored quantizer and append them to the existing
+    * cell partitions — the nightly-ingest shape (x21's precedent for
+    * dedup). A full [[ivfBuild]] re-pays the corpus assignment pass on
+    * every drop; at 100 TB that is a corpus-sized nightly job for a
+    * delta-sized change. Here the only non-metadata work is one map-side
+    * argmax + one partitioned write over the DELTA, so cost is
+    * delta-proportional (Stress-probed, SCALE.md).
+    *
+    * Freezing the quantizer is what makes append ≡ build: searches probe
+    * cells by the stored centroids, so as long as every vector — old or
+    * new — is assigned under those same centroids, the postings are
+    * exactly what `ivfBuild(A ∪ B, centroids = stored)` would write
+    * (spec-pinned bit-exact in VectorSpec). Centroid drift under a large
+    * accumulated delta degrades cell balance, not correctness; the
+    * compaction move is a periodic rebuild with fresh seeding.
+    *
+    * Caller owns id-uniqueness across appends (as with any index); a
+    * re-appended id would surface twice in search results.
+    */
+  def ivfAppend(
+      spark: SparkSession,
+      indexDir: String,
+      delta: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, s"no centroids at $indexDir — build first")
+    nearestCells(
+        delta.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, 1)
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("neighbor_id"), col("vec").as("c_vec"))
+      .withColumn("c_norm", nNorm(col("c_vec")))
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/postings")
   }
 
@@ -570,8 +616,11 @@ object Vector {
       .filter(col("c_norm") > 0 && col("p_norm") > 0) // NaN-cosine guard
       .withColumn("cosine",
         nCos(col("c_vec"), col("p_vec"), col("c_norm"), col("p_norm")))
+      // no distinct: the index build assigns each vector to exactly ONE
+      // cell (nearestCells(..., 1) in ivfBuild; ivfAppend freezes the
+      // same quantizer), so a (probe, neighbor) pair can't repeat through
+      // the cell join — a distinct would shuffle the candidate set
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -859,8 +908,12 @@ object Vector {
     * 10-value key (FIXTURES.md — largest block 59 rows at sf0.01, ~520 at
     * sf0.1), so Σ block² is bounded ~10·(n/10)² only at driver SFs where
     * n/10 itself is small; a 100 TB run tunes maxBlockSide to trade the
-    * handoff consciously (the oversized-block test in VectorSpec pins the
-    * handoff firing).
+    * handoff consciously. That trade is MEASURED, not asserted
+    * (SCALE.md r11): in the handoff's designed near-dup regime
+    * (within-cluster cosine ≈ 0.994) pair recall is 0.9796 with
+    * component-membership agreement 1.0000 (VectorSpec pins ≥ 0.9 /
+    * ≥ 0.95); at this fixture's loose 0.35 threshold recall collapses to
+    * 0.13 — which is exactly why the DECLARED form pins Int.MaxValue.
     *
     * Threshold: minCosine = 0.35 is FIXTURE-SCALED, not a semantic
     * near-dup bar — the generator's planted duplicate pairs top out at

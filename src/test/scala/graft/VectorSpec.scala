@@ -462,4 +462,137 @@ class VectorSpec extends SparkSuite {
       assert(math.abs(mx - expected(id)._2) < 1e-12, s"max cosine drift at $id")
     }
   }
+
+  test("LSH handoff quality: pair recall and component agreement vs exact " +
+      "on a planted near-dup corpus (q47/q69 production path)") {
+    // The declared q47/q69 pin exactness (maxBlockSide = Int.MaxValue);
+    // their SCALE story is the production handoff. This pins the
+    // handoff's QUALITY in its designed regime — near-dup thresholds —
+    // instead of asserting it in scaladoc (VERDICT r10 #1): 30 planted
+    // clusters × 20 perturbed copies (within-cluster cosine ≈ 0.99,
+    // cross-cluster ≈ N(0, 1/64)) in ONE 600-row block that trips
+    // maxBlockSide = 100, plus a 40-row block that stays exact, so the
+    // anti/semi split runs both sides.
+    val rnd = new scala.util.Random(42)
+    def gauss64() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(base: Array[Float], eps: Double) = {
+      val g = gauss64()
+      base.indices.map(i => (base(i) + eps * g(i)).toFloat).toArray
+    }
+    val bases = Seq.fill(30)(gauss64().map(x => (x / 8.0f)))
+    val big = bases.zipWithIndex.flatMap { case (b, c) =>
+      // noise norm ≈ 0.08 against unit-norm bases → within-cluster cosine
+      // ≈ 0.994: the near-dup regime the handoff is designed for, loose
+      // enough that the 8-bit simhash actually loses a few percent of
+      // pairs (the measurement is non-trivial, the pin has margin)
+      (0 until 20).map(m => (c * 100L + m, "big", perturb(b, 0.01)))
+    }
+    val small = (0 until 40).map(i => (100000L + i, "small", gauss64()))
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (big ++ small).map { case (id, blk, v) =>
+          org.apache.spark.sql.Row(id, blk, v.toSeq) }, 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
+    def pairsOf(maxSide: Int) =
+      Vector.blockedCosinePairs(corpus, blockCol = "label",
+          minCosine = 0.9, maxBlockSide = maxSide)
+        .select("vec_id_a", "vec_id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Int.MaxValue)
+    val prod = pairsOf(100)
+
+    // the handoff prunes CANDIDATES only — exact cosine is attached and
+    // thresholded after, so production pairs are a subset (precision 1)
+    assert(prod.subsetOf(exact), "handoff must never invent pairs")
+    assert(exact.nonEmpty && exact.size > 5000,
+      s"fixture degenerate: ${exact.size} exact pairs")
+    val recall = prod.size.toDouble / exact.size
+    assert(recall >= 0.9, f"pair recall $recall%.4f < 0.9")
+
+    // component-membership agreement: same partition of ids into
+    // clusters, compared as canonical member-sets (transitive closure
+    // heals most pruned pairs — THIS is the number q47's consumers see)
+    def components(pairs: Set[(Long, Long)]) = {
+      val df = pairs.toSeq.toDF("vec_id_a", "vec_id_b")
+      ops.Text.dupComponentsStar(df, "vec_id_a", "vec_id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    }
+    val exactComps = components(exact)
+    val prodComps = components(prod)
+    val agreeIds = exactComps.intersect(prodComps).toSeq.map(_.size).sum
+    val totalIds = exactComps.toSeq.map(_.size).sum
+    val agreement = agreeIds.toDouble / totalIds
+    assert(agreement >= 0.95,
+      f"component-membership agreement $agreement%.4f < 0.95")
+    info(f"handoff pair recall = $recall%.4f, " +
+      f"component agreement = $agreement%.4f " +
+      f"(${exact.size} exact pairs, ${exactComps.size} exact clusters)")
+    // the small block must be untouched by the handoff (exact both ways)
+    assert(exact.filter(_._1 >= 100000L) == prod.filter(_._1 >= 100000L))
+  }
+
+  test("ivfAppend: append(A, B) ≡ build(A ∪ B) under the frozen quantizer") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = emb.filter(col("vec_id") % 2 === 0) // 'yesterday's corpus'
+    val b = emb.filter(col("vec_id") % 2 === 1) // 'tonight's delta'
+    val probes = emb.filter(col("vec_id") < 8)
+
+    val dirApp = java.nio.file.Files.createTempDirectory("graft_ivf_app_").toString
+    Vector.ivfBuild(a, dirApp, nlist = 16)
+    // the FROZEN quantizer the index stores — appends must assign under it
+    val frozen = spark.read.parquet(s"$dirApp/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    Vector.ivfAppend(spark, dirApp, b)
+
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_ivf_full_").toString
+    Vector.ivfBuild(emb, dirFull, nlist = 16, centroids = Some(frozen))
+
+    def search(dir: String) =
+      Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    val appended = search(dirApp)
+    val rebuilt = search(dirFull)
+    assert(appended.nonEmpty && appended == rebuilt,
+      "append must be search-indistinguishable from a same-centroid rebuild")
+    // and the delta actually landed: appended results must include odd ids
+    assert(appended.exists(_._2 % 2 == 1),
+      "no delta (odd-id) neighbors surfaced — append wrote nothing?")
+  }
+
+  test("ivfAppend: second-generation append stays search-consistent") {
+    // two successive deltas — the nightly cadence; associativity of the
+    // append under one frozen quantizer
+    val emb = Tables.embeddings(spark, sf001)
+    val a = emb.filter(col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") % 3 === 2)
+    val probes = emb.filter(col("vec_id") < 8)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app2_").toString
+    Vector.ivfBuild(a, dir, nlist = 16)
+    val frozen = spark.read.parquet(s"$dir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    Vector.ivfAppend(spark, dir, b1)
+    Vector.ivfAppend(spark, dir, b2)
+
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_ivf_app2f_").toString
+    Vector.ivfBuild(emb, dirFull, nlist = 16, centroids = Some(frozen))
+    def search(d: String) =
+      Vector.ivfSearch(spark, d, probes, nprobe = 4, k = 10)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    assert(search(dir) == search(dirFull))
+  }
 }

@@ -6,8 +6,13 @@ DuckDB over the same parquet tables and compares results column-sorted-by-name,
 row-by-row. NOT part of the library — a local harness only.
 
 Usage: python3 tools/selfcheck.py [sfDir] [only_query ...]
+
+With SELFCHECK_PRE=<dir> set, the Spark outputs are taken from <dir>
+(written by graft.Verify.dump beforehand) and the sbt step is skipped —
+the mode ScaleUpSpec's derived-fixture fidelity gate uses, where sbt is
+already running the calling test and would deadlock on its own lock.
 """
-import json, math, subprocess, sys, tempfile
+import json, math, os, subprocess, sys, tempfile
 from pathlib import Path
 
 import duckdb
@@ -31,22 +36,32 @@ def norm(v):
 
 
 def main():
-    out = Path(tempfile.mkdtemp(prefix="graft_verify_"))
-    print(f"[selfcheck] verify -> {out}")
-    r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {out}'],
-        capture_output=True, text=True, cwd="/root/repo")
-    if r.returncode != 0:
-        print(r.stdout[-4000:]); print(r.stderr[-4000:])
-        sys.exit(1)
-    for line in r.stderr.splitlines():
-        if "[verify]" in line:
-            print(line)
+    pre = os.environ.get("SELFCHECK_PRE")
+    if pre:
+        out = Path(pre)
+        print(f"[selfcheck] pre-dumped spark outputs <- {out}")
+    else:
+        out = Path(tempfile.mkdtemp(prefix="graft_verify_"))
+        print(f"[selfcheck] verify -> {out}")
+        r = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {out}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stderr.splitlines():
+            if "[verify]" in line:
+                print(line)
 
     oracle = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+        # driver fixtures are single files; Spark-derived dirs (ScaleUp)
+        # are <table>.parquet/part-*.parquet — glob the directory form
+        path = f"{SFDIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
