@@ -56,6 +56,8 @@ object SparkEntry {
     "q90_skyline"          -> ((s, d) => ops.Analytics.q90(s, d)),
     // the same frontier per l_returnflag group (per-category curation)
     "q90b_skyline_grouped" -> ((s, d) => ops.Analytics.q90b(s, d)),
+    // the same frontier through the skew-robust equi-depth bucket split
+    "q90c_skyline_equidepth" -> ((s, d) => ops.Analytics.q90c(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -288,6 +290,8 @@ object SparkEntry {
     "q88_integrity"        -> ops.Analytics.q88Sql,
     "q90_skyline"          -> ops.Analytics.q90Sql,
     "q90b_skyline_grouped" -> ops.Analytics.q90bSql,
+    // q90c shares q90's oracle: same semantics, different physical split
+    "q90c_skyline_equidepth" -> ops.Analytics.q90Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

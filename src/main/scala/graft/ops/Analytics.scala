@@ -1437,9 +1437,10 @@ object Analytics {
     * EQUI-WIDTH on the value range, so it is balanced only for roughly
     * uniform axes; a corpus concentrated in a narrow band lands in one
     * bucket and the local sort degrades toward the global one. The
-    * skew-robust upgrade is equi-depth bounds (approxQuantile cut points
-    * instead of min/max width) — same carry algebra, since only "higher
-    * bucket ⇒ strictly greater `order`" is load-bearing.
+    * skew-robust upgrade is `equiDepth = true`: approxQuantile cut points
+    * instead of min/max width — same carry algebra, since only "higher
+    * bucket ⇒ strictly greater `order`" is load-bearing (AnalyticsSpec
+    * pins both modes equal on a pathologically skewed axis).
     *
     * PRECONDITION: `order` must be non-NULL and finite. A NULL order
     * yields a NULL bucket which the inner equi-join on __sb would
@@ -1451,7 +1452,8 @@ object Analytics {
   private[graft] def suffixCumMax(df: DataFrame, order: String,
       value: String, out: String, nBuckets: Int = 64,
       bounds: Option[(Double, Double)] = None,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil,
+      equiDepth: Boolean = false): DataFrame = {
     // bounds may be precomputed by the caller (skylineOf probes both axes
     // in ONE pass over the base relation — probing here on a derived df
     // would re-execute its whole upstream dataflow just to read min/max).
@@ -1485,8 +1487,29 @@ object Analytics {
     }
     val (mn, mx) = mm
     val width = (mx - mn) / nBuckets
-    val bk = least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
-      lit(nBuckets - 1)).cast("int")
+    // Equi-depth mode (the skew-robust upgrade the header documents): the
+    // bucket key becomes "number of quantile cut points ≤ order" — an
+    // O(nBuckets) codegen'd fold per row against a ≤64-double literal.
+    // Ties still share a bucket (>= against fixed cuts is monotone and
+    // tie-stable) so the carry algebra is untouched; duplicate cuts from
+    // heavy ties dedup away (fewer, fuller buckets — correct, just less
+    // parallel, degrading toward the degenerate branch as the axis
+    // approaches constant). Costs one approxQuantile pass over the input,
+    // which re-executes the upstream dataflow like the bounds probe would
+    // — same caller caveat.
+    val bk =
+      if (!equiDepth)
+        least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
+          lit(nBuckets - 1)).cast("int")
+      else {
+        val cuts = df.select(col(order).cast("double").as("__q"))
+          .stat.approxQuantile("__q",
+            (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+          .distinct.sorted
+        aggregate(typedLit(cuts), lit(0),
+          (acc, c) => acc + when(col(order).cast("double") >= c, 1)
+            .otherwise(0))
+      }
     val bucketed = df.withColumn("__sb", bk)
     val localW = Window.partitionBy(grp :+ col("__sb"): _*)
       .orderBy(col(order).desc)
@@ -1529,7 +1552,8 @@ object Analytics {
     * strictly dominated on (`x` ↑, `y` ↑); all other columns pass through.
     */
   private[graft] def skylineOf(df: DataFrame, x: String, y: String,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil,
+      equiDepth: Boolean = false): DataFrame = {
     // both axes' bucket bounds from ONE bounded probe of the base
     // relation; the same probe counts NULLs on both axes so a NULL-bearing
     // caller fails loudly (suffixCumMax precondition) instead of the
@@ -1544,9 +1568,9 @@ object Analytics {
       else (r.getDouble(i), r.getDouble(i + 1))
     suffixCumMax(
         suffixCumMax(df, order = x, value = y, out = "__my",
-          bounds = Some(b(0)), groupCols = groupCols),
+          bounds = Some(b(0)), groupCols = groupCols, equiDepth = equiDepth),
         order = y, value = x, out = "__mx",
-        bounds = Some(b(2)), groupCols = groupCols)
+        bounds = Some(b(2)), groupCols = groupCols, equiDepth = equiDepth)
       .where(col("__my") <= col(y) && col("__mx") <= col(x))
       .drop("__my", "__mx")
   }
@@ -1576,6 +1600,27 @@ object Analytics {
       col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
     skylineOf(t, x = "price", y = "qty", groupCols = Seq("l_returnflag"))
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
+  /** q90c_skyline_equidepth: q90's frontier through the EQUI-DEPTH bucket
+    * split — the skew-robust form of the suffix-max decomposition
+    * (approxQuantile cut points instead of equi-width ranges, so a corpus
+    * concentrated in a narrow value band still spreads across all
+    * buckets instead of collapsing into one local sort). Identical
+    * semantics and oracle to q90 — the q41/q41b precedent of driver-gating
+    * a second physical strategy for the same operator, so the equi-depth
+    * path is hash-checked against DuckDB rather than only spec-pinned.
+    * Costs two approxQuantile passes (one per axis) that re-execute the
+    * upstream dataflow; a production caller on a skewed 100 TB corpus
+    * caches the input or feeds precomputed cuts — the price buys local
+    * sorts that stay balanced under ANY axis distribution.
+    */
+  def q90c(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").as("price"), col("l_quantity").as("qty"))
+    skylineOf(t, x = "price", y = "qty", equiDepth = true)
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q90bSql: String =

@@ -534,4 +534,50 @@ class AnalyticsSpec extends SparkSuite {
       .select("m").as[Double].collect()
     assert(cm.forall(_ == 4.0))
   }
+
+  test("q90c equi-depth skyline ≡ q90 equi-width on sf0.001 lineitem") {
+    val a = ops.Analytics.q90(spark, sf0001).collect().map(_.toSeq)
+    val b = ops.Analytics.q90c(spark, sf0001).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b),
+      "the equi-depth split changed the frontier")
+  }
+
+  test("suffixCumMax equiDepth: exact on a pathologically skewed axis, " +
+      "and the buckets actually spread") {
+    import spark.implicits._
+    // 99% of the axis crammed into [0, 0.01], a 1% tail out to 1000 —
+    // equi-width sends ~99% of rows to bucket 0 (the degradation the
+    // header documents); equi-depth must stay exact AND spread the mass
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 2000).map { i =>
+      val o = if (i % 100 == 99) rnd.nextDouble() * 1000.0
+              else rnd.nextDouble() * 0.01
+      (o, math.sin(i.toDouble) * 100.0)
+    }
+    val df = data.toDF("o", "v")
+    def run(ed: Boolean) = ops.Analytics.suffixCumMax(
+        df, "o", "v", "m", nBuckets = 16, equiDepth = ed)
+      .select("o", "v", "m").as[(Double, Double, Double)].collect().sorted
+    val ew = run(false)
+    val eq = run(true)
+    assert(ew.sameElements(eq), "equiDepth changed the answer")
+    eq.foreach { case (o, _, m) =>
+      val want = data.filter(_._1 >= o).map(_._2).max
+      assert(m == want, s"suffix max at o=$o: got $m want $want")
+    }
+    // the distributional claim: equi-width concentrates ≥ 90% of rows in
+    // one bucket on this axis; equi-depth's largest bucket holds ≤ 20% —
+    // probed with the same bucket keys the operator computes
+    val mn = data.map(_._1).min; val mx = data.map(_._1).max
+    val w = (mx - mn) / 16
+    val ewMax = data.groupBy(d => math.min(((d._1 - mn) / w).toInt, 15))
+      .values.map(_.size).max.toDouble / data.size
+    assert(ewMax >= 0.9, f"fixture not skewed enough: $ewMax%.2f")
+    val cuts = df.select(col("o")).stat
+      .approxQuantile("o", (1 until 16).map(_ / 16.0).toArray, 0.001)
+      .distinct.sorted
+    val eqMax = data.groupBy(d => cuts.count(_ <= d._1))
+      .values.map(_.size).max.toDouble / data.size
+    assert(eqMax <= 0.2, f"equi-depth failed to spread: $eqMax%.2f")
+  }
 }
