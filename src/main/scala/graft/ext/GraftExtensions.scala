@@ -265,6 +265,27 @@ object GraftFunctions {
     }
   }
 
+  /** `cuts_bucket(value, cuts)` SQL builder: double value, ascending
+    * `array<double>` cut points (the equi-depth bucket key kernel). */
+  def cutsBucketBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "cuts_bucket(value, cuts)")
+    CutsBucket(Cast(args(0), org.apache.spark.sql.types.DoubleType),
+      Cast(args(1), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+  }
+
+  val cutsBucketIdentifier: FunctionIdentifier = FunctionIdentifier("cuts_bucket")
+  val cutsBucketInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[CutsBucket].getName, "cuts_bucket")
+
+  /** Idempotently register `cuts_bucket` on a live session. */
+  def ensureCutsBucket(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(cutsBucketIdentifier)) {
+      reg.registerFunction(cutsBucketIdentifier, cutsBucketInfo, cutsBucketBuilder _)
+    }
+  }
+
   // Spark SHIPS BloomFilterAggregate / BloomFilterMightContain (they power
   // the optimizer's automatic runtime-filter rewrite) but does not register
   // them as SQL functions — x12 registers them under graft_* names to make
@@ -349,6 +370,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.bloomMightContainIdentifier, GraftFunctions.bloomMightContainInfo,
         GraftFunctions.bloomMightContainBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.cutsBucketIdentifier, GraftFunctions.cutsBucketInfo,
+        GraftFunctions.cutsBucketBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

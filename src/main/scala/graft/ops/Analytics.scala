@@ -1453,7 +1453,8 @@ object Analytics {
       value: String, out: String, nBuckets: Int = 64,
       bounds: Option[(Double, Double)] = None,
       groupCols: Seq[String] = Nil,
-      equiDepth: Boolean = false): DataFrame = {
+      equiDepth: Boolean = false,
+      cuts: Option[Array[Double]] = None): DataFrame = {
     // bounds may be precomputed by the caller (skylineOf probes both axes
     // in ONE pass over the base relation — probing here on a derived df
     // would re-execute its whole upstream dataflow just to read min/max).
@@ -1502,13 +1503,22 @@ object Analytics {
         least(floor((col(order).cast("double") - lit(mn)) / lit(width)),
           lit(nBuckets - 1)).cast("int")
       else {
-        val cuts = df.select(col(order).cast("double").as("__q"))
-          .stat.approxQuantile("__q",
-            (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+        // callers composing several passes (skylineOf) precompute `cuts`
+        // on the BASE relation — probing here would re-execute the whole
+        // upstream dataflow per pass, the same reason `bounds` exists
+        val cs = cuts.getOrElse(
+          df.select(col(order).cast("double").as("__q"))
+            .stat.approxQuantile("__q",
+              (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001))
           .distinct.sorted
-        aggregate(typedLit(cuts), lit(0),
-          (acc, c) => acc + when(col(order).cast("double") >= c, 1)
-            .otherwise(0))
+        // native binary-search kernel: the HOF aggregate fold evaluates
+        // its lambda interpreted (HOFs never whole-stage-codegen), which
+        // put a 63-compare interpreted scan on every row of every pass —
+        // cuts_bucket is ⌈log₂ 64⌉ compares inside codegen (ExtSpec pins
+        // value parity with the fold, NaN/tie cases included)
+        graft.ext.GraftFunctions.ensureCutsBucket(df.sparkSession)
+        call_function("cuts_bucket",
+          col(order).cast("double"), typedLit(cs))
       }
     val bucketed = df.withColumn("__sb", bk)
     val localW = Window.partitionBy(grp :+ col("__sb"): _*)
@@ -1566,11 +1576,26 @@ object Analytics {
         s"(${r.getLong(4) - r.getLong(5)}/${r.getLong(4) - r.getLong(6)} rows)")
     def b(i: Int) = if (r.isNullAt(i)) (0.0, 0.0)
       else (r.getDouble(i), r.getDouble(i + 1))
+    // equi-depth: both axes' cut points from ONE approxQuantile pass over
+    // the BASE relation — left inside suffixCumMax, the second pass's
+    // probe would re-execute the first pass's whole plan (measured 3.9×
+    // q90's cost at sf1 before this hoist)
+    val (cutsX, cutsY) =
+      if (!equiDepth) (None, None)
+      else {
+        val qs = df.select(col(x).cast("double").as("__qx"),
+            col(y).cast("double").as("__qy"))
+          .stat.approxQuantile(Array("__qx", "__qy"),
+            (1 until 64).map(_.toDouble / 64).toArray, 0.001)
+        (Some(qs(0)), Some(qs(1)))
+      }
     suffixCumMax(
         suffixCumMax(df, order = x, value = y, out = "__my",
-          bounds = Some(b(0)), groupCols = groupCols, equiDepth = equiDepth),
+          bounds = Some(b(0)), groupCols = groupCols,
+          equiDepth = equiDepth, cuts = cutsX),
         order = y, value = x, out = "__mx",
-        bounds = Some(b(2)), groupCols = groupCols, equiDepth = equiDepth)
+        bounds = Some(b(2)), groupCols = groupCols,
+        equiDepth = equiDepth, cuts = cutsY)
       .where(col("__my") <= col(y) && col("__mx") <= col(x))
       .drop("__my", "__mx")
   }

@@ -327,6 +327,28 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("cuts_bucket == the HOF aggregate fold, ties/extremes/NaN included") {
+    import org.apache.spark.sql.functions.{aggregate, call_function, col, lit,
+      typedLit, when}
+    graft.ext.GraftFunctions.ensureCutsBucket(spark)
+    val cuts = Array(1.0, 2.0, 2.0, 3.5, 10.0).distinct.sorted
+    // values straddling every cut, exact ties, both extremes, and NaN
+    // (Spark ordering: NaN > everything → top bucket)
+    val vals = Seq(0.0, 1.0, 1.5, 2.0, 2.1, 3.5, 9.99, 10.0, 11.0,
+      Double.MinValue, Double.MaxValue, Double.NaN)
+    import spark.implicits._
+    val df = vals.toDF("v")
+    val out = df.select(
+      call_function("cuts_bucket", col("v"), typedLit(cuts)).as("k"),
+      aggregate(typedLit(cuts), lit(0),
+        (acc, c) => acc + when(col("v") >= c, 1).otherwise(0)).as("f"))
+      .collect()
+    out.zip(vals).foreach { case (r, v) =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"kernel ${r.getInt(0)} != fold ${r.getInt(1)} at v=$v")
+    }
+  }
+
   test("every ext expression codegen-compiles — no silent interpreter fallback") {
     // Round-9 review found Quant8Sym/DequantSym emitting a call to a
     // companion helper named `eval`: scalac suppresses the static forwarder
@@ -376,7 +398,9 @@ class ExtSpec extends SparkSuite {
       ("minhash_bands", MinHashBands(ref(0, sa), 32, 8),
         InternalRow(arr(utf("sh a"), utf("sh b"), utf("sh c")))),
       ("word_ngrams", WordNgrams(ref(0, StringType), 3, true),
-        InternalRow(utf("one two three four five"))))
+        InternalRow(utf("one two three four five"))),
+      ("cuts_bucket", CutsBucket(ref(0, DoubleType), ref(1, da)),
+        InternalRow(java.lang.Double.valueOf(2.5), arr(1.0, 2.0, 3.0))))
 
     cases.foreach { case (name, e, row) =>
       val proj =
