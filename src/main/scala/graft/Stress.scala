@@ -233,11 +233,29 @@ object Stress {
         .where(col("__my") <= col("y") && col("__mx") <= col("x"))
         .drop("__my", "__mx")
     }
+    // SKEWED axes: 99% of the mass in a [0, 0.01] sliver, a 1% tail to
+    // 1e6 — the distribution where equi-width collapses ~99% of rows into
+    // ONE bucket (its local sort re-becoming the global sort the
+    // decomposition exists to remove) while equi-depth's quantile cuts
+    // keep all 64 buckets ~balanced
+    def skewed = spark.range(n).select(col("id"),
+      when(pmod(col("id"), lit(100L)) === 99L,
+          abs(sin(col("id") * lit(2.1))) * lit(1e6))
+        .otherwise(abs(sin(col("id") * lit(2.1))) * lit(0.01)).as("x"),
+      when(pmod(col("id"), lit(100L)) === 42L,
+          abs(sin(col("id") * lit(3.7))) * lit(1e6))
+        .otherwise(abs(sin(col("id") * lit(3.7))) * lit(0.01)).as("y"))
     Seq(
       time(s"skyline_bucketed_${n}") {
         noop(ops.Analytics.skylineOf(pts, "x", "y"))
       },
-      time(s"skyline_global_window_${n}") { noop(globalForm) })
+      time(s"skyline_global_window_${n}") { noop(globalForm) },
+      time(s"skyline_skew_equiwidth_${n}") {
+        noop(ops.Analytics.skylineOf(skewed, "x", "y"))
+      },
+      time(s"skyline_skew_equidepth_${n}") {
+        noop(ops.Analytics.skylineOf(skewed, "x", "y", equiDepth = true))
+      })
   }
 
   private def hoppingStage(

@@ -542,6 +542,19 @@ class AnalyticsSpec extends SparkSuite {
       "the equi-depth split changed the frontier")
   }
 
+  test("q90c plan: the bucket key is the cuts_bucket kernel, not an " +
+      "interpreted HOF fold") {
+    // the kernel regression guard: if the equiDepth path ever reverts to
+    // the ArrayAggregate formulation, every row of every pass pays an
+    // interpreted 63-compare scan (measured 2.5x the whole query at sf1)
+    val plan = ops.Analytics.q90c(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cuts_bucket"),
+      "equi-depth bucket key must be the native kernel")
+    assert(!plan.contains("aggregate(lambda"),
+      "no interpreted HOF fold may remain in the bucket path")
+  }
+
   test("suffixCumMax equiDepth: exact on a pathologically skewed axis, " +
       "and the buckets actually spread") {
     import spark.implicits._
