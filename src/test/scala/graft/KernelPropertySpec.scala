@@ -76,4 +76,24 @@ class KernelPropertySpec extends AnyFunSuite {
       SimHashSig.sig(new GenericArrayData(hs.toArray)) == expected
     })
   }
+
+  test("cuts_bucket binary search == the linear count, any sorted cuts") {
+    // the kernel's upper-bound search against the definitional linear
+    // scan "count of cuts ≤ v", over random cut sets (duplicates allowed
+    // pre-sort — the operator dedups, but the search must be right even
+    // on plateaus), values inside/outside/at every cut, and ±∞
+    val gen = for {
+      raw <- Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6))
+      cuts = raw.distinct.sorted
+      v <- Gen.oneOf(
+        Gen.choose(-2e6, 2e6),
+        Gen.oneOf(cuts), // exact tie on a cut
+        Gen.const(Double.NegativeInfinity),
+        Gen.const(Double.PositiveInfinity))
+    } yield (cuts, v)
+    check("cuts_bucket", Prop.forAll(gen) { case (cuts, v) =>
+      graft.ext.CutsBucket.bucket(v,
+        new GenericArrayData(cuts.toArray)) == cuts.count(_ <= v)
+    })
+  }
 }
