@@ -50,6 +50,26 @@ object StreamGates {
   private val Flush = "__flush__"
   private val Chunks = 4
 
+  /** Gate streams run with a RIGHT-SIZED state-store partition count:
+    * a streaming query captures `spark.sql.shuffle.partitions` at start
+    * and pays per-partition state-store fixed costs (provider init,
+    * snapshot, commit) on EVERY micro-batch — at fixture scale, 32
+    * partitions × 6 batches × up to 4 stateful exchanges is almost pure
+    * overhead (the r10 pin measured the five gates at 65.8 s, ~38% of
+    * the whole bench). 8 partitions keep the operators genuinely
+    * distributed (and results identical — these are deterministic
+    * aggregations/joins) while cutting the fixed-cost multiplier 4×; a
+    * production deployment sizes this to data volume, which is exactly
+    * what this does. Restored in a finally so the session's batch
+    * queries are untouched.
+    */
+  private def withGatePartitions[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Feed `rows` through a MemoryStream in `Chunks` order-preserving
     * micro-batches (plus optional flush batches), run `body`, return the
     * finalized memory-sink table. One micro-batch per chunk — each
@@ -63,17 +83,19 @@ object StreamGates {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[T]
     spark.catalog.dropTempView(name)
-    val q = body(input.toDF()).writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
-    try {
-      val size = math.max(1, (rows.length + Chunks - 1) / Chunks)
-      rows.grouped(size).foreach { c =>
-        input.addData(c: _*); q.processAllAvailable()
-      }
-      flushes.foreach { f =>
-        if (f.nonEmpty) { input.addData(f: _*); q.processAllAvailable() }
-      }
-    } finally q.stop()
+    withGatePartitions(spark) {
+      val q = body(input.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        val size = math.max(1, (rows.length + Chunks - 1) / Chunks)
+        rows.grouped(size).foreach { c =>
+          input.addData(c: _*); q.processAllAvailable()
+        }
+        flushes.foreach { f =>
+          if (f.nonEmpty) { input.addData(f: _*); q.processAllAvailable() }
+        }
+      } finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -221,19 +243,21 @@ object StreamGates {
     val impIn = MemoryStream[GateImp]
     val clkIn = MemoryStream[GateClk]
     spark.catalog.dropTempView("gate_x13b")
-    val q = Joins.clickAttribution(impIn.toDF(), clkIn.toDF(),
-        within = "15 minutes", lateness = "10 minutes", leftOuter = false)
-      .writeStream.format("memory").queryName("gate_x13b")
-      .outputMode("append").start()
-    try {
-      (0 until Chunks).foreach { k =>
-        val is = imps.filter(i => sliceOf(i.imp_ts.getTime) == k)
-        val cs = clks.filter(c => sliceOf(c.click_ts.getTime) == k)
-        if (is.nonEmpty) impIn.addData(is: _*)
-        if (cs.nonEmpty) clkIn.addData(cs: _*)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withGatePartitions(spark) {
+      val q = Joins.clickAttribution(impIn.toDF(), clkIn.toDF(),
+          within = "15 minutes", lateness = "10 minutes", leftOuter = false)
+        .writeStream.format("memory").queryName("gate_x13b")
+        .outputMode("append").start()
+      try {
+        (0 until Chunks).foreach { k =>
+          val is = imps.filter(i => sliceOf(i.imp_ts.getTime) == k)
+          val cs = clks.filter(c => sliceOf(c.click_ts.getTime) == k)
+          if (is.nonEmpty) impIn.addData(is: _*)
+          if (cs.nonEmpty) clkIn.addData(cs: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table("gate_x13b")
       .select("user_id", "imp_id", "imp_ts", "click_id", "click_ts")
       .orderBy("imp_id", "click_id")
