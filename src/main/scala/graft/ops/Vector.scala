@@ -905,7 +905,7 @@ object Vector {
     * contract never silently inherits a tunable default that could flip
     * an oversized block onto the recall-lossy LSH handoff). That pin is
     * justified against the fixture, not assumed: `label` is a ~uniform
-    * 10-value key (FIXTURES.md — largest block 59 rows at sf0.01, ~520 at
+    * 10-value key (FIXTURES.md — largest block 59 rows at sf0.01, 218 at
     * sf0.1), so Σ block² is bounded ~10·(n/10)² only at driver SFs where
     * n/10 itself is small; a 100 TB run tunes maxBlockSide to trade the
     * handoff consciously. That trade is MEASURED, not asserted
