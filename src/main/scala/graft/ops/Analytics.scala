@@ -1506,8 +1506,12 @@ object Analytics {
         // callers composing several passes (skylineOf) precompute `cuts`
         // on the BASE relation — probing here would re-execute the whole
         // upstream dataflow per pass, the same reason `bounds` exists
+        // nBuckets < 2 means no interior cut points: skip the quantile
+        // probe (approxQuantile rejects an empty probability list) and
+        // let the empty cut set send every row to bucket 0
         val cs = cuts.getOrElse(
-          df.select(col(order).cast("double").as("__q"))
+          if (nBuckets < 2) Array.empty[Double]
+          else df.select(col(order).cast("double").as("__q"))
             .stat.approxQuantile("__q",
               (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001))
           .distinct.sorted

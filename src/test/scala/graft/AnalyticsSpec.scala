@@ -535,6 +535,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(cm.forall(_ == 4.0))
   }
 
+  test("grouped + equiDepth skyline ≡ per-group brute force (the untested " +
+      "parameter combination)") {
+    import spark.implicits._
+    // GLOBAL quantile cuts with per-group windows: validity rests on the
+    // cuts being constants (monotone in the axis within EVERY group), the
+    // same argument as the equi-width global bounds — pinned here rather
+    // than argued
+    val rows = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)].collect().toSeq
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      bruteSkyline(rs.map(r => (r._2, r._3))).map { case (x, y) => (g, x, y) }
+    }.sorted
+    val t = Tables.lineitem(spark, sf0001).select(
+      col("l_returnflag"), col("l_extendedprice").as("price"),
+      col("l_quantity").as("qty"))
+    val got = ops.Analytics.skylineOf(t, "price", "qty",
+        groupCols = Seq("l_returnflag"), equiDepth = true)
+      .select("l_returnflag", "price", "qty")
+      .as[(String, Double, Double)].collect().sorted.toSeq
+    assert(got == want)
+  }
+
   test("q90c equi-depth skyline ≡ q90 equi-width on sf0.001 lineitem") {
     val a = ops.Analytics.q90(spark, sf0001).collect().map(_.toSeq)
     val b = ops.Analytics.q90c(spark, sf0001).collect().map(_.toSeq)
@@ -592,5 +615,13 @@ class AnalyticsSpec extends SparkSuite {
     val eqMax = data.groupBy(d => cuts.count(_ <= d._1))
       .values.map(_.size).max.toDouble / data.size
     assert(eqMax <= 0.2, f"equi-depth failed to spread: $eqMax%.2f")
+    // nBuckets = 1 in equiDepth mode: no interior cuts, single bucket —
+    // must not hit approxQuantile's empty-probability rejection
+    import spark.implicits._
+    val one = ops.Analytics.suffixCumMax(
+        Seq((1.0, 5.0), (2.0, 3.0)).toDF("o", "v"), "o", "v", "m",
+        nBuckets = 1, equiDepth = true)
+      .select("o", "m").as[(Double, Double)].collect().toMap
+    assert(one(1.0) == 5.0 && one(2.0) == 3.0)
   }
 }

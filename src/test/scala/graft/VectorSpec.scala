@@ -570,6 +570,21 @@ class VectorSpec extends SparkSuite {
       "no delta (odd-id) neighbors surfaced — append wrote nothing?")
   }
 
+  test("ivfAppend: an EMPTY delta leaves search results untouched") {
+    // the no-new-data nightly: append of zero rows must not disturb the
+    // index (a stray overwrite or partition clobber would)
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty_").toString
+    Vector.ivfBuild(emb, dir, nlist = 16)
+    def search() = Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sorted.toSeq
+    val before = search()
+    Vector.ivfAppend(spark, dir, emb.filter(col("vec_id") < 0))
+    assert(search() == before)
+  }
+
   test("ivfAppend: second-generation append stays search-consistent") {
     // two successive deltas — the nightly cadence; associativity of the
     // append under one frozen quantizer
