@@ -354,12 +354,36 @@ object Stress {
       col("id").as("dk"), (col("id") * 3L).as("dval"))
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE arm: Spark 4 ships AQE on by default, but its skew splitter
+    // only fires past skewedPartitionThresholdInBytes (256 MB) — at this
+    // probe's scale the hot partition is ~140 MB, so the "plain" arm is
+    // genuinely unmitigated. This arm lowers the thresholds so the
+    // runtime splitter actually engages, giving the salting-vs-AQE
+    // adjudication a measured basis instead of a doc claim.
+    def withConfs[A](kvs: (String, String)*)(f: => A): A = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
     try Seq(
       time(s"join_hotkey_plain_${n}") {
         noop(fact.join(dim, col("fk") === col("dk")))
       },
       time(s"join_hotkey_salted_${n}") {
         noop(ops.Skew.saltedJoin(fact, dim, "fk", "dk"))
+      },
+      time(s"join_hotkey_aqe_skew_${n}") {
+        withConfs(
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m") {
+          noop(fact.join(dim, col("fk") === col("dk")))
+        }
       })
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }

@@ -57,7 +57,13 @@ object Skew {
     * DETERMINISTIC form for when the skew is known up front, the plan must
     * not depend on runtime stats (AQE only splits when size thresholds
     * trip, and cannot split a shuffle reused by a same-keyed aggregate
-    * above), or the engine runs AQE-off.
+    * above), or the engine runs AQE-off. Measured head-to-head (Stress
+    * salted stage, SCALE.md r11): on a 90%-hot-key join at 50M rows,
+    * plain 21.0 s, salted 8.6 s, AQE-split 3.2 s — AQE wins when it CAN
+    * fire (it splits only the hot partitions, paying no buckets×
+    * replication), so at 100 TB the order of preference is AQE first,
+    * salting for the cases above and for skewed AGGREGATION (where AQE's
+    * join splitter does not apply — that is [[saltedSum]]'s domain).
     */
   def saltedJoin(
       big: DataFrame,
