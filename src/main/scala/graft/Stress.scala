@@ -440,6 +440,13 @@ object Stress {
       time(s"ivf_append_delta_${delta}") {
         ops.Vector.ivfAppend(spark, dir, vecs(vn, vn + delta))
       },
+      // a 10×-smaller second delta: append cost should track the DELTA
+      // (≈ linearly), proving delta-proportionality rather than a fixed
+      // floor — ids disjoint from both the corpus and the first delta
+      time(s"ivf_append_delta_${delta / 10}") {
+        ops.Vector.ivfAppend(spark, dir,
+          vecs(vn + delta, vn + delta + delta / 10))
+      },
       time(s"ivf_rebuild_${vn + delta}") {
         ops.Vector.ivfBuild(vecs(0, vn + delta), dirFull, nlist = 64)
       })
