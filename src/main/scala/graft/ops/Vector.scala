@@ -579,6 +579,36 @@ object Vector {
       .parquet(s"$indexDir/postings")
   }
 
+  /** Small-file compaction for an appended IVF index — the third piece of
+    * the index lifecycle (build → nightly [[ivfAppend]]s → periodic
+    * compact). Every append lays new files into the cell partitions, so a
+    * year of nightlies is ~365 files per cell and the search scan pays
+    * per-file open/footer costs — the classic lake small-files problem.
+    * This rewrites the postings ONE FILE PER CELL (repartition on the
+    * partition column routes each cell to exactly one task) under the
+    * same frozen quantizer, into a temp dir swapped in via FileSystem
+    * rename — readers never observe a partial state on a
+    * rename-atomic FS, and the quantizer/centroids are untouched so
+    * searches before and after are bit-identical (spec-pinned).
+    *
+    * Deliberately NOT a re-cluster: cell membership is preserved
+    * verbatim. Rebalancing a drifted quantizer is `ivfBuild` with fresh
+    * seeding — a different, costlier operation with different semantics.
+    */
+  def ivfCompact(spark: SparkSession, indexDir: String): Unit = {
+    val postings = s"$indexDir/postings"
+    val tmp = s"$indexDir/postings_compacting"
+    spark.read.parquet(postings)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(postings)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction swap failed: could not rename $tmp over $postings")
+  }
+
   /** Search a materialized IVF index ([[ivfBuild]]) — identical results to
     * [[ivfTopK]] at the same (nlist, nprobe, k) on the same corpus (pinned
     * in VectorSpec), but the search plan contains NO corpus-wide stage:

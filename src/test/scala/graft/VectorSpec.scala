@@ -585,6 +585,32 @@ class VectorSpec extends SparkSuite {
     assert(search() == before)
   }
 
+  test("ivfCompact: one file per cell afterwards, search bit-identical") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp_").toString
+    Vector.ivfBuild(emb.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+    Vector.ivfAppend(spark, dir, emb.filter(col("vec_id") % 2 === 1))
+    def search() = Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sorted.toSeq
+    def filesPerCell(): Map[String, Int] = {
+      val base = new java.io.File(s"$dir/postings")
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = search()
+    // the append laid a second file generation into occupied cells
+    assert(filesPerCell().values.exists(_ > 1),
+      "fixture degenerate: append produced no multi-file cell")
+    Vector.ivfCompact(spark, dir)
+    val after = filesPerCell()
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"compaction left multi-file cells: $after")
+    assert(search() == before, "compaction changed search results")
+  }
+
   test("ivfAppend: second-generation append stays search-consistent") {
     // two successive deltas — the nightly cadence; associativity of the
     // append under one frozen quantizer
