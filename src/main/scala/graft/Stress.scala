@@ -447,6 +447,12 @@ object Stress {
         ops.Vector.ivfAppend(spark, dir,
           vecs(vn + delta, vn + delta + delta / 10))
       },
+      // compaction after the two appends: the periodic maintenance job —
+      // should price like ONE read+write of the postings, far under the
+      // rebuild (which re-pays seeding + Lloyd + assignment)
+      time(s"ivf_compact_${vn + delta + delta / 10}") {
+        ops.Vector.ivfCompact(spark, dir)
+      },
       time(s"ivf_rebuild_${vn + delta}") {
         ops.Vector.ivfBuild(vecs(0, vn + delta), dirFull, nlist = 64)
       })
