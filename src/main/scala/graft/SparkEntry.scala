@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Convert.q03(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2.3. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "q01_scan_project"     -> ((s, d) => ops.Relational.q01(s, d)),
     "q02_filter_limit"     -> ((s, d) => ops.Relational.q02(s, d)),
     "q03_convert_currency" -> ((s, d) => ops.Convert.q03(s, d)),
@@ -255,7 +256,13 @@ object SparkEntry {
     // incremental near-dup detection: today's delta probed against the
     // standing corpus LSH buckets — pairs are delta-proportional
     "x21_delta_dedup"      -> ((s, d) => ops.Text.x21(s, d))
-  )
+  ) ++
+    // qh01–qh22: the TPC-H 22 as oracle-gated COMPOSITION queries — every
+    // operator they need is individually green above; these prove the
+    // operators compose under Catalyst (decorrelation, multi-join
+    // ordering, null-aware anti join) with the same DuckDB-hash gate.
+    // See ops/Tpch.scala for the fixture-adaptation contract.
+    ops.Tpch.queries
 
   /** DuckDB-equivalent SQL per declared query (driver's correctness gate). */
   def oracleSql: Map[String, String] = Map(
@@ -382,5 +389,9 @@ object SparkEntry {
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
     "x21_delta_dedup"           -> ops.Text.x21Sql
-  )
+  ) ++
+    // TPC-H composition oracles: the IDENTICAL SQL body each Spark query
+    // runs, under a WITH-prelude restating the derived tables — one text,
+    // two engines, zero drift (ops/Tpch.scala).
+    ops.Tpch.oracles
 }
