@@ -122,6 +122,17 @@ object Bench {
     val floorSec = results.collect {
       case (k, v, _) if floorQs.contains(k) && v >= 0 => v
     }.sum
+    // Subtotal-group names must exist in the results (ADVICE r11): a
+    // renamed/removed member would otherwise silently shrink the subtotal
+    // toward 0 and inflate the derived engine number without any error.
+    // Only enforced on full runs — SPARK_GRAFT_QUERIES subsets legitimately
+    // exclude group members.
+    def assertGroup(label: String, qs: Seq[String]): Unit = if (only.isEmpty) {
+      val missing = qs.toSet -- results.map(_._1).toSet
+      require(missing.isEmpty,
+        s"$label subtotal names absent queries: ${missing.toSeq.sorted.mkString(",")}")
+    }
+    assertGroup("floor", floorQs)
     val floorJson =
       s""""floor":{"queries":${floorQs.map("\"" + _ + "\"").mkString("[", ",", "]")},"sec":${fmt(floorSec, 3)}}"""
     // Harness group (VERDICT r10 #3): the five MemoryStream batch-twin
@@ -136,8 +147,19 @@ object Bench {
     val harnessSec = results.collect {
       case (k, v, _) if harnessQs.contains(k) && v >= 0 => v
     }.sum
+    assertGroup("harness", harnessQs)
     val harnessJson =
       s""""harness":{"queries":${harnessQs.map("\"" + _ + "\"").mkString("[", ",", "]")},"sec":${fmt(harnessSec, 3)}}"""
+    // Steady-state metric beside the protocol median (VERDICT r11 #7):
+    // the r10/r11 x10/x11/q83 analysis showed median-of-3 can land on the
+    // deterministic first-run codegen-compile + JIT tier-up slope for the
+    // largest generated plans. min(runs) is the compile-free floor — the
+    // number to compare round-over-round; the median stays the headline
+    // for protocol continuity.
+    val steadyTotal = results.collect {
+      case (_, v, ts) if v >= 0 && ts.nonEmpty => ts.min
+    }.sum
+    val steadyJson = s""""steady_sec":${fmt(steadyTotal, 3)}"""
     // The harness keeps only the LAST ~2000 chars of output. The raw-times
     // diagnostics line grew past that in round 4 and clipped the headline
     // line out of the capture window — so diagnostics print FIRST and the
@@ -146,8 +168,11 @@ object Bench {
     // flaky map (name -> successful-run count; {} normally) rides on the
     // HEADLINE line too, so partial-failure evidence survives even when the
     // diag line is clipped (ADVICE r5).
+    val steadyMap = results.collect { case (k, v, ts) if v >= 0 && ts.nonEmpty =>
+      "\"" + k + "\":" + fmt(ts.min, 3)
+    }.mkString("{", ",", "}")
     val headline =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,$harnessJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"steady":$steadyMap,$steadyJson,"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,$harnessJson,"sf":"$sfDir"}"""
     println(s"""{"diag":"raw_times","runs":$runs,"times":$rawTimes,"flaky":$flaky}""")
     println(headline)
     // Bare machine-readable copy: sbt wraps stdout in [info]/[success]
@@ -163,7 +188,7 @@ object Bench {
     // null. This line carries the totals (the per-query map lives in the
     // headline above and in bench_out.json) and is ~200 chars, so it
     // survives the window whole and parses no matter how the driver scans.
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,$harnessJson,"sf":"$sfDir","detail":"bench_out.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"flaky":$flaky,"runs":$runs,$floorJson,$harnessJson,$steadyJson,"sf":"$sfDir","detail":"bench_out.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

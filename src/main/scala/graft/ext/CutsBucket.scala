@@ -19,8 +19,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * monotone and tie-stable, so equal inputs land in equal buckets either
   * way).
   *
-  * Contract: `cuts` must be sorted ascending and null-free (callers pass
-  * a `typedLit` of a driver-sorted `Array[Double]`). NaN values land in
+  * Contract: `cuts` must be sorted ascending (ties allowed) and
+  * null/NaN-free. Internal callers pass a `typedLit` of a driver-sorted
+  * `Array[Double]`, but `cuts_bucket` is also registered as a
+  * session-wide SQL function (GraftExtensions), so the contract is
+  * ENFORCED, not assumed (ADVICE r11): the kernel validates the cut
+  * array and throws a named error on an unsorted, null-bearing or
+  * NaN-bearing one — a binary search over such an array would silently
+  * return wrong buckets. Validation is O(cuts) but runs ONCE per
+  * distinct array instance (identity-cached): for the literal-cuts hot
+  * path that is one scan per task, not per row. NaN *values* land in
   * the TOP bucket, matching Spark SQL's ordering (NaN > everything, so
   * the fold's `NaN >= c` is true for every cut) rather than Java's
   * all-comparisons-false — pinned in ExtSpec alongside the finite-domain
@@ -43,11 +51,48 @@ case class CutsBucket(left: Expression, right: Expression)
 }
 
 object CutsBucket {
+  // Identity cache of the last cut array that passed validation. The
+  // common caller binds cuts as a literal, so the SAME ArrayData instance
+  // arrives for every row of a task — one reference compare skips the
+  // O(cuts) scan. Benign race under concurrent tasks: the worst case is
+  // a redundant revalidation, never a skipped one (a thread only stores
+  // an instance IT validated).
+  @volatile private var lastOk: ArrayData = _
+
+  private def validate(cuts: ArrayData): Unit = {
+    var prev = Double.NegativeInfinity
+    var i = 0
+    val n = cuts.numElements()
+    while (i < n) {
+      if (cuts.isNullAt(i)) {
+        throw new IllegalArgumentException(
+          s"cuts_bucket: cut array has a NULL at index $i — cuts must be " +
+            "null-free (a binary search over undefined slots would return " +
+            "silently wrong buckets)")
+      }
+      val x = cuts.getDouble(i)
+      if (java.lang.Double.isNaN(x) || x < prev) {
+        throw new IllegalArgumentException(
+          s"cuts_bucket: cut array is not ascending-sorted and NaN-free " +
+            s"at index $i — sort (and de-NaN) the cuts; an unsorted array " +
+            "would return silently wrong buckets")
+      }
+      prev = x
+      i += 1
+    }
+  }
+
   /** Upper-bound binary search: first index with cuts(i) > v, which IS
     * the count of cuts ≤ v. No boxing — reads doubles straight off the
-    * (Unsafe)ArrayData.
+    * (Unsafe)ArrayData. Throws on an invalid cut array (see class doc);
+    * validation is identity-cached so the literal-cuts hot path pays one
+    * reference compare per row.
     */
   def bucket(v: Double, cuts: ArrayData): Int = {
+    if (cuts ne lastOk) {
+      validate(cuts)
+      lastOk = cuts
+    }
     // Spark SQL ordering: NaN is greater than every value, so it takes
     // the top bucket (Java comparisons would answer false throughout and
     // silently send NaN to bucket 0 instead)

@@ -586,10 +586,23 @@ object Vector {
     * per-file open/footer costs — the classic lake small-files problem.
     * This rewrites the postings ONE FILE PER CELL (repartition on the
     * partition column routes each cell to exactly one task) under the
-    * same frozen quantizer, into a temp dir swapped in via FileSystem
-    * rename — readers never observe a partial state on a
-    * rename-atomic FS, and the quantizer/centroids are untouched so
+    * same frozen quantizer; the quantizer/centroids are untouched so
     * searches before and after are bit-identical (spec-pinned).
+    *
+    * CRASH SAFETY (single-writer semantics — ADVICE r11): the swap is
+    * rename-aside, never delete-then-rename, so EVERY failure point
+    * leaves a complete postings set recoverable on disk:
+    *   write postings_compacting (+_SUCCESS) →
+    *   (1) postings → postings_old → (2) postings_compacting →
+    *   postings → (3) delete postings_old.
+    * A crash before (1) leaves the live postings untouched; between
+    * (1) and (2) the new set is complete at postings_compacting and the
+    * old at postings_old (roll FORWARD); after (2) only the stale
+    * postings_old lingers (cleanup). [[ivfRecover]] heals all three
+    * states and runs automatically at the next compact. One writer at a
+    * time: a concurrent reader can observe a missing canonical path for
+    * the instant between the two renames — schedule compaction in the
+    * maintenance window, as with any lake table rewrite.
     *
     * Deliberately NOT a re-cluster: cell membership is preserved
     * verbatim. Rebalancing a drifted quantizer is `ivfBuild` with fresh
@@ -598,15 +611,56 @@ object Vector {
   def ivfCompact(spark: SparkSession, indexDir: String): Unit = {
     val postings = s"$indexDir/postings"
     val tmp = s"$indexDir/postings_compacting"
+    ivfRecover(spark, indexDir) // heal any interrupted previous swap first
     spark.read.parquet(postings)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(postings)
-    fs.delete(dst, true)
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings_old")
+    require(fs.rename(dst, old),
+      s"compaction swap failed: could not set aside $postings")
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction swap failed: could not rename $tmp over $postings")
+      s"compaction swap failed: could not rename $tmp into place " +
+        s"(complete sets remain at $old and $tmp — run ivfRecover)")
+    fs.delete(old, true)
+  }
+
+  /** Heal an IVF index whose [[ivfCompact]] swap was interrupted. Safe to
+    * run any time (no-op + stray cleanup on a healthy index); ivfCompact
+    * invokes it on entry so a crashed compaction self-heals on retry.
+    * Decision table (dst = postings, old = postings_old,
+    * tmp = postings_compacting):
+    *  - dst exists → healthy; delete stray old/tmp (crash after swap or
+    *    before it began).
+    *  - dst missing, tmp has _SUCCESS → crash between the two renames
+    *    with a COMPLETE new set: roll forward (tmp → dst, drop old).
+    *  - dst missing, old exists → tmp incomplete: roll back
+    *    (old → dst, drop tmp).
+    *  - none of the above → the index never existed or lost its data:
+    *    fail loudly rather than fabricate an empty postings dir.
+    */
+  def ivfRecover(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting")
+    if (fs.exists(dst)) {
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, dst), s"ivfRecover: could not roll $tmp forward")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, dst), s"ivfRecover: could not roll $old back")
+      fs.delete(tmp, true)
+    } else {
+      require(false,
+        s"ivfRecover: no postings at $indexDir in any generation — " +
+          "the index is gone, rebuild with ivfBuild")
+    }
   }
 
   /** Search a materialized IVF index ([[ivfBuild]]) — identical results to

@@ -62,8 +62,24 @@ object StreamGates {
     * production deployment sizes this to data volume, which is exactly
     * what this does. Restored in a finally so the session's batch
     * queries are untouched.
+    *
+    * SINGLE-THREADED assumption (ADVICE r11): the conf mutation is
+    * session-wide, so any query STARTED concurrently on this session
+    * inside the window would also capture 8 partitions. Every harness
+    * that runs the gates (Verify, Bench, the specs) is sequential, and
+    * the require below makes the assumption loud for streams — a second
+    * active streaming query at gate start fails fast instead of silently
+    * capturing the gate sizing. (A dedicated `spark.newSession()` would
+    * scope the conf fully, but the gate bodies join the stream against
+    * batch fixture tables of the parent session — cross-session plan
+    * mixing is its own hazard; explicit sequentiality is the honest
+    * contract here.)
     */
   private def withGatePartitions[A](spark: SparkSession)(f: => A): A = {
+    require(spark.streams.active.isEmpty,
+      "stream gates assume a sequential harness: another streaming query " +
+        s"is active (${spark.streams.active.map(_.name).mkString(", ")}) " +
+        "and would capture the gate's shuffle-partition sizing")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")

@@ -349,6 +349,43 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("cuts_bucket rejects unsorted and null-bearing cut arrays loudly") {
+    // ADVICE r11: cuts_bucket is a session-registered SQL function, so an
+    // arbitrary caller can hand it an unsorted or null-bearing array — a
+    // binary search over one returns silently wrong buckets, and
+    // ArrayData.getDouble on a null slot reads undefined memory. The
+    // kernel must throw a named error, not guess.
+    import org.apache.spark.sql.functions.{call_function, col, typedLit}
+    graft.ext.GraftFunctions.ensureCutsBucket(spark)
+    import spark.implicits._
+    val df = Seq(1.0, 5.0).toDF("v")
+    val unsorted = intercept[Exception] {
+      df.select(call_function("cuts_bucket", col("v"),
+        typedLit(Array(3.0, 1.0, 2.0)))).collect()
+    }
+    assert(unsorted.getMessage.contains("not ascending-sorted") ||
+      Option(unsorted.getCause).exists(_.getMessage.contains("not ascending-sorted")),
+      s"wrong error: ${unsorted.getMessage}")
+    val withNull = intercept[Exception] {
+      df.selectExpr("cuts_bucket(v, array(1.0d, CAST(NULL AS DOUBLE), 3.0d))")
+        .collect()
+    }
+    assert(withNull.getMessage.contains("NULL at index") ||
+      Option(withNull.getCause).exists(_.getMessage.contains("NULL at index")),
+      s"wrong error: ${withNull.getMessage}")
+    val nan = intercept[Exception] {
+      df.select(call_function("cuts_bucket", col("v"),
+        typedLit(Array(1.0, Double.NaN)))).collect()
+    }
+    assert(nan.getMessage.contains("NaN-free") ||
+      Option(nan.getCause).exists(_.getMessage.contains("NaN-free")),
+      s"wrong error: ${nan.getMessage}")
+    // ties inside the cuts stay legal (quantile cut arrays repeat values
+    // pre-distinct) — must not throw
+    df.select(call_function("cuts_bucket", col("v"),
+      typedLit(Array(1.0, 1.0, 2.0)))).collect()
+  }
+
   test("every ext expression codegen-compiles — no silent interpreter fallback") {
     // Round-9 review found Quant8Sym/DequantSym emitting a call to a
     // companion helper named `eval`: scalac suppresses the static forwarder
