@@ -255,7 +255,18 @@ object SparkEntry {
     "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d)),
     // incremental near-dup detection: today's delta probed against the
     // standing corpus LSH buckets — pairs are delta-proportional
-    "x21_delta_dedup"      -> ((s, d) => ops.Text.x21(s, d))
+    "x21_delta_dedup"      -> ((s, d) => ops.Text.x21(s, d)),
+    // x06's exact twin: probing ALL 2^bits buckets degenerates the
+    // SimHash candidate join to brute force — shares x01's oracle, so
+    // the sketch code path itself is driver-gated (q71 precedent)
+    "x06b_ann_simhash_gate" -> ((s, d) => ops.Vector.x06b(s, d)),
+    // x14's exact twin: MG with k >= |bigram space| never evicts, so the
+    // sketch aggregate IS the exact count map — own exact-count oracle
+    "x14b_heavy_hitters_gate" -> ((s, d) => functions.HeavyHitters.x14b(s, d)),
+    // x20's exact twin through the bucketed IVF equi-join (nprobe=nlist
+    // => every pair surfaces once) — shares x20's oracle; retires the
+    // BNLJ whitelist as the only declared semantic-decontamination plan
+    "x20b_embed_decontaminate_bucketed" -> ((s, d) => ops.Vector.x20b(s, d))
   ) ++
     // qh01–qh22: the TPC-H 22 as oracle-gated COMPOSITION queries — every
     // operator they need is individually green above; these prove the
@@ -388,7 +399,11 @@ object SparkEntry {
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
-    "x21_delta_dedup"           -> ops.Text.x21Sql
+    "x21_delta_dedup"           -> ops.Text.x21Sql,
+    // gate twins: the sketch code paths in their degenerate-exact regimes
+    "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
+    "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,
+    "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query
     // runs, under a WITH-prelude restating the derived tables — one text,

@@ -88,4 +88,38 @@ object HeavyHitters {
       .select(explode(col("hh")).as(Seq("gram", "count_lb")))
       .orderBy(desc("count_lb"), asc("gram"))
   }
+
+  /** x14b_heavy_hitters_gate: the Misra–Gries SKETCH code path under the
+    * driver's DuckDB hash gate (VERDICT r11 #2a). MG with k ≥ |type
+    * space| is EXACT: `reduce` never hits the full-summary decrement
+    * (the map holds every key it has seen) and `merge`'s pointwise sum
+    * never exceeds k entries, so the (k+1)-th-largest subtraction never
+    * fires — the summary IS the exact count map, under ANY partitioning.
+    * The fixture vocabulary is a closed 31-word set, so its word-BIGRAM
+    * space is ≤ 961 at every SF; k = 1024 clears it with headroom, and
+    * the oracle is the plain exact bigram count — the same degenerate-
+    * regime pinning q71 used for IVF (probe all cells ⇒ exact). x14
+    * stays the declared sketch form whose k < space guarantee
+    * HeavyHittersSpec pins adversarially.
+    */
+  def x14b(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureWordNgrams(spark)
+    Tables.documents(spark, dir)
+      .select(explode(graft.ops.Text.nativeNgrams(lower(col("text")), 2)).as("g"))
+      .agg(topk_freq(col("g"), 1024).as("hh"))
+      .select(explode(col("hh")).as(Seq("gram", "cnt")))
+      .orderBy(desc("cnt"), asc("gram"))
+  }
+
+  /** Exact bigram counts — x14b's oracle: with k ≥ |bigram space| the MG
+    * summary degenerates to exactly this query.
+    */
+  val x14bSql: String =
+    """SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (
+      |  SELECT w[i] || ' ' || w[i+1] AS gram
+      |  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents),
+      |       unnest(range(1, len(w))) AS u(i))
+      |GROUP BY gram
+      |ORDER BY cnt DESC, gram ASC""".stripMargin
 }

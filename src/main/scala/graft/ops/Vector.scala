@@ -163,7 +163,8 @@ object Vector {
       vecCol: String = "embedding",
       bits: Int = 4,
       k: Int = 10,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      probeAll: Boolean = false): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(corpus.sparkSession)
     graft.ext.GraftFunctions.ensureSimHashBucket(corpus.sparkSession)
     val c = corpus
@@ -174,9 +175,15 @@ object Vector {
       .select(col(idCol).as("probe_id"), col(vecCol).as("p_vec"))
       .withColumn("p_norm", nNorm(col("p_vec")))
       .withColumn("home", simhashBucket(col("p_vec"), dim, bits))
-    // multi-probe: also search every bucket one sign-flip away (Hamming 1)
+    // probeAll: probe every one of the 2^bits buckets — the candidate set
+    // becomes the whole corpus and the SAME bucketed join degenerates to
+    // exact brute-force top-k (x06b's oracle-gate argument, the q71
+    // all-cells-probed precedent); multi-probe: also search every bucket
+    // one sign-flip away (Hamming 1)
     val p =
-      if (!multiProbe) p0.withColumn("bucket", col("home"))
+      if (probeAll) p0.withColumn("bucket",
+        explode(array((0 until (1 << bits)).map(b => lit(b.toLong)): _*)))
+      else if (!multiProbe) p0.withColumn("bucket", col("home"))
       else p0.withColumn("bucket",
         explode(array(col("home") +:
           (0 until bits).map(i => col("home").bitwiseXOR(lit(1L << i))): _*)))
@@ -719,6 +726,21 @@ object Vector {
       .orderBy("probe_id", "rank")
   }
 
+  /** x06b_ann_simhash_gate: x06's EXACT twin through the identical
+    * bucketed-join code path — probing ALL 2^bits buckets makes the
+    * candidate set the whole corpus, so the SimHash plan's output equals
+    * brute-force top-k and SHARES x01's oracle verbatim (VERDICT r11 #2b;
+    * the q71 all-cells-probed precedent). This puts the sketch CODE PATH
+    * (bucket kernel, explode, candidate join, dedup, rank window) under
+    * the driver's hash gate; x06 itself stays the declared approximate
+    * form whose recall floor VectorSpec pins.
+    */
+  def x06b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annTopK(emb, emb.filter(col("vec_id") < 8), dim = 64, probeAll = true)
+      .orderBy("probe_id", "rank")
+  }
+
   /** x11_ann_ivf: the IVF (inverted-file) approximate top-k on the same
     * probe set as x01/x06 — rows-only check (ANN output is not
     * SQL-restatable); recall vs the brute-force baseline is pinned in
@@ -1243,6 +1265,56 @@ object Vector {
     train.crossJoin(broadcast(eval))
       .withColumn("cosine",
         nCos(col("embedding"), col("e_vec"), col("nrm"), col("e_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** x20b_embed_decontaminate_bucketed: x20's exact twin through the
+    * BUCKETED equi-join plan — the declared form of the "big-eval scale
+    * path" that x20's scaladoc previously only argued in prose (VERDICT
+    * r11 #3, retiring the last BNLJ whitelist entry). Both sides
+    * IVF-assign under one deterministic quantizer ([[seedCentroids]],
+    * map-side argmax — zero shuffle); the train side lands in exactly ONE
+    * cell, the eval side probes `nprobe` cells; the pair source is an
+    * equi-join on `cell` — a broadcast HASH join, never a nested loop
+    * (PlanSpec-asserted). With the declared nprobe = nlist every
+    * (train, eval) pair surfaces exactly once (train's one cell is among
+    * the eval copies), so the output is EXACT and SHARES x20's oracle —
+    * q71's all-cells-probed argument. At 100 TB the same plan with
+    * nprobe < nlist is the recall-traded cheap form, and the eval side
+    * stops broadcasting and shuffles on `cell` instead — the join shape
+    * is already the scalable one.
+    */
+  def x20b(
+      spark: SparkSession,
+      dir: String,
+      minCosine: Double = 0.35,
+      nlist: Int = 16,
+      nprobe: Int = 16): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", nNorm(col("embedding")))
+      .filter(col("nrm") > 0) // x20's zero-norm guard, identical
+    val evalSide = e.filter(pmod(col("vec_id"), lit(20L)) === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val trainSide = e.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = seedCentroids(trainSide, nlist, lloydIters = 3)
+    if (cents.isEmpty)
+      return trainSide.select(col("id").as("vec_id"),
+        lit(0L).as("n_eval_hits"), lit(0.0).as("max_cosine")).limit(0)
+    val t = nearestCells(trainSide, cents, 1)
+      .select(col("cell"), col("id").as("vec_id"), col("vec").as("t_vec"))
+      .withColumn("t_nrm", nNorm(col("t_vec")))
+    val ev = nearestCells(evalSide, cents, nprobe)
+      .select(col("cell"), col("id").as("eval_id"), col("vec").as("e_vec"))
+      .withColumn("e_nrm", nNorm(col("e_vec")))
+    t.join(broadcast(ev), Seq("cell"))
+      .withColumn("cosine",
+        nCos(col("t_vec"), col("e_vec"), col("t_nrm"), col("e_nrm")))
       .filter(col("cosine") >= minCosine)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))

@@ -177,6 +177,12 @@ class PlanSpec extends SparkSuite {
         s"$n uses a nested-loop join")
     }
     assert(plan("x01_vector_cosine").contains("BroadcastNestedLoopJoin"))
+    // x20b is the BUCKETED declared alternative to x20's whitelisted BNLJ
+    // (VERDICT r11 #3): same oracle, but the pair source must be a hash
+    // equi-join on the IVF cell — the scalable shape — not a nested loop
+    val p20b = plan("x20b_embed_decontaminate_bucketed")
+    assert(p20b.contains("BroadcastHashJoin"),
+      s"x20b must equi-join on the cell key:\n$p20b")
   }
 
   test("q59/q60: quantization math runs in the native kernels, not the HOF chain") {
