@@ -113,6 +113,10 @@ object SparkEntry {
     // declared query: anti-join a fixture ledger, deterministic cap, q03
     // conversion — runs IncrementalPipeline.pickup, the runBatch primitive
     "q46_incremental_pick" -> ((s, d) => ops.Convert.q46(s, d)),
+    // TWO chained runBatch calls against a temp target/ledger — the
+    // at-least-once -> idempotent-append -> ledger-advance sequence,
+    // final ledger ∪ target state DuckDB-gated (exactly-once EFFECT)
+    "q46b_incremental_two_batch" -> ((s, d) => ops.Convert.q46b(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -341,6 +345,7 @@ object SparkEntry {
     "q44_range_join"       -> ops.RangeJoin.q44Sql,
     "q45_window_range_frame" -> ops.Aggregates.q45Sql,
     "q46_incremental_pick" -> ops.Convert.q46Sql,
+    "q46b_incremental_two_batch" -> ops.Convert.q46bSql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,

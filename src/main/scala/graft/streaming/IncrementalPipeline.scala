@@ -103,7 +103,12 @@ object IncrementalPipeline {
       ledgerDir: String,
       rates: DataFrame,
       batchTs: Timestamp,
-      maxBatch: Int = 30000): BatchResult = {
+      maxBatch: Int = 30000,
+      // the conversion body is pluggable so the DECLARED q46b gate can run
+      // the oracle-parity multiply form (Convert.convertDeclared) through
+      // the SAME pickup→target-append→ledger-append transaction; the
+      // default stays the reference-exact divide form
+      convert: (DataFrame, DataFrame, Timestamp) => DataFrame = convertBatch): BatchResult = {
     recoverLedger(spark, ledgerDir) // repair an interrupted compaction swap
     val source = spark.read.parquet(sourceDir)
     val ledger = readParquetOrEmpty(spark, ledgerDir,
@@ -118,7 +123,7 @@ object IncrementalPipeline {
       if (nPicked == 0) return BatchResult(0, 0) // R6 early exit
 
       // commit order mirrors the reference (:156-157): target THEN ledger
-      convertBatch(picked, rates, batchTs)
+      convert(picked, rates, batchTs)
         .write.mode("append").parquet(targetDir)
       picked.select(col("order_id"), lit(batchTs).as("processed_at"))
         .write.mode("append").parquet(ledgerDir)
