@@ -93,6 +93,10 @@ object ScaleUp {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val out = sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "target/sf1")
+    // SPARK_GRAFT_SCALE_HOT=90 → skewed derivation: 90% of each extra
+    // copy's fact rows route their FK/value mass onto copy-0's key space
+    // (see [[derive]]'s hotPct doc). 0 (default) = the uniform derivation.
+    val hotPct = sys.env.getOrElse("SPARK_GRAFT_SCALE_HOT", "0").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,17 +105,54 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    derive(spark, src, out, copies)
-    println(s"""{"metric":"scaleup","copies":$copies,"src":"$src","out":"$out"}""")
+    derive(spark, src, out, copies, hotPct)
+    println(s"""{"metric":"scaleup","copies":$copies,"hot":$hotPct,"src":"$src","out":"$out"}""")
     spark.stop()
   }
 
   /** The whole derivation, callable from specs (ScaleUpSpec pins the
     * fidelity contract the header documents).
+    *
+    * SKEW MODE (`hotPct` > 0, VERDICT r11 #5): the uniform copy-shift
+    * preserves relative key frequencies but cannot create NEW hot-key
+    * mass — and this round's own measurements (skyline equi-width 237.9 s
+    * vs equi-depth 21.0 s; salted join 2.5–8.6×) prove skew flips
+    * winners. With hotPct = p, each extra copy (k ≥ 1) routes p% of its
+    * fact rows — selected by a deterministic key hash — back onto
+    * COPY-0's key space instead of their own shifted keys:
+    *   - orders: o_custkey unshifted (hot customers → hot nations →
+    *     hot currencies for the as-of family);
+    *   - lineitem: l_orderkey / l_suppkey unshifted (join fan-in), and
+    *     l_extendedprice squashed into a narrow value band (the median /
+    *     skyline / winsorize axis concentrates — the q90c regime);
+    *   - orders o_totalprice: same band squash (q34's axis);
+    *   - events: user_id unshifted (sessionize hot users).
+    * At copies = 10, p = 90 puts ~91% of fact mass on ~10% of the key
+    * space (hot keys ≈ 9.1× their uniform weight) — a zipf-head shape.
+    * PRIMARY keys always shift (uniqueness is invariant); dims are
+    * untouched, so referential integrity holds (copy-0 targets exist).
+    * Bench-only, like the uniform mode: the point is measuring which
+    * plans survive the skewed regime, not oracle comparison.
     */
-  def derive(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def derive(spark: SparkSession, src: String, out: String, copies: Int,
+      hotPct: Int = 0): Unit = {
+    require(hotPct >= 0 && hotPct < 100, s"hotPct must be in [0,100): $hotPct")
     def off(c: String, k: Int, stride: Long): Column =
       col(c) + lit(k * stride)
+    // deterministic per-row hot choice for copy k>0: murmur3 of the row's
+    // primary key — stable across runs, independent of partitioning
+    def hot(keyCol: String): Column = pmod(hash(col(keyCol)), lit(100)) < hotPct
+    // FK shift that keeps p% of rows on the copy-0 target space
+    def offSkew(c: String, k: Int, stride: Long, keyCol: String): Column =
+      if (hotPct == 0 || k == 0) off(c, k, stride)
+      else when(hot(keyCol), col(c)).otherwise(off(c, k, stride))
+    // value-band squash: hot rows concentrate in [500, 501) with the
+    // fractional part kept for tie diversity — the 99%-head value regime
+    // the q90c stress measured
+    def squash(c: String, k: Int, keyCol: String): Column =
+      if (hotPct == 0 || k == 0) col(c)
+      else when(hot(keyCol), lit(500.0) + (col(c) - floor(col(c))))
+        .otherwise(col(c))
     def write(df: DataFrame, table: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$out/$table.parquet")
@@ -140,17 +181,19 @@ object ScaleUp {
       df.withColumn("p_partkey", off("p_partkey", k, s))
     }, "part", math.max(1, copies / 5))
     write(scaled(spark, src, "orders", copies) { (df, k, s) =>
-      df.withColumn("o_orderkey", off("o_orderkey", k, s))
-        .withColumn("o_custkey", off("o_custkey", k, custN))
+      df.withColumn("o_custkey", offSkew("o_custkey", k, custN, "o_orderkey"))
+        .withColumn("o_totalprice", squash("o_totalprice", k, "o_orderkey"))
+        .withColumn("o_orderkey", off("o_orderkey", k, s)) // PK: last, always shifted
     }, "orders", copies)
     write(scaled(spark, src, "lineitem", copies) { (df, k, s) =>
-      df.withColumn("l_orderkey", off("l_orderkey", k, ordN))
+      df.withColumn("l_orderkey", offSkew("l_orderkey", k, ordN, "l_orderkey"))
         .withColumn("l_partkey", off("l_partkey", k, partN))
-        .withColumn("l_suppkey", off("l_suppkey", k, suppN))
+        .withColumn("l_suppkey", offSkew("l_suppkey", k, suppN, "l_suppkey"))
+        .withColumn("l_extendedprice", squash("l_extendedprice", k, "l_orderkey"))
     }, "lineitem", copies * 2)
     write(scaled(spark, src, "events", copies) { (df, k, s) =>
-      df.withColumn("event_id", off("event_id", k, s))
-        .withColumn("user_id", off("user_id", k, userStride))
+      df.withColumn("user_id", offSkew("user_id", k, userStride, "event_id"))
+        .withColumn("event_id", off("event_id", k, s)) // PK: always shifted
     }, "events", copies)
     write(scaled(spark, src, "documents", copies) { (df, k, s) =>
       df.withColumn("doc_id", off("doc_id", k, s))

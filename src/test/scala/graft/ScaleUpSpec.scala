@@ -94,6 +94,41 @@ class ScaleUpSpec extends SparkSuite {
     }
   }
 
+  test("skew mode: hot mass concentrates on copy-0 keys, PKs stay unique") {
+    // VERDICT r11 #5: the uniform derivation cannot create NEW hot-key
+    // mass; hotPct=90 must route ~91% of fact rows onto copy-0's key
+    // space ((1 + 4·0.9)/5 at copies=5) while primary keys stay unique
+    // and referential integrity holds (copy-0 targets exist)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scaleup_skew_").toString
+    ScaleUp.derive(spark, sf0001, dir, copies = 5, hotPct = 90)
+    def d(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    val custN = base("customer").count()
+    val o = d("orders")
+    assert(o.count() == 5 * base("orders").count())
+    assert(o.select("o_orderkey").distinct().count() == o.count(),
+      "orders PK must stay unique in skew mode")
+    val hotShare = o.filter(col("o_custkey") < custN).count().toDouble / o.count()
+    assert(hotShare > 0.8 && hotShare < 0.99,
+      s"expected ~0.91 of order mass on copy-0 customers, got $hotShare")
+    // referential integrity: every o_custkey resolves
+    assert(o.join(d("customer"), o("o_custkey") === col("c_custkey"),
+      "left_anti").isEmpty, "skewed orders must keep FK integrity")
+    // the value axis concentrates: the squash band holds the hot head
+    val li = d("lineitem")
+    val bandShare = li.filter(col("l_extendedprice") >= 500 &&
+      col("l_extendedprice") < 501).count().toDouble / li.count()
+    assert(bandShare > 0.6, s"expected a value-head band, got $bandShare")
+    // events: user_id mass concentrates, event_id unique
+    val ev = d("events")
+    assert(ev.select("event_id").distinct().count() == ev.count())
+    val userStride = base("events").agg(max(col("user_id"))).head().getLong(0) + 1
+    val hotUsers = ev.filter(col("user_id") < userStride).count().toDouble / ev.count()
+    assert(hotUsers > 0.8, s"expected hot sessionize users, got $hotUsers")
+    // hotPct=0 path is untouched: the lazy `out` fixture above already
+    // pins the uniform contract for the same code
+  }
+
   test("timestamps are densified, not shifted: same span at 12x event density") {
     val Array(b0) = base("events").agg(min("ts"), max("ts")).collect()
     val Array(s0) = t("events").agg(min("ts"), max("ts")).collect()
