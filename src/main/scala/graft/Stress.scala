@@ -70,7 +70,8 @@ object Stress {
       want("hopping") { hoppingStage(spark, n) } ++
       want("ledger") { ledgerCompactionStage(spark, n) } ++
       want("skyline") { skylineStage(spark, n) } ++
-      want("ivfappend") { ivfAppendStage(spark, n / 10) }
+      want("ivfappend") { ivfAppendStage(spark, n / 10) } ++
+      want("decon") { deconStage(spark, n / 10) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -100,6 +101,50 @@ object Stress {
       },
       time(s"ivf_assign_shuffle_${vn}") {
         noop(ops.Vector.nearestCellShuffle(vecs, centsDf, 1))
+      })
+  }
+
+  /** Semantic decontamination at corpus scale (default 1M 64-dim train
+    * vectors, 1%-of-train eval slice): the BNLJ broadcast form (x20's
+    * declared plan) vs the bucketed equi-join ([[ops.Vector
+    * .decontaminateBucketed]]) exact (nprobe = nlist — same pair count,
+    * hash-join generation) and approximate (nprobe = nlist/4 — the
+    * recall-traded knob whose candidate volume is nprobe/nlist of the
+    * exact form's). The measured gaps price the x20b contract: what the
+    * hash join saves at equal pair count, and what the knob buys when
+    * approximate is acceptable (VERDICT r11 #3's scale argument, as a
+    * number instead of prose).
+    */
+  private def deconStage(
+      spark: SparkSession, vn: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def vecs = spark.range(vn).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        d => sin(col("id") * 64 + d).cast("float")).as("vec"))
+    def trainSide = vecs.filter(pmod(col("id"), lit(100L)) =!= 0)
+    def evalSide = vecs.filter(pmod(col("id"), lit(100L)) === 0)
+      .select(col("id").as("eval_id"), col("vec").as("e_vec"))
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    Seq(
+      time(s"decon_bnlj_${vn}") {
+        val t = trainSide.withColumn("nrm", ops.Vector.nNorm(col("vec")))
+        val e = evalSide.withColumn("e_nrm", ops.Vector.nNorm(col("e_vec")))
+        noop(t.crossJoin(broadcast(e))
+          .withColumn("cosine", ops.Vector.nCos(col("vec"), col("e_vec"),
+            col("nrm"), col("e_nrm")))
+          .filter(col("cosine") >= 0.35)
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine")))
+      },
+      time(s"decon_bucketed_exact_${vn}") {
+        noop(ops.Vector.decontaminateBucketed(trainSide,
+          evalSide.select(col("eval_id").as("id"), col("e_vec").as("vec")),
+          minCosine = 0.35, nlist = 16, nprobe = 16))
+      },
+      time(s"decon_bucketed_nprobe4_${vn}") {
+        noop(ops.Vector.decontaminateBucketed(trainSide,
+          evalSide.select(col("eval_id").as("id"), col("e_vec").as("vec")),
+          minCosine = 0.35, nlist = 16, nprobe = 4))
       })
   }
 

@@ -44,9 +44,9 @@ object Vector {
   // of the interpreted higher-order fold — bit-identical results (same IEEE
   // operation order, pinned in ExtSpec), one tight loop per row. Entry
   // points register the function idempotently on the input's session.
-  private def nDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
-  private def nNorm(a: Column): Column = sqrt(nDot(a, a))
-  private def nCos(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[graft] def nDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  private[graft] def nNorm(a: Column): Column = sqrt(nDot(a, a))
+  private[graft] def nCos(a: Column, b: Column, na: Column, nb: Column): Column =
     nDot(a, b) / (na * nb)
 
   /** SimHash-style bucket id: sign bits of the vector against `bits`
@@ -1293,6 +1293,8 @@ object Vector {
       minCosine: Double = 0.35,
       nlist: Int = 16,
       nprobe: Int = 16): DataFrame = {
+    // register BEFORE the first nNorm use: DataFrame transforms analyze
+    // eagerly, so the function must exist when the filter below builds
     graft.ext.GraftFunctions.ensureVecDot(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -1302,6 +1304,25 @@ object Vector {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val trainSide = e.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    decontaminateBucketed(trainSide, evalSide, minCosine, nlist, nprobe)
+      .orderBy("vec_id")
+  }
+
+  /** The generic bucketed decontamination behind [[x20b]]: flag every
+    * train vector with an eval-slice neighbor at cosine ≥ `minCosine`,
+    * candidates generated by a hash equi-join on the IVF cell (both
+    * sides under one frozen quantizer; train assigned to 1 cell, eval
+    * probing `nprobe`). nprobe = nlist ⇒ exact; nprobe < nlist is the
+    * recall-traded cheap form. Inputs are (id, vec); zero-norm rows must
+    * be pre-filtered by the caller's policy (x20b drops them).
+    */
+  def decontaminateBucketed(
+      trainSide: DataFrame,
+      evalSide: DataFrame,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 16): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(trainSide.sparkSession)
     val cents = seedCentroids(trainSide, nlist, lloydIters = 3)
     if (cents.isEmpty)
       return trainSide.select(col("id").as("vec_id"),
@@ -1318,7 +1339,6 @@ object Vector {
       .filter(col("cosine") >= minCosine)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))
-      .orderBy("vec_id")
   }
 
   /** x01Sql's fold over the id-modulus slice split — same pair order,
