@@ -267,6 +267,10 @@ object SparkEntry {
     // x14's exact twin: MG with k >= |bigram space| never evicts, so the
     // sketch aggregate IS the exact count map — own exact-count oracle
     "x14b_heavy_hitters_gate" -> ((s, d) => functions.HeavyHitters.x14b(s, d)),
+    // x09's exact twin: GK sketch with accuracy=MaxInt never compresses,
+    // so the quantile query returns exactly the rank-ceil(p*n) element —
+    // oracle selects that rank explicitly
+    "x09b_approx_percentile_gate" -> ((s, d) => ops.Sketches.x09b(s, d)),
     // x20's exact twin through the bucketed IVF equi-join (nprobe=nlist
     // => every pair surfaces once) — shares x20's oracle; retires the
     // BNLJ whitelist as the only declared semantic-decontamination plan
@@ -408,6 +412,7 @@ object SparkEntry {
     // gate twins: the sketch code paths in their degenerate-exact regimes
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,
+    "x09b_approx_percentile_gate" -> ops.Sketches.x09bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

@@ -53,6 +53,48 @@ object Sketches {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  /** x09b_approx_percentile_gate: the GK quantile-sketch code path in its
+    * EXACT regime, under the driver's hash gate (the x06b/x14b/q71
+    * degenerate-regime pattern). With accuracy = Int.MaxValue the
+    * summary's compression threshold 2·ε·n stays below 1 for any n <
+    * ~10⁹, so no sample is ever dropped through inserts OR merges and
+    * the query returns EXACTLY the element at rank ⌈p·n⌉ under any
+    * partitioning (pinned empirically across tie/edge cases; Spark's
+    * rank rule differs from DuckDB's quantile_disc — ⌈p·n⌉ vs
+    * ⌊p·(n−1)⌋+1 — so the oracle selects the rank explicitly instead of
+    * calling quantile_disc). The output values are input doubles, hence
+    * bit-exact cross-engine. x09 stays the declared sketch form — this
+    * twin pins the same aggregate expression tree (buffer, partial
+    * merge, query) where the sketch math cannot hide; memory in this
+    * regime is O(group) per group, which is exactly why x09's declared
+    * form keeps accuracy 10⁴ for the 100 TB shape.
+    */
+  def x09b(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(Int.MaxValue))
+          .as("approx_median"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(Int.MaxValue))
+          .as("approx_p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Exact rank-⌈p·n⌉ selection — x09b's oracle. */
+  val x09bSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS rnk,
+      |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |       max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS approx_median,
+      |       max(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS approx_p90,
+      |       CAST(max(n) AS BIGINT) AS n_orders
+      |FROM ranked
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** x18_sketch_columns: MATERIALIZED, MERGEABLE sketch columns — the
     * 100 TB pattern x05's inline aggregate only hints at: per-day
     * Datasketches HLL sketches stored AS COLUMNS (one binary per day),

@@ -31,6 +31,34 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("x09b exact regime: accuracy=MaxInt returns the rank-ceil(p*n) element bit-exactly") {
+    import org.apache.spark.sql.functions._
+    // independent exact computation: sort each group, pick rank ceil(p*n)
+    val byGroup = graft.Tables.orders(spark, sf001)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted
+      }
+    def rankEl(xs: Array[Double], p: Double): Double =
+      xs(math.ceil(p * xs.length).toInt - 1)
+    val got = ops.Sketches.x09b(spark, sf001).collect()
+    assert(got.length == byGroup.size)
+    got.foreach { r =>
+      val xs = byGroup(r.getString(0))
+      assert(r.getDouble(1) == rankEl(xs, 0.5), s"${r.getString(0)} median")
+      assert(r.getDouble(2) == rankEl(xs, 0.9), s"${r.getString(0)} p90")
+      assert(r.getLong(3) == xs.length)
+    }
+    // adversarial partitioning: the merge path must not change the answer
+    // (no compression ever fires, so partials concatenate losslessly)
+    val repart = graft.Tables.orders(spark, sf001).repartition(7)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(Int.MaxValue))
+        .as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byGroup.foreach { case (k, xs) => assert(repart(k) == rankEl(xs, 0.5)) }
+  }
+
   test("x18 sketch columns: per-day estimates within HLL error; union answers ranges") {
     val rows = ops.Sketches.x18(spark, sf001).collect()
     val (grand, daily) = rows.partition(_.isNullAt(0))
