@@ -230,6 +230,10 @@ object SparkEntry {
     "x12_bloom_semi"       -> ((s, d) => ops.Relational.x12(s, d)),
     // IVF ANN: rows-only (approximate output); recall pinned in VectorSpec
     "x11_ann_ivf"          -> ((s, d) => ops.Vector.x11(s, d)),
+    // x11's exact twin: nprobe=nlist probes every cell, so the same
+    // quantize-assign-join pipeline degenerates to brute-force top-k —
+    // shares x01's oracle (q71 gates the persisted-index analog)
+    "x11b_ann_ivf_gate"    -> ((s, d) => ops.Vector.x11b(s, d)),
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
     // HeavyHittersSpec against exact counts
@@ -413,6 +417,7 @@ object SparkEntry {
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,
     "x09b_approx_percentile_gate" -> ops.Sketches.x09bSql,
+    "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

@@ -756,6 +756,26 @@ object Vector {
       .orderBy("probe_id", "rank")
   }
 
+  /** x11b_ann_ivf_gate: x11's EXACT twin through the identical on-the-fly
+    * [[ivfTopK]] code path — probing ALL nlist cells (nprobe = nlist)
+    * makes the candidate set the whole corpus: every corpus vector sits
+    * in exactly one cell (nearestCells(..., 1)), every probe carries a
+    * row for every cell, so the cell equi-join surfaces each
+    * (probe, neighbor) pair exactly once and the plan's output equals
+    * brute-force top-k — SHARES x01's oracle verbatim (the x06b/x20b
+    * argument applied to the quantizer join; q71 gates the same regime
+    * for the PERSISTED-index ivfSearch path, this twin gates the
+    * in-memory quantize-assign-join pipeline x11 declares). x11 stays the
+    * declared nprobe < nlist sketch whose recall floor VectorSpec pins;
+    * at scale nprobe/nlist is the fraction of the corpus each probe
+    * touches, which is the entire point of the IVF shape.
+    */
+  def x11b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopK(emb, emb.filter(col("vec_id") < 8), nlist = 16, nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
   /** x08_cosine_blocked: metadata-blocked pairwise cosine — every
     * same-`label` pair of embeddings with cosine ≥ 0.35 (this corpus has
     * no true near-dups; cosinePairs' 0.95 path is planted-pair tested).

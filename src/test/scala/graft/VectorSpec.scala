@@ -124,6 +124,15 @@ class VectorSpec extends SparkSuite {
     assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("x11b full-probe IVF equals brute-force top-k row for row") {
+    // nprobe = nlist: the candidate set is the whole corpus, so the same
+    // quantize-assign-join pipeline must reproduce x01 exactly (cosines
+    // bit-identical — same nCos kernel on the same pairs)
+    val brute = Vector.x01(spark, sf001).collect().map(_.toString).toSeq
+    val full = Vector.x11b(spark, sf001).collect().map(_.toString).toSeq
+    assert(full == brute)
+  }
+
   test("oversized block hands off to LSH: same planted pairs, bounded candidates") {
     import spark.implicits._
     // 4 tight clusters of 10 vectors in ONE 40-row block: every
