@@ -218,6 +218,10 @@ object SparkEntry {
     "x01_vector_cosine"    -> ((s, d) => ops.Vector.x01(s, d)),
     "x02_minhash_dedup"    -> ((s, d) => ops.Text.x02(s, d)),
     "x05_approx_distinct"  -> ((s, d) => ops.Sketches.x05(s, d)),
+    // x05's exact twin: theta sketch below its nominal k retains every
+    // hash (theta=1), so the native TypedImperativeAggregate's estimate
+    // IS the exact distinct count — gated vs count(DISTINCT)
+    "x05b_approx_distinct_gate" -> ((s, d) => ops.Sketches.x05b(s, d)),
     "x09_approx_percentile" -> ((s, d) => ops.Sketches.x09(s, d)),
     "x06_ann_simhash"      -> ((s, d) => ops.Vector.x06(s, d)),
     "x07_simhash_dedup"    -> ((s, d) => ops.Text.x07(s, d)),
@@ -417,6 +421,7 @@ object SparkEntry {
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,
     "x09b_approx_percentile_gate" -> ops.Sketches.x09bSql,
+    "x05b_approx_distinct_gate" -> ops.Sketches.x05bSql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++

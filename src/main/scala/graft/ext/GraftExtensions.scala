@@ -313,6 +313,33 @@ object GraftFunctions {
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "graft_might_contain")
 
+  def thetaDistinctBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_distinct(longCol, lgK)")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val lgK = args(1) match {
+      case e if e.foldable && (e.dataType == IntegerType || e.dataType == LongType ||
+          e.dataType == ShortType || e.dataType == ByteType) =>
+        e.eval().asInstanceOf[Number].intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"theta_distinct lgK must be a foldable integer, got $other")
+    }
+    ThetaDistinctAgg(Cast(args(0), LongType), lgK).toAggregateExpression()
+  }
+
+  val thetaDistinctIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_distinct")
+  val thetaDistinctInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaDistinctAgg].getName, "theta_distinct")
+
+  def ensureThetaDistinct(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(thetaDistinctIdentifier)) {
+      reg.registerFunction(thetaDistinctIdentifier, thetaDistinctInfo,
+        thetaDistinctBuilder _)
+    }
+  }
+
   /** Idempotently register the bloom pair on a live session. */
   def ensureBloom(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -364,6 +391,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.wordNgramsIdentifier, GraftFunctions.wordNgramsInfo,
         GraftFunctions.wordNgramsBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaDistinctIdentifier, GraftFunctions.thetaDistinctInfo,
+        GraftFunctions.thetaDistinctBuilder _))
     ext.injectFunction(
       (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
         GraftFunctions.bloomAggBuilder _))

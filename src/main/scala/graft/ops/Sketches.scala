@@ -31,6 +31,43 @@ object Sketches {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** x05b_approx_distinct_gate: the distinct-sketch shape in an EXACT
+    * regime, under the driver's hash gate — via [[graft.ext.ThetaDistinctAgg]]
+    * (theta, not HLL: HLL has no exact regime, theta does). With lgK = 21
+    * every partial and their union retain < 2²¹ hashes at any driver SF,
+    * so θ stays 1 and the estimate is exactly the number of distinct
+    * inputs (modulo deterministic 64-bit hash collisions — stated in the
+    * aggregate's doc, probability ~n²/2⁶⁵). This puts the full
+    * TypedImperativeAggregate path — buffer create, per-row update,
+    * compact-sketch serialize, shuffle, union merge — under the DuckDB
+    * count(DISTINCT) oracle; x05 stays the declared HLL++ sketch whose
+    * error SketchesSpec pins. The honest price, stated: exact-regime
+    * memory is O(distinct) per group — which is exactly why the declared
+    * forms keep bounded-k sketches for the 100 TB shape.
+    */
+  def x05b(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        call_function("theta_distinct", col("l_orderkey"), lit(21))
+          .as("distinct_orders"),
+        call_function("theta_distinct", col("l_partkey"), lit(21))
+          .as("distinct_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact distinct counts — x05b's oracle. */
+  val x05bSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS distinct_orders,
+      |       count(DISTINCT l_partkey) AS distinct_parts,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** x09_approx_percentile: quantile SKETCH next to q34/q34b's exact ranks
     * — the third point on the median-at-scale spectrum. q34 sorts whole
     * groups on 3 reducers (correct, serializes at 100×); q34b counts

@@ -59,6 +59,45 @@ class SketchesSpec extends SparkSuite {
     byGroup.foreach { case (k, xs) => assert(repart(k) == rankEl(xs, 0.5)) }
   }
 
+  test("x05b exact regime: theta estimate equals count(distinct) under any partitioning") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = ops.Sketches.x05b(spark, sf001).collect()
+    assert(got.length == exact.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == exact(r.getString(0)),
+        s"group ${r.getString(0)}")
+    }
+    // adversarial partitioning: 13-way repartition changes which partials
+    // exist, but every union stays under k so the merge is lossless
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val repart = graft.Tables.lineitem(spark, sf001).repartition(13)
+      .groupBy(col("l_returnflag"))
+      .agg(call_function("theta_distinct", col("l_orderkey"), lit(21)).as("o"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, (o, _, _)) => assert(repart(k) == o) }
+  }
+
+  test("theta_distinct estimation regime: above k the estimate stays within 3/sqrt(k)") {
+    import org.apache.spark.sql.functions._
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    // lgK=10 (k=1024) against ~15k distinct orderkeys: well past nominal,
+    // so this exercises the sampling (theta < 1) path incl. merge trimming
+    val r = graft.Tables.lineitem(spark, sf001).repartition(13)
+      .agg(call_function("theta_distinct", col("l_orderkey"), lit(10)).as("est"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()(0)
+    val (est, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(exact > 2048, s"fixture too small to leave the exact regime: $exact")
+    val relErr = math.abs(est / exact - 1.0)
+    assert(relErr < 3.0 / math.sqrt(1024.0), s"rel err $relErr")
+  }
+
   test("x18 sketch columns: per-day estimates within HLL error; union answers ranges") {
     val rows = ops.Sketches.x18(spark, sf001).collect()
     val (grand, daily) = rows.partition(_.isNullAt(0))
