@@ -246,9 +246,16 @@ object SparkEntry {
     // to range answers without rescanning events (rows-only; error pinned
     // in SketchesSpec)
     "x18_sketch_columns"   -> ((s, d) => ops.Sketches.x18(s, d)),
+    // x18's exact twin: theta sketch columns at lgK=21 — build, binary
+    // materialization, union re-aggregation and scalar estimate all in
+    // the exact regime, gated vs count(DISTINCT)
+    "x18b_sketch_columns_gate" -> ((s, d) => ops.Sketches.x18b(s, d)),
     // q86's profile with HLL-sketch distinct counts — the 100 TB stats
     // pass (rows-only; 3-sigma bound vs exact q86 pinned in SketchesSpec)
     "x19_profile_sketch"   -> ((s, d) => ops.Sketches.x19(s, d)),
+    // x19's exact twin: theta_distinct over the bijective string cast in
+    // the exact regime — equals the exact profile, shares q86's oracle
+    "x19b_profile_sketch_gate" -> ((s, d) => ops.Sketches.x19b(s, d)),
     // Streaming gates (round 10): each production streaming operator fed
     // the REAL fixture through a MemoryStream in chronological
     // micro-batches, its finalized sink oracle-compared against the batch
@@ -422,6 +429,8 @@ object SparkEntry {
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,
     "x09b_approx_percentile_gate" -> ops.Sketches.x09bSql,
     "x05b_approx_distinct_gate" -> ops.Sketches.x05bSql,
+    "x18b_sketch_columns_gate"  -> ops.Sketches.x18bSql,
+    "x19b_profile_sketch_gate"  -> ops.Analytics.q86Sql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++

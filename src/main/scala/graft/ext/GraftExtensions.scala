@@ -313,30 +313,79 @@ object GraftFunctions {
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "graft_might_contain")
 
-  def thetaDistinctBuilder(args: Seq[Expression]): Expression = {
-    require(args.length == 2, "theta_distinct(longCol, lgK)")
+  /** Foldable-int lgK extraction shared by the theta builders. */
+  private def thetaLgK(fn: String, e: Expression): Int = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val lgK = args(1) match {
-      case e if e.foldable && (e.dataType == IntegerType || e.dataType == LongType ||
-          e.dataType == ShortType || e.dataType == ByteType) =>
-        e.eval().asInstanceOf[Number].intValue()
+    e match {
+      case l if l.foldable && (l.dataType == IntegerType || l.dataType == LongType ||
+          l.dataType == ShortType || l.dataType == ByteType) =>
+        val k = l.eval().asInstanceOf[Number].intValue()
+        require(k >= 4 && k <= 26, s"$fn lgK out of [4,26]: $k")
+        k
       case other =>
         throw new IllegalArgumentException(
-          s"theta_distinct lgK must be a foldable integer, got $other")
+          s"$fn lgK must be a foldable integer, got $other")
     }
-    ThetaDistinctAgg(Cast(args(0), LongType), lgK).toAggregateExpression()
+  }
+
+  def thetaDistinctBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_distinct(col, lgK)")
+    ThetaDistinctAgg(args(0), thetaLgK("theta_distinct", args(1)))
+      .toAggregateExpression()
+  }
+
+  def thetaSketchAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_sketch_agg(col, lgK)")
+    ThetaSketchAgg(args(0), thetaLgK("theta_sketch_agg", args(1)))
+      .toAggregateExpression()
+  }
+
+  def thetaUnionAggBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_union_agg(sketchBytes, lgK)")
+    ThetaUnionAgg(args(0), thetaLgK("theta_union_agg", args(1)))
+      .toAggregateExpression()
+  }
+
+  def thetaEstimateBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "theta_estimate(sketchBytes)")
+    ThetaEstimate(args(0))
   }
 
   val thetaDistinctIdentifier: FunctionIdentifier =
     FunctionIdentifier("theta_distinct")
   val thetaDistinctInfo: ExpressionInfo = new ExpressionInfo(
     classOf[ThetaDistinctAgg].getName, "theta_distinct")
+  val thetaSketchAggIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_sketch_agg")
+  val thetaSketchAggInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaSketchAgg].getName, "theta_sketch_agg")
+  val thetaUnionAggIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_union_agg")
+  val thetaUnionAggInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaUnionAgg].getName, "theta_union_agg")
+  val thetaEstimateIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_estimate")
+  val thetaEstimateInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaEstimate].getName, "theta_estimate")
 
+  /** Idempotently register the theta family on a live session. */
   def ensureThetaDistinct(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(thetaDistinctIdentifier)) {
       reg.registerFunction(thetaDistinctIdentifier, thetaDistinctInfo,
         thetaDistinctBuilder _)
+    }
+    if (!reg.functionExists(thetaSketchAggIdentifier)) {
+      reg.registerFunction(thetaSketchAggIdentifier, thetaSketchAggInfo,
+        thetaSketchAggBuilder _)
+    }
+    if (!reg.functionExists(thetaUnionAggIdentifier)) {
+      reg.registerFunction(thetaUnionAggIdentifier, thetaUnionAggInfo,
+        thetaUnionAggBuilder _)
+    }
+    if (!reg.functionExists(thetaEstimateIdentifier)) {
+      reg.registerFunction(thetaEstimateIdentifier, thetaEstimateInfo,
+        thetaEstimateBuilder _)
     }
   }
 
@@ -394,6 +443,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.thetaDistinctIdentifier, GraftFunctions.thetaDistinctInfo,
         GraftFunctions.thetaDistinctBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaSketchAggIdentifier, GraftFunctions.thetaSketchAggInfo,
+        GraftFunctions.thetaSketchAggBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaUnionAggIdentifier, GraftFunctions.thetaUnionAggInfo,
+        GraftFunctions.thetaUnionAggBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaEstimateIdentifier, GraftFunctions.thetaEstimateInfo,
+        GraftFunctions.thetaEstimateBuilder _))
     ext.injectFunction(
       (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
         GraftFunctions.bloomAggBuilder _))

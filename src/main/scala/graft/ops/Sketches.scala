@@ -202,4 +202,74 @@ object Sketches {
             col("est_users"), col("exact_users")))
       .orderBy(asc_nulls_first("day"))
   }
+
+  /** x18b_sketch_columns_gate: x18's MATERIALIZED-sketch-column pattern in
+    * the theta EXACT regime, under the driver's hash gate — per-day
+    * `theta_sketch_agg` BINARY sketches, the grand row computed ONLY by
+    * `theta_union_agg` over those stored sketches (the fact table is never
+    * re-touched for the range answer), estimates read with
+    * `theta_estimate`. At lgK = 21 every daily sketch and their union stay
+    * below nominal k, so every estimate is the exact distinct count and
+    * the whole store-then-merge lifecycle — sketch build, binary
+    * materialization, re-aggregation union, scalar estimate — lands under
+    * DuckDB's count(DISTINCT). x18 stays the declared HLL form whose
+    * error/merge-consistency SketchesSpec pins; the declared lgK-bounded
+    * theta form is what a 100 TB deployment would persist (8·2²¹ B max
+    * per sketch is the stated exact-regime price).
+    */
+  def x18b(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(call_function("theta_sketch_agg", col("user_id"), lit(21))
+        .as("sketch"))
+    val overall = daily.agg(
+      call_function("theta_estimate",
+        call_function("theta_union_agg", col("sketch"), lit(21)))
+        .as("est_users"))
+    daily.select(col("day"),
+        call_function("theta_estimate", col("sketch")).as("est_users"))
+      .unionByName(
+        overall.select(lit(null).cast("timestamp").as("day"),
+          col("est_users")))
+      .orderBy(asc_nulls_first("day"))
+  }
+
+  /** Exact per-day + overall distinct users — x18b's oracle. */
+  val x18bSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT NULL AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS est_users
+      |FROM events
+      |ORDER BY day NULLS FIRST""".stripMargin
+
+  /** x19b_profile_sketch_gate: x19's sketched column profile in the theta
+    * EXACT regime — the same single-scan wide-aggregate + stack shape,
+    * distinct counts via `theta_distinct` over the bijective string cast
+    * at lgK = 21 (every per-column cardinality is far below 2²¹ at driver
+    * SFs), so the profile equals q86's exact one and SHARES q86's oracle
+    * verbatim. x19 stays the declared lgK = 12 HLL form whose 3σ error
+    * SketchesSpec pins — O(columns) shuffle either way; the exact regime
+    * trades O(distinct)-per-column buffer memory, stated.
+    */
+  def x19b(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val o = Tables.orders(spark, dir)
+    val cols = graft.ops.Analytics.q86Cols
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      call_function("theta_distinct", col(c).cast("string"), lit(21))
+        .as(s"__d_$c")))
+    val allAggs = count(lit(1)).as("__rows") +: aggs
+    val wide = o.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
+    wide.select(col("__rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+      .select(col("column_name"), col("__rows").as("n_rows"),
+        col("n_nulls").cast("long").as("n_nulls"),
+        col("n_distinct").cast("long").as("n_distinct"))
+      .orderBy("column_name")
+  }
 }

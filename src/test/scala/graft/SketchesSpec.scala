@@ -98,6 +98,29 @@ class SketchesSpec extends SparkSuite {
     assert(relErr < 3.0 / math.sqrt(1024.0), s"rel err $relErr")
   }
 
+  test("x18b/x19b exact regime: stored-sketch lifecycle and profile equal the exact answers") {
+    import org.apache.spark.sql.functions._
+    // x18b: every per-day estimate and the union-only grand row must equal
+    // the exact distinct counts
+    val exactDaily = graft.Tables.events(spark, sf001)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => Option(r.getTimestamp(0)) -> r.getLong(1)).toMap
+    val exactAll = graft.Tables.events(spark, sf001)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    val got18 = ops.Sketches.x18b(spark, sf001).collect()
+    assert(got18.length == exactDaily.size + 1)
+    got18.foreach { r =>
+      val key = Option(r.getTimestamp(0))
+      val expected = if (key.isEmpty) exactAll else exactDaily(key)
+      assert(r.getLong(1) == expected, s"day ${r.get(0)}")
+    }
+    // x19b: row-for-row equal to the oracle-gated exact q86
+    val q86 = ops.Analytics.q86(spark, sf001).collect().map(_.toString).toSeq
+    val got19 = ops.Sketches.x19b(spark, sf001).collect().map(_.toString).toSeq
+    assert(got19 == q86)
+  }
+
   test("x18 sketch columns: per-day estimates within HLL error; union answers ranges") {
     val rows = ops.Sketches.x18(spark, sf001).collect()
     val (grand, daily) = rows.partition(_.isNullAt(0))
