@@ -59,6 +59,13 @@ object SparkEntry {
     "q90b_skyline_grouped" -> ((s, d) => ops.Analytics.q90b(s, d)),
     // the same frontier through the skew-robust equi-depth bucket split
     "q90c_skyline_equidepth" -> ((s, d) => ops.Analytics.q90c(s, d)),
+    // SCD2 dimension build: change-collapse + version/close windows over
+    // ONE key shuffle (R18's daily dim generalized; inverse of q33 as-of)
+    "q91_scd2_build"       -> ((s, d) => ops.Scd.q91(s, d)),
+    // incremental SCD2 merge: closed versions immutable, current row
+    // re-enters the collapse — merge(dim, delta) == batch rebuild, so it
+    // shares q91's oracle (q46b's incremental-equals-batch precedent)
+    "q91b_scd2_merge"      -> ((s, d) => ops.Scd.q91b(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -333,6 +340,8 @@ object SparkEntry {
     "q90b_skyline_grouped" -> ops.Analytics.q90bSql,
     // q90c shares q90's oracle: same semantics, different physical split
     "q90c_skyline_equidepth" -> ops.Analytics.q90Sql,
+    "q91_scd2_build"       -> ops.Scd.q91Sql,
+    "q91b_scd2_merge"      -> ops.Scd.q91Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

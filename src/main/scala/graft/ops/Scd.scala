@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension operators (SURVEY.md §2.3 q91 family)
+  * — the BUILD side of the reference's R18 daily-versioned dimension
+  * (`dags/order_currency_conversion_dag.py:33-42`: a memo keyed by day is
+  * an SCD2 whose versions happen to be days) and the inverse of the q33
+  * as-of family: q33 CONSUMES a versioned dim (point-in-time lookup),
+  * q91 PRODUCES one from a change log, and q91b maintains it
+  * incrementally the way a warehouse actually runs (append a delta batch,
+  * never rebuild history).
+  *
+  * Scale shape (q91): ONE hash shuffle on the key — the change-collapse
+  * lag, the version row_number and the effective_to lead all run over the
+  * SAME (key, ts, tie) window spec, so Catalyst plans a single
+  * Exchange+Sort and the filter between the two Window operators
+  * preserves both (pinned in ScdSpec: exactly one hash exchange).
+  * History length per key is bounded by the change count, not the event
+  * count — the collapse happens BEFORE the second window touches rows.
+  *
+  * q91b's contract is the warehouse invariant: merge(dim(log < cutoff),
+  * log ≥ cutoff) ≡ build(log) row for row — closed versions are immutable
+  * (they pass through untouched), only each touched key's CURRENT row can
+  * extend, close, or sprout new versions. The driver gate runs the merge
+  * path against the full-rebuild oracle (q46b's incremental-equals-batch
+  * precedent).
+  */
+object Scd {
+
+  /** Build an SCD2 dimension from a change log: collapse consecutive
+    * equal `attrCol` values per `keyCol` (ordered by `tsCol`, ties by
+    * `tieCol`), then number the surviving versions and close each with
+    * the next version's start. Null-safe on the attribute (a null attr
+    * is a value, compared with <=>); the first row per key always opens
+    * version 1.
+    *
+    * Output: (key, attr, effective_from, effective_to, version,
+    * is_current) — effective_to NULL on the open row, half-open
+    * [from, to) intervals exactly as q33's as-of consumes them.
+    */
+  def scd2Build(
+      log: DataFrame,
+      keyCol: String = "user_id",
+      attrCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
+    log
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // change rows: the key's first event, or a null-safe attr change
+      .filter(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("effective_from"), col("effective_to"),
+        col("version"), col("effective_to").isNull.as("is_current"))
+  }
+
+  /** Merge a delta change log into a stored SCD2 dim — the incremental
+    * maintenance path. Keys absent from the delta pass through untouched;
+    * for touched keys the closed versions pass through verbatim and the
+    * current row re-enters the collapse as a pseudo log row (tie
+    * Long.MinValue — it strictly precedes every delta row because the dim
+    * was built from ts < cutoff ≤ delta ts), so a delta that opens with
+    * the same attribute extends it (no new version) and a changed one
+    * closes it, exactly as the batch rebuild would. Version numbers
+    * continue from the current row's (base = version − 1, joined per key;
+    * new keys start at 1).
+    *
+    * The delta key set and per-key bases broadcast — a delta batch is
+    * small against the dim by definition; were it not, the same joins run
+    * as shuffle joins and AQE picks (the plan is declarative).
+    */
+  def scd2Merge(
+      dim: DataFrame,
+      deltaLog: DataFrame,
+      keyCol: String = "user_id",
+      attrCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val touched = deltaLog.select(col(keyCol)).distinct()
+    val untouched = dim.join(broadcast(touched), Seq(keyCol), "left_anti")
+    val dimTouched = dim.join(broadcast(touched), Seq(keyCol), "left_semi")
+    val closed = dimTouched.filter(!col("is_current"))
+    val current = dimTouched.filter(col("is_current"))
+    val carried = current.select(col(keyCol), col(attrCol),
+      col("effective_from").as(tsCol),
+      lit(Long.MinValue).cast("long").as(tieCol))
+    val logAll = carried.unionByName(
+      deltaLog.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol)))
+    val bases = current.select(col(keyCol),
+      (col("version") - lit(1)).as("__base"))
+    val tail = scd2Build(logAll, keyCol, attrCol, tsCol, tieCol)
+      .join(broadcast(bases), Seq(keyCol), "left")
+      .withColumn("version", col("version") + coalesce(col("__base"), lit(0)))
+      .drop("__base")
+    untouched.unionByName(closed).unionByName(tail)
+  }
+
+  /** The q91b batch boundary: dim = events before day 21, delta = the
+    * last 10 days — a 2:1 history-to-delta split on the 30-day fixture.
+    */
+  private val cutoff: Column = lit("2024-01-21 00:00:00").cast("timestamp")
+
+  /** q91_scd2_build: per-user event_type version history off the events
+    * log. Oracle-checked — windows and IS DISTINCT FROM restate exactly.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame =
+    scd2Build(Tables.events(spark, dir))
+      .orderBy("user_id", "version")
+
+  /** q91b_scd2_merge: the incremental path, gated against the batch
+    * rebuild — merge(build(< cutoff), ≥ cutoff) must equal build(all),
+    * so it SHARES q91's oracle.
+    */
+  def q91b(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = scd2Build(ev.filter(col("ts") < cutoff))
+    scd2Merge(dim, ev.filter(col("ts") >= cutoff))
+      .orderBy("user_id", "version")
+  }
+
+  /** Batch SCD2 restatement — q91's oracle (and q91b's, by the merge
+    * contract).
+    */
+  val q91Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts AS effective_from, event_id
+      |  FROM ordered
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+      |SELECT user_id, event_type, effective_from,
+      |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS effective_to,
+      |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS INTEGER) AS version,
+      |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) IS NULL AS is_current
+      |FROM changes
+      |ORDER BY user_id, version""".stripMargin
+}
