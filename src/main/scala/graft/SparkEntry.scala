@@ -257,6 +257,10 @@ object SparkEntry {
     // materialization, union re-aggregation and scalar estimate all in
     // the exact regime, gated vs count(DISTINCT)
     "x18b_sketch_columns_gate" -> ((s, d) => ops.Sketches.x18b(s, d)),
+    // theta SET ALGEBRA over stored sketches: day-over-day retention via
+    // intersection/union of the materialized per-day sketches — the
+    // capability HLL lacks; oracle-gated in the exact regime
+    "x22_sketch_overlap"   -> ((s, d) => ops.Sketches.x22(s, d)),
     // q86's profile with HLL-sketch distinct counts — the 100 TB stats
     // pass (rows-only; 3-sigma bound vs exact q86 pinned in SketchesSpec)
     "x19_profile_sketch"   -> ((s, d) => ops.Sketches.x19(s, d)),
@@ -439,6 +443,7 @@ object SparkEntry {
     "x09b_approx_percentile_gate" -> ops.Sketches.x09bSql,
     "x05b_approx_distinct_gate" -> ops.Sketches.x05bSql,
     "x18b_sketch_columns_gate"  -> ops.Sketches.x18bSql,
+    "x22_sketch_overlap"        -> ops.Sketches.x22Sql,
     "x19b_profile_sketch_gate"  -> ops.Analytics.q86Sql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql

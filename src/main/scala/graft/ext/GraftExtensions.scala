@@ -351,6 +351,16 @@ object GraftFunctions {
     ThetaEstimate(args(0))
   }
 
+  def thetaIntersectBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_intersect(a, b)")
+    ThetaIntersect2(args(0), args(1))
+  }
+
+  def thetaUnion2Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_union2(a, b)")
+    ThetaUnion2(args(0), args(1))
+  }
+
   val thetaDistinctIdentifier: FunctionIdentifier =
     FunctionIdentifier("theta_distinct")
   val thetaDistinctInfo: ExpressionInfo = new ExpressionInfo(
@@ -367,6 +377,14 @@ object GraftFunctions {
     FunctionIdentifier("theta_estimate")
   val thetaEstimateInfo: ExpressionInfo = new ExpressionInfo(
     classOf[ThetaEstimate].getName, "theta_estimate")
+  val thetaIntersectIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_intersect")
+  val thetaIntersectInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaIntersect2].getName, "theta_intersect")
+  val thetaUnion2Identifier: FunctionIdentifier =
+    FunctionIdentifier("theta_union2")
+  val thetaUnion2Info: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaUnion2].getName, "theta_union2")
 
   /** Idempotently register the theta family on a live session. */
   def ensureThetaDistinct(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -386,6 +404,14 @@ object GraftFunctions {
     if (!reg.functionExists(thetaEstimateIdentifier)) {
       reg.registerFunction(thetaEstimateIdentifier, thetaEstimateInfo,
         thetaEstimateBuilder _)
+    }
+    if (!reg.functionExists(thetaIntersectIdentifier)) {
+      reg.registerFunction(thetaIntersectIdentifier, thetaIntersectInfo,
+        thetaIntersectBuilder _)
+    }
+    if (!reg.functionExists(thetaUnion2Identifier)) {
+      reg.registerFunction(thetaUnion2Identifier, thetaUnion2Info,
+        thetaUnion2Builder _)
     }
   }
 
@@ -452,6 +478,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.thetaEstimateIdentifier, GraftFunctions.thetaEstimateInfo,
         GraftFunctions.thetaEstimateBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaIntersectIdentifier, GraftFunctions.thetaIntersectInfo,
+        GraftFunctions.thetaIntersectBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaUnion2Identifier, GraftFunctions.thetaUnion2Info,
+        GraftFunctions.thetaUnion2Builder _))
     ext.injectFunction(
       (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
         GraftFunctions.bloomAggBuilder _))

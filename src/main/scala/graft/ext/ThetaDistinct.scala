@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{CompactSketch, SetOperation, Union}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -205,4 +205,69 @@ object ThetaEstimate {
   /** Row kernel, shared by interpreted eval and generated code. */
   def estimate(bytes: Array[Byte]): Long =
     Math.round(CompactSketch.heapify(Memory.wrap(bytes)).getEstimate)
+}
+
+/** `theta_intersect(a, b)` — set INTERSECTION of two stored compact
+  * sketches, the capability that separates theta from HLL (an HLL union
+  * is lossless but HLL has no principled intersection): audience overlap,
+  * retention, segment conjunction — answered from materialized sketches
+  * without touching the fact table. Intersection keeps exactly the
+  * matching retained hashes under θ = min(θa, θb), so two EXACT sketches
+  * intersect EXACTLY (x22's gate argument); in the sampling regime the
+  * estimate carries the standard set-operation error bounds.
+  */
+@ExpressionDescription(
+  usage = "theta_intersect(a, b) - compact theta sketch of the set intersection")
+case class ThetaIntersect2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_intersect"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetOps.intersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ThetaSetOps.intersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaIntersect2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `theta_union2(a, b)` — pairwise union of two stored compact sketches
+  * (the scalar complement of the grouped [[ThetaUnionAgg]]), at the max
+  * nominal lgK 26 so the pair union never downsamples two exact inputs
+  * below their combined cardinality (the table grows lazily — lgK 26 is
+  * a ceiling, not an allocation).
+  */
+@ExpressionDescription(
+  usage = "theta_union2(a, b) - compact theta sketch of the set union")
+case class ThetaUnion2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_union2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetOps.union2(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ThetaSetOps.union2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaUnion2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ThetaSetOps {
+  private def heap(bytes: Array[Byte]) =
+    CompactSketch.heapify(Memory.wrap(bytes))
+
+  /** Row kernels, shared by interpreted eval and generated code. */
+  def intersect(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    SetOperation.builder().buildIntersection()
+      .intersect(heap(a), heap(b)).toByteArray
+
+  def union2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    SetOperation.builder().setLogNominalEntries(26).buildUnion()
+      .union(heap(a), heap(b)).toByteArray
 }

@@ -245,6 +245,74 @@ object Sketches {
       |FROM events
       |ORDER BY day NULLS FIRST""".stripMargin
 
+  /** x22_sketch_overlap: day-over-day RETENTION from materialized
+    * sketches — the set-algebra capability that separates theta from HLL
+    * (an HLL union is lossless but HLL has no principled intersection):
+    * per consecutive-day pair, |users(a)|, |users(b)|, the INTERSECTION
+    * |users(a) ∩ users(b)|, the union, and their Jaccard — computed
+    * entirely from the per-day `theta_sketch_agg` columns, never
+    * re-touching the fact table (x18's store-then-merge pattern extended
+    * to conjunctions: audience overlap, segment intersection, retention
+    * curves are all this shape). The pair join is an equi-join on
+    * day + 1 against a ~30-row broadcast dim of sketches.
+    *
+    * Oracle-gated at lgK = 21: intersection keeps exactly the matching
+    * retained hashes under θ = min(θa, θb), so two exact sketches
+    * intersect exactly, the pair union at lgK 26 never downsamples, and
+    * every count matches DuckDB's distinct-join restatement (union via
+    * inclusion–exclusion of exact counts); jaccard is one IEEE divide of
+    * exact longs. lgK is the declared scale knob — below it the same
+    * query degrades to the standard theta set-operation error bounds.
+    */
+  def x22(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(call_function("theta_sketch_agg", col("user_id"), lit(21))
+        .as("sk"))
+    val a = daily.select(col("day").as("day_a"),
+      (col("day") + expr("INTERVAL 1 DAY")).as("day_next"),
+      col("sk").as("sk_a"))
+    val b = daily.select(col("day").as("day_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("day_next") === col("day_b"))
+      .select(col("day_a"),
+        call_function("theta_estimate", col("sk_a")).as("n_a"),
+        call_function("theta_estimate", col("sk_b")).as("n_b"),
+        call_function("theta_estimate",
+          call_function("theta_intersect", col("sk_a"), col("sk_b")))
+          .as("n_both"),
+        call_function("theta_estimate",
+          call_function("theta_union2", col("sk_a"), col("sk_b")))
+          .as("n_either"))
+      .withColumn("jaccard",
+        col("n_both").cast("double") / col("n_either").cast("double"))
+      .orderBy("day_a")
+  }
+
+  /** Distinct-join restatement of the overlap — x22's oracle. */
+  val x22Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      |  FROM events),
+      |d AS (SELECT day, count(*) AS n FROM du GROUP BY day),
+      |pairs AS (
+      |  SELECT a.day AS day_a, a.n AS n_a, b.n AS n_b
+      |  FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY),
+      |onboth AS (
+      |  SELECT x.day AS day_a, count(*) AS n_both
+      |  FROM du x JOIN du y
+      |    ON y.day = x.day + INTERVAL 1 DAY AND y.user_id = x.user_id
+      |  GROUP BY x.day)
+      |SELECT p.day_a,
+      |       CAST(p.n_a AS BIGINT) AS n_a,
+      |       CAST(p.n_b AS BIGINT) AS n_b,
+      |       CAST(coalesce(o.n_both, 0) AS BIGINT) AS n_both,
+      |       CAST(p.n_a + p.n_b - coalesce(o.n_both, 0) AS BIGINT) AS n_either,
+      |       CAST(coalesce(o.n_both, 0) AS DOUBLE)
+      |         / CAST(p.n_a + p.n_b - coalesce(o.n_both, 0) AS DOUBLE) AS jaccard
+      |FROM pairs p LEFT JOIN onboth o ON o.day_a = p.day_a
+      |ORDER BY p.day_a""".stripMargin
+
   /** x19b_profile_sketch_gate: x19's sketched column profile in the theta
     * EXACT regime — the same single-scan wide-aggregate + stack shape,
     * distinct counts via `theta_distinct` over the bijective string cast

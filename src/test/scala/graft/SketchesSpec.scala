@@ -121,6 +121,40 @@ class SketchesSpec extends SparkSuite {
     assert(got19 == q86)
   }
 
+  test("x22 overlap: set identities hold, pair join is hash not BNLJ, estimation regime bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = ops.Sketches.x22(spark, sf001).collect()
+    assert(rows.length == 29) // 30 fixture days -> 29 consecutive pairs
+    rows.foreach { r =>
+      val (na, nb, both, either) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both <= math.min(na, nb))
+      // exact regime: inclusion-exclusion is an identity, not an estimate
+      assert(either == na + nb - both)
+      assert(r.getDouble(5) == both.toDouble / either.toDouble)
+    }
+    val plan = ops.Sketches.x22(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // estimation regime: two lgK=8 sketches over ranges sharing half their
+    // keys — the intersection estimate must land within a loose 3-sigma-ish
+    // band (set-op error is wider than single-sketch error; 0.2 is lenient)
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val est = (0L until 20000L).toDF("k")
+      .agg(
+        call_function("theta_estimate", call_function("theta_intersect",
+          call_function("theta_sketch_agg",
+            when(col("k") < 10000L, col("k")), lit(8)),
+          call_function("theta_sketch_agg",
+            when(col("k") >= 5000L, col("k")), lit(8))))
+          .as("i"))
+      .collect()(0).getLong(0)
+    assert(math.abs(est / 5000.0 - 1.0) < 0.2, s"intersection est $est vs 5000")
+  }
+
   test("x18 sketch columns: per-day estimates within HLL error; union answers ranges") {
     val rows = ops.Sketches.x18(spark, sf001).collect()
     val (grand, daily) = rows.partition(_.isNullAt(0))
