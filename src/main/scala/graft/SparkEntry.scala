@@ -261,6 +261,9 @@ object SparkEntry {
     // intersection/union of the materialized per-day sketches — the
     // capability HLL lacks; oracle-gated in the exact regime
     "x22_sketch_overlap"   -> ((s, d) => ops.Sketches.x22(s, d)),
+    // the set-DIFFERENCE half: retained/churned/new per day pair via
+    // theta_anotb over the same stored sketches
+    "x22b_sketch_churn"    -> ((s, d) => ops.Sketches.x22b(s, d)),
     // q86's profile with HLL-sketch distinct counts — the 100 TB stats
     // pass (rows-only; 3-sigma bound vs exact q86 pinned in SketchesSpec)
     "x19_profile_sketch"   -> ((s, d) => ops.Sketches.x19(s, d)),
@@ -444,6 +447,7 @@ object SparkEntry {
     "x05b_approx_distinct_gate" -> ops.Sketches.x05bSql,
     "x18b_sketch_columns_gate"  -> ops.Sketches.x18bSql,
     "x22_sketch_overlap"        -> ops.Sketches.x22Sql,
+    "x22b_sketch_churn"         -> ops.Sketches.x22bSql,
     "x19b_profile_sketch_gate"  -> ops.Analytics.q86Sql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql

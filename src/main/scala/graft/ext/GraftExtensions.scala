@@ -361,6 +361,11 @@ object GraftFunctions {
     ThetaUnion2(args(0), args(1))
   }
 
+  def thetaAnotBBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "theta_anotb(a, b)")
+    ThetaAnotB(args(0), args(1))
+  }
+
   val thetaDistinctIdentifier: FunctionIdentifier =
     FunctionIdentifier("theta_distinct")
   val thetaDistinctInfo: ExpressionInfo = new ExpressionInfo(
@@ -385,6 +390,10 @@ object GraftFunctions {
     FunctionIdentifier("theta_union2")
   val thetaUnion2Info: ExpressionInfo = new ExpressionInfo(
     classOf[ThetaUnion2].getName, "theta_union2")
+  val thetaAnotBIdentifier: FunctionIdentifier =
+    FunctionIdentifier("theta_anotb")
+  val thetaAnotBInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[ThetaAnotB].getName, "theta_anotb")
 
   /** Idempotently register the theta family on a live session. */
   def ensureThetaDistinct(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -412,6 +421,10 @@ object GraftFunctions {
     if (!reg.functionExists(thetaUnion2Identifier)) {
       reg.registerFunction(thetaUnion2Identifier, thetaUnion2Info,
         thetaUnion2Builder _)
+    }
+    if (!reg.functionExists(thetaAnotBIdentifier)) {
+      reg.registerFunction(thetaAnotBIdentifier, thetaAnotBInfo,
+        thetaAnotBBuilder _)
     }
   }
 
@@ -484,6 +497,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.thetaUnion2Identifier, GraftFunctions.thetaUnion2Info,
         GraftFunctions.thetaUnion2Builder _))
+    ext.injectFunction(
+      (GraftFunctions.thetaAnotBIdentifier, GraftFunctions.thetaAnotBInfo,
+        GraftFunctions.thetaAnotBBuilder _))
     ext.injectFunction(
       (GraftFunctions.bloomAggIdentifier, GraftFunctions.bloomAggInfo,
         GraftFunctions.bloomAggBuilder _))

@@ -258,6 +258,31 @@ case class ThetaUnion2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `theta_anotb(a, b)` — set DIFFERENCE a ∖ b of two stored compact
+  * sketches, completing the algebra (union [[ThetaUnion2]], intersection
+  * [[ThetaIntersect2]], difference): churn and new-arrival counts are
+  * differences of adjacent-period sketches. A∖B keeps exactly A's
+  * retained hashes absent from B under θ = min(θa, θb), so two exact
+  * sketches difference exactly (x22b's gate argument).
+  */
+@ExpressionDescription(
+  usage = "theta_anotb(a, b) - compact theta sketch of the set difference a \\ b")
+case class ThetaAnotB(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "theta_anotb"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSetOps.anotb(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ext.ThetaSetOps.anotb($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaAnotB =
+    copy(left = newLeft, right = newRight)
+}
+
 object ThetaSetOps {
   private def heap(bytes: Array[Byte]) =
     CompactSketch.heapify(Memory.wrap(bytes))
@@ -270,4 +295,8 @@ object ThetaSetOps {
   def union2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
     SetOperation.builder().setLogNominalEntries(26).buildUnion()
       .union(heap(a), heap(b)).toByteArray
+
+  def anotb(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    SetOperation.builder().buildANotB()
+      .aNotB(heap(a), heap(b)).toByteArray
 }

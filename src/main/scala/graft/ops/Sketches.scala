@@ -289,6 +289,61 @@ object Sketches {
       .orderBy("day_a")
   }
 
+  /** x22b_sketch_churn: the set-DIFFERENCE half of the sketch algebra —
+    * per consecutive-day pair, retained = a ∩ b, churned = a ∖ b,
+    * new = b ∖ a, all from the same stored per-day sketches (x22's
+    * retention query completed into the full churn report: union,
+    * intersection and both differences, facts never re-read). A∖B keeps
+    * exactly A's retained hashes absent from B under θ = min, so exact
+    * sketches difference exactly — same gate argument, same lgK = 21
+    * regime, oracle restates the differences by subtraction of exact
+    * counts.
+    */
+  def x22b(spark: SparkSession, dir: String): DataFrame = {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(call_function("theta_sketch_agg", col("user_id"), lit(21))
+        .as("sk"))
+    val a = daily.select(col("day").as("day_a"),
+      (col("day") + expr("INTERVAL 1 DAY")).as("day_next"),
+      col("sk").as("sk_a"))
+    val b = daily.select(col("day").as("day_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("day_next") === col("day_b"))
+      .select(col("day_a"),
+        call_function("theta_estimate",
+          call_function("theta_intersect", col("sk_a"), col("sk_b")))
+          .as("n_retained"),
+        call_function("theta_estimate",
+          call_function("theta_anotb", col("sk_a"), col("sk_b")))
+          .as("n_churned"),
+        call_function("theta_estimate",
+          call_function("theta_anotb", col("sk_b"), col("sk_a")))
+          .as("n_new"))
+      .orderBy("day_a")
+  }
+
+  /** Exact-count restatement of the churn report — x22b's oracle. */
+  val x22bSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+      |  FROM events),
+      |d AS (SELECT day, count(*) AS n FROM du GROUP BY day),
+      |pairs AS (
+      |  SELECT a.day AS day_a, a.n AS n_a, b.n AS n_b
+      |  FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY),
+      |onboth AS (
+      |  SELECT x.day AS day_a, count(*) AS n_both
+      |  FROM du x JOIN du y
+      |    ON y.day = x.day + INTERVAL 1 DAY AND y.user_id = x.user_id
+      |  GROUP BY x.day)
+      |SELECT p.day_a,
+      |       CAST(coalesce(o.n_both, 0) AS BIGINT) AS n_retained,
+      |       CAST(p.n_a - coalesce(o.n_both, 0) AS BIGINT) AS n_churned,
+      |       CAST(p.n_b - coalesce(o.n_both, 0) AS BIGINT) AS n_new
+      |FROM pairs p LEFT JOIN onboth o ON o.day_a = p.day_a
+      |ORDER BY p.day_a""".stripMargin
+
   /** Distinct-join restatement of the overlap — x22's oracle. */
   val x22Sql: String =
     """WITH du AS (

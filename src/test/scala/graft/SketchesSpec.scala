@@ -137,6 +137,17 @@ class SketchesSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
+    // x22b: the difference identities against x22's counts —
+    // churned = n_a - both, new = n_b - both, retained = both
+    val byDay = rows.map(r => r.getTimestamp(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val churn = ops.Sketches.x22b(spark, sf001).collect()
+    assert(churn.length == rows.length)
+    churn.foreach { r =>
+      val (na, nb, both) = byDay(r.getTimestamp(0))
+      assert(r.getLong(1) == both && r.getLong(2) == na - both &&
+        r.getLong(3) == nb - both, s"day ${r.get(0)}")
+    }
     // estimation regime: two lgK=8 sketches over ranges sharing half their
     // keys — the intersection estimate must land within a loose 3-sigma-ish
     // band (set-op error is wider than single-sketch error; 0.2 is lenient)
