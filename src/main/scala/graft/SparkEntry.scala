@@ -66,6 +66,10 @@ object SparkEntry {
     // re-enters the collapse — merge(dim, delta) == batch rebuild, so it
     // shares q91's oracle (q46b's incremental-equals-batch precedent)
     "q91b_scd2_merge"      -> ((s, d) => ops.Scd.q91b(s, d)),
+    // bucketed SCD2 build: change detection within (key, day) partitions
+    // + one-row-per-bucket carry-in; per-key windows touch only change
+    // rows — the few-keys x long-history scale path (shares q91's oracle)
+    "q91c_scd2_bucketed"   -> ((s, d) => ops.Scd.q91c(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -349,6 +353,7 @@ object SparkEntry {
     "q90c_skyline_equidepth" -> ops.Analytics.q90Sql,
     "q91_scd2_build"       -> ops.Scd.q91Sql,
     "q91b_scd2_merge"      -> ops.Scd.q91Sql,
+    "q91c_scd2_bucketed"   -> ops.Scd.q91Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

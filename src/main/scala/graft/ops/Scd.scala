@@ -126,8 +126,65 @@ object Scd {
       .orderBy("user_id", "version")
   }
 
-  /** Batch SCD2 restatement — q91's oracle (and q91b's, by the merge
-    * contract).
+  /** q91c_scd2_bucketed: the few-keys × long-history scale path — q91's
+    * raw-row window partitions on the bare key, so ONE key's entire
+    * history sorts in one task (fine until a hot key's history outgrows
+    * it; the q33b→q33c situation exactly). Here CHANGE DETECTION runs
+    * within (key, day-bucket) partitions and the cross-bucket dependency
+    * — "what attribute was in force when this bucket opened?" — is
+    * restored by a carry-in from a per-key window over bucket SUMMARIES
+    * (one row per occupied bucket, never history; q33c's boxed-struct
+    * trick distinguishes "no previous bucket" from "previous attribute
+    * was null"). The version/close windows then run per key over the
+    * COLLAPSED change rows only — bounded by the change count, which is
+    * the quantity SCD2 exists to keep small — so no per-key task ever
+    * sees raw history. Identical change set ⇒ identical output ⇒ SHARES
+    * q91's oracle (the q41/q90c two-strategy precedent).
+    */
+  def scd2BuildBucketed(
+      log: DataFrame,
+      keyCol: String = "user_id",
+      attrCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val base = log.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("__bkt", date_trunc("day", col(tsCol)))
+    val wB = Window.partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(asc(tsCol), asc(tieCol))
+    // one row per occupied (key, bucket): the attribute in force when the
+    // bucket closes, boxed so a null attribute survives the carry
+    val summaries = base
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(max_by(struct(col(attrCol).as("a")),
+        struct(col(tsCol), col(tieCol))).as("__last"))
+    val wKeyBkt = Window.partitionBy(col(keyCol)).orderBy(asc("__bkt"))
+    val carries = summaries
+      .withColumn("__carry", lag(col("__last"), 1).over(wKeyBkt))
+      .select(col(keyCol), col("__bkt"), col("__carry"))
+    // within-bucket prev, boxed the same way; the bucket's first row takes
+    // the carry (null carry = the key's very first row)
+    val withPrev = base
+      .withColumn("__prevIn", lag(struct(col(attrCol).as("a")), 1).over(wB))
+      .join(carries, Seq(keyCol, "__bkt"))
+      .withColumn("__prev", coalesce(col("__prevIn"), col("__carry")))
+      .filter(col("__prev").isNull || !(col(attrCol) <=> col("__prev.a")))
+    // per-key windows over CHANGE rows only (bounded by version count)
+    val wChange = Window.partitionBy(col(keyCol))
+      .orderBy(asc(tsCol), asc(tieCol))
+    withPrev
+      .withColumn("version", row_number().over(wChange))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(wChange))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("effective_from"), col("effective_to"),
+        col("version"), col("effective_to").isNull.as("is_current"))
+  }
+
+  def q91c(spark: SparkSession, dir: String): DataFrame =
+    scd2BuildBucketed(Tables.events(spark, dir))
+      .orderBy("user_id", "version")
+
+  /** Batch SCD2 restatement — q91's oracle (and q91b's by the merge
+    * contract, q91c's by change-set identity).
     */
   val q91Sql: String =
     """WITH ordered AS (

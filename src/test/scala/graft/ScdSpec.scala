@@ -77,6 +77,47 @@ class ScdSpec extends SparkSuite {
       k1(1).getTimestamp(3) == ts("2024-01-11 00:00:00"))
   }
 
+  test("q91c bucketed build equals the plain build; raw window keys on (key, bucket)") {
+    val batch = ops.Scd.q91(spark, sf001).collect().map(_.toString).toSeq
+    val bucketed = ops.Scd.q91c(spark, sf001).collect().map(_.toString).toSeq
+    assert(bucketed == batch)
+    // the raw-row window must partition on (key, bucket), never the bare
+    // key — that is the whole point of the variant
+    val plan = ops.Scd.scd2BuildBucketed(Tables.events(spark, sf001))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("windowspecdefinition(user_id"), plan.take(500))
+    assert("windowspecdefinition\\(user_id#\\d+L, __bkt".r
+      .findFirstIn(plan).isDefined, "raw window not keyed on (key, bucket)")
+  }
+
+  test("q91c boundary cases: cross-bucket collapse, null attrs through the carry") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    // key 1: same attr across a day boundary -> must collapse through the
+    //        carry; then a null attr, repeated across ANOTHER day boundary
+    //        (null-run collapses through the boxed carry), then back
+    // key 2: single event (degenerate)
+    val log = Seq(
+      (1L, Option("a"), ts("2024-01-01 23:59:00"), 1L),
+      (1L, Option("a"), ts("2024-01-02 00:01:00"), 2L), // boundary, same
+      (1L, Option.empty[String], ts("2024-01-02 12:00:00"), 3L),
+      (1L, Option.empty[String], ts("2024-01-03 12:00:00"), 4L), // boundary, null run
+      (1L, Option("a"), ts("2024-01-04 00:00:00"), 5L),
+      (2L, Option("z"), ts("2024-01-05 00:00:00"), 6L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val plain = ops.Scd.scd2Build(log)
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    val bucketed = ops.Scd.scd2BuildBucketed(log)
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    assert(bucketed == plain)
+    val k1 = ops.Scd.scd2BuildBucketed(log)
+      .filter(org.apache.spark.sql.functions.col("user_id") === 1L)
+      .orderBy("version").collect()
+    assert(k1.map(r => Option(r.getString(1))).toSeq ==
+      Seq(Some("a"), None, Some("a")))
+  }
+
   test("null attributes are values: null-run collapses, null<->value transitions version") {
     val spark2 = spark
     import spark2.implicits._
