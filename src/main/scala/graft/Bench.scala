@@ -143,7 +143,7 @@ object Bench {
     // machine-readable instead of re-derived in SCALE.md prose each round.
     val harnessQs = Seq("x03b_stream_tumbling_gate", "x13b_stream_join_gate",
       "x15b_stream_transitions_gate", "x16b_stream_dedup_gate",
-      "x17b_stream_hopping_gate")
+      "x17b_stream_hopping_gate", "x23b_stream_scd2_gate")
     val harnessSec = results.collect {
       case (k, v, _) if harnessQs.contains(k) && v >= 0 => v
     }.sum

@@ -287,6 +287,9 @@ object SparkEntry {
     "x16b_stream_dedup_gate"    -> ((s, d) => streaming.StreamGates.x16b(s, d)),
     "x15b_stream_transitions_gate" -> ((s, d) => streaming.StreamGates.x15b(s, d)),
     "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d)),
+    // streaming SCD2 maintenance (x23): the append sink accumulates the
+    // dimension's closed versions == batch q91's non-current rows
+    "x23b_stream_scd2_gate"     -> ((s, d) => streaming.StreamGates.x23b(s, d)),
     // semantic cross-corpus decontamination: q65's embedding-space twin —
     // train vectors within cosine >= 0.35 of any eval-slice vector
     "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d)),
@@ -442,6 +445,7 @@ object SparkEntry {
     "x17b_stream_hopping_gate"  -> streaming.StreamGates.x17bSql,
     "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
+    "x23b_stream_scd2_gate"     -> streaming.StreamGates.x23bSql,
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
     "x21_delta_dedup"           -> ops.Text.x21Sql,

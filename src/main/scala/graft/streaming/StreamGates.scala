@@ -290,4 +290,52 @@ object StreamGates {
       | AND c.ts >= i.ts
       | AND epoch_us(c.ts) - epoch_us(i.ts) <= 900000000
       |ORDER BY imp_id, click_id""".stripMargin
+
+  /** x23b: the production streaming SCD2 maintainer (Scd2Stream.scd2Stream)
+    * over the full events log — its append sink accumulates exactly the
+    * dimension's CLOSED versions, compared against batch q91 restricted to
+    * non-current rows. Chronological (ts, event_id) feeding makes the
+    * fold order equal the batch window order, so every closed
+    * (attr, from, to, version) row is identical; the OPEN rows live in
+    * state by design (the streaming dim split: closed history in the
+    * table, current rows in state), so the gate's surface is the closed
+    * set — bit-compared, not merely counted.
+    */
+  def x23b(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("ts", "event_id").as[GateUserEv].collect().toSeq
+      .map(e => Scd2Stream.LogEvent(e.user_id, e.ts, e.event_id,
+        e.event_type))
+    feed(spark, "gate_x23b", rows)(
+      df => Scd2Stream.scd2Stream(df.as[Scd2Stream.LogEvent]).toDF())
+      .select("user_id", "event_type", "effective_from", "effective_to",
+        "version", "is_current")
+      .orderBy("user_id", "version")
+  }
+
+  /** Batch SCD2 closed-history restatement — x23b's oracle (q91's body
+    * restricted to the non-current rows).
+    */
+  val x23bSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_type, ts AS effective_from, event_id
+      |  FROM ordered
+      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+      |versions AS (
+      |  SELECT user_id, event_type, effective_from,
+      |         lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS effective_to,
+      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS INTEGER) AS version
+      |  FROM changes)
+      |SELECT user_id, event_type, effective_from, effective_to, version,
+      |       FALSE AS is_current
+      |FROM versions
+      |WHERE effective_to IS NOT NULL
+      |ORDER BY user_id, version""".stripMargin
 }

@@ -239,6 +239,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("x23: streaming SCD2 closed rows == batch build's non-current rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.LogEvent
+    val input = MemoryStream[LogEvent]
+    val q = Scd2Stream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1, user 1 OUT OF ORDER in the batch (sorts a->a->b: the
+      // same-attr pair collapses, then one close emits); user 2 opens
+      input.addData(
+        LogEvent(1L, ts("2026-01-01 10:05:00"), 2L, "a"),
+        LogEvent(1L, ts("2026-01-01 10:00:00"), 1L, "a"),
+        LogEvent(1L, ts("2026-01-01 10:08:00"), 3L, "b"),
+        LogEvent(2L, ts("2026-01-01 10:01:00"), 4L, "x"))
+      q.processAllAvailable()
+      val b1 = spark.table("scd2_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSet
+      assert(b1 == Set((1L, "a", 1)))
+
+      // batch 2 closes across the boundary via state: user 1's open "b"
+      // extends on the same attr then closes on "c"; user 2 closes "x"
+      input.addData(
+        LogEvent(1L, ts("2026-01-01 10:20:00"), 5L, "b"),
+        LogEvent(1L, ts("2026-01-01 10:30:00"), 6L, "c"),
+        LogEvent(2L, ts("2026-01-01 10:25:00"), 7L, "y"))
+      q.processAllAvailable()
+      val streamClosed = spark.table("scd2_out")
+        .orderBy("user_id", "version").collect().map(_.toString).toSeq
+
+      val batchClosed = ops.Scd.scd2Build(Seq(
+          (1L, "a", ts("2026-01-01 10:00:00"), 1L),
+          (1L, "a", ts("2026-01-01 10:05:00"), 2L),
+          (1L, "b", ts("2026-01-01 10:08:00"), 3L),
+          (1L, "b", ts("2026-01-01 10:20:00"), 5L),
+          (1L, "c", ts("2026-01-01 10:30:00"), 6L),
+          (2L, "x", ts("2026-01-01 10:01:00"), 4L),
+          (2L, "y", ts("2026-01-01 10:25:00"), 7L))
+          .toDF("user_id", "event_type", "ts", "event_id"))
+        .filter(!col("is_current"))
+        .orderBy("user_id", "version").collect().map(_.toString).toSeq
+      assert(streamClosed == batchClosed)
+    } finally q.stop()
+  }
+
   test("TTL dedup: bounded state — expired keys re-admit, live keys suppress") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
