@@ -437,7 +437,12 @@ class ExtSpec extends SparkSuite {
       ("word_ngrams", WordNgrams(ref(0, StringType), 3, true),
         InternalRow(utf("one two three four five"))),
       ("cuts_bucket", CutsBucket(ref(0, DoubleType), ref(1, da)),
-        InternalRow(java.lang.Double.valueOf(2.5), arr(1.0, 2.0, 3.0))))
+        InternalRow(java.lang.Double.valueOf(2.5), arr(1.0, 2.0, 3.0))),
+      ("theta_estimate", ThetaEstimate(ref(0, BinaryType)), {
+        val sk = org.apache.datasketches.theta.UpdateSketch.builder().build()
+        (1L to 10L).foreach(sk.update)
+        InternalRow(sk.compact().toByteArray)
+      }))
 
     cases.foreach { case (name, e, row) =>
       val proj =
@@ -452,5 +457,34 @@ class ExtSpec extends SparkSuite {
       assert(compiled == interpreted,
         s"$name compiled/interpreted divergence: $compiled vs $interpreted")
     }
+  }
+
+  test("theta family through the SQL surface: build, store, set algebra, estimate") {
+    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    (0L until 1000L).toDF("k").createOrReplaceTempView("theta_t")
+    // inline distinct, exact regime (lgK 14, k = 16384 >> 1000)
+    assert(spark.sql("SELECT theta_distinct(k, 14) FROM theta_t")
+      .collect()(0).getLong(0) == 1000L)
+    // stored sketches: [0, 600) and [400, 1000) — every set-op count is
+    // an exact small integer in this regime
+    val row = spark.sql(
+      """WITH s AS (
+        |  SELECT theta_sketch_agg(CASE WHEN k < 600 THEN k END, 14) AS a,
+        |         theta_sketch_agg(CASE WHEN k >= 400 THEN k END, 14) AS b
+        |  FROM theta_t),
+        |u AS (
+        |  SELECT theta_union_agg(sk, 14) AS all_sk FROM (
+        |    SELECT theta_sketch_agg(k, 14) AS sk FROM theta_t GROUP BY k % 7))
+        |SELECT theta_estimate(a) AS na, theta_estimate(b) AS nb,
+        |       theta_estimate(theta_intersect(a, b)) AS ni,
+        |       theta_estimate(theta_union2(a, b)) AS nu,
+        |       theta_estimate(theta_anotb(a, b)) AS nab,
+        |       theta_estimate(theta_anotb(b, a)) AS nba,
+        |       theta_estimate(all_sk) AS nall
+        |FROM s, u""".stripMargin).collect()(0)
+    assert((0 until 7).map(row.getLong) ==
+      Seq(600L, 600L, 200L, 1000L, 400L, 400L, 1000L))
   }
 }
