@@ -319,7 +319,9 @@ object GraftFunctions {
     e match {
       case l if l.foldable && (l.dataType == IntegerType || l.dataType == LongType ||
           l.dataType == ShortType || l.dataType == ByteType) =>
-        val k = l.eval().asInstanceOf[Number].intValue()
+        val v = l.eval()
+        require(v != null, s"$fn lgK must not be NULL")
+        val k = v.asInstanceOf[Number].intValue()
         require(k >= 4 && k <= 26, s"$fn lgK out of [4,26]: $k")
         k
       case other =>

@@ -469,7 +469,17 @@ object Analytics {
   private[graft] val q86Cols = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
-  def q86(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared single-scan profile scaffold behind q86 / x19 / x19b —
+    * wide aggregate (one null-count + one distinct-flavored agg per
+    * column, under one partial-aggregated Expand) unpivoted through a
+    * literal stack. ONE copy on purpose: the three profiles differ ONLY
+    * in the distinct aggregate (`countDistinct` / HLL estimate / theta),
+    * and a stack-shape or schema change must not be able to diverge
+    * them silently.
+    */
+  private[graft] def profileOver(
+      spark: SparkSession, dir: String,
+      distinctAgg: Column => Column, distinctName: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val cols = o.columns.toSeq
     require(cols == q86Cols,
@@ -477,17 +487,20 @@ object Analytics {
         s"FIXTURES.md). fixture=${cols.mkString(",")} expected=${q86Cols.mkString(",")}")
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-      countDistinct(col(c)).as(s"__d_$c")))
+      distinctAgg(col(c)).as(s"__d_$c")))
     val allAggs = count(lit(1)).as("__rows") +: aggs
     val wide = o.agg(allAggs.head, allAggs.tail: _*)
     val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
     wide.select(col("__rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, $distinctName)"))
       .select(col("column_name"), col("__rows").as("n_rows"),
         col("n_nulls").cast("long").as("n_nulls"),
-        col("n_distinct").cast("long").as("n_distinct"))
+        col(distinctName).cast("long").as(distinctName))
       .orderBy("column_name")
   }
+
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    profileOver(spark, dir, countDistinct(_), "n_distinct")
 
   /** q86's restatement: one UNION ALL branch per column (the oracle may
     * scan six times; the engine side must not).

@@ -73,9 +73,12 @@ object Scd {
     * continue from the current row's (base = version − 1, joined per key;
     * new keys start at 1).
     *
-    * The delta key set and per-key bases broadcast — a delta batch is
-    * small against the dim by definition; were it not, the same joins run
-    * as shuffle joins and AQE picks (the plan is declarative).
+    * The key-set and per-key-base joins carry NO broadcast hint on
+    * purpose: a hint would PIN the strategy (AQE never demotes an
+    * explicit hint, so a huge delta would force-collect its key set to
+    * the driver), while the unhinted plan lets AQE convert to a runtime
+    * broadcast exactly when the delta is actually small — the common
+    * case — and degrade to a shuffle join when it is not.
     */
   def scd2Merge(
       dim: DataFrame,
@@ -85,8 +88,8 @@ object Scd {
       tsCol: String = "ts",
       tieCol: String = "event_id"): DataFrame = {
     val touched = deltaLog.select(col(keyCol)).distinct()
-    val untouched = dim.join(broadcast(touched), Seq(keyCol), "left_anti")
-    val dimTouched = dim.join(broadcast(touched), Seq(keyCol), "left_semi")
+    val untouched = dim.join(touched, Seq(keyCol), "left_anti")
+    val dimTouched = dim.join(touched, Seq(keyCol), "left_semi")
     val closed = dimTouched.filter(!col("is_current"))
     val current = dimTouched.filter(col("is_current"))
     val carried = current.select(col(keyCol), col(attrCol),
@@ -97,7 +100,7 @@ object Scd {
     val bases = current.select(col(keyCol),
       (col("version") - lit(1)).as("__base"))
     val tail = scd2Build(logAll, keyCol, attrCol, tsCol, tieCol)
-      .join(broadcast(bases), Seq(keyCol), "left")
+      .join(bases, Seq(keyCol), "left")
       .withColumn("version", col("version") + coalesce(col("__base"), lit(0)))
       .drop("__base")
     untouched.unionByName(closed).unionByName(tail)
@@ -183,10 +186,11 @@ object Scd {
     scd2BuildBucketed(Tables.events(spark, dir))
       .orderBy("user_id", "version")
 
-  /** Batch SCD2 restatement — q91's oracle (and q91b's by the merge
-    * contract, q91c's by change-set identity).
+  /** The batch SCD2 restatement WITHOUT the final ORDER BY — the single
+    * source both q91's oracle and x23b's closed-rows oracle derive from
+    * (a tie-break or null-semantics change edits exactly one text).
     */
-  val q91Sql: String =
+  private[graft] val q91Body: String =
     """WITH ordered AS (
       |  SELECT user_id, event_type, ts, event_id,
       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
@@ -200,6 +204,10 @@ object Scd {
       |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS effective_to,
       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS INTEGER) AS version,
       |       lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) IS NULL AS is_current
-      |FROM changes
-      |ORDER BY user_id, version""".stripMargin
+      |FROM changes""".stripMargin
+
+  /** Batch SCD2 restatement — q91's oracle (and q91b's by the merge
+    * contract, q91c's by change-set identity).
+    */
+  val q91Sql: String = q91Body + "\nORDER BY user_id, version"
 }

@@ -33,8 +33,12 @@ object Sketches {
 
   /** x05b_approx_distinct_gate: the distinct-sketch shape in an EXACT
     * regime, under the driver's hash gate — via [[graft.ext.ThetaDistinctAgg]]
-    * (theta, not HLL: HLL has no exact regime, theta does). With lgK = 21
-    * every partial and their union retain < 2²¹ hashes at any driver SF,
+    * (theta, not HLL: HLL has no exact regime, theta does). With lgK = 23
+    * every partial and their union retain < 2²³ hashes at the gate's
+    * driver SFs and well past the sf1 derivation (~1.5M distinct
+    * orderkeys — lgK 21 would have sat within 1.5× of its nominal
+    * there, so the headroom is bought explicitly; theta allocates its
+    * table lazily, so the ceiling costs nothing at gate scale),
     * so θ stays 1 and the estimate is exactly the number of distinct
     * inputs (modulo deterministic 64-bit hash collisions — stated in the
     * aggregate's doc, probability ~n²/2⁶⁵). This puts the full
@@ -50,9 +54,9 @@ object Sketches {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        call_function("theta_distinct", col("l_orderkey"), lit(21))
+        call_function("theta_distinct", col("l_orderkey"), lit(23))
           .as("distinct_orders"),
-        call_function("theta_distinct", col("l_partkey"), lit(21))
+        call_function("theta_distinct", col("l_partkey"), lit(23))
           .as("distinct_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
@@ -164,23 +168,10 @@ object Sketches {
     * lgK=12 3σ relative-error bound is pinned per column against the
     * oracle-gated exact q86 in SketchesSpec.
     */
-  def x19(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val cols = graft.ops.Analytics.q86Cols
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-      hll_sketch_estimate(
-        hll_sketch_agg(col(c).cast("string"), lit(12))).as(s"__d_$c")))
-    val allAggs = count(lit(1)).as("__rows") +: aggs
-    val wide = o.agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
-    wide.select(col("__rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, est_distinct)"))
-      .select(col("column_name"), col("__rows").as("n_rows"),
-        col("n_nulls").cast("long").as("n_nulls"),
-        col("est_distinct").cast("long").as("est_distinct"))
-      .orderBy("column_name")
-  }
+  def x19(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.profileOver(spark, dir,
+      c => hll_sketch_estimate(hll_sketch_agg(c.cast("string"), lit(12))),
+      "est_distinct")
 
   def x18(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -264,7 +255,12 @@ object Sketches {
     * exact longs. lgK is the declared scale knob — below it the same
     * query degrades to the standard theta set-operation error bounds.
     */
-  def x22(spark: SparkSession, dir: String): DataFrame = {
+  /** The consecutive-day sketch pairs behind [[x22]]/[[x22b]] — ONE copy
+    * of the per-day sketch build and the day+1 broadcast equi-join, so
+    * the overlap and churn reports cannot silently compute over
+    * different pair sets.
+    */
+  private def dailySketchPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.ext.GraftFunctions.ensureThetaDistinct(spark)
     val daily = Tables.events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
@@ -275,6 +271,10 @@ object Sketches {
       col("sk").as("sk_a"))
     val b = daily.select(col("day").as("day_b"), col("sk").as("sk_b"))
     a.join(broadcast(b), col("day_next") === col("day_b"))
+  }
+
+  def x22(spark: SparkSession, dir: String): DataFrame =
+    dailySketchPairs(spark, dir)
       .select(col("day_a"),
         call_function("theta_estimate", col("sk_a")).as("n_a"),
         call_function("theta_estimate", col("sk_b")).as("n_b"),
@@ -287,7 +287,6 @@ object Sketches {
       .withColumn("jaccard",
         col("n_both").cast("double") / col("n_either").cast("double"))
       .orderBy("day_a")
-  }
 
   /** x22b_sketch_churn: the set-DIFFERENCE half of the sketch algebra —
     * per consecutive-day pair, retained = a ∩ b, churned = a ∖ b,
@@ -300,16 +299,7 @@ object Sketches {
     * counts.
     */
   def x22b(spark: SparkSession, dir: String): DataFrame = {
-    graft.ext.GraftFunctions.ensureThetaDistinct(spark)
-    val daily = Tables.events(spark, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(call_function("theta_sketch_agg", col("user_id"), lit(21))
-        .as("sk"))
-    val a = daily.select(col("day").as("day_a"),
-      (col("day") + expr("INTERVAL 1 DAY")).as("day_next"),
-      col("sk").as("sk_a"))
-    val b = daily.select(col("day").as("day_b"), col("sk").as("sk_b"))
-    a.join(broadcast(b), col("day_next") === col("day_b"))
+    dailySketchPairs(spark, dir)
       .select(col("day_a"),
         call_function("theta_estimate",
           call_function("theta_intersect", col("sk_a"), col("sk_b")))
@@ -371,7 +361,7 @@ object Sketches {
   /** x19b_profile_sketch_gate: x19's sketched column profile in the theta
     * EXACT regime — the same single-scan wide-aggregate + stack shape,
     * distinct counts via `theta_distinct` over the bijective string cast
-    * at lgK = 21 (every per-column cardinality is far below 2²¹ at driver
+    * at lgK = 23 (every per-column cardinality is far below 2²³ at driver
     * SFs), so the profile equals q86's exact one and SHARES q86's oracle
     * verbatim. x19 stays the declared lgK = 12 HLL form whose 3σ error
     * SketchesSpec pins — O(columns) shuffle either way; the exact regime
@@ -379,20 +369,8 @@ object Sketches {
     */
   def x19b(spark: SparkSession, dir: String): DataFrame = {
     graft.ext.GraftFunctions.ensureThetaDistinct(spark)
-    val o = Tables.orders(spark, dir)
-    val cols = graft.ops.Analytics.q86Cols
-    val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-      call_function("theta_distinct", col(c).cast("string"), lit(21))
-        .as(s"__d_$c")))
-    val allAggs = count(lit(1)).as("__rows") +: aggs
-    val wide = o.agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', `__n_$c`, `__d_$c`").mkString(", ")
-    wide.select(col("__rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
-      .select(col("column_name"), col("__rows").as("n_rows"),
-        col("n_nulls").cast("long").as("n_nulls"),
-        col("n_distinct").cast("long").as("n_distinct"))
-      .orderBy("column_name")
+    graft.ops.Analytics.profileOver(spark, dir,
+      c => call_function("theta_distinct", c.cast("string"), lit(23)),
+      "n_distinct")
   }
 }

@@ -315,27 +315,14 @@ object StreamGates {
       .orderBy("user_id", "version")
   }
 
-  /** Batch SCD2 closed-history restatement — x23b's oracle (q91's body
-    * restricted to the non-current rows).
+  /** Batch SCD2 closed-history restatement — x23b's oracle: q91's body
+    * (ONE shared text, `ops.Scd.q91Body`) restricted to the non-current
+    * rows, so a tie-break or null-semantics change to the batch oracle
+    * cannot silently diverge from the streaming gate's.
     */
   val x23bSql: String =
-    """WITH ordered AS (
-      |  SELECT user_id, event_type, ts, event_id,
-      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      |  FROM events),
-      |changes AS (
-      |  SELECT user_id, event_type, ts AS effective_from, event_id
-      |  FROM ordered
-      |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
-      |versions AS (
-      |  SELECT user_id, event_type, effective_from,
-      |         lead(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS effective_to,
-      |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY effective_from, event_id) AS INTEGER) AS version
-      |  FROM changes)
-      |SELECT user_id, event_type, effective_from, effective_to, version,
-      |       FALSE AS is_current
-      |FROM versions
-      |WHERE effective_to IS NOT NULL
-      |ORDER BY user_id, version""".stripMargin
+    s"""SELECT * FROM (
+       |${graft.ops.Scd.q91Body}
+       |) WHERE NOT is_current
+       |ORDER BY user_id, version""".stripMargin
 }

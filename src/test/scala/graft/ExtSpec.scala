@@ -486,5 +486,12 @@ class ExtSpec extends SparkSuite {
         |FROM s, u""".stripMargin).collect()(0)
     assert((0 until 7).map(row.getLong) ==
       Seq(600L, 600L, 200L, 1000L, 400L, 400L, 1000L))
+    // misuse fails loudly with the function's own message, never an NPE
+    val err = intercept[Exception] {
+      spark.sql("SELECT theta_distinct(k, CAST(NULL AS INT)) FROM theta_t")
+        .collect()
+    }
+    assert(err.getMessage.contains("lgK must not be NULL"),
+      s"wrong error: ${err.getMessage}")
   }
 }

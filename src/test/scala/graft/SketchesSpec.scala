@@ -78,7 +78,7 @@ class SketchesSpec extends SparkSuite {
     graft.ext.GraftFunctions.ensureThetaDistinct(spark)
     val repart = graft.Tables.lineitem(spark, sf001).repartition(13)
       .groupBy(col("l_returnflag"))
-      .agg(call_function("theta_distinct", col("l_orderkey"), lit(21)).as("o"))
+      .agg(call_function("theta_distinct", col("l_orderkey"), lit(23)).as("o"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, (o, _, _)) => assert(repart(k) == o) }
   }
