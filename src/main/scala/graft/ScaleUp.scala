@@ -129,7 +129,14 @@ object ScaleUp {
     *   - events: user_id unshifted (sessionize hot users).
     * At copies = 10, p = 90 puts ~91% of fact mass on ~10% of the key
     * space (hot keys ≈ 9.1× their uniform weight) — a zipf-head shape.
-    * PRIMARY keys always shift (uniqueness is invariant); dims are
+    * PRIMARY keys stay unique (the invariant): single-column PKs always
+    * shift, and lineitem's composite (l_orderkey, l_linenumber) shifts
+    * l_linenumber for exactly the hot rows whose l_orderkey stays on
+    * copy-0 (disjoint linenumber bands per copy — ADVICE r12), so the
+    * derivation introduces NO cross-copy collisions; the fixture itself
+    * does not enforce that composite key, and its own collisions are
+    * inherited verbatim (distinct pairs scale exactly with copies —
+    * spec-pinned). Dims are
     * untouched, so referential integrity holds (copy-0 targets exist).
     * Bench-only, like the uniform mode: the point is measuring which
     * plans survive the skewed regime, not oracle comparison.
@@ -146,6 +153,16 @@ object ScaleUp {
     def offSkew(c: String, k: Int, stride: Long, keyCol: String): Column =
       if (hotPct == 0 || k == 0) off(c, k, stride)
       else when(hot(keyCol), col(c)).otherwise(off(c, k, stride))
+    // the complement: shift ONLY the hot rows — used for the second
+    // component of lineitem's composite PK, whose first component
+    // (l_orderkey) deliberately stays on copy-0 for hot rows. Shifting
+    // l_linenumber for exactly those rows keeps (l_orderkey, l_linenumber)
+    // unique: hot copies collide on neither component pair (linenumber
+    // bands are disjoint per copy and copy-0's band is k=0), non-hot
+    // copies are separated by the shifted orderkey (ADVICE r12).
+    def offIfHot(c: String, k: Int, stride: Long, keyCol: String): Column =
+      if (hotPct == 0 || k == 0) col(c)
+      else when(hot(keyCol), off(c, k, stride)).otherwise(col(c))
     // value-band squash: hot rows concentrate in [500, 501) with the
     // fractional part kept for tie diversity — the 99%-head value regime
     // the q90c stress measured
@@ -185,8 +202,17 @@ object ScaleUp {
         .withColumn("o_totalprice", squash("o_totalprice", k, "o_orderkey"))
         .withColumn("o_orderkey", off("o_orderkey", k, s)) // PK: last, always shifted
     }, "orders", copies)
+    // composite-PK stride for skew mode: l_linenumber is small (≤ 7 in
+    // TPC-H shape) — derived, not hardcoded, like the FK strides above
+    val lnStride = spark.read.parquet(s"$src/lineitem.parquet")
+      .agg(max(col("l_linenumber"))).head().getAs[Number](0).longValue + 1L
     write(scaled(spark, src, "lineitem", copies) { (df, k, s) =>
-      df.withColumn("l_orderkey", offSkew("l_orderkey", k, ordN, "l_orderkey"))
+      val lnType = df.schema("l_linenumber").dataType
+      // l_linenumber FIRST: offIfHot/offSkew key the hot choice on the
+      // ORIGINAL l_orderkey, which the l_orderkey rewrite below replaces
+      df.withColumn("l_linenumber",
+          offIfHot("l_linenumber", k, lnStride, "l_orderkey").cast(lnType))
+        .withColumn("l_orderkey", offSkew("l_orderkey", k, ordN, "l_orderkey"))
         .withColumn("l_partkey", off("l_partkey", k, partN))
         .withColumn("l_suppkey", offSkew("l_suppkey", k, suppN, "l_suppkey"))
         .withColumn("l_extendedprice", squash("l_extendedprice", k, "l_orderkey"))

@@ -27,7 +27,9 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * array and throws a named error on an unsorted, null-bearing or
   * NaN-bearing one — a binary search over such an array would silently
   * return wrong buckets. Validation is O(cuts) but runs ONCE per
-  * distinct array instance (identity-cached): for the literal-cuts hot
+  * distinct array instance (cached on reference + length + endpoint
+  * fingerprint; see the companion's cache note for the best-effort
+  * contract on reused mutable containers): for the literal-cuts hot
   * path that is one scan per task, not per row. NaN *values* land in
   * the TOP bucket, matching Spark SQL's ordering (NaN > everything, so
   * the fold's `NaN >= c` is true for every cut) rather than Java's
@@ -51,13 +53,27 @@ case class CutsBucket(left: Expression, right: Expression)
 }
 
 object CutsBucket {
-  // Identity cache of the last cut array that passed validation. The
-  // common caller binds cuts as a literal, so the SAME ArrayData instance
-  // arrives for every row of a task — one reference compare skips the
-  // O(cuts) scan. Benign race under concurrent tasks: the worst case is
-  // a redundant revalidation, never a skipped one (a thread only stores
-  // an instance IT validated).
+  // Cache of the last cut array that passed validation, keyed on
+  // (reference, length, first, last). The common caller binds cuts as a
+  // literal, so the SAME ArrayData instance arrives for every row of a
+  // task — one reference compare plus two element reads skips the
+  // O(cuts) scan. The length/first/last fingerprint additionally catches
+  // the reused-container hazard (ADVICE r12): a mutable ArrayData buffer
+  // re-filled with DIFFERENT contents between rows no longer slips past
+  // the reference check undetected unless the new contents agree on all
+  // three probes — the guard is therefore BEST-EFFORT for non-literal
+  // cuts (an interior mutation that preserves length and both endpoints
+  // can still evade it; bucket RESULTS stay correct either way, since
+  // the search reads actual content — only the loud-failure guarantee
+  // weakens). Benign race under concurrent tasks: the fields update
+  // non-atomically, but a mixed write can only cause a redundant
+  // revalidation or mark as-validated an instance some thread DID
+  // validate — never skip a never-validated instance (lastOk is only
+  // ever set to an instance the storing thread just validated).
   @volatile private var lastOk: ArrayData = _
+  @volatile private var lastOkLen: Int = -1
+  @volatile private var lastOkFirst: Double = 0.0
+  @volatile private var lastOkLast: Double = 0.0
 
   private def validate(cuts: ArrayData): Unit = {
     var prev = Double.NegativeInfinity
@@ -85,12 +101,23 @@ object CutsBucket {
   /** Upper-bound binary search: first index with cuts(i) > v, which IS
     * the count of cuts ≤ v. No boxing — reads doubles straight off the
     * (Unsafe)ArrayData. Throws on an invalid cut array (see class doc);
-    * validation is identity-cached so the literal-cuts hot path pays one
-    * reference compare per row.
+    * validation is cached (reference + length + endpoints) so the
+    * literal-cuts hot path pays one reference compare and two element
+    * reads per row.
     */
   def bucket(v: Double, cuts: ArrayData): Int = {
-    if (cuts ne lastOk) {
+    val len = cuts.numElements()
+    val fresh = (cuts ne lastOk) || len != lastOkLen ||
+      (len > 0 && (cuts.isNullAt(0) || cuts.isNullAt(len - 1) ||
+        cuts.getDouble(0) != lastOkFirst ||
+        cuts.getDouble(len - 1) != lastOkLast))
+    if (fresh) {
       validate(cuts)
+      if (len > 0) {
+        lastOkFirst = cuts.getDouble(0)
+        lastOkLast = cuts.getDouble(len - 1)
+      }
+      lastOkLen = len
       lastOk = cuts
     }
     // Spark SQL ordering: NaN is greater than every value, so it takes

@@ -204,7 +204,7 @@ object Convert {
     */
   def q46b(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.IncrementalPipeline
-    val root = java.nio.file.Files.createTempDirectory("graft_q46b_").toString
+    val root = graft.TempRoots.create("graft_q46b_")
     val (srcDir, tgtDir, ledDir) = (s"$root/src", s"$root/tgt", s"$root/ledger")
 
     val customer = Tables.customer(spark, dir)

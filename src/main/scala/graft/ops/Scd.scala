@@ -79,6 +79,19 @@ object Scd {
     * the driver), while the unhinted plan lets AQE convert to a runtime
     * broadcast exactly when the delta is actually small — the common
     * case — and degrade to a shuffle join when it is not.
+    *
+    * PRECONDITION (the merge ≡ rebuild contract): every delta row's ts
+    * must be >= the touched key's current `effective_from` — the carried
+    * pseudo row's Long.MinValue tie only orders correctly then. A
+    * late-arriving delta older than the current version would otherwise
+    * produce a dim that silently diverges from the batch rebuild
+    * (ADVICE r12). `guardLateDeltas = true` enforces it at runtime with
+    * one delta-bounded aggregate + join (min delta ts per touched key vs
+    * the current row's effective_from) and fails loudly with an offending
+    * key; the default leaves the check to the caller for pipelines whose
+    * batch boundary proves it by construction (q91b's cutoff split). A
+    * violated key needs a rebuild ([[scd2Build]] over its full log), not
+    * a merge.
     */
   def scd2Merge(
       dim: DataFrame,
@@ -86,12 +99,27 @@ object Scd {
       keyCol: String = "user_id",
       attrCol: String = "event_type",
       tsCol: String = "ts",
-      tieCol: String = "event_id"): DataFrame = {
+      tieCol: String = "event_id",
+      guardLateDeltas: Boolean = false): DataFrame = {
     val touched = deltaLog.select(col(keyCol)).distinct()
     val untouched = dim.join(touched, Seq(keyCol), "left_anti")
     val dimTouched = dim.join(touched, Seq(keyCol), "left_semi")
     val closed = dimTouched.filter(!col("is_current"))
     val current = dimTouched.filter(col("is_current"))
+    if (guardLateDeltas) {
+      val viol = deltaLog.groupBy(col(keyCol))
+        .agg(min(col(tsCol)).as("__delta_min_ts"))
+        .join(current.select(col(keyCol), col("effective_from")), Seq(keyCol))
+        .filter(col("__delta_min_ts") < col("effective_from"))
+      val bad = viol.select(col(keyCol), col("__delta_min_ts"),
+        col("effective_from")).limit(1).collect()
+      require(bad.isEmpty,
+        s"scd2Merge: late-arriving delta violates the merge contract — " +
+          s"key ${bad.head.get(0)} has a delta row at ${bad.head.get(1)} " +
+          s"older than the current version's effective_from " +
+          s"${bad.head.get(2)}; rebuild that key's history with scd2Build " +
+          "instead of merging")
+    }
     val carried = current.select(col(keyCol), col(attrCol),
       col("effective_from").as(tsCol),
       lit(Long.MinValue).cast("long").as(tieCol))
@@ -125,7 +153,10 @@ object Scd {
   def q91b(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val dim = scd2Build(ev.filter(col("ts") < cutoff))
-    scd2Merge(dim, ev.filter(col("ts") >= cutoff))
+    // the cutoff split proves the no-late-delta precondition by
+    // construction; the guard is ON anyway so the declared query also
+    // exercises the loud-failure path's plumbing every round
+    scd2Merge(dim, ev.filter(col("ts") >= cutoff), guardLateDeltas = true)
       .orderBy("user_id", "version")
   }
 

@@ -616,59 +616,24 @@ object Vector {
     * seeding — a different, costlier operation with different semantics.
     */
   def ivfCompact(spark: SparkSession, indexDir: String): Unit = {
-    val postings = s"$indexDir/postings"
-    val tmp = s"$indexDir/postings_compacting"
     ivfRecover(spark, indexDir) // heal any interrupted previous swap first
-    spark.read.parquet(postings)
+    spark.read.parquet(s"$indexDir/postings")
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    val dst = new org.apache.hadoop.fs.Path(postings)
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings_old")
-    require(fs.rename(dst, old),
-      s"compaction swap failed: could not set aside $postings")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction swap failed: could not rename $tmp into place " +
-        s"(complete sets remain at $old and $tmp — run ivfRecover)")
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
+    graft.sources.SwapDir.swap(spark, indexDir, "postings")
   }
 
   /** Heal an IVF index whose [[ivfCompact]] swap was interrupted. Safe to
     * run any time (no-op + stray cleanup on a healthy index); ivfCompact
     * invokes it on entry so a crashed compaction self-heals on retry.
-    * Decision table (dst = postings, old = postings_old,
-    * tmp = postings_compacting):
-    *  - dst exists → healthy; delete stray old/tmp (crash after swap or
-    *    before it began).
-    *  - dst missing, tmp has _SUCCESS → crash between the two renames
-    *    with a COMPLETE new set: roll forward (tmp → dst, drop old).
-    *  - dst missing, old exists → tmp incomplete: roll back
-    *    (old → dst, drop tmp).
-    *  - none of the above → the index never existed or lost its data:
-    *    fail loudly rather than fabricate an empty postings dir.
+    * The decision table lives in [[graft.sources.SwapDir.recover]] — the
+    * generic rename-aside protocol shared with the text-LSH compactor.
     */
-  def ivfRecover(spark: SparkSession, indexDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/postings_old")
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_compacting")
-    if (fs.exists(dst)) {
-      fs.delete(old, true)
-      fs.delete(tmp, true)
-    } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-      require(fs.rename(tmp, dst), s"ivfRecover: could not roll $tmp forward")
-      fs.delete(old, true)
-    } else if (fs.exists(old)) {
-      require(fs.rename(old, dst), s"ivfRecover: could not roll $old back")
-      fs.delete(tmp, true)
-    } else {
-      require(false,
-        s"ivfRecover: no postings at $indexDir in any generation — " +
-          "the index is gone, rebuild with ivfBuild")
-    }
-  }
+  def ivfRecover(spark: SparkSession, indexDir: String): Unit =
+    graft.sources.SwapDir.recover(spark, indexDir, "postings",
+      s"ivfRecover: no postings at $indexDir in any generation — " +
+        "the index is gone, rebuild with ivfBuild")
 
   /** Search a materialized IVF index ([[ivfBuild]]) — identical results to
     * [[ivfTopK]] at the same (nlist, nprobe, k) on the same corpus (pinned
@@ -1209,8 +1174,7 @@ object Vector {
     * Output is integer-only (probe, neighbor, rank).
     */
   def q71(spark: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files
-      .createTempDirectory("graft_ivf_q71_").toString
+    val idx = graft.TempRoots.create("graft_ivf_q71_")
     val emb = Tables.embeddings(spark, dir)
     ivfBuild(emb, idx, nlist = 16)
     ivfSearch(spark, idx, emb.filter(col("vec_id") < 8),

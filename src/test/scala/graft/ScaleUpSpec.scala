@@ -116,6 +116,18 @@ class ScaleUpSpec extends SparkSuite {
       "left_anti").isEmpty, "skewed orders must keep FK integrity")
     // the value axis concentrates: the squash band holds the hot head
     val li = d("lineitem")
+    // composite key survives skew with NO derivation-introduced
+    // collisions: hot rows keep copy-0's l_orderkey, so their
+    // l_linenumber shifts instead (ADVICE r12). The base fixture itself
+    // does not enforce (l_orderkey, l_linenumber) uniqueness, so the
+    // invariant is distinct-pair count scaling EXACTLY with copies —
+    // every base collision is inherited, none is added across copies.
+    val basePairs = base("lineitem")
+      .select("l_orderkey", "l_linenumber").distinct().count()
+    assert(li.select("l_orderkey", "l_linenumber").distinct().count()
+      == 5 * basePairs,
+      "skew mode must not introduce composite-key collisions beyond the " +
+        "base fixture's own")
     val bandShare = li.filter(col("l_extendedprice") >= 500 &&
       col("l_extendedprice") < 501).count().toDouble / li.count()
     assert(bandShare > 0.6, s"expected a value-head band, got $bandShare")

@@ -77,6 +77,41 @@ class ScdSpec extends SparkSuite {
       k1(1).getTimestamp(3) == ts("2024-01-11 00:00:00"))
   }
 
+  test("guardLateDeltas: a delta older than the current version fails " +
+      "loudly; a conforming delta passes (ADVICE r12)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val hist = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "b", ts("2024-01-05 00:00:00"), 2L),
+      (2L, "a", ts("2024-01-03 00:00:00"), 3L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val dim = ops.Scd.scd2Build(hist)
+    // key 1's current version opened 01-05; a delta row at 01-04 is LATE
+    val late = Seq(
+      (1L, "c", ts("2024-01-04 00:00:00"), 10L),
+      (2L, "b", ts("2024-01-10 00:00:00"), 11L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      ops.Scd.scd2Merge(dim, late, guardLateDeltas = true).collect()
+    }
+    assert(ex.getMessage.contains("late-arriving delta") &&
+      ex.getMessage.contains("scd2Build"),
+      s"guard error must name the contract and the fix: ${ex.getMessage}")
+    // the same shape with conforming timestamps passes the guard and
+    // still equals the batch rebuild
+    val ok = Seq(
+      (1L, "c", ts("2024-01-06 00:00:00"), 10L),
+      (2L, "b", ts("2024-01-10 00:00:00"), 11L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val merged = ops.Scd.scd2Merge(dim, ok, guardLateDeltas = true)
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    val rebuilt = ops.Scd.scd2Build(hist.unionByName(ok))
+      .orderBy("user_id", "version").collect().map(_.toString).toSeq
+    assert(merged == rebuilt)
+  }
+
   test("q91c bucketed build equals the plain build; raw window keys on (key, bucket)") {
     val batch = ops.Scd.q91(spark, sf001).collect().map(_.toString).toSeq
     val bucketed = ops.Scd.q91c(spark, sf001).collect().map(_.toString).toSeq
