@@ -296,6 +296,11 @@ object SparkEntry {
     // incremental near-dup detection: today's delta probed against the
     // standing corpus LSH buckets — pairs are delta-proportional
     "x21_delta_dedup"      -> ((s, d) => ops.Text.x21(s, d)),
+    // x21 through the MATERIALIZED LSH index: build 3/5 of the corpus,
+    // append the rest under frozen params, compact (rename-aside swap),
+    // probe the delta — the full standing-index lifecycle in the gated
+    // path; full-band probe => same pairs, shares x21's oracle
+    "x21b_delta_dedup_indexed" -> ((s, d) => ops.Text.x21b(s, d)),
     // x06's exact twin: probing ALL 2^bits buckets degenerates the
     // SimHash candidate join to brute force — shares x01's oracle, so
     // the sketch code path itself is driver-gated (q71 precedent)
@@ -449,6 +454,7 @@ object SparkEntry {
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
     "x21_delta_dedup"           -> ops.Text.x21Sql,
+    "x21b_delta_dedup_indexed"  -> ops.Text.x21Sql,
     // gate twins: the sketch code paths in their degenerate-exact regimes
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,

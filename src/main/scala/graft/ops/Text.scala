@@ -629,10 +629,13 @@ object Text {
     * today's arrivals duplicate something we already have", and answering
     * it with the self-join over corpus ∪ delta re-pays the corpus×corpus
     * work every night. Here the corpus side's banded buckets are computed
-    * once (at 100 TB: persisted as the standing LSH index, the q71
-    * materialized-IVF discipline — the Scaladoc of both cross-references
-    * the pattern) and the delta probes them: the bucket join's output is
-    * |delta|-proportional, corpus-internal pairs never form.
+    * once per call and the delta probes them: the bucket join's output is
+    * |delta|-proportional, corpus-internal pairs never form. The
+    * PERSISTED form of that once — the standing index the q71
+    * materialized-IVF discipline prescribes — is [[lshBuild]]/
+    * [[lshProbe]]/[[lshAppend]]/[[lshCompact]] below (driver-gated as
+    * x21b); use this in-memory form for one-shot jobs, the index for
+    * recurring ingest.
     *
     * Same recall law as the self-join (1-(1-J^rows)^bands per pair), same
     * exact-Jaccard verification of candidates, same shingle-less-doc
@@ -719,6 +722,258 @@ object Text {
       |  FROM sh d JOIN sh c ON d.doc_id % 5 = 4 AND c.doc_id % 5 <> 4)
       |WHERE jaccard >= 0.9
       |ORDER BY delta_id, corpus_id""".stripMargin
+
+  // ---- x21b: the MATERIALIZED text-LSH index ----
+
+  /** The per-doc signature projection shared verbatim by [[lshBuild]],
+    * [[lshAppend]] and [[lshProbe]]: (doc_id, sh, bsig) under ONE
+    * parameter set, so every generation of the index — and every probe
+    * against it — hashes identically (the IVF frozen-quantizer
+    * discipline). Shingle-less docs are excluded for [[minhashPairs]]'s
+    * reason: their all-null signatures would collide into one bucket and
+    * emit NaN-jaccard pairs; route them through exact dedup (q21).
+    */
+  private def lshSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    graft.ext.GraftFunctions.ensureWordNgrams(docs.sparkSession)
+    graft.ext.GraftFunctions.ensureMinHashBands(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        nativeShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        call_function("minhash_bands",
+          col("sh"), lit(numHashes), lit(bands)).as("bsig"))
+  }
+
+  /** Build a MATERIALIZED banded-minhash LSH index under `indexDir` — the
+    * standing-index twin of [[graft.ops.Vector.ivfBuild]] that the
+    * [[minhashDeltaPairs]] scaladoc promises: the corpus-sized work of
+    * incremental dedup (shingling + signatures + bucket layout) runs ONCE
+    * here, and every nightly [[lshProbe]] afterwards touches only the
+    * delta and the joined bucket slices. Rebuilding signatures per probe
+    * re-pays a corpus-sized pass for a delta-sized question — at 100 TB
+    * that is the difference between a standing index and a nightly
+    * full-corpus job.
+    *
+    * Layout:
+    *  - `indexDir/meta`: one row (shingle_n, num_hashes, bands) — the
+    *    FROZEN hash parameters. Probes and appends read them from the
+    *    index rather than trusting the caller, so a parameter drift
+    *    between build and probe (which would silently shift every bucket)
+    *    is structurally impossible.
+    *  - `indexDir/docs`: (doc_id, sh) — the shingle arrays, read only to
+    *    exact-verify candidates (candidate-bounded scans).
+    *  - `indexDir/buckets`: (sig, doc_id) DIRECTORY-PARTITIONED by band
+    *    (values carry a "b" prefix so partition-column inference reads
+    *    them back as strings — ivfBuild's trick). Partitioning by band is
+    *    the IVF-nprobe analog for LSH: a full probe reads all `bands`
+    *    partitions, and a recall/cost-tuned probe (`probeBands` <
+    *    `bands`) becomes a PARTITION-PRUNED scan reading probeBands/bands
+    *    of the index on disk, with the recall law 1-(1-J^rows)^probeBands
+    *    still exact. Compaction ([[lshCompact]]) rewrites one file per
+    *    band.
+    */
+  def lshBuild(
+      docs: DataFrame,
+      indexDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 2,
+      numHashes: Int = 32,
+      bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = docs.sparkSession
+    spark.range(1).select(
+        lit(shingleN).as("shingle_n"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
+      // one exchange feeding both persisted tables, so ReuseExchange
+      // computes signatures once (minhashPairs' discipline)
+      .repartition(col("doc_id"))
+    sig.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$indexDir/docs")
+    sig.select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "sig")))
+      .select(concat(lit("b"), col("band").cast("string")).as("band"),
+        col("sig"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexDir/buckets")
+  }
+
+  private def lshMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$indexDir/meta").head()
+    (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("bands"))
+  }
+
+  /** Incremental LSH maintenance: sign ONLY the delta under the index's
+    * FROZEN stored parameters and append to the existing docs/bucket
+    * partitions — [[graft.ops.Vector.ivfAppend]]'s shape for text. The
+    * only non-metadata work is one map-side signature projection + two
+    * partitioned appends over the DELTA, so cost is delta-proportional
+    * (measured against rebuild in SCALE.md). Frozen parameters are what
+    * make append ≡ build: every doc, old or new, is bucketed under the
+    * same hash family, so the persisted set is exactly what
+    * `lshBuild(old ∪ delta)` would write (spec-pinned in TextSpec).
+    * Caller owns id-uniqueness across appends, as with any index.
+    */
+  def lshAppend(
+      spark: SparkSession,
+      indexDir: String,
+      delta: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
+    val sig = lshSignatures(delta, idCol, textCol, shingleN, numHashes, bands)
+      .repartition(col("doc_id"))
+    sig.select(col("doc_id"), col("sh"))
+      .write.mode("append").parquet(s"$indexDir/docs")
+    sig.select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "sig")))
+      .select(concat(lit("b"), col("band").cast("string")).as("band"),
+        col("sig"), col("doc_id"))
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$indexDir/buckets")
+  }
+
+  /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
+    * documents: every (probe, indexed) pair at Jaccard ≥ `threshold` —
+    * identical output to [[minhashDeltaPairs]] at the same parameters on
+    * the same corpus split (driver-gated: x21b shares x21's oracle), but
+    * the probe plan contains NO corpus-sized stage: the delta is signed
+    * map-side, the bucket join's output is |delta|-proportional, and the
+    * shingle arrays for exact verification are fetched by equi-join for
+    * candidates only.
+    *
+    * `probeBands` (default: all) is the IVF-`nprobe` analog: probing k of
+    * the stored `bands` bands turns the bucket scan into a
+    * PARTITION-PRUNED read of k/bands of the index with detection
+    * probability 1-(1-J^rows)^k per pair — the recall/cost knob
+    * plan-asserted in TextSpec. Full-band probes keep candidate recall
+    * identical to the self-join detector.
+    *
+    * @return (probe_id, index_id, jaccard), all crossing pairs exact on
+    *         the surviving candidates
+    */
+  def lshProbe(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.9,
+      probeBands: Option[Int] = None): DataFrame = {
+    val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
+    probeBands.foreach(k => require(k >= 1 && k <= bands,
+      s"probeBands must be in [1, $bands]: $k"))
+    val pSig = lshSignatures(probes, idCol, textCol, shingleN, numHashes,
+        bands)
+      .repartition(col("doc_id"))
+    val pBuckets = pSig
+      .select(col("doc_id").as("probe_id"),
+        posexplode(col("bsig")).as(Seq("band", "sig")))
+      .filter(col("band") < probeBands.getOrElse(bands))
+      .select(concat(lit("b"), col("band").cast("string")).as("band"),
+        col("sig"), col("probe_id"))
+    val iBuckets = spark.read.parquet(s"$indexDir/buckets")
+      .filter(probeBands match {
+        // pruning literals, not a generic predicate: k named partition
+        // values turn the scan into reading k/bands of the index on disk
+        case Some(k) => col("band").isin((0 until k).map("b" + _): _*)
+        case None => lit(true)
+      })
+    val cand = pBuckets
+      .join(iBuckets.select(col("band"), col("sig"),
+        col("doc_id").as("index_id")), Seq("band", "sig"))
+      .select("probe_id", "index_id")
+      .distinct()
+    cand
+      .join(pSig.select(col("doc_id").as("probe_id"), col("sh").as("sh_p")),
+        Seq("probe_id"))
+      .join(spark.read.parquet(s"$indexDir/docs")
+        .select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
+        Seq("index_id"))
+      .select(col("probe_id"), col("index_id"),
+        size(array_intersect(col("sh_p"), col("sh_i"))).as("inter"),
+        size(col("sh_p")).as("n_p"), size(col("sh_i")).as("n_i"))
+      .select(col("probe_id"), col("index_id"),
+        (col("inter").cast("double") /
+          (col("n_p") + col("n_i") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Small-file compaction for an appended LSH index — a year of nightly
+    * [[lshAppend]]s is ~365 files per band partition (and per the docs
+    * table), the same lake small-files problem [[graft.ops.Vector
+    * .ivfCompact]] solves for IVF, fixed the same way: rewrite buckets
+    * ONE FILE PER BAND (repartition on the partition column) and the docs
+    * table range-partitioned on doc_id, each behind [[graft.sources
+    * .SwapDir]]'s crash-safe rename-aside swap (every failure point
+    * leaves a complete set on disk; [[lshRecover]] heals interrupted
+    * swaps and runs here on entry). Contents are untouched, so probes
+    * before and after are bit-identical (spec-pinned). Single-writer,
+    * maintenance-window semantics, as with any lake table rewrite.
+    */
+  def lshCompact(spark: SparkSession, indexDir: String): Unit = {
+    lshRecover(spark, indexDir)
+    spark.read.parquet(s"$indexDir/buckets")
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(graft.sources.SwapDir.stagePath(indexDir, "buckets"))
+    graft.sources.SwapDir.swap(spark, indexDir, "buckets")
+    val docs = spark.read.parquet(s"$indexDir/docs")
+    // file count from filesystem metadata (~128 MB of parquet per file,
+    // ≥ 2 so the rewrite never regresses to one task), the ledger
+    // compactor's sizing rule
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$indexDir/docs")).getLength
+    val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      (bytes / (128L << 20)).toInt + 1))
+    docs.repartitionByRange(nFiles, col("doc_id"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.SwapDir.stagePath(indexDir, "docs"))
+    graft.sources.SwapDir.swap(spark, indexDir, "docs")
+  }
+
+  /** Heal an LSH index whose [[lshCompact]] swap was interrupted — both
+    * swapped tables, each independently (a crash between the two swaps
+    * leaves buckets promoted and docs not; each heals to a complete
+    * generation). Safe any time; lshCompact runs it on entry.
+    */
+  def lshRecover(spark: SparkSession, indexDir: String): Unit = {
+    graft.sources.SwapDir.recover(spark, indexDir, "buckets",
+      s"lshRecover: no buckets at $indexDir in any generation — " +
+        "the index is gone, rebuild with lshBuild")
+    graft.sources.SwapDir.recover(spark, indexDir, "docs",
+      s"lshRecover: no docs at $indexDir in any generation — " +
+        "the index is gone, rebuild with lshBuild")
+  }
+
+  /** x21b_delta_dedup_indexed: [[x21]] through the STANDING index — the
+    * full lifecycle in the gated path: build over 3/5 of the corpus,
+    * [[lshAppend]] the remaining corpus slice under the frozen
+    * parameters, [[lshCompact]] (rename-aside swap included), then
+    * [[lshProbe]] with the delta. Output is the same all-crossing-pairs
+    * set, so it SHARES x21's oracle — the q71 all-cells precedent:
+    * every index stage is driver-gated with no recall caveat (full-band
+    * probe ⇒ candidate set identical to the self-join detector's).
+    */
+  def x21b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val idx = graft.TempRoots.create("graft_lsh_x21b_")
+    lshBuild(corpus.filter(pmod(col("doc_id"), lit(5L)) < 3), idx)
+    lshAppend(spark, idx,
+      corpus.filter(pmod(col("doc_id"), lit(5L)) === 3))
+    lshCompact(spark, idx)
+    lshProbe(spark, idx, docs.filter(pmod(col("doc_id"), lit(5L)) === 4))
+      .select(col("probe_id").as("delta_id"),
+        col("index_id").as("corpus_id"), col("jaccard"))
+      .orderBy("delta_id", "corpus_id")
+  }
 
   // ---- x10: exact n-gram Jaccard join via prefix filtering ----
 

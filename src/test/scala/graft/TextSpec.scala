@@ -166,6 +166,178 @@ class TextSpec extends SparkSuite {
     got.foreach { case (k, j) => assert(j == expected(k), s"jaccard drift at $k") }
   }
 
+  test("x21b: full index lifecycle (build+append+compact+probe) == x21") {
+    // the materialized-LSH path must be pair-for-pair identical to the
+    // in-memory delta detector: same frozen hash family, full-band probe
+    // => same candidate law, same exact-jaccard verification. Any drift
+    // (a parameter not frozen, a bucket lost in append or compaction)
+    // shows up here as a missing/invented pair or a jaccard mismatch.
+    val direct = ops.Text.x21(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaIndex = ops.Text.x21b(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(direct.nonEmpty, "vacuous: x21 found no crossing pairs")
+    assert(viaIndex.keySet == direct.keySet,
+      s"only-index=${viaIndex.keySet -- direct.keySet} " +
+        s"only-direct=${direct.keySet -- viaIndex.keySet}")
+    viaIndex.foreach { case (k, j) =>
+      assert(j == direct(k), s"jaccard drift at $k") }
+  }
+
+  test("lshAppend: build(A)+append(B) probe-identical to build(A ∪ B)") {
+    // ivfAppend's frozen-quantizer contract for text: appending under the
+    // index's stored parameters must leave the persisted bucket set
+    // exactly what a from-scratch build over the union would write
+    val docs = Tables.documents(spark, sf001)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter((col("doc_id") % 2 === 1) && (col("doc_id") % 5 =!= 4))
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    def pairs(idx: String) =
+      ops.Text.lshProbe(spark, idx, probes, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val dirApp = TempRoots.create("graft_lsh_app_")
+    ops.Text.lshBuild(a, dirApp)
+    ops.Text.lshAppend(spark, dirApp, b)
+    val dirFull = TempRoots.create("graft_lsh_full_")
+    ops.Text.lshBuild(a.union(b), dirFull)
+    val appended = pairs(dirApp)
+    assert(appended.nonEmpty && appended == pairs(dirFull),
+      "append must be probe-indistinguishable from a rebuild over the union")
+    // and the delta actually landed: some matched corpus doc is odd-id
+    assert(appended.exists(_._2 % 2 == 1),
+      "no delta (odd-id) match surfaced — append wrote nothing?")
+    // empty-delta append is a no-op (the no-new-data nightly)
+    ops.Text.lshAppend(spark, dirApp, docs.filter(col("doc_id") < 0))
+    assert(pairs(dirApp) == appended)
+  }
+
+  test("lshCompact: one file per band afterwards, probes bit-identical") {
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    val dir = TempRoots.create("graft_lsh_cmp_")
+    ops.Text.lshBuild(corpus.filter(col("doc_id") % 2 === 0), dir)
+    ops.Text.lshAppend(spark, dir, corpus.filter(col("doc_id") % 2 === 1))
+    def filesPerBand(): Map[String, Int] = {
+      val base = new java.io.File(s"$dir/buckets")
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("band="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    def probe() = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val before = probe()
+    assert(before.nonEmpty, "vacuous: no pairs at threshold 0.8")
+    assert(filesPerBand().values.exists(_ > 1),
+      "fixture degenerate: append produced no multi-file band")
+    ops.Text.lshCompact(spark, dir)
+    val after = filesPerBand()
+    assert(after.size == 8 && after.values.forall(_ == 1),
+      s"compaction left multi-file bands: $after")
+    assert(probe() == before, "compaction changed probe results")
+  }
+
+  test("lshCompact crash matrix: every interrupted-swap state recovers") {
+    // the SwapDir ladder for the LSH index: whatever rename the writer
+    // died between, lshRecover (or the next lshCompact, which runs it on
+    // entry) must restore a COMPLETE index probing identically to a clean
+    // compaction's. States: (a) staged-not-promoted — roll forward;
+    // (b) live set aside, stage complete — roll forward; (c) stray _old
+    // after promotion — cleanup.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def move(s: String, d: String): Unit =
+      Files.move(Paths.get(s), Paths.get(d), StandardCopyOption.ATOMIC_MOVE)
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4).filter(col("doc_id") < 6000)
+    val probes = docs.filter(col("doc_id") % 5 === 4).filter(col("doc_id") < 6000)
+    def mkIndex(): String = {
+      val dir = TempRoots.create("graft_lsh_crash_")
+      ops.Text.lshBuild(corpus.filter(col("doc_id") % 2 === 0), dir)
+      ops.Text.lshAppend(spark, dir, corpus.filter(col("doc_id") % 2 === 1))
+      dir
+    }
+    def probe(dir: String) =
+      ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val ref = mkIndex()
+    ops.Text.lshCompact(spark, ref)
+    val want = probe(ref)
+    assert(want.nonEmpty, "vacuous: crash-matrix fixture finds no pairs")
+
+    // (a) buckets staged but live never set aside (crash before rename 1)
+    val a = mkIndex()
+    ops.Text.lshCompact(spark, a) // produce a staged set by hand:
+    spark.read.parquet(s"$a/buckets").repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(sources.SwapDir.stagePath(a, "buckets"))
+    ops.Text.lshRecover(spark, a) // healthy live wins; stray stage removed
+    assert(!new java.io.File(sources.SwapDir.stagePath(a, "buckets")).exists())
+    assert(probe(a) == want)
+
+    // (b) crash between the two renames: live at _old, stage complete
+    val b = mkIndex()
+    spark.read.parquet(s"$b/buckets").repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(sources.SwapDir.stagePath(b, "buckets"))
+    move(s"$b/buckets", s"$b/buckets_old")
+    ops.Text.lshRecover(spark, b) // must roll FORWARD to the staged set
+    assert(new java.io.File(s"$b/buckets").exists())
+    assert(!new java.io.File(s"$b/buckets_old").exists())
+    assert(probe(b) == want)
+
+    // (c) crash after promotion, stray _old: next compact self-heals
+    val c = mkIndex()
+    ops.Text.lshCompact(spark, c)
+    spark.read.parquet(s"$c/buckets").write.mode("overwrite")
+      .parquet(s"$c/buckets_old_stage") // fabricate a stale old
+    move(s"$c/buckets_old_stage", s"$c/buckets_old")
+    ops.Text.lshCompact(spark, c) // runs lshRecover on entry
+    assert(!new java.io.File(s"$c/buckets_old").exists())
+    assert(probe(c) == want)
+  }
+
+  test("lshProbe probeBands: partition-pruned scan, pairs ⊆ full probe") {
+    // the IVF-nprobe analog: a k-band probe must (1) touch only the k
+    // probed band partitions on disk — pruning visible in the scan's
+    // input files — and (2) return a subset of the full-band pair set
+    // (fewer bands can only LOSE candidates, never invent them)
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    val dir = TempRoots.create("graft_lsh_prune_")
+    ops.Text.lshBuild(corpus, dir)
+    val full = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
+    val two = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8,
+      probeBands = Some(2))
+    // the bucket scan node must carry the band partition filter (the IVF
+    // postings-pruning assertion's shape; inputFiles would list
+    // pre-pruning files, so inspect the scan itself)
+    val scans = two.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val buckets = scans.find(_.metadata("Location").contains("buckets"))
+    assert(buckets.nonEmpty, "expected a buckets file scan in the plan")
+    assert(buckets.get.partitionFilters.nonEmpty,
+      "buckets scan must be partition-pruned to the probed bands")
+    val pf = buckets.get.partitionFilters.mkString(" ")
+    assert(pf.contains("b0") && pf.contains("b1") && !pf.contains("b2"),
+      s"2-band probe must prune to b0,b1 — got: $pf")
+    val fullSet = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twoSet = two.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoSet.subsetOf(fullSet),
+      s"k-band probe invented pairs: ${twoSet -- fullSet}")
+    intercept[IllegalArgumentException] {
+      ops.Text.lshProbe(spark, dir, probes, probeBands = Some(9))
+    }
+    intercept[IllegalArgumentException] {
+      ops.Text.lshProbe(spark, dir, probes, probeBands = Some(0))
+    }
+  }
+
   test("two-level wide banding is output-identical to single-level radius 7") {
     // both formulations are EXACT for radius <= 7 (pigeonhole arguments in
     // their docs), so their pair sets must be equal — a splice/shift bug in
