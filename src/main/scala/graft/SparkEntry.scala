@@ -285,6 +285,10 @@ object SparkEntry {
     "x03b_stream_tumbling_gate" -> ((s, d) => streaming.StreamGates.x03b(s, d)),
     "x17b_stream_hopping_gate"  -> ((s, d) => streaming.StreamGates.x17b(s, d)),
     "x16b_stream_dedup_gate"    -> ((s, d) => streaming.StreamGates.x16b(s, d)),
+    // checkpoint-restart recovery: the same dedup operator as two query
+    // instances over one on-disk checkpoint (state store + offsets +
+    // file-sink log recovered); duplicates cross the restart boundary
+    "x16c_stream_dedup_restart" -> ((s, d) => streaming.StreamGates.x16c(s, d)),
     "x15b_stream_transitions_gate" -> ((s, d) => streaming.StreamGates.x15b(s, d)),
     "x13b_stream_join_gate"     -> ((s, d) => streaming.StreamGates.x13b(s, d)),
     // streaming SCD2 maintenance (x23): the append sink accumulates the
@@ -449,6 +453,7 @@ object SparkEntry {
     "x03b_stream_tumbling_gate" -> streaming.StreamGates.x03bSql,
     "x17b_stream_hopping_gate"  -> streaming.StreamGates.x17bSql,
     "x16b_stream_dedup_gate"    -> ops.Text.q21Sql,
+    "x16c_stream_dedup_restart" -> ops.Text.q21Sql,
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
     "x23b_stream_scd2_gate"     -> streaming.StreamGates.x23bSql,
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,

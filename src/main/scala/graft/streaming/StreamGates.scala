@@ -325,4 +325,60 @@ object StreamGates {
        |${graft.ops.Scd.q91Body}
        |) WHERE NOT is_current
        |ORDER BY user_id, version""".stripMargin
+
+  /** x16c: CHECKPOINT-RESTART parity for the stateful dedup stream — the
+    * reference's crash ladder (`dags/order_currency_conversion_dag.py:161-173`,
+    * retry-from-durable-state) at the state-store level, which x16b's
+    * single continuous query never exercises. The same production operator
+    * (`StatefulDedup.dedupStream`) runs as TWO successive query instances
+    * over ONE on-disk checkpoint: instance 1 consumes the first half of
+    * the fixture and is stopped; instance 2 starts cold from the
+    * checkpoint (state store + source offsets + file-sink log all
+    * recovered from disk) and consumes the rest. The sink is a real
+    * parquet file sink — the memory sink cannot recover from a checkpoint,
+    * and the file-sink commit log is itself part of the exactly-once story
+    * under test (a replayed final batch must not double-write survivors).
+    *
+    * Why oracle equality proves RECOVERY and not merely dedup: the fixture
+    * has duplicate keys crossing the half boundary (spec-asserted
+    * non-vacuous), so if instance 2 lost instance 1's seen-set it would
+    * re-emit those keys' later arrivals → extra rows → hash mismatch
+    * against q21's oracle. Shares q21's oracle verbatim (x16b's contract:
+    * doc_id-ordered feeding makes keep-first == keep-lowest-doc_id).
+    */
+  def x16c(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, dir)
+    val rows = docs
+      .select(graft.ops.Text.wordSetFingerprint(col("text")).as("key"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").as[StatefulDedup.Keyed].collect().toSeq
+    val root = graft.TempRoots.create("graft_x16c_")
+    val (sink, ckpt) = (s"$root/sink", s"$root/ckpt")
+    val input = MemoryStream[StatefulDedup.Keyed]
+    withGatePartitions(spark) {
+      // one physical plan, started twice against the same checkpoint
+      def start() = StatefulDedup.dedupStream(
+          input.toDF().as[StatefulDedup.Keyed]).toDF()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      val size = math.max(1, (rows.length + Chunks - 1) / Chunks)
+      val q1 = start()
+      try first.grouped(size).foreach { c =>
+        input.addData(c: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // recovers state, offsets and sink log from disk
+      try second.grouped(size).foreach { c =>
+        input.addData(c: _*); q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    spark.read.parquet(sink)
+      .select("doc_id")
+      .join(docs, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 }

@@ -438,4 +438,55 @@ class StreamingSpec extends SparkSuite {
     assert(out.count() == 6, "replayed batch must not append duplicates")
     assert(out.select("order_id").distinct().count() == 6)
   }
+
+  test("x16c: dedup state survives a query restart from the checkpoint") {
+    // the distilled recovery contract behind the x16c gate: a key seen by
+    // query instance 1 must suppress its duplicate arriving at instance 2,
+    // which starts COLD from the on-disk checkpoint — losing the state
+    // store (or the file-sink commit log) shows up as (fp1, 99) leaking
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StatefulDedup
+    import graft.streaming.StatefulDedup.Keyed
+    val root = TempRoots.create("graft_x16c_spec_")
+    val input = MemoryStream[Keyed]
+    def start() = StatefulDedup.dedupStream(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$root/sink")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Keyed("fp1", 5L, "a"), Keyed("fp2", 11L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Keyed("fp1", 99L, "a'"), Keyed("fp3", 12L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$root/sink").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("fp1", 5L), ("fp2", 11L), ("fp3", 12L)))
+  }
+
+  test("x16c gate: restart output == batch q21; duplicates cross the split") {
+    import spark.implicits._
+    // non-vacuity first: the gate only proves recovery if some duplicate
+    // key's arrivals straddle the restart boundary
+    val keyed = Tables.documents(spark, sf0001)
+      .select(graft.ops.Text.wordSetFingerprint(col("text")).as("key"),
+        col("doc_id"))
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    val (first, second) = keyed.splitAt(keyed.length / 2)
+    val crossing = first.map(_._1).toSet
+      .intersect(second.map(_._1).toSet)
+    assert(crossing.nonEmpty,
+      "vacuous: no duplicate key crosses the restart boundary at this SF")
+    val got = graft.streaming.StreamGates.x16c(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    val want = graft.ops.Text.q21(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
