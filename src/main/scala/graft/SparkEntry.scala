@@ -70,6 +70,10 @@ object SparkEntry {
     // + one-row-per-bucket carry-in; per-key windows touch only change
     // rows — the few-keys x long-history scale path (shares q91's oracle)
     "q91c_scd2_bucketed"   -> ((s, d) => ops.Scd.q91c(s, d)),
+    // generic keyed MERGE (upsert/delete): two chained delta batches over
+    // orders — update, insert, delete, delete-of-inserted, re-insert —
+    // final target state vs a chained-CTE oracle (q46b's pattern)
+    "q92_merge_upsert"     -> ((s, d) => ops.Merge.q92(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -366,6 +370,7 @@ object SparkEntry {
     "q91_scd2_build"       -> ops.Scd.q91Sql,
     "q91b_scd2_merge"      -> ops.Scd.q91Sql,
     "q91c_scd2_bucketed"   -> ops.Scd.q91Sql,
+    "q92_merge_upsert"     -> ops.Merge.q92Sql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Generic keyed MERGE semantics (SURVEY.md §2.3 q92): action paths,
+  * latest-wins resolution, and the loud-failure contracts.
+  */
+class MergeSpec extends SparkSuite {
+  import ops.Merge
+  import spark.implicits._
+
+  private def tgt() = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "s", "v")
+
+  test("merge actions: update, insert, delete, delete-absent no-op") {
+    val delta = Seq(
+      (1L, "a2", 11.0, "upsert"),  // update existing
+      (4L, "d", 40.0, "upsert"),   // insert new key
+      (2L, "b", 20.0, "delete"),   // delete existing
+      (9L, "x", 0.0, "delete")     // delete absent key: SQL MERGE no-op
+    ).toDF("k", "s", "v", "_op")
+    val out = Merge.upsert(tgt(), delta, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("merge is a state fold: merge(merge(t,d1),d2) applies in order") {
+    // a key updated then deleted is gone; deleted then re-upserted is back
+    val d1 = Seq((1L, "a2", 11.0, "upsert"), (2L, "b", 0.0, "delete"))
+      .toDF("k", "s", "v", "_op")
+    val d2 = Seq((1L, "z", 0.0, "delete"), (2L, "b2", 22.0, "upsert"))
+      .toDF("k", "s", "v", "_op")
+    val out = Merge.upsert(Merge.upsert(tgt(), d1, Seq("k")), d2, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSeq
+    assert(out == Seq((2L, "b2", 22.0), (3L, "c", 30.0)))
+  }
+
+  test("seqCol: latest-wins resolves an at-least-once delta log") {
+    // key 1 sees upsert@1, upsert@3, delete@2 — the seq-3 upsert wins;
+    // key 2 sees upsert@1 then delete@5 — the delete wins
+    val delta = Seq(
+      (1L, "old", 0.0, "upsert", 1L),
+      (1L, "new", 99.0, "upsert", 3L),
+      (1L, "mid", 0.0, "delete", 2L),
+      (2L, "back", 0.0, "upsert", 1L),
+      (2L, "gone", 0.0, "delete", 5L)
+    ).toDF("k", "s", "v", "_op", "seq")
+    val out = Merge.upsert(tgt(), delta, Seq("k"), seqCol = Some("seq"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "new", 99.0), (3L, "c", 30.0)))
+  }
+
+  test("duplicate delta keys without seqCol fail loudly, not last-wins") {
+    val delta = Seq((1L, "x", 1.0, "upsert"), (1L, "y", 2.0, "upsert"))
+      .toDF("k", "s", "v", "_op")
+    val e = intercept[Exception] {
+      Merge.upsert(tgt(), delta, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("duplicate delta rows")
+      || e.getCause != null &&
+         e.getCause.getMessage.contains("duplicate delta rows"))
+  }
+
+  test("a tie on the max seq fails loudly — no arbitrary winner") {
+    val delta = Seq(
+      (1L, "x", 1.0, "upsert", 7L), (1L, "y", 2.0, "upsert", 7L)
+    ).toDF("k", "s", "v", "_op", "seq")
+    val e = intercept[Exception] {
+      Merge.upsert(tgt(), delta, Seq("k"), seqCol = Some("seq")).collect()
+    }
+    assert(e.getMessage.contains("tie on the max")
+      || e.getCause != null && e.getCause.getMessage.contains("tie on the max"))
+  }
+
+  test("unknown op value fails loudly") {
+    val delta = Seq((1L, "x", 1.0, "UPSERT")).toDF("k", "s", "v", "_op")
+    val e = intercept[Exception] {
+      Merge.upsert(tgt(), delta, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("unknown op")
+      || e.getCause != null && e.getCause.getMessage.contains("unknown op"))
+  }
+
+  test("composite keys merge on the full key tuple") {
+    val target = Seq((1L, "eu", 10.0), (1L, "us", 11.0)).toDF("k1", "k2", "v")
+    val delta = Seq((1L, "eu", 99.0, "upsert"), (2L, "ap", 5.0, "upsert"))
+      .toDF("k1", "k2", "v", "_op")
+    val out = Merge.upsert(target, delta, Seq("k1", "k2"))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "eu", 99.0), (1L, "us", 11.0), (2L, "ap", 5.0)))
+  }
+
+  test("empty delta is the identity merge") {
+    val out = Merge.upsert(tgt(), tgt().limit(0)
+        .withColumn("_op", lit("upsert")), Seq("k"))
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("q92 plan: the target is never sorted or windowed — delta-only windows") {
+    // the copy-on-write contract: windows (dup guards) run over the DELTA;
+    // the target side contributes scans + the anti join only. q92 chains
+    // two merges => at most the deltas' guard windows appear, and no sort
+    // precedes the final presentation orderBy on the target lineage.
+    val df = ops.Merge.q92(spark, sf0001)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cartesian"), "cartesian in merge plan")
+    val got = df.collect()
+    assert(got.nonEmpty)
+    // spot semantics at the boundary classes (driver-recomputed)
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byK = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    orders.foreach { case (k, _, _) =>
+      (k % 16, k % 8) match {
+        case (2, _) => assert(byK(k) == "R2")          // deleted then re-inserted
+        case (_, 1) => assert(byK(k) == "U1")          // updated in batch 1
+        case (_, 5) => assert(byK(k) == "U2")          // updated in batch 2
+        case (_, 3) => assert(!byK.contains(k))        // inserted then deleted
+        case (_, 2) => assert(!byK.contains(k))        // deleted in batch 1
+        case _ => ()
+      }
+    }
+  }
+}
