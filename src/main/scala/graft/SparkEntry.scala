@@ -222,6 +222,10 @@ object SparkEntry {
     "q80_ngram_novelty"    -> ((s, d) => ops.Text.q80(s, d)),
     // entity resolution endpoint: q74's fuzzy pairs -> canonical clusters
     "q83_entity_resolution" -> ((s, d) => ops.Text.q83(s, d)),
+    // incremental ER: delta spellings merged into standing clusters —
+    // probe-only pair join + touched-component CC; merge ≡ rebuild, so
+    // it shares q83's oracle (q91b's contract for the ER branch)
+    "q83b_entity_resolution_merge" -> ((s, d) => ops.Text.q83b(s, d)),
     "q30_stats"            -> ((s, d) => ops.Analytics.q30(s, d)),
     // two-variable stats: corr + regression line from exact decimal
     // co-moment sums (order-independent, unlike streaming corr())
@@ -442,6 +446,7 @@ object SparkEntry {
     "q79_cross_source_dups" -> ops.Text.q79Sql,
     "q80_ngram_novelty"    -> ops.Text.q80Sql,
     "q83_entity_resolution" -> ops.Text.q83Sql,
+    "q83b_entity_resolution_merge" -> ops.Text.q83Sql,
     "q30_stats"            -> ops.Analytics.q30Sql,
     "q30b_corr"            -> ops.Analytics.q30bSql,
     "q31_array_agg"        -> ops.Analytics.q31Sql,

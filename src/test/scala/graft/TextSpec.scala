@@ -338,6 +338,61 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("erMerge boundary matrix: bridge, pull-in, delta-only, recurring, untouched") {
+    // the adversarial shapes an incremental ER must get right:
+    //  - a delta spelling BRIDGING two standing clusters (>2 edits apart)
+    //    merges them under the global lexicographic minimum;
+    //  - a delta spelling pulls in an old SINGLETON (absent from labels);
+    //  - two delta spellings form a delta-only cluster;
+    //  - a RECURRING delta spelling adds count but no edges;
+    //  - an untouched standing cluster passes through verbatim.
+    val labels = Seq(
+      ("abcdef", "abcdef"), ("abcdez", "abcdef"),   // cluster 1
+      ("abqqqf", "abqqqf"), ("abqqqz", "abqqqf"),   // cluster 2 (3+ edits away)
+      ("kkkkk1", "kkkkk1"), ("kkkkk2", "kkkkk1")    // untouched
+    ).toDF("id", "comp")
+    val oldNames = Seq(
+      ("abcdef", 2L), ("abcdez", 1L), ("abqqqf", 1L), ("abqqqz", 1L),
+      ("kkkkk1", 1L), ("kkkkk2", 1L), ("mmmmmm", 3L) // mmmmmm: old singleton
+    ).toDF("p_name", "n")
+    val deltaNames = Seq(
+      ("abcqqf", 1L),      // bridges cluster 1 and cluster 2
+      ("mmmmmx", 2L),      // pulls in the old singleton
+      ("totallynew1", 1L), ("totallynew2", 1L), // delta-only cluster
+      ("abcdef", 5L)       // recurring spelling: count only
+    ).toDF("p_name", "n")
+    val got = ops.Text.erMerge(labels, oldNames, deltaNames).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val bridged = Seq("abcdef" -> 7L, "abcdez" -> 1L, "abcqqf" -> 1L,
+      "abqqqf" -> 1L, "abqqqz" -> 1L)
+    val want =
+      bridged.map { case (n, c) => n -> (("abcdef", 5L, c)) }.toMap ++
+      Map(
+        "kkkkk1" -> (("kkkkk1", 2L, 1L)), "kkkkk2" -> (("kkkkk1", 2L, 1L)),
+        "mmmmmm" -> (("mmmmmm", 2L, 3L)), "mmmmmx" -> (("mmmmmm", 2L, 2L)),
+        "totallynew1" -> (("totallynew1", 2L, 1L)),
+        "totallynew2" -> (("totallynew1", 2L, 1L)))
+    assert(got == want, s"got $got")
+  }
+
+  test("q83b merge == q83 rebuild; clusters cross the delta boundary") {
+    val rebuild = ops.Text.q83(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val merged = ops.Text.q83b(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rebuild.nonEmpty && merged == rebuild)
+    // non-vacuity: at least one cluster holds both an even-length (old)
+    // and an odd-length (delta) spelling, so the merge path genuinely
+    // stitched across the boundary
+    val crossing = rebuild.groupBy(_._2).values
+      .exists(c => c.exists(_._1.length % 2 == 0) &&
+                   c.exists(_._1.length % 2 == 1))
+    assert(crossing, "vacuous: no cluster spans the old/delta boundary")
+  }
+
   test("two-level wide banding is output-identical to single-level radius 7") {
     // both formulations are EXACT for radius <= 7 (pigeonhole arguments in
     // their docs), so their pair sets must be equal — a splice/shift bug in
