@@ -132,6 +132,10 @@ object SparkEntry {
     // at-least-once -> idempotent-append -> ledger-advance sequence,
     // final ledger ∪ target state DuckDB-gated (exactly-once EFFECT)
     "q46b_incremental_two_batch" -> ((s, d) => ops.Convert.q46b(s, d)),
+    // the production streaming form through a real file-source stream:
+    // four parquet chunks as micro-batches, seeded ledger, final
+    // target+ledger state vs q46b's oracle minus the LIMIT CTEs
+    "x04b_stream_incremental_gate" -> ((s, d) => ops.Convert.x04b(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -407,6 +411,7 @@ object SparkEntry {
     "q45_window_range_frame" -> ops.Aggregates.q45Sql,
     "q46_incremental_pick" -> ops.Convert.q46Sql,
     "q46b_incremental_two_batch" -> ops.Convert.q46bSql,
+    "x04b_stream_incremental_gate" -> ops.Convert.x04bSql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,

@@ -202,16 +202,16 @@ object Convert {
     * conversion + two partition-parallel appends; the temp-dir I/O is
     * the pipeline's real shape, not harness overhead.
     */
-  def q46b(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.IncrementalPipeline
-    val root = graft.TempRoots.create("graft_q46b_")
-    val (srcDir, tgtDir, ledDir) = (s"$root/src", s"$root/tgt", s"$root/ledger")
-
+  /** The reference-shaped source derived 1:1 from the fixture orders —
+    * shared by the q46b batch gate and the x04b streaming gate so the two
+    * pipelines (and their oracles' `src` CTE) cannot drift apart.
+    */
+  private def referenceSrc(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.customer(spark, dir)
       .select("c_custkey", "c_name", "c_nationkey")
     val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     val orders = Tables.orders(spark, dir)
-    val src = orders
+    orders
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(nation, customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(Dims.nationCurrencyDf(spark)),
@@ -222,31 +222,31 @@ object Convert {
         col("o_orderdate").as("order_date"),
         col("o_totalprice").cast("decimal(18,2)").as("amount"),
         col("currency"))
-    src.write.mode("overwrite").parquet(srcDir)
-    src.filter(col("order_id") % 3 === 0)
-      .select(col("order_id"), expr(s"TIMESTAMP '$SeedTs'").as("processed_at"))
-      .write.mode("overwrite").parquet(ledDir)
+  }
 
-    val declaredConvert = (batch: DataFrame, rates: DataFrame,
-        ts: java.sql.Timestamp) =>
-      batch.join(broadcast(rates), Seq("currency"), "left").select(
-        col("order_id"),
-        col("customer"),
-        col("order_date"),
-        col("amount").as("original_amount"),
-        col("currency").as("original_currency"),
-        convertDeclared(col("amount"), col("currency"),
-          col("eur_per_unit")).as("amount_eur"),
-        coalesce(col("eur_per_unit"), lit("1.000000").cast("decimal(10,6)"))
-          .as("exchange_rate"),
-        lit(ts).as("exchange_rate_date"))
-    IncrementalPipeline.runBatch(spark, srcDir, tgtDir, ledDir,
-      Dims.ratesDf(spark), java.sql.Timestamp.valueOf(BatchTs),
-      maxBatch = PickBatch, convert = declaredConvert)
-    IncrementalPipeline.runBatch(spark, srcDir, tgtDir, ledDir,
-      Dims.ratesDf(spark), java.sql.Timestamp.valueOf(Batch2Ts),
-      maxBatch = PickBatch, convert = declaredConvert)
+  /** The oracle-parity conversion body (convertDeclared multiply) in the
+    * pluggable-`convert` shape [[graft.streaming.IncrementalPipeline]]
+    * accepts — one definition for both incremental gates.
+    */
+  private val declaredConvert = (batch: DataFrame, rates: DataFrame,
+      ts: java.sql.Timestamp) =>
+    batch.join(broadcast(rates), Seq("currency"), "left").select(
+      col("order_id"),
+      col("customer"),
+      col("order_date"),
+      col("amount").as("original_amount"),
+      col("currency").as("original_currency"),
+      convertDeclared(col("amount"), col("currency"),
+        col("eur_per_unit")).as("amount_eur"),
+      coalesce(col("eur_per_unit"), lit("1.000000").cast("decimal(10,6)"))
+        .as("exchange_rate"),
+      lit(ts).as("exchange_rate_date"))
 
+  /** The gated FINAL STATE — ledger FULL OUTER target — shared by q46b
+    * and x04b (same projection the oracles' closing SELECT restates).
+    */
+  private def finalState(spark: SparkSession, tgtDir: String,
+      ledDir: String): DataFrame = {
     val target = spark.read.parquet(tgtDir)
     val ledger = spark.read.parquet(ledDir)
       .select(col("order_id").as("led_id"), col("processed_at").as("ledger_ts"))
@@ -260,6 +260,27 @@ object Convert {
         col("exchange_rate_date").as("batch_ts"),
         col("ledger_ts"))
       .orderBy("order_id")
+  }
+
+  def q46b(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalPipeline
+    val root = graft.TempRoots.create("graft_q46b_")
+    val (srcDir, tgtDir, ledDir) = (s"$root/src", s"$root/tgt", s"$root/ledger")
+
+    val src = referenceSrc(spark, dir)
+    src.write.mode("overwrite").parquet(srcDir)
+    src.filter(col("order_id") % 3 === 0)
+      .select(col("order_id"), expr(s"TIMESTAMP '$SeedTs'").as("processed_at"))
+      .write.mode("overwrite").parquet(ledDir)
+
+    IncrementalPipeline.runBatch(spark, srcDir, tgtDir, ledDir,
+      Dims.ratesDf(spark), java.sql.Timestamp.valueOf(BatchTs),
+      maxBatch = PickBatch, convert = declaredConvert)
+    IncrementalPipeline.runBatch(spark, srcDir, tgtDir, ledDir,
+      Dims.ratesDf(spark), java.sql.Timestamp.valueOf(Batch2Ts),
+      maxBatch = PickBatch, convert = declaredConvert)
+
+    finalState(spark, tgtDir, ledDir)
   }
 
   /** [[q46b]] restated: seed ledger, two chained capped pickups, both
@@ -317,4 +338,91 @@ object Convert {
        |FULL OUTER JOIN led l ON t.order_id = l.order_id
        |ORDER BY order_id""".stripMargin
   }
+
+  /** x04b_stream_incremental_gate: [[graft.streaming.IncrementalPipeline
+    * .stream]] — the PRODUCTION streaming form (readStream → foreachBatch
+    * transaction → checkpoint), until now spec'd but not driver-gated
+    * (VERDICT r12 "what's missing" #6 of the r12 list) — driven through a
+    * real FILE-SOURCE stream: the reference-shaped source is written as
+    * four parquet chunk files and `maxFilesPerTrigger=1` delivers them as
+    * four micro-batches, each running the pickup→target-append→
+    * ledger-append transaction against the seeded ledger. The gated
+    * output is the same FINAL STATE as q46b's (ledger FULL OUTER target):
+    * every seed id converted nowhere (the anti-join suppressed it in
+    * whichever micro-batch its file arrived), every other id exactly once
+    * with the constant batch timestamp in BOTH tables. No pick cap — the
+    * stream drains the source, so the oracle is q46b's without the LIMIT
+    * CTEs. Unlike the MemoryStream gates this exercises the production
+    * SOURCE path too: schema-pinned `readStream.parquet`, file discovery,
+    * and the checkpoint's file-offset log.
+    */
+  def x04b(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalPipeline
+    val root = graft.TempRoots.create("graft_x04b_")
+    val (srcDir, tgtDir, ledDir, ckptDir) =
+      (s"$root/src", s"$root/tgt", s"$root/ledger", s"$root/ckpt")
+
+    val src = referenceSrc(spark, dir)
+    // four chunk files == four micro-batches (range split keeps sizes even)
+    src.repartitionByRange(4, col("order_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    src.filter(col("order_id") % 3 === 0)
+      .select(col("order_id"), expr(s"TIMESTAMP '$SeedTs'").as("processed_at"))
+      .write.mode("overwrite").parquet(ledDir)
+
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = IncrementalPipeline.stream(stream, tgtDir, ledDir,
+      Dims.ratesDf(spark), ckptDir,
+      batchTs = java.sql.Timestamp.valueOf(BatchTs),
+      convert = declaredConvert)
+    try q.processAllAvailable() finally q.stop()
+
+    finalState(spark, tgtDir, ledDir)
+  }
+
+  /** [[x04b]] restated: seed ledger, ONE uncapped pickup (the stream
+    * drains the source), the declared conversion at the constant batch
+    * timestamp, final ledger ∪ target state — q46b's oracle minus the
+    * LIMIT CTEs.
+    */
+  val x04bSql: String =
+    s"""WITH src AS (
+       |  SELECT o.o_orderkey AS order_id, c.c_name AS customer,
+       |         o.o_orderdate AS order_date,
+       |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS amount, nc.currency
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key),
+       |seed AS (
+       |  SELECT order_id, TIMESTAMP '$SeedTs' AS processed_at
+       |  FROM src WHERE order_id % 3 = 0),
+       |picked AS (
+       |  SELECT * FROM src s
+       |  WHERE NOT EXISTS (SELECT 1 FROM seed l WHERE l.order_id = s.order_id)),
+       |tgt AS (
+       |  SELECT s.order_id, s.customer, s.order_date,
+       |         s.amount AS original_amount,
+       |         s.currency AS original_currency,
+       |         CASE WHEN s.currency = 'EUR' THEN s.amount
+       |              ELSE round(CAST(s.amount * COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DECIMAL(28,8)), 2)
+       |         END AS amount_eur,
+       |         COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS exchange_rate,
+       |         TIMESTAMP '$BatchTs' AS batch_ts
+       |  FROM picked s
+       |  LEFT JOIN ${Dims.ratesSql()} ON s.currency = r.currency),
+       |led AS (
+       |  SELECT * FROM seed
+       |  UNION ALL SELECT order_id, TIMESTAMP '$BatchTs' FROM picked)
+       |SELECT COALESCE(t.order_id, l.order_id) AS order_id,
+       |       CAST(t.original_amount AS DOUBLE) AS original_amount,
+       |       t.original_currency,
+       |       CAST(t.amount_eur AS DOUBLE) AS amount_eur,
+       |       CAST(t.exchange_rate AS DOUBLE) AS exchange_rate,
+       |       t.batch_ts,
+       |       l.processed_at AS ledger_ts
+       |FROM tgt t
+       |FULL OUTER JOIN led l ON t.order_id = l.order_id
+       |ORDER BY order_id""".stripMargin
 }

@@ -210,19 +210,26 @@ object IncrementalPipeline {
   /** Streaming form: micro-batches through foreachBatch with the same
     * idempotent append. The checkpoint replays an unacknowledged batch on
     * restart (at-least-once); the ledger anti-join inside the batch makes
-    * the replay a no-op (exactly-once effect).
+    * the replay a no-op (exactly-once effect). The conversion body and
+    * batch timestamp are pluggable like [[runBatch]]'s, so the declared
+    * gate (x04b) can run the oracle-parity form through the same
+    * per-micro-batch transaction; `batchTs` stays a constant for
+    * deterministic gating (prod: derive from the trigger time).
     */
   def stream(
       orders: DataFrame,
       targetDir: String,
       ledgerDir: String,
       rates: DataFrame,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      batchTs: Timestamp = new Timestamp(0L),
+      convert: (DataFrame, DataFrame, Timestamp) => DataFrame = convertBatch)
+      : StreamingQuery =
     orders.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val ts = new Timestamp(0L) // deterministic per-test; prod: trigger time
+        val ts = batchTs
         val ledger = readParquetOrEmpty(spark, ledgerDir,
           batch.select(col("order_id"), lit(ts).as("processed_at")))
         val fresh = batch
@@ -230,7 +237,7 @@ object IncrementalPipeline {
           .cache()
         try {
           if (!fresh.isEmpty) {
-            convertBatch(fresh, rates, ts)
+            convert(fresh, rates, ts)
               .write.mode("append").parquet(targetDir)
             fresh.select(col("order_id"), lit(ts).as("processed_at"))
               .write.mode("append").parquet(ledgerDir)
