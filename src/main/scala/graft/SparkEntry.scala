@@ -306,6 +306,10 @@ object SparkEntry {
     // streaming SCD2 maintenance (x23): the append sink accumulates the
     // dimension's closed versions == batch q91's non-current rows
     "x23b_stream_scd2_gate"     -> ((s, d) => streaming.StreamGates.x23b(s, d)),
+    // checkpoint-restart recovery on the open-version state shape:
+    // straddling keys must close pre-restart versions with continued
+    // version numbers after the cold start (shares x23b's oracle)
+    "x23c_stream_scd2_restart"  -> ((s, d) => streaming.StreamGates.x23c(s, d)),
     // semantic cross-corpus decontamination: q65's embedding-space twin —
     // train vectors within cosine >= 0.35 of any eval-slice vector
     "x20_embed_decontaminate" -> ((s, d) => ops.Vector.x20(s, d)),
@@ -471,6 +475,7 @@ object SparkEntry {
     "x16c_stream_dedup_restart" -> ops.Text.q21Sql,
     "x15b_stream_transitions_gate" -> ops.Analytics.q72Sql,
     "x23b_stream_scd2_gate"     -> streaming.StreamGates.x23bSql,
+    "x23c_stream_scd2_restart"  -> streaming.StreamGates.x23bSql,
     "x13b_stream_join_gate"     -> streaming.StreamGates.x13bSql,
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
     "x21_delta_dedup"           -> ops.Text.x21Sql,

@@ -71,6 +71,7 @@ object Stress {
       want("ledger") { ledgerCompactionStage(spark, n) } ++
       want("skyline") { skylineStage(spark, n) } ++
       want("ivfappend") { ivfAppendStage(spark, n / 10) } ++
+      want("lsh") { lshStage(spark, n / 10) } ++
       want("decon") { deconStage(spark, n / 10) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -500,6 +501,79 @@ object Stress {
       },
       time(s"ivf_rebuild_${vn + delta}") {
         ops.Vector.ivfBuild(vecs(0, vn + delta), dirFull, nlist = 64)
+      })
+  }
+
+  /** The standing text-LSH index vs the no-index nightly (x21b's scale
+    * claim, measured): corpus-scale synthetic documents (20 words each),
+    * one-time build, then the nightly delta probe at two delta sizes
+    * (delta-proportionality, the ivfAppend protocol), append + compact
+    * maintenance, and finally the path [[graft.ops.Text
+    * .minhashDeltaPairs]] pays without an index: re-shingling and
+    * re-hashing the WHOLE corpus for a delta-sized question. The
+    * probe/noindex ratio is SCALE.md's delta-vs-rebuild number.
+    *
+    * Doc generator: 5% of docs draw their text from 104729 shared
+    * classes (the exact-duplicate population — a few copies per class at
+    * these corpus sizes, a realistic dedup hit rate), the other 95% are
+    * unique; word w is the QUADRATIC mix x(x+7) mod 999983 over a
+    * per-class/per-doc base. The nonlinearity matters: a linear mix
+    * (b·p + w·q) makes every doc share shifted shingle RUNS with ~39
+    * other classes (the first cut of this stage measured 11.6M
+    * candidates and 2.9M ≥0.9 pairs from that accident), and an
+    * all-class population (the second cut, every text ~95× duplicated at
+    * 10M docs) drowns both paths in pair-verification work that says
+    * nothing about indexing. Candidates ≈ dup-rate × copies-per-class ×
+    * delta is the shape the ratio should be read at.
+    */
+  private def lshStage(
+      spark: SparkSession, dn: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    def docs(from: Long, until: Long) = spark.range(from, until)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)), { w =>
+          val base = when(pmod(col("id"), lit(100L)) < 5,
+              pmod(col("id"), lit(104729L)))      // duplicate classes
+            .otherwise(lit(200000L) + col("id")) // unique (disjoint range)
+          val x = base * lit(20L) + w
+          concat(lit("w"), pmod(x * (x + lit(7L)), lit(999983L)))
+        })).as("text"))
+    val delta = dn / 10
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stress_lsh_").toString
+    // the corpus lives in the lake: BOTH nightlies start from parquet
+    // text (generating it in-memory would hand the no-index path its
+    // corpus scan for free and hide exactly the cost under test)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_lsh_corpus_").toString
+    docs(0, dn).write.mode("overwrite").parquet(corpusDir)
+    def corpus = spark.read.parquet(corpusDir)
+    Seq(
+      time(s"lsh_build_${dn}") { ops.Text.lshBuild(corpus, dir) },
+      // nightly ingest through the STANDING index
+      time(s"lsh_probe_delta_${delta}") {
+        noop(ops.Text.lshProbe(spark, dir, docs(dn, dn + delta)))
+      },
+      // 10×-smaller delta: probe cost must track the delta, not the index
+      time(s"lsh_probe_delta_${delta / 10}") {
+        noop(ops.Text.lshProbe(spark, dir,
+          docs(dn + delta, dn + delta + delta / 10)))
+      },
+      time(s"lsh_append_delta_${delta}") {
+        ops.Text.lshAppend(spark, dir, docs(dn, dn + delta))
+      },
+      time(s"lsh_compact_${dn + delta}") {
+        ops.Text.lshCompact(spark, dir)
+      },
+      // the no-index nightly re-shingles and re-hashes the parquet corpus
+      // per probe — at BOTH delta sizes, because its cost is
+      // corpus-proportional no matter how small the question
+      time(s"lsh_noindex_probe_${delta}") {
+        noop(ops.Text.minhashDeltaPairs(corpus, docs(dn, dn + delta)))
+      },
+      time(s"lsh_noindex_probe_${delta / 10}") {
+        noop(ops.Text.minhashDeltaPairs(corpus,
+          docs(dn + delta, dn + delta + delta / 10)))
       })
   }
 }

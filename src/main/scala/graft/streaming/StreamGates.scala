@@ -326,6 +326,52 @@ object StreamGates {
        |) WHERE NOT is_current
        |ORDER BY user_id, version""".stripMargin
 
+  /** x23c: CHECKPOINT-RESTART parity for the streaming SCD2 maintainer —
+    * x16c's recovery gate on the HARDER state shape: not a seen-bit but
+    * the open version (attribute, effective_from, version counter).
+    * Instance 2 starts cold from the checkpoint mid-history: a key whose
+    * change sequence straddles the restart must have its open version
+    * CLOSED by a post-restart event with the pre-restart effective_from
+    * and the CONTINUED version number — losing state would instead
+    * restart every straddling key at version 1 with no closed row for
+    * the in-flight version, a hash mismatch against q91's closed set.
+    * Same parquet sink + file-sink-log recovery as x16c; shares x23b's
+    * oracle verbatim.
+    */
+  def x23c(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .orderBy("ts", "event_id").as[GateUserEv].collect().toSeq
+      .map(e => Scd2Stream.LogEvent(e.user_id, e.ts, e.event_id,
+        e.event_type))
+    val root = graft.TempRoots.create("graft_x23c_")
+    val (sink, ckpt) = (s"$root/sink", s"$root/ckpt")
+    val input = MemoryStream[Scd2Stream.LogEvent]
+    withGatePartitions(spark) {
+      def start() = Scd2Stream.scd2Stream(
+          input.toDF().as[Scd2Stream.LogEvent]).toDF()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val (first, second) = rows.splitAt(rows.length / 2)
+      val size = math.max(1, (rows.length + Chunks - 1) / Chunks)
+      val q1 = start()
+      try first.grouped(size).foreach { c =>
+        input.addData(c: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start() // recovers every key's open version from disk
+      try second.grouped(size).foreach { c =>
+        input.addData(c: _*); q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    spark.read.parquet(sink)
+      .select("user_id", "event_type", "effective_from", "effective_to",
+        "version", "is_current")
+      .orderBy("user_id", "version")
+  }
+
   /** x16c: CHECKPOINT-RESTART parity for the stateful dedup stream — the
     * reference's crash ladder (`dags/order_currency_conversion_dag.py:161-173`,
     * retry-from-durable-state) at the state-store level, which x16b's

@@ -470,6 +470,43 @@ class StreamingSpec extends SparkSuite {
     assert(got == Set(("fp1", 5L), ("fp2", 11L), ("fp3", 12L)))
   }
 
+  test("x23c: open SCD2 version survives restart — closed with continued numbering") {
+    // key u1's history straddles the restart: A opens v1 in instance 1;
+    // B arriving at instance 2 must CLOSE v1 with A's effective_from and
+    // open v2 — a lost state store would open B as a fresh v1 and emit
+    // no closed row at all; C then closes B as v2
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Scd2Stream
+    import graft.streaming.Scd2Stream.LogEvent
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val root = TempRoots.create("graft_x23c_spec_")
+    val input = MemoryStream[LogEvent]
+    def start() = Scd2Stream.scd2Stream(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$root/sink")
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(LogEvent(1L, ts(1), 10L, "A"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(LogEvent(1L, ts(5), 11L, "B"))
+      q2.processAllAvailable()
+      input.addData(LogEvent(1L, ts(9), 12L, "C"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(s"$root/sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getInt(4))).sortBy(_._5).toSeq
+    assert(got == Seq(
+      (1L, "A", ts(1), ts(5), 1),
+      (1L, "B", ts(5), ts(9), 2)))
+  }
+
   test("x16c gate: restart output == batch q21; duplicates cross the split") {
     import spark.implicits._
     // non-vacuity first: the gate only proves recovery if some duplicate
