@@ -191,6 +191,11 @@ object SparkEntry {
     // N-term BM25 (3-term query): the per-doc sum is a term-sorted
     // fixed-order fold — plain sum() is order-unspecified past two terms
     "q61b_bm25_multi"      -> ((s, d) => ops.Text.q61b(s, d)),
+    // the materialized inverted index (third standing-index lifecycle):
+    // build+append+compact, then BM25 / phrase search as statically
+    // partition-pruned posting lookups — share q61's / q58's oracles
+    "q61c_bm25_indexed"    -> ((s, d) => ops.Inverted.q61c(s, d)),
+    "q58b_phrase_indexed"  -> ((s, d) => ops.Inverted.q58b(s, d)),
     // calendar densification + carry-forward fill; the window runs over
     // pre-aggregated daily rows, never fact volume
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
@@ -435,6 +440,8 @@ object SparkEntry {
     "q60_search_quantized" -> ops.Vector.q60Sql,
     "q61_bm25"             -> ops.Text.q61Sql,
     "q61b_bm25_multi"      -> ops.Text.q61bSql,
+    "q61c_bm25_indexed"    -> ops.Text.q61Sql,
+    "q58b_phrase_indexed"  -> ops.Text.q58Sql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q64_sample_stratified" -> ops.TextAnalysis.q64Sql,

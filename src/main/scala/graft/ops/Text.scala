@@ -357,6 +357,23 @@ object Text {
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term", "dl")
       .agg(count(lit(1)).as("tf"))
+    bm25ScoreTf(tf, n, avgdl, k1, b, topN)
+  }
+
+  /** The BM25 scoring chain over a (doc_id, term, dl, tf) frame — shared
+    * by [[bm25]] (tf computed from the corpus per call) and
+    * [[graft.ops.Inverted.invSearch]] (tf read from the materialized
+    * index), so the two paths cannot drift on the ratio-idf arithmetic
+    * or the term-sorted fold. df is derived from the tf frame itself
+    * (one row per (doc, term) ⇒ count per term IS document frequency).
+    */
+  private[ops] def bm25ScoreTf(
+      tf: DataFrame,
+      n: Column,
+      avgdl: Column,
+      k1: Double,
+      b: Double,
+      topN: Int): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nD = n.cast("double")
     val dfD = col("df").cast("double")

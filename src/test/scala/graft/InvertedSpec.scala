@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The materialized inverted index (SURVEY.md §2.3 q61c/q58b): lifecycle
+  * parity with the per-call retrieval queries, append-equals-rebuild,
+  * compaction bit-identity, crash recovery, and the static
+  * partition-pruning plan assertion.
+  */
+class InvertedSpec extends SparkSuite {
+  import ops.Inverted
+
+  test("q61c (indexed BM25) == q61; q58b (indexed phrase) == q58") {
+    val gotB = ops.Inverted.q61c(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val wantB = ops.Text.q61(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wantB.nonEmpty && gotB == wantB,
+      "indexed BM25 must be bit-identical to the per-call form")
+    val gotP = ops.Inverted.q58b(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val wantP = ops.Text.q58(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(wantP.nonEmpty && gotP == wantP,
+      "indexed phrase search must match the direct bigram scan")
+  }
+
+  test("invAppend: build(A)+append(B) search-identical to build(A ∪ B)") {
+    // N, avgdl and df are sums over disjoint doc sets, so generation
+    // rows must merge EXACTLY — a stats row lost or double-counted
+    // shifts every idf and surfaces here as a score drift
+    val docs = Tables.documents(spark, sf001)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dirApp = TempRoots.create("graft_inv_app_")
+    Inverted.invBuild(a, dirApp)
+    Inverted.invAppend(spark, dirApp, b)
+    val dirFull = TempRoots.create("graft_inv_full_")
+    Inverted.invBuild(docs, dirFull)
+    def search(d: String) = Inverted.invSearch(spark, d,
+      Seq("table", "hash", "merge")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val appended = search(dirApp)
+    assert(appended.nonEmpty && appended == search(dirFull))
+    // empty-delta append is a no-op
+    Inverted.invAppend(spark, dirApp, docs.filter(col("doc_id") < 0))
+    assert(search(dirApp) == appended)
+  }
+
+  test("invCompact: one file per bucket, one stats row, search bit-identical") {
+    val docs = Tables.documents(spark, sf001)
+    val dir = TempRoots.create("graft_inv_cmp_")
+    Inverted.invBuild(docs.filter(col("doc_id") % 2 === 0), dir,
+      nBuckets = 16)
+    Inverted.invAppend(spark, dir, docs.filter(col("doc_id") % 2 === 1))
+    def filesPerBucket(): Map[String, Int] = {
+      val base = new java.io.File(s"$dir/postings")
+      base.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("tbucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    def search() = Inverted.invSearch(spark, dir, Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    assert(before.nonEmpty)
+    assert(filesPerBucket().values.exists(_ > 1),
+      "fixture degenerate: append produced no multi-file bucket")
+    assert(spark.read.parquet(s"$dir/stats").count() == 2)
+    Inverted.invCompact(spark, dir)
+    assert(filesPerBucket().values.forall(_ == 1),
+      s"compaction left multi-file buckets")
+    assert(spark.read.parquet(s"$dir/stats").count() == 1,
+      "compaction must collapse stats generations")
+    assert(search() == before, "compaction changed search results")
+    // interrupted swap (live set aside, stage complete) rolls forward
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.read.parquet(s"$dir/postings").repartition(col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(sources.SwapDir.stagePath(dir, "postings"))
+    Files.move(Paths.get(s"$dir/postings"), Paths.get(s"$dir/postings_old"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Inverted.invRecover(spark, dir)
+    assert(new java.io.File(s"$dir/postings").exists())
+    assert(!new java.io.File(s"$dir/postings_old").exists())
+    assert(search() == before)
+  }
+
+  test("invSearch plan: posting scan statically pruned to the terms' buckets") {
+    val docs = Tables.documents(spark, sf001)
+    val dir = TempRoots.create("graft_inv_plan_")
+    Inverted.invBuild(docs, dir, nBuckets = 64)
+    val df = Inverted.invSearch(spark, dir, Seq("table", "hash"))
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    val postings = scans.find(_.metadata("Location").contains("postings"))
+    assert(postings.nonEmpty, "expected a postings file scan in the plan")
+    val pf = postings.get.partitionFilters.mkString(" ")
+    assert(pf.contains("tbucket"),
+      s"postings scan must carry a tbucket partition filter — got: $pf")
+    // ≤ 2 distinct buckets for 2 terms; no other bucket value may appear
+    def bucket(t: String): String = {
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes("UTF-8"))
+      "t" + (c.getValue % 64)
+    }
+    assert(Seq("table", "hash").forall(t => pf.contains(bucket(t))),
+      s"pruning literals must name the query terms' buckets: $pf")
+  }
+
+  test("invPhrase: three-term phrase and duplicate-term phrase are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a hash table merge here"),      // "hash table merge" at pos 1
+      (2L, "hash table x table merge"),     // no 3-gram match
+      (3L, "zz hash table merge hash table merge"), // matches at 1 and 4
+      (4L, "do do do")                      // duplicate-term phrase target
+    ).toDF("doc_id", "text")
+    val dir = TempRoots.create("graft_inv_ph_")
+    Inverted.invBuild(docs, dir, nBuckets = 8)
+    val got3 = Inverted.invPhrase(spark, dir,
+      Seq("hash", "table", "merge")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got3 == Seq((1L, 1), (3L, 1), (3L, 4)))
+    val gotDup = Inverted.invPhrase(spark, dir, Seq("do", "do"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(gotDup == Seq((4L, 0), (4L, 1)))
+  }
+
+  test("token-less docs count in N and avgdl but carry no postings") {
+    import spark.implicits._
+    val docs = Seq((1L, "hash table"), (2L, ""), (3L, "hash")).toDF("doc_id", "text")
+    val dir = TempRoots.create("graft_inv_stats_")
+    Inverted.invBuild(docs, dir, nBuckets = 8)
+    val s = spark.read.parquet(s"$dir/stats").head()
+    assert(s.getLong(0) == 3 && s.getLong(1) == 3) // 3 docs, 3 tokens
+    assert(spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") === 2L).isEmpty)
+    // and the BM25 result equals the per-call form on the same frame
+    val got = Inverted.invSearch(spark, dir, Seq("hash")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = ops.Text.bm25(docs, Seq("hash")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+}
