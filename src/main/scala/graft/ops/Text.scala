@@ -764,13 +764,13 @@ object Text {
 
   /** Build a MATERIALIZED banded-minhash LSH index under `indexDir` — the
     * standing-index twin of [[graft.ops.Vector.ivfBuild]] that the
-    * [[minhashDeltaPairs]] scaladoc promises: the corpus-sized work of
-    * incremental dedup (shingling + signatures + bucket layout) runs ONCE
-    * here, and every nightly [[lshProbe]] afterwards touches only the
-    * delta and the joined bucket slices. Rebuilding signatures per probe
-    * re-pays a corpus-sized pass for a delta-sized question — at 100 TB
-    * that is the difference between a standing index and a nightly
-    * full-corpus job.
+    * [[minhashDeltaPairs]] scaladoc promises: the corpus-sized COMPUTE of
+    * incremental dedup (text parse, shingling, 32-way minhash, bucket
+    * layout) runs ONCE here; every nightly [[lshProbe]] afterwards
+    * re-signs only the delta and scans the prepared index (see lshProbe's
+    * cost-shape note for what stays corpus-sized and what doesn't), and
+    * every [[lshAppend]] extends the index for delta-only work instead of
+    * the rebuild a no-index nightly implicitly pays.
     *
     * Layout:
     *  - `indexDir/meta`: one row (shingle_n, num_hashes, bands) — the
@@ -856,11 +856,23 @@ object Text {
   /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
     * documents: every (probe, indexed) pair at Jaccard ≥ `threshold` —
     * identical output to [[minhashDeltaPairs]] at the same parameters on
-    * the same corpus split (driver-gated: x21b shares x21's oracle), but
-    * the probe plan contains NO corpus-sized stage: the delta is signed
-    * map-side, the bucket join's output is |delta|-proportional, and the
-    * shingle arrays for exact verification are fetched by equi-join for
-    * candidates only.
+    * the same corpus split (driver-gated: x21b shares x21's oracle).
+    *
+    * Cost shape, stated precisely (the SCALE.md r13 measurement): the
+    * SHUFFLES and the output are |delta|-proportional (the delta signs
+    * map-side and broadcasts into the bucket join), but two SCANS remain
+    * corpus-sized — the bucket table (3 narrow columns, hash-free) and,
+    * in the exact-verify step, the docs table's shingle column (an
+    * equi-join still scans its full input; candidate-bounded FETCH would
+    * need point lookups no uniform-hash layout can give a batch engine).
+    * What the index removes vs the no-index nightly is the corpus's
+    * per-probe COMPUTE — text parse, shingling, 32-way minhashing — and
+    * what only it can offer is `probeBands` partition pruning. Measured
+    * at a 10M-doc parquet corpus (SCALE.md r13): 2.7× at the realistic
+    * 1% nightly delta (23.5 s vs 63.2 s), converging toward parity at
+    * 10% deltas where the exact-verification work BOTH paths share
+    * dominates; the maintenance path (lshAppend 7.6 s for 1M docs vs
+    * 33.6 s rebuild) is where the standing index pays for itself.
     *
     * `probeBands` (default: all) is the IVF-`nprobe` analog: probing k of
     * the stored `bands` bands turns the bucket scan into a
