@@ -231,10 +231,12 @@ object Inverted {
   }
 
   /** q58b_phrase_indexed: q58's phrase search as two pruned posting
-    * lookups against the materialized index (same lifecycle as q61c).
-    * Shares q58's oracle — the direct-bigram-scan definition, so the
-    * index path is verified against the definition, not against q58's
-    * join technique.
+    * lookups against the materialized index. Deliberately searches the
+    * APPENDED two-generation index WITHOUT compacting (q61c gates the
+    * compacted path), so the gate also proves multi-generation bucket
+    * partitions serve queries correctly. Shares q58's oracle — the
+    * direct-bigram-scan definition, so the index path is verified
+    * against the definition, not against q58's join technique.
     */
   def q58b(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
