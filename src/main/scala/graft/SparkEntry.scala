@@ -74,6 +74,10 @@ object SparkEntry {
     // orders — update, insert, delete, delete-of-inserted, re-insert —
     // final target state vs a chained-CTE oracle (q46b's pattern)
     "q92_merge_upsert"     -> ((s, d) => ops.Merge.q92(s, d)),
+    // the partitioned copy-on-write form: only delta-touched partitions
+    // of a real parquet target are read (pruned) and rewritten (dynamic
+    // overwrite); 1992-95 partition files stay physically untouched
+    "q92b_merge_partitioned" -> ((s, d) => ops.Merge.q92b(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -388,6 +392,7 @@ object SparkEntry {
     "q91b_scd2_merge"      -> ops.Scd.q91Sql,
     "q91c_scd2_bucketed"   -> ops.Scd.q91Sql,
     "q92_merge_upsert"     -> ops.Merge.q92Sql,
+    "q92b_merge_partitioned" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -97,14 +97,18 @@ object Merge {
     * (+10.0, *0.5, +0.25 — all IEEE-exact) so Spark and DuckDB agree
     * bit-for-bit.
     */
-  def q92(spark: SparkSession, dir: String): DataFrame = {
-    val t0 = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderdate"))
-      .filter(col("o_orderkey") % 4 =!= 3)
+  /** The shared q92/q92b fixture: initial target (every key except
+    * o_orderkey % 4 = 3) and the two delta batches exercising every
+    * action path. q92b restricts the deltas to years ≥ 1996 so the
+    * 1992–95 partitions of its partitioned target are genuinely
+    * untouched — the property its gate exists to prove.
+    */
+  private def mergeFixture(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val all = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"))
+    val t0 = all.filter(col("o_orderkey") % 4 =!= 3)
     val k = col("o_orderkey")
     val d1 = all.filter(k % 8 === 1)
       .select(k, lit("U1").as("o_orderstatus"),
@@ -127,30 +131,127 @@ object Merge {
         .select(k, lit("R2").as("o_orderstatus"),
           (col("o_totalprice") + lit(0.25)).as("o_totalprice"),
           col("o_orderdate"), lit("upsert").as("_op")))
+    (t0, d1, d2)
+  }
+
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
     val m1 = upsert(t0, d1, Seq("o_orderkey"))
     val m2 = upsert(m1, d2, Seq("o_orderkey"))
     m2.orderBy("o_orderkey")
   }
 
-  /** The two merges restated as chained CTEs: anti join == NOT EXISTS,
-    * upsert union, same exact-double payload arithmetic.
+  /** Partitioned copy-on-write MERGE against an ON-DISK parquet target —
+    * the shape a 100 TB table actually merges in: the plain [[upsert]]
+    * rewrites the WHOLE target per batch (linear in the target — the
+    * measured 6.8× at sf10), which no nightly can afford at scale; here
+    * only the partitions the delta TOUCHES are read (partition-pruned
+    * scan, plan-asserted) and rewritten (Spark's dynamic partition
+    * overwrite), and every other partition's files are left physically
+    * untouched (spec-asserted at the file level). This is exactly the
+    * per-touched-file-group behavior lake table formats implement over
+    * this same kernel.
+    *
+    * Contract (the standard lake-merge constraint): `partCol` must be
+    * functionally dependent on the key and IMMUTABLE under updates —
+    * a delta row claiming a different partition than the key's current
+    * row would leave the stale row in the old partition, since guarding
+    * against that requires reading every partition, which defeats the
+    * operator. Deletes must carry the row's partition for the same
+    * reason. A touched partition whose rows are ALL deleted is removed
+    * explicitly (dynamic overwrite only rewrites partitions PRESENT in
+    * the output — without the cleanup, fully-deleted partitions would
+    * silently survive). The staged-write ordering (stage the merged
+    * slice, then overwrite) keeps the read and the overwrite of
+    * `targetDir` in separate jobs; the overwrite itself is
+    * per-partition, maintenance-window semantics as with any lake
+    * rewrite.
     */
-  val q92Sql: String =
-    """WITH t0 AS (
+  def upsertPartitioned(
+      spark: SparkSession,
+      targetDir: String,
+      delta: DataFrame,
+      keys: Seq[String],
+      partCol: String,
+      opCol: String = "_op",
+      seqCol: Option[String] = None): Unit = {
+    val target = spark.read.parquet(targetDir)
+    val touched = delta.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq // bounded by the table's partition count
+    if (touched.isEmpty) return
+    val slice = target.filter(col(partCol).isin(touched: _*))
+    // the delta keeps partCol: the read-back target carries it too, and
+    // unionByName inside upsert enforces the schemas match column-for-column
+    val merged = upsert(slice, delta, keys, opCol, seqCol)
+    // stage first: Spark refuses to overwrite a path it is reading from,
+    // and a complete staged slice is also the crash-safe ordering
+    val stage = graft.TempRoots.create("graft_merge_stage_")
+    merged.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    staged
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(targetDir)
+    // fully-deleted partitions: present in touched, absent from output
+    val remaining = staged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val gone = touched.filterNot(remaining)
+    if (gone.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(targetDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      gone.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$targetDir/$partCol=$v"), true)
+      }
+    }
+  }
+
+  /** q92b_merge_partitioned: the two q92 merge batches, restricted to
+    * order years ≥ 1996, against a REAL parquet target partitioned by
+    * order year — [[upsertPartitioned]]'s full path: partition-pruned
+    * slice read, dynamic-overwrite rewrite of touched partitions only,
+    * 1992–95 files physically untouched (MergeSpec pins the file-level
+    * invariant and the pruning plan). Own oracle: q92's chained CTEs
+    * with the year predicate on both deltas.
+    */
+  def q92b(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val root = graft.TempRoots.create("graft_q92b_")
+    val tgt = s"$root/target"
+    t0.withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(tgt)
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    upsertPartitioned(spark, tgt, recent(d1), Seq("o_orderkey"), "yr")
+    upsertPartitioned(spark, tgt, recent(d2), Seq("o_orderkey"), "yr")
+    spark.read.parquet(tgt)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** The two merges restated as chained CTEs: anti join == NOT EXISTS,
+    * upsert union, same exact-double payload arithmetic. `pred` is the
+    * extra delta-row predicate — empty for q92, the year restriction for
+    * q92b — ONE template for both oracles so they cannot drift.
+    */
+  private def mergeSqlCte(pred: String): String =
+    s"""WITH t0 AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderkey % 4 <> 3),
       |d1 AS (
       |  SELECT o_orderkey, 'U1' AS o_orderstatus,
       |         o_totalprice + 10.0 AS o_totalprice, o_orderdate,
       |         'upsert' AS op
-      |  FROM orders WHERE o_orderkey % 8 = 1
+      |  FROM orders WHERE o_orderkey % 8 = 1$pred
       |  UNION ALL
       |  SELECT o_orderkey, 'I1', o_totalprice, o_orderdate, 'upsert'
-      |  FROM orders WHERE o_orderkey % 8 = 3
+      |  FROM orders WHERE o_orderkey % 8 = 3$pred
       |  UNION ALL
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
       |         'delete'
-      |  FROM orders WHERE o_orderkey % 8 = 2),
+      |  FROM orders WHERE o_orderkey % 8 = 2$pred),
       |m1 AS (
       |  SELECT t.* FROM t0 t
       |  WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.o_orderkey = t.o_orderkey)
@@ -161,15 +262,15 @@ object Merge {
       |  SELECT o_orderkey, 'U2' AS o_orderstatus,
       |         o_totalprice * 0.5 AS o_totalprice, o_orderdate,
       |         'upsert' AS op
-      |  FROM orders WHERE o_orderkey % 8 = 5
+      |  FROM orders WHERE o_orderkey % 8 = 5$pred
       |  UNION ALL
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
       |         'delete'
-      |  FROM orders WHERE o_orderkey % 8 = 3
+      |  FROM orders WHERE o_orderkey % 8 = 3$pred
       |  UNION ALL
       |  SELECT o_orderkey, 'R2',
       |         o_totalprice + 0.25, o_orderdate, 'upsert'
-      |  FROM orders WHERE o_orderkey % 16 = 2),
+      |  FROM orders WHERE o_orderkey % 16 = 2$pred),
       |m2 AS (
       |  SELECT m.* FROM m1 m
       |  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.o_orderkey = m.o_orderkey)
@@ -177,4 +278,11 @@ object Merge {
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM d2 WHERE op <> 'delete')
       |SELECT * FROM m2 ORDER BY o_orderkey""".stripMargin
+
+  val q92Sql: String = mergeSqlCte("")
+
+  /** [[q92b]] restated: the same template with both deltas restricted to
+    * years ≥ 1996 (the 1992–95 partitions stay untouched on disk).
+    */
+  val q92bSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996")
 }

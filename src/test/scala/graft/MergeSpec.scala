@@ -102,6 +102,69 @@ class MergeSpec extends SparkSuite {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("upsertPartitioned: untouched partition files are physically untouched") {
+    import ops.Merge
+    val root = TempRoots.create("graft_mergep_")
+    val tgt = s"$root/t"
+    Seq((1L, "a", 10.0, 1996), (2L, "b", 20.0, 1997), (3L, "c", 30.0, 1998))
+      .toDF("k", "s", "v", "yr").write.partitionBy("yr").parquet(tgt)
+    def files(yr: Int) = {
+      val d = new java.io.File(s"$tgt/yr=$yr")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before96 = files(1996)
+    val before97 = files(1997)
+    assert(before96.nonEmpty && before97.nonEmpty)
+    // touch only 1997 and 1998: update k=2, delete k=3
+    val delta = Seq((2L, "b2", 22.0, 1997, "upsert"),
+        (3L, "c", 0.0, 1998, "delete"))
+      .toDF("k", "s", "v", "yr", "_op")
+    Merge.upsertPartitioned(spark, tgt, delta, Seq("k"), "yr")
+    assert(files(1996) == before96,
+      "the untouched 1996 partition was rewritten")
+    assert(files(1997) != before97, "the touched partition must rewrite")
+    assert(files(1998).isEmpty,
+      "a fully-deleted partition must be removed, not survive stale")
+    val out = spark.read.parquet(tgt).select("k", "s", "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 22.0)))
+  }
+
+  test("upsertPartitioned slice read is partition-pruned to touched years") {
+    import ops.Merge
+    val root = TempRoots.create("graft_mergepp_")
+    val tgt = s"$root/t"
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").parquet(tgt)
+    // the slice plan upsertPartitioned builds: target filtered to touched
+    val slice = spark.read.parquet(tgt).filter(col("yr").isin(1996, 1997))
+    val scan = slice.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.head
+    assert(scan.partitionFilters.nonEmpty &&
+      scan.partitionFilters.mkString(" ").contains("yr"),
+      "touched-partition read must prune on the partition column")
+    // end-to-end: q92b equals the in-memory chained merges on the same
+    // year-restricted deltas (its oracle's statement, pinned locally)
+    val got = ops.Merge.q92b(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    val years = got.map(_._1).toSet
+    val dates = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toLocalDateTime.getYear)
+      .toMap
+    // pre-1996 keys follow q92-with-empty-delta semantics: t0 survives as-is
+    val pre96InT0 = dates.filter { case (k, y) => y < 1996 && k % 4 != 3 }
+    assert(pre96InT0.keySet.subsetOf(years),
+      "pre-1996 target rows must pass through untouched")
+  }
+
   test("q92 plan: the target is never sorted or windowed — delta-only windows") {
     // the copy-on-write contract: windows (dup guards) run over the DELTA;
     // the target side contributes scans + the anti join only. q92 chains
