@@ -203,9 +203,13 @@ object ScaleUp {
         .withColumn("o_orderkey", off("o_orderkey", k, s)) // PK: last, always shifted
     }, "orders", copies)
     // composite-PK stride for skew mode: l_linenumber is small (≤ 7 in
-    // TPC-H shape) — derived, not hardcoded, like the FK strides above
-    val lnStride = spark.read.parquet(s"$src/lineitem.parquet")
-      .agg(max(col("l_linenumber"))).head().getAs[Number](0).longValue + 1L
+    // TPC-H shape) — derived, not hardcoded, like the FK strides above.
+    // Only skew mode consumes it (offIfHot is identity at hotPct == 0),
+    // so the uniform path skips the extra lineitem scan (review r13).
+    val lnStride =
+      if (hotPct == 0) 0L
+      else spark.read.parquet(s"$src/lineitem.parquet")
+        .agg(max(col("l_linenumber"))).head().getAs[Number](0).longValue + 1L
     write(scaled(spark, src, "lineitem", copies) { (df, k, s) =>
       val lnType = df.schema("l_linenumber").dataType
       // l_linenumber FIRST: offIfHot/offSkew key the hot choice on the

@@ -62,10 +62,14 @@ object CutsBucket {
   // re-filled with DIFFERENT contents between rows no longer slips past
   // the reference check undetected unless the new contents agree on all
   // three probes — the guard is therefore BEST-EFFORT for non-literal
-  // cuts (an interior mutation that preserves length and both endpoints
-  // can still evade it; bucket RESULTS stay correct either way, since
-  // the search reads actual content — only the loud-failure guarantee
-  // weakens). Benign race under concurrent tasks: the fields update
+  // cuts: an interior mutation that preserves length and both endpoints
+  // evades it, and if that mutation also breaks SORTEDNESS the binary
+  // search returns silently wrong buckets (the search reads actual
+  // content, so content the validator never saw is only correct when
+  // still sorted — an evading mutation forfeits BOTH the loud failure
+  // and, if unsorted, correctness). Literal cuts — every in-repo caller —
+  // are immutable and fully covered. Benign race under concurrent
+  // tasks: the fields update
   // non-atomically, but a mixed write can only cause a redundant
   // revalidation or mark as-validated an instance some thread DID
   // validate — never skip a never-validated instance (lastOk is only

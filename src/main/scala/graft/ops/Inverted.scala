@@ -16,24 +16,28 @@ import org.apache.spark.sql.functions._
   * scans the corpus shingle column: posting lookups need no
   * verification, so pruning here is total).
   *
-  * Layout under `indexDir`:
+  * Layout under `indexDir` (every table generation-committed through
+  * [[graft.sources.GenCommit]] — appends touch TWO tables, and without
+  * an atomic commit a crash between them silently corrupts BM25 stats):
   *  - `meta`: one row (n_buckets) — the FROZEN partitioning arity; reads
   *    and appends take it from the index, so a drift between build and
   *    probe is structurally impossible (the LSH/IVF discipline).
-  *  - `stats`: (n_docs, total_dl) — ONE ROW PER GENERATION, summed on
-  *    read. Appends add a row instead of rewriting (BM25's N and avgdl
-  *    are sums, so generation rows merge exactly); compaction collapses
-  *    them back to one row. Token-less docs count here (they carry no
-  *    postings but belong in N and avgdl — the bm25 denominator).
-  *  - `postings`: (term, doc_id, tf, dl, positions) DIRECTORY-PARTITIONED
-  *    by `tbucket` = crc32(term) mod n_buckets, value prefixed "t"
-  *    (string partition inference, ivfBuild's trick). crc32 because both
-  *    the executor (`functions.crc32`) and the driver
+  *  - `stats/gen=<k>`: (n_docs, total_dl) — one row per COMMITTED
+  *    generation, summed on read (BM25's N and avgdl are sums, so
+  *    generation rows merge exactly); compaction collapses them to one.
+  *    Token-less docs count here (they carry no postings but belong in N
+  *    and avgdl — the bm25 denominator).
+  *  - `postings/gen=<k>`: (term, doc_id, tf, dl, positions)
+  *    DIRECTORY-PARTITIONED by `tbucket` = crc32(term) mod n_buckets,
+  *    value prefixed "t" (string partition inference, ivfBuild's trick).
+  *    crc32 because both the executor (`functions.crc32`) and the driver
   *    (`java.util.zip.CRC32`) compute the same IEEE CRC-32 over UTF-8
   *    bytes — query-time bucket ids are driver-side LITERALS, so the
   *    pruning is static partition pruning, not even DPP. dl is
   *    denormalized into the posting row so scoring needs no doc-length
   *    join (the one corpus-sized table a normalized layout would scan).
+  *  - `commits/<k>`: the marker files; readers admit exactly the marked
+  *    generations, so a crashed append is invisible AND unread.
   *
   * Tokenization is the retrieval family's contract: lowercase,
   * space-split, empty tokens dropped, position = pre-filter index
@@ -51,17 +55,21 @@ object Inverted {
     "t" + (c.getValue % nBuckets)
   }
 
-  /** The per-doc posting projection shared verbatim by [[invBuild]] and
-    * [[invAppend]] (frozen-derivation discipline): one row per (doc,
-    * term) with tf, the doc's non-empty token count dl, and the sorted
-    * position list.
+  private val Tables2 = Seq("postings", "stats")
+
+  /** The shared tokenization base: (doc_id, w, dl) — computed ONCE per
+    * build/append and PERSISTED across the stats and postings writes
+    * (two separate write jobs cannot share an exchange, so without the
+    * persist the corpus would be split/lowered twice — review r13).
     */
-  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "term")),
-        size(filter(split(lower(col("text")), " "), t => t =!= ""))
-          .as("dl"))
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("dl", size(filter(col("w"), t => t =!= "")))
+
+  private def postingsFrom(base: DataFrame, nBuckets: Int): DataFrame =
+    base
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("w")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"),
@@ -69,11 +77,42 @@ object Inverted {
       .select(bucketCol(col("term"), nBuckets).as("tbucket"),
         col("term"), col("doc_id"), col("tf"), col("dl"), col("positions"))
 
-  private def statsOf(docs: DataFrame): DataFrame =
-    docs.agg(
+  private def statsFrom(base: DataFrame): DataFrame =
+    base.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(filter(split(lower(col("text")), " "), t => t =!= "")))
-        .cast("long").as("total_dl"))
+      coalesce(sum(col("dl")), lit(0L)).cast("long").as("total_dl"))
+
+  /** Stage and atomically commit one generation of (postings, stats) —
+    * [[graft.sources.GenCommit]]'s protocol; see its scaladoc for why a
+    * plain two-table append has an unfixable half-applied window.
+    */
+  private def writeGeneration(spark: SparkSession, indexDir: String,
+      gen: Long, docs: DataFrame, nBuckets: Int): Unit = {
+    val base = tokenized(docs).persist()
+    try {
+      postingsFrom(base, nBuckets)
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "postings"))
+      statsFrom(base)
+        .write.mode("overwrite")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "stats"))
+    } finally base.unpersist()
+    graft.sources.GenCommit.publish(spark, indexDir, gen, Tables2)
+  }
+
+  /** A table's COMMITTED rows: generations are the first partition level
+    * (`<table>/gen=<k>/…`), filtered to the commit-marker set — an
+    * uncommitted (crashed-append) generation is both invisible and, by
+    * partition pruning, unread.
+    */
+  private def committedTable(spark: SparkSession, indexDir: String,
+      table: String): DataFrame = {
+    val gens = graft.sources.GenCommit.committed(spark, indexDir)
+    require(gens.nonEmpty,
+      s"no committed generations at $indexDir — build the index first")
+    spark.read.parquet(s"$indexDir/$table")
+      .filter(col("gen").isin(gens: _*))
+  }
 
   def invBuild(
       docs: DataFrame,
@@ -81,35 +120,36 @@ object Inverted {
       nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     val spark = docs.sparkSession
+    // a build REPLACES any prior index at this path
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
     spark.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    statsOf(docs).write.mode("overwrite").parquet(s"$indexDir/stats")
-    postingsOf(docs, nBuckets)
-      .write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$indexDir/postings")
+    writeGeneration(spark, indexDir, 0L, docs, nBuckets)
   }
 
   private def nBucketsOf(spark: SparkSession, indexDir: String): Int =
     spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("n_buckets")
 
   /** Delta maintenance: tokenize ONLY the delta under the frozen bucket
-    * arity, append its postings to the touched bucket partitions and its
-    * (n_docs, total_dl) as a new stats generation row. Cost is
-    * delta-proportional; N/avgdl/df correctness after append is exact
-    * because all three are sums over disjoint doc sets (spec-pinned:
-    * append ≡ build over the union). Caller owns doc_id uniqueness
-    * across appends — a re-appended doc would double its postings AND
-    * its stats row, as with any index.
+    * arity and commit it as a NEW GENERATION of (postings, stats) — the
+    * atomic two-table append ([[graft.sources.GenCommit]]): a crash
+    * anywhere leaves the generation uncommitted and therefore invisible,
+    * and the retry takes a fresh id, so stats can never drift from
+    * postings (review r13). Cost is delta-proportional; N/avgdl/df
+    * correctness after append is exact because all three are sums over
+    * disjoint doc sets (spec-pinned: append ≡ build over the union).
+    * Caller owns doc_id uniqueness across COMMITTED appends, as with
+    * any index.
     */
   def invAppend(
       spark: SparkSession,
       indexDir: String,
       delta: DataFrame): Unit = {
     val nBuckets = nBucketsOf(spark, indexDir)
-    statsOf(delta).write.mode("append").parquet(s"$indexDir/stats")
-    postingsOf(delta, nBuckets)
-      .write.mode("append").partitionBy("tbucket")
-      .parquet(s"$indexDir/postings")
+    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, Tables2)
+    writeGeneration(spark, indexDir, gen, delta, nBuckets)
   }
 
   /** BM25 over the standing index: the query terms' bucket ids are
@@ -135,12 +175,12 @@ object Inverted {
     require(terms.distinct == terms, s"duplicate query terms: $terms")
     val nBuckets = nBucketsOf(spark, indexDir)
     val buckets = terms.map(bucketOf(_, nBuckets)).distinct
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = committedTable(spark, indexDir, "stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("total_dl")).as("dl"))
       .head()
     val n = lit(stats.getLong(0))
     val avgdl = lit(stats.getLong(1).toDouble / stats.getLong(0).toDouble)
-    val tf = spark.read.parquet(s"$indexDir/postings")
+    val tf = committedTable(spark, indexDir, "postings")
       .filter(col("tbucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("dl"), col("tf"))
@@ -160,7 +200,7 @@ object Inverted {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     val nBuckets = nBucketsOf(spark, indexDir)
     val buckets = phrase.map(bucketOf(_, nBuckets)).distinct
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = committedTable(spark, indexDir, "postings")
       .filter(col("tbucket").isin(buckets: _*))
       .filter(col("term").isin(phrase.distinct: _*))
     def occs(term: String, as: String) = postings
@@ -180,30 +220,42 @@ object Inverted {
       .orderBy("doc_id", "pos")
   }
 
-  /** Small-file compaction: postings rewritten ONE FILE PER BUCKET and
-    * the stats generations collapsed to a single row, each behind
-    * [[graft.sources.SwapDir]]'s crash-safe rename-aside swap
-    * ([[invRecover]] heals interruptions and runs here on entry).
-    * Contents untouched ⇒ searches bit-identical (spec-pinned).
+  /** Small-file compaction + generation GC: the COMMITTED postings are
+    * rewritten ONE FILE PER BUCKET into a single generation 0, the
+    * committed stats collapse to one row, and the commit set resets to
+    * {0} — each step behind [[graft.sources.SwapDir]]'s crash-safe
+    * rename-aside swap ([[invRecover]] heals interruptions and runs here
+    * on entry). Uncommitted orphan generations (crashed appends) vanish
+    * with the table swaps. Window-by-window consistency: after the
+    * postings swap the commit set still lists old generation ids, but
+    * `isin` over absent partition values reads nothing, and generation 0
+    * — the only data — is in the set, so every window serves exactly the
+    * committed rows. Contents untouched ⇒ searches bit-identical
+    * (spec-pinned).
     */
   def invCompact(spark: SparkSession, indexDir: String): Unit = {
     invRecover(spark, indexDir)
-    spark.read.parquet(s"$indexDir/postings")
+    committedTable(spark, indexDir, "postings").drop("gen")
       .repartition(col("tbucket"))
-      .write.mode("overwrite").partitionBy("tbucket")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "tbucket")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
-    spark.read.parquet(s"$indexDir/stats")
+    committedTable(spark, indexDir, "stats")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_dl")).cast("long").as("total_dl"))
-      .write.mode("overwrite")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "stats"))
     graft.sources.SwapDir.swap(spark, indexDir, "stats")
+    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
   }
 
-  /** Heal an interrupted [[invCompact]] swap — both tables independently
-    * (a crash between the two swaps leaves postings promoted, stats
-    * not; each rolls to a complete generation).
+  /** Heal an interrupted [[invCompact]] swap — the two tables and the
+    * commit set, each independently (a crash between swaps leaves
+    * earlier ones promoted and later ones not; each rolls to a complete
+    * generation, and every intermediate state is read-consistent — see
+    * [[invCompact]]'s window argument).
     */
   def invRecover(spark: SparkSession, indexDir: String): Unit = {
     graft.sources.SwapDir.recover(spark, indexDir, "postings",
@@ -211,6 +263,9 @@ object Inverted {
         "the index is gone, rebuild with invBuild")
     graft.sources.SwapDir.recover(spark, indexDir, "stats",
       s"invRecover: no stats at $indexDir in any generation — " +
+        "the index is gone, rebuild with invBuild")
+    graft.sources.SwapDir.recover(spark, indexDir, "commits",
+      s"invRecover: no commit set at $indexDir in any generation — " +
         "the index is gone, rebuild with invBuild")
   }
 

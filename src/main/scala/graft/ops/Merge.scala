@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
   * pruning; semantics and plan shape are what they execute per touched
   * file group.
   *
-  * Delta contract: one payload row per key per batch. With `seqCol`,
-  * at-least-once delta logs resolve LATEST-WINS per key (ties on the
-  * max sequence fail loudly — two "latest" payloads have no right
-  * answer); without it, a duplicate key fails loudly at execution
-  * (`assert_true` inside the plan — no silent last-writer-wins). Ops:
-  * `upsert` (insert or replace) and `delete` (absent keys a no-op, as in
-  * SQL MERGE's WHEN MATCHED THEN DELETE); any other op value fails
-  * loudly.
+  * Delta contract: one payload row per key per batch. Exact FULL-ROW
+  * duplicates collapse silently first — at-least-once redelivery of the
+  * same record is unambiguous and must not abort the merge. Past that:
+  * with `seqCol`, delta logs resolve LATEST-WINS per key (two DISTINCT
+  * payloads tying on the max sequence fail loudly — two different
+  * "latest" rows have no right answer); without it, conflicting rows
+  * for a key fail loudly at execution (`assert_true` inside the plan —
+  * no silent last-writer-wins). Ops: `upsert` (insert or replace) and
+  * `delete` (absent keys a no-op, as in SQL MERGE's WHEN MATCHED THEN
+  * DELETE); any other op value fails loudly, checked on the RAW delta
+  * before resolution so a malformed non-latest row cannot vanish
+  * unexamined.
   */
 object Merge {
 
@@ -50,34 +54,43 @@ object Merge {
     require(keys.nonEmpty, "merge: at least one key column")
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)
-    // resolve to exactly one row per key, loudly rejecting ambiguity
-    val resolved = (seqCol match {
-      case Some(s) =>
-        delta
-          .withColumn("__rn", row_number().over(w.orderBy(col(s).desc)))
-          .withColumn("__tie", count(lit(1)).over(
-            Window.partitionBy((keyCols :+ col(s)): _*)))
-          .filter(col("__rn") === 1)
-          .withColumn("__chk", assert_true(col("__tie") === 1,
-            concat(lit("merge: two delta rows tie on the max " + s +
-              " for key "), concat_ws(",", keyCols: _*))))
-          .filter(col("__chk").isNull)
-          .drop("__rn", "__tie", "__chk", s)
-      case None =>
-        delta
-          .withColumn("__n", count(lit(1)).over(w))
-          .withColumn("__chk", assert_true(col("__n") === 1,
-            concat(lit("merge: duplicate delta rows for key "),
-              concat_ws(",", keyCols: _*),
-              lit(" — pass seqCol for latest-wins resolution"))))
-          .filter(col("__chk").isNull)
-          .drop("__n", "__chk")
-    }).withColumn("__op_chk", assert_true(
+    // op validity is checked on the RAW delta, before any resolution —
+    // a malformed op on a non-latest row must fail loudly, not be
+    // silently dropped by the latest-wins filter (review r13). Exact
+    // full-row duplicates collapse first: at-least-once redelivery of
+    // the SAME record is unambiguous and must not trip the ambiguity
+    // guards below.
+    val checked = delta
+      .withColumn("__op_chk", assert_true(
         col(opCol).isin("upsert", "delete"),
         concat(lit("merge: unknown op '"), col(opCol),
           lit("' (expected upsert|delete) for key "),
           concat_ws(",", keyCols: _*))))
       .filter(col("__op_chk").isNull).drop("__op_chk")
+      .distinct()
+    // resolve to exactly one row per key, loudly rejecting ambiguity
+    val resolved = seqCol match {
+      case Some(s) =>
+        checked
+          .withColumn("__rn", row_number().over(w.orderBy(col(s).desc)))
+          .withColumn("__tie", count(lit(1)).over(
+            Window.partitionBy((keyCols :+ col(s)): _*)))
+          .filter(col("__rn") === 1)
+          .withColumn("__chk", assert_true(col("__tie") === 1,
+            concat(lit("merge: two DISTINCT delta rows tie on the max " +
+              s + " for key "), concat_ws(",", keyCols: _*))))
+          .filter(col("__chk").isNull)
+          .drop("__rn", "__tie", "__chk", s)
+      case None =>
+        checked
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__chk", assert_true(col("__n") === 1,
+            concat(lit("merge: conflicting delta rows for key "),
+              concat_ws(",", keyCols: _*),
+              lit(" — pass seqCol for latest-wins resolution"))))
+          .filter(col("__chk").isNull)
+          .drop("__n", "__chk")
+    }
     val untouched = target.join(resolved.select(keyCols: _*),
       keys, "left_anti")
     val upserts = resolved.filter(col(opCol) =!= "delete").drop(opCol)
@@ -193,18 +206,31 @@ object Merge {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(targetDir)
-    // fully-deleted partitions: present in touched, absent from output
+    // fully-deleted partitions: present in touched, absent from output.
+    // Directory names go through the SAME Hive-style escaping the writer
+    // used — a raw s"$partCol=$v" misses escaped characters (':' →
+    // '%3A') and nulls ('__HIVE_DEFAULT_PARTITION__'), leaving the ghost
+    // partition alive with its delete silently ignored (review r13).
     val remaining = staged.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSet
     val gone = touched.filterNot(remaining)
-    if (gone.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(targetDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      gone.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$targetDir/$partCol=$v"), true)
-      }
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    gone.foreach { v =>
+      val leaf =
+        if (v == null) s"$partCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+        else ExternalCatalogUtils.getPartitionPathString(
+          partCol, v.toString)
+      val p = new org.apache.hadoop.fs.Path(s"$targetDir/$leaf")
+      require(!fs.exists(p) || fs.delete(p, true),
+        s"merge: could not remove fully-deleted partition $p")
     }
+    // the staged slice is fully consumed (overwrite job + the collect
+    // above) — delete now instead of leaking one copy per batch until
+    // JVM exit (review r13)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    ()
   }
 
   /** q92b_merge_partitioned: the two q92 merge batches, restricted to

@@ -772,24 +772,70 @@ object Text {
     * every [[lshAppend]] extends the index for delta-only work instead of
     * the rebuild a no-index nightly implicitly pays.
     *
-    * Layout:
+    * Layout (every table generation-committed through
+    * [[graft.sources.GenCommit]] — see its scaladoc for why a plain
+    * two-table append has an unfixable half-applied crash window):
     *  - `indexDir/meta`: one row (shingle_n, num_hashes, bands) — the
     *    FROZEN hash parameters. Probes and appends read them from the
     *    index rather than trusting the caller, so a parameter drift
     *    between build and probe (which would silently shift every bucket)
     *    is structurally impossible.
-    *  - `indexDir/docs`: (doc_id, sh) — the shingle arrays, read only to
-    *    exact-verify candidates (candidate-bounded scans).
-    *  - `indexDir/buckets`: (sig, doc_id) DIRECTORY-PARTITIONED by band
-    *    (values carry a "b" prefix so partition-column inference reads
-    *    them back as strings — ivfBuild's trick). Partitioning by band is
-    *    the IVF-nprobe analog for LSH: a full probe reads all `bands`
-    *    partitions, and a recall/cost-tuned probe (`probeBands` <
+    *  - `indexDir/docs/gen=<k>`: (doc_id, sh) — the shingle arrays, read
+    *    to exact-verify candidates.
+    *  - `indexDir/buckets/gen=<k>`: (sig, doc_id) DIRECTORY-PARTITIONED
+    *    by band (values carry a "b" prefix so partition-column inference
+    *    reads them back as strings — ivfBuild's trick). Partitioning by
+    *    band is the IVF-nprobe analog for LSH: a full probe reads all
+    *    `bands` partitions, and a recall/cost-tuned probe (`probeBands` <
     *    `bands`) becomes a PARTITION-PRUNED scan reading probeBands/bands
     *    of the index on disk, with the recall law 1-(1-J^rows)^probeBands
     *    still exact. Compaction ([[lshCompact]]) rewrites one file per
-    *    band.
+    *    band into a single generation.
+    *  - `indexDir/commits/<k>`: the commit markers; readers admit exactly
+    *    the marked generations.
     */
+  private val LshTables = Seq("docs", "buckets")
+
+  /** Stage and atomically commit one generation of (docs, buckets) —
+    * [[graft.sources.GenCommit]]'s protocol. The signature frame is
+    * PERSISTED across the two staged writes: two write jobs cannot share
+    * an exchange, so without the persist every build/append would
+    * shingle and minhash its input twice (review r13 — the previous
+    * "ReuseExchange" comment claimed cross-job reuse that does not
+    * exist).
+    */
+  private def lshWriteGeneration(spark: SparkSession, indexDir: String,
+      gen: Long, docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): Unit = {
+    val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
+      bands).persist()
+    try {
+      sig.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "docs"))
+      sig.select(col("doc_id"),
+          posexplode(col("bsig")).as(Seq("band", "sig")))
+        .select(concat(lit("b"), col("band").cast("string")).as("band"),
+          col("sig"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "buckets"))
+    } finally sig.unpersist()
+    graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables)
+  }
+
+  /** A table's COMMITTED rows (generation = first partition level,
+    * admitted by commit marker — a crashed append's generation is
+    * invisible AND, by partition pruning, unread).
+    */
+  private def lshCommitted(spark: SparkSession, indexDir: String,
+      table: String): DataFrame = {
+    val gens = graft.sources.GenCommit.committed(spark, indexDir)
+    require(gens.nonEmpty,
+      s"no committed generations at $indexDir — build the index first")
+    spark.read.parquet(s"$indexDir/$table")
+      .filter(col("gen").isin(gens: _*))
+  }
+
   def lshBuild(
       docs: DataFrame,
       indexDir: String,
@@ -800,22 +846,17 @@ object Text {
       bands: Int = 8): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = docs.sparkSession
+    // a build REPLACES any prior index at this path
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
     spark.range(1).select(
         lit(shingleN).as("shingle_n"),
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes, bands)
-      // one exchange feeding both persisted tables, so ReuseExchange
-      // computes signatures once (minhashPairs' discipline)
-      .repartition(col("doc_id"))
-    sig.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$indexDir/docs")
-    sig.select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "sig")))
-      .select(concat(lit("b"), col("band").cast("string")).as("band"),
-        col("sig"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$indexDir/buckets")
+    lshWriteGeneration(spark, indexDir, 0L, docs, idCol, textCol,
+      shingleN, numHashes, bands)
   }
 
   private def lshMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
@@ -825,15 +866,17 @@ object Text {
   }
 
   /** Incremental LSH maintenance: sign ONLY the delta under the index's
-    * FROZEN stored parameters and append to the existing docs/bucket
-    * partitions — [[graft.ops.Vector.ivfAppend]]'s shape for text. The
-    * only non-metadata work is one map-side signature projection + two
-    * partitioned appends over the DELTA, so cost is delta-proportional
-    * (measured against rebuild in SCALE.md). Frozen parameters are what
-    * make append ≡ build: every doc, old or new, is bucketed under the
-    * same hash family, so the persisted set is exactly what
-    * `lshBuild(old ∪ delta)` would write (spec-pinned in TextSpec).
-    * Caller owns id-uniqueness across appends, as with any index.
+    * FROZEN stored parameters and commit it as a NEW GENERATION of
+    * (docs, buckets) — the atomic two-table append
+    * ([[graft.sources.GenCommit]]): a crash anywhere leaves the
+    * generation uncommitted and invisible (docs can never exist without
+    * their buckets — silently lost pairs — nor double-apply on retry;
+    * review r13). Cost is delta-proportional (measured against rebuild
+    * in SCALE.md). Frozen parameters are what make append ≡ build: every
+    * doc, old or new, is bucketed under the same hash family, so the
+    * committed set is exactly what `lshBuild(old ∪ delta)` would write
+    * (spec-pinned in TextSpec). Caller owns id-uniqueness across
+    * COMMITTED appends, as with any index.
     */
   def lshAppend(
       spark: SparkSession,
@@ -842,15 +885,9 @@ object Text {
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
-    val sig = lshSignatures(delta, idCol, textCol, shingleN, numHashes, bands)
-      .repartition(col("doc_id"))
-    sig.select(col("doc_id"), col("sh"))
-      .write.mode("append").parquet(s"$indexDir/docs")
-    sig.select(col("doc_id"), posexplode(col("bsig")).as(Seq("band", "sig")))
-      .select(concat(lit("b"), col("band").cast("string")).as("band"),
-        col("sig"), col("doc_id"))
-      .write.mode("append").partitionBy("band")
-      .parquet(s"$indexDir/buckets")
+    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, LshTables)
+    lshWriteGeneration(spark, indexDir, gen, delta, idCol, textCol,
+      shingleN, numHashes, bands)
   }
 
   /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
@@ -904,7 +941,7 @@ object Text {
       .filter(col("band") < probeBands.getOrElse(bands))
       .select(concat(lit("b"), col("band").cast("string")).as("band"),
         col("sig"), col("probe_id"))
-    val iBuckets = spark.read.parquet(s"$indexDir/buckets")
+    val iBuckets = lshCommitted(spark, indexDir, "buckets")
       .filter(probeBands match {
         // pruning literals, not a generic predicate: k named partition
         // values turn the scan into reading k/bands of the index on disk
@@ -919,7 +956,7 @@ object Text {
     cand
       .join(pSig.select(col("doc_id").as("probe_id"), col("sh").as("sh_p")),
         Seq("probe_id"))
-      .join(spark.read.parquet(s"$indexDir/docs")
+      .join(lshCommitted(spark, indexDir, "docs")
         .select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
         Seq("index_id"))
       .select(col("probe_id"), col("index_id"),
@@ -946,12 +983,13 @@ object Text {
     */
   def lshCompact(spark: SparkSession, indexDir: String): Unit = {
     lshRecover(spark, indexDir)
-    spark.read.parquet(s"$indexDir/buckets")
+    lshCommitted(spark, indexDir, "buckets").drop("gen")
       .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "band")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "buckets"))
     graft.sources.SwapDir.swap(spark, indexDir, "buckets")
-    val docs = spark.read.parquet(s"$indexDir/docs")
+    val docs = lshCommitted(spark, indexDir, "docs").drop("gen")
     // file count from filesystem metadata (~128 MB of parquet per file,
     // ≥ 2 so the rewrite never regresses to one task), the ledger
     // compactor's sizing rule
@@ -962,15 +1000,21 @@ object Text {
     val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (bytes / (128L << 20)).toInt + 1))
     docs.repartitionByRange(nFiles, col("doc_id"))
-      .write.mode("overwrite")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "docs"))
     graft.sources.SwapDir.swap(spark, indexDir, "docs")
+    // commit set resets to {0}; see invCompact's window-by-window
+    // argument — every intermediate state serves exactly the committed
+    // rows, and uncommitted orphan generations vanish with the swaps
+    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
   }
 
-  /** Heal an LSH index whose [[lshCompact]] swap was interrupted — both
-    * swapped tables, each independently (a crash between the two swaps
-    * leaves buckets promoted and docs not; each heals to a complete
-    * generation). Safe any time; lshCompact runs it on entry.
+  /** Heal an LSH index whose [[lshCompact]] swap was interrupted — the
+    * two tables and the commit set, each independently (a crash between
+    * swaps leaves earlier ones promoted and later ones not; each heals
+    * to a complete generation, every intermediate state read-consistent).
+    * Safe any time; lshCompact runs it on entry.
     */
   def lshRecover(spark: SparkSession, indexDir: String): Unit = {
     graft.sources.SwapDir.recover(spark, indexDir, "buckets",
@@ -978,6 +1022,9 @@ object Text {
         "the index is gone, rebuild with lshBuild")
     graft.sources.SwapDir.recover(spark, indexDir, "docs",
       s"lshRecover: no docs at $indexDir in any generation — " +
+        "the index is gone, rebuild with lshBuild")
+    graft.sources.SwapDir.recover(spark, indexDir, "commits",
+      s"lshRecover: no commit set at $indexDir in any generation — " +
         "the index is gone, rebuild with lshBuild")
   }
 

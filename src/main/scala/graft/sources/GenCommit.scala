@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Atomic multi-table generation commits for materialized indexes — the
+  * fix for the half-applied-append window a two-table index otherwise
+  * has (review r13): an append that writes table A's delta and crashes
+  * before table B's leaves the index silently inconsistent (for the
+  * inverted index: stats counted, postings missing — every BM25 score
+  * drifts; for the LSH index: docs present, buckets missing — pairs
+  * silently lost), and a retry double-applies A. No ordering of plain
+  * appends fixes this; a COMMIT MARKER does.
+  *
+  * Protocol (a deliberately minimal table-format commit):
+  *  - each index table lives at `indexDir/<table>/gen=<k>/…` — the
+  *    generation is the table's FIRST partition level, so readers see it
+  *    as an ordinary partition column;
+  *  - a generation k is COMMITTED iff the marker file
+  *    `indexDir/commits/<k>` exists; readers filter every table to the
+  *    committed set (`col("gen").isin(committed)` — partition-pruned, so
+  *    invisible generations are also unread ones);
+  *  - a writer STAGES each table's generation content OUTSIDE the table
+  *    trees (`.gen<k>_<table>`), then [[publish]] renames each staged
+  *    dir into place and creates the marker LAST (one atomic file
+  *    create). Every crash point is safe: before any rename, the stage
+  *    dirs are invisible garbage; between renames or before the marker,
+  *    the gen dirs hold complete data that no reader admits; after the
+  *    marker, the append is fully applied. A retry takes a FRESH
+  *    generation id ([[nextGen]] counts uncommitted orphan dirs too, so
+  *    it never collides), and orphans are garbage-collected wholesale by
+  *    the index's compaction (which SwapDir-replaces each table tree
+  *    with a single committed generation and [[resetCommits]]).
+  *
+  * Single-writer semantics, like every maintenance path in this repo:
+  * concurrent appends to one index need an external lock (a lake table
+  * format's optimistic-commit loop is this same protocol plus retry).
+  */
+object GenCommit {
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Where a writer stages table `table`'s content for generation `gen`
+    * before [[publish]] — outside every table tree, so a crashed staged
+    * write is invisible to partition discovery.
+    */
+  def stagePath(indexDir: String, gen: Long, table: String): String =
+    s"$indexDir/.gen${gen}_$table"
+
+  /** The committed generation ids (marker file names under commits/). */
+  def committed(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val f = fsOf(spark, indexDir)
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/commits")
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** The next free generation id: past every committed id AND every
+    * existing gen dir (a crashed publish may have renamed a table in
+    * without committing — its id is burned, never reused).
+    */
+  def nextGen(spark: SparkSession, indexDir: String,
+      tables: Seq[String]): Long = {
+    val f = fsOf(spark, indexDir)
+    val fromDirs = tables.flatMap { t =>
+      val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$t")
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") &&
+          n.drop(4).forall(_.isDigit) && n.length > 4 => n.drop(4).toLong }
+    }
+    ((committed(spark, indexDir) ++ fromDirs) :+ -1L).max + 1
+  }
+
+  /** Promote generation `gen`: rename each staged table dir into its
+    * table tree, then create the commit marker LAST. Caller must have
+    * finished writing every [[stagePath]] (Spark leaves `_SUCCESS`,
+    * which is checked — promoting a half-written stage is data loss).
+    */
+  def publish(spark: SparkSession, indexDir: String, gen: Long,
+      tables: Seq[String]): Unit = {
+    val f = fsOf(spark, indexDir)
+    tables.foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(stagePath(indexDir, gen, t))
+      require(f.exists(new org.apache.hadoop.fs.Path(src, "_SUCCESS")),
+        s"publish: no complete staged set at $src (missing _SUCCESS)")
+      val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$t/gen=$gen")
+      f.mkdirs(dst.getParent)
+      require(!f.exists(dst), s"publish: generation dir $dst already " +
+        "exists — generation ids must come from nextGen")
+      require(f.rename(src, dst), s"publish: could not promote $src")
+    }
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")
+    f.mkdirs(marker.getParent)
+    require(f.createNewFile(marker),
+      s"publish: could not create commit marker $marker")
+  }
+
+  /** Compaction support: atomically replace the commit set with the
+    * single generation `gen` (SwapDir on the commits dir — crash-safe
+    * like the table swaps it follows; see the compactors for the
+    * window-by-window consistency argument).
+    */
+  def resetCommits(spark: SparkSession, indexDir: String,
+      gen: Long): Unit = {
+    val f = fsOf(spark, indexDir)
+    val st = new org.apache.hadoop.fs.Path(
+      SwapDir.stagePath(indexDir, "commits"))
+    f.delete(st, true)
+    f.mkdirs(st)
+    require(f.createNewFile(new org.apache.hadoop.fs.Path(st, gen.toString)))
+    require(f.createNewFile(new org.apache.hadoop.fs.Path(st, "_SUCCESS")))
+    SwapDir.swap(spark, indexDir, "commits")
+  }
+}

@@ -23,6 +23,16 @@ import org.apache.spark.sql.SparkSession
   * Renames go through the Hadoop FileSystem API so the swap works on any
   * rename-capable store (HDFS, local, S3A with a committer layer — raw
   * S3 rename is not atomic; see IncrementalPipeline's ledger note).
+  *
+  * The `_SUCCESS` marker is the completeness protocol: [[swap]] refuses
+  * to promote a stage dir without one (a half-written stage promoted is
+  * data loss), and [[recover]] uses it to tell roll-forward from
+  * roll-back. Deployments that disable markers
+  * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common
+  * object-store guidance) must re-enable them for index-maintenance
+  * jobs — without a marker there is no way to distinguish a complete
+  * staged generation from a crashed write, and failing loudly here is
+  * the correct behavior, not a regression.
   */
 object SwapDir {
 

@@ -209,8 +209,15 @@ object IncrementalPipeline {
 
   /** Streaming form: micro-batches through foreachBatch with the same
     * idempotent append. The checkpoint replays an unacknowledged batch on
-    * restart (at-least-once); the ledger anti-join inside the batch makes
-    * the replay a no-op (exactly-once effect). The conversion body and
+    * restart (at-least-once). Replay semantics, stated precisely: if the
+    * crash hit BEFORE the target append committed, the ledger anti-join
+    * makes the replay a clean re-run; if it hit BETWEEN the target append
+    * and the ledger append (the same window [[runBatch]] documents), the
+    * replay appends the batch's rows a second time and [[targetView]]'s
+    * PK keep-first dedup collapses them on read — the reference's own
+    * crash answer (`init/postgres-2/init.sql:2`). "Exactly-once effect"
+    * is the two mechanisms together, not the anti-join alone.
+    * The conversion body and
     * batch timestamp are pluggable like [[runBatch]]'s, so the declared
     * gate (x04b) can run the oracle-parity form through the same
     * per-micro-batch transaction; `batchTs` stays a constant for

@@ -56,9 +56,12 @@ class InvertedSpec extends SparkSuite {
     def filesPerBucket(): Map[String, Int] = {
       val base = new java.io.File(s"$dir/postings")
       base.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("tbucket="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+        .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+        .flatMap(g => g.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("tbucket="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     }
     def search() = Inverted.invSearch(spark, dir, Seq("table", "hash"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -76,7 +79,7 @@ class InvertedSpec extends SparkSuite {
     // interrupted swap (live set aside, stage complete) rolls forward
     import java.nio.file.{Files, Paths, StandardCopyOption}
     spark.read.parquet(s"$dir/postings").repartition(col("tbucket"))
-      .write.mode("overwrite").partitionBy("tbucket")
+      .write.mode("overwrite").partitionBy("gen", "tbucket")
       .parquet(sources.SwapDir.stagePath(dir, "postings"))
     Files.move(Paths.get(s"$dir/postings"), Paths.get(s"$dir/postings_old"),
       StandardCopyOption.ATOMIC_MOVE)
@@ -84,6 +87,49 @@ class InvertedSpec extends SparkSuite {
     assert(new java.io.File(s"$dir/postings").exists())
     assert(!new java.io.File(s"$dir/postings_old").exists())
     assert(search() == before)
+  }
+
+  test("crashed append: uncommitted generation is invisible; retry + compact GC") {
+    // simulate the half-applied append the GenCommit protocol exists
+    // for: stage a delta generation and rename ONE table in, then "die"
+    // before the commit marker — searches must not see it (stats AND
+    // postings unchanged); the retry takes a fresh id; compaction
+    // garbage-collects the orphan
+    val docs = Tables.documents(spark, sf001)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val dir = TempRoots.create("graft_inv_crash_")
+    Inverted.invBuild(a, dir, nBuckets = 16)
+    def search() = Inverted.invSearch(spark, dir, Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = search()
+    // hand-run invAppend's staging for gen 1, then rename ONLY postings
+    // in (the crash window: one table applied, no marker)
+    val stagedP = sources.GenCommit.stagePath(dir, 1L, "postings")
+    spark.read.parquet(s"$dir/postings").filter(col("gen") === 0)
+      .drop("gen") // emulate a fresh delta's staged postings
+      .write.mode("overwrite").partitionBy("tbucket").parquet(stagedP)
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.move(Paths.get(stagedP), Paths.get(s"$dir/postings/gen=1"),
+      StandardCopyOption.ATOMIC_MOVE)
+    assert(search() == before,
+      "an uncommitted generation leaked into search results")
+    // the retry must take a FRESH id past the orphan
+    Inverted.invAppend(spark, dir, b)
+    assert(new java.io.File(s"$dir/postings/gen=2").exists(),
+      "retry must not reuse the orphan's generation id")
+    val dirFull = TempRoots.create("graft_inv_crash_full_")
+    Inverted.invBuild(docs, dirFull, nBuckets = 16)
+    def searchFull() = Inverted.invSearch(spark, dirFull,
+      Seq("table", "hash")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(search() == searchFull(),
+      "post-retry search must equal the clean rebuild")
+    // compaction wipes the orphan wholesale and stays search-identical
+    Inverted.invCompact(spark, dir)
+    assert(!new java.io.File(s"$dir/postings/gen=1").exists() &&
+      !new java.io.File(s"$dir/postings/gen=2").exists())
+    assert(search() == searchFull())
   }
 
   test("invSearch plan: posting scan statically pruned to the terms' buckets") {

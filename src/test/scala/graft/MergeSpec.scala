@@ -54,15 +54,66 @@ class MergeSpec extends SparkSuite {
     assert(out == Seq((1L, "new", 99.0), (3L, "c", 30.0)))
   }
 
-  test("duplicate delta keys without seqCol fail loudly, not last-wins") {
+  test("conflicting delta keys without seqCol fail loudly, not last-wins") {
     val delta = Seq((1L, "x", 1.0, "upsert"), (1L, "y", 2.0, "upsert"))
       .toDF("k", "s", "v", "_op")
     val e = intercept[Exception] {
       Merge.upsert(tgt(), delta, Seq("k")).collect()
     }
-    assert(e.getMessage.contains("duplicate delta rows")
+    assert(e.getMessage.contains("conflicting delta rows")
       || e.getCause != null &&
-         e.getCause.getMessage.contains("duplicate delta rows"))
+         e.getCause.getMessage.contains("conflicting delta rows"))
+  }
+
+  test("exact full-row redelivery collapses silently — in both paths") {
+    // at-least-once redelivery of the SAME record is unambiguous and
+    // must not abort the merge (review r13); only DIFFERING payloads are
+    // a conflict
+    val dup = Seq((1L, "a2", 11.0, "upsert"), (1L, "a2", 11.0, "upsert"))
+      .toDF("k", "s", "v", "_op")
+    val out = Merge.upsert(tgt(), dup, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    val dupSeq = Seq((1L, "a2", 11.0, "upsert", 7L),
+        (1L, "a2", 11.0, "upsert", 7L))
+      .toDF("k", "s", "v", "_op", "seq")
+    val outSeq = Merge.upsert(tgt(), dupSeq, Seq("k"),
+        seqCol = Some("seq")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(outSeq == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
+  test("a malformed op on a NON-LATEST row still fails loudly") {
+    // the op check runs on the raw delta, before latest-wins resolution
+    // can drop the corrupted record unexamined (review r13)
+    val delta = Seq((1L, "x", 1.0, "delte", 1L),
+        (1L, "y", 2.0, "upsert", 2L))
+      .toDF("k", "s", "v", "_op", "seq")
+    val e = intercept[Exception] {
+      Merge.upsert(tgt(), delta, Seq("k"), seqCol = Some("seq")).collect()
+    }
+    assert(e.getMessage.contains("unknown op")
+      || e.getCause != null && e.getCause.getMessage.contains("unknown op"))
+  }
+
+  test("upsertPartitioned: escaped partition values still clean up fully") {
+    // a partition value Spark escapes in directory names (':' -> '%3A')
+    // must still be REMOVED when fully deleted — a raw string path would
+    // miss the escaped dir and the ghost partition would survive
+    import ops.Merge
+    val root = TempRoots.create("graft_mergesc_")
+    val tgt2 = s"$root/t"
+    Seq((1L, "a", "p:1"), (2L, "b", "p:2")).toDF("k", "s", "pc")
+      .write.partitionBy("pc").parquet(tgt2)
+    assert(new java.io.File(s"$tgt2/pc=p%3A1").exists(),
+      "fixture: expected Spark to escape ':' in the partition dir name")
+    val delta = Seq((1L, "a", "p:1", "delete")).toDF("k", "s", "pc", "_op")
+    Merge.upsertPartitioned(spark, tgt2, delta, Seq("k"), "pc")
+    assert(!new java.io.File(s"$tgt2/pc=p%3A1").exists(),
+      "fully-deleted escaped partition must be removed")
+    val out = spark.read.parquet(tgt2).select("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(out == Seq(2L))
   }
 
   test("a tie on the max seq fails loudly — no arbitrary winner") {

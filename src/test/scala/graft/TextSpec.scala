@@ -221,9 +221,12 @@ class TextSpec extends SparkSuite {
     ops.Text.lshAppend(spark, dir, corpus.filter(col("doc_id") % 2 === 1))
     def filesPerBand(): Map[String, Int] = {
       val base = new java.io.File(s"$dir/buckets")
-      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("band="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("gen="))
+        .flatMap(g => g.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("band="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     }
     def probe() = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -271,7 +274,7 @@ class TextSpec extends SparkSuite {
     val a = mkIndex()
     ops.Text.lshCompact(spark, a) // produce a staged set by hand:
     spark.read.parquet(s"$a/buckets").repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode("overwrite").partitionBy("gen", "band")
       .parquet(sources.SwapDir.stagePath(a, "buckets"))
     ops.Text.lshRecover(spark, a) // healthy live wins; stray stage removed
     assert(!new java.io.File(sources.SwapDir.stagePath(a, "buckets")).exists())
@@ -280,7 +283,7 @@ class TextSpec extends SparkSuite {
     // (b) crash between the two renames: live at _old, stage complete
     val b = mkIndex()
     spark.read.parquet(s"$b/buckets").repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode("overwrite").partitionBy("gen", "band")
       .parquet(sources.SwapDir.stagePath(b, "buckets"))
     move(s"$b/buckets", s"$b/buckets_old")
     ops.Text.lshRecover(spark, b) // must roll FORWARD to the staged set
