@@ -539,13 +539,11 @@ object Stress {
           concat(lit("w"), pmod(x * (x + lit(7L)), lit(999983L)))
         })).as("text"))
     val delta = dn / 10
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stress_lsh_").toString
+    val dir = graft.TempRoots.create("graft_stress_lsh_")
     // the corpus lives in the lake: BOTH nightlies start from parquet
     // text (generating it in-memory would hand the no-index path its
     // corpus scan for free and hide exactly the cost under test)
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("graft_stress_lsh_corpus_").toString
+    val corpusDir = graft.TempRoots.create("graft_stress_lsh_corpus_")
     docs(0, dn).write.mode("overwrite").parquet(corpusDir)
     def corpus = spark.read.parquet(corpusDir)
     Seq(

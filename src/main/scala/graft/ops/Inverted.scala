@@ -178,6 +178,12 @@ object Inverted {
     val stats = committedTable(spark, indexDir, "stats")
       .agg(sum(col("n_docs")).as("n"), sum(col("total_dl")).as("dl"))
       .head()
+    // an index built over an empty frame commits gen 0 with n_docs=0 —
+    // without this check avgdl is 0/0 = NaN and every score silently
+    // NaN instead of the loud failure the module promises (ADVICE r13)
+    require(stats.getLong(0) > 0L,
+      s"invSearch: index at $indexDir is empty (n_docs=0) — build it " +
+        "over a non-empty corpus before searching")
     val n = lit(stats.getLong(0))
     val avgdl = lit(stats.getLong(1).toDouble / stats.getLong(0).toDouble)
     val tf = committedTable(spark, indexDir, "postings")

@@ -168,9 +168,11 @@ object Merge {
     * Contract (the standard lake-merge constraint): `partCol` must be
     * functionally dependent on the key and IMMUTABLE under updates —
     * a delta row claiming a different partition than the key's current
-    * row would leave the stale row in the old partition, since guarding
-    * against that requires reading every partition, which defeats the
-    * operator. Deletes must carry the row's partition for the same
+    * row would leave the stale row in the old partition. Violations
+    * whose current row sits inside the TOUCHED slice are caught loudly
+    * (the partial guard below — both sides are already in hand); ones
+    * against untouched partitions are undetectable without reading
+    * every partition, which defeats the operator. Deletes must carry the row's partition for the same
     * reason. A touched partition whose rows are ALL deleted is removed
     * explicitly (dynamic overwrite only rewrites partitions PRESENT in
     * the output — without the cleanup, fully-deleted partitions would
@@ -192,7 +194,43 @@ object Merge {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq // bounded by the table's partition count
     if (touched.isEmpty) return
-    val slice = target.filter(col(partCol).isin(touched: _*))
+    // NULL-SAFE membership: isin never matches null, so a delta touching
+    // the null partition (__HIVE_DEFAULT_PARTITION__) would otherwise
+    // read an EMPTY slice of it — the dynamic overwrite then drops every
+    // untouched null-partition row, and a delete-only delta routes null
+    // into `gone` and removes the whole directory (ADVICE r13). The
+    // ghost-partition cleanup below already treats null as a supported
+    // value; the slice filter must agree.
+    val touchedNonNull = touched.filter(_ != null)
+    val sliceFilter = {
+      val base =
+        if (touchedNonNull.nonEmpty) col(partCol).isin(touchedNonNull: _*)
+        else lit(false)
+      if (touched.contains(null)) base || col(partCol).isNull else base
+    }
+    val slice = target.filter(sliceFilter)
+    // PARTIAL partCol-immutability guard (VERDICT r13): with the touched
+    // slice already in hand, a delta key whose current row sits in a
+    // touched partition under a DIFFERENT partition value is detectable
+    // for free — fail loudly instead of silently stranding the stale
+    // row. Violations whose current row lives in an UNTOUCHED partition
+    // remain out of reach (detecting them needs a full-table read, which
+    // defeats the operator) — that residue is the documented contract.
+    val deltaParts = delta
+      .select(keys.map(col) :+ col(partCol).as("__delta_part"): _*)
+      .distinct()
+    val mismatch = slice
+      .select(keys.map(col) :+ col(partCol).as("__cur_part"): _*)
+      .join(deltaParts, keys)
+      .filter(!(col("__cur_part") <=> col("__delta_part")))
+      .limit(1).collect()
+    require(mismatch.isEmpty, {
+      val r = mismatch.head
+      s"upsertPartitioned: delta moves key ${keys.map(k => s"$k=${r.getAs[Any](k)}").mkString(",")} " +
+        s"from partition $partCol=${r.getAs[Any]("__cur_part")} to " +
+        s"$partCol=${r.getAs[Any]("__delta_part")} — partCol is immutable " +
+        "under merge; delete in the old partition and insert in the new one"
+    })
     // the delta keeps partCol: the read-back target carries it too, and
     // unionByName inside upsert enforces the schemas match column-for-column
     val merged = upsert(slice, delta, keys, opCol, seqCol)

@@ -81,8 +81,10 @@ object Scd {
     * case — and degrade to a shuffle join when it is not.
     *
     * PRECONDITION (the merge ≡ rebuild contract): every delta row's ts
-    * must be >= the touched key's current `effective_from` — the carried
-    * pseudo row's Long.MinValue tie only orders correctly then. A
+    * must be STRICTLY greater than the touched key's current
+    * `effective_from` — the carried pseudo row's Long.MinValue tie only
+    * orders correctly then (at ts equality the rebuild orders by the
+    * REAL opening tie, which the dim does not retain). A
     * late-arriving delta older than the current version would otherwise
     * produce a dim that silently diverges from the batch rebuild
     * (ADVICE r12). `guardLateDeltas = true` enforces it at runtime with
@@ -107,16 +109,24 @@ object Scd {
     val closed = dimTouched.filter(!col("is_current"))
     val current = dimTouched.filter(col("is_current"))
     if (guardLateDeltas) {
+      // STRICT precondition (ts > effective_from), and the guard matches
+      // it with <=. At ts EQUALITY the carried pseudo-row's
+      // Long.MinValue tie always orders the current version first, but
+      // the batch rebuild orders equal-ts events by tieCol — a delta
+      // event with a smaller tie than the version's OPENING event would
+      // make merge diverge from rebuild, and the dim does not retain the
+      // opening tie to adjudicate it (ADVICE r13). Equality therefore
+      // fails loudly: rebuild that key instead of merging.
       val viol = deltaLog.groupBy(col(keyCol))
         .agg(min(col(tsCol)).as("__delta_min_ts"))
         .join(current.select(col(keyCol), col("effective_from")), Seq(keyCol))
-        .filter(col("__delta_min_ts") < col("effective_from"))
+        .filter(col("__delta_min_ts") <= col("effective_from"))
       val bad = viol.select(col(keyCol), col("__delta_min_ts"),
         col("effective_from")).limit(1).collect()
       require(bad.isEmpty,
         s"scd2Merge: late-arriving delta violates the merge contract — " +
           s"key ${bad.head.get(0)} has a delta row at ${bad.head.get(1)} " +
-          s"older than the current version's effective_from " +
+          s"not strictly after the current version's effective_from " +
           s"${bad.head.get(2)}; rebuild that key's history with scd2Build " +
           "instead of merging")
     }

@@ -189,4 +189,16 @@ class InvertedSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("searching an EMPTY index fails loudly, not NaN scores (ADVICE r13)") {
+    import spark.implicits._
+    val dir = TempRoots.create("graft_inv_empty_")
+    Inverted.invBuild(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      dir, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Inverted.invSearch(spark, dir, Seq("hash")).collect()
+    }
+    assert(e.getMessage.contains("empty") && e.getMessage.contains(dir),
+      s"empty-index error must name the index: ${e.getMessage}")
+  }
 }

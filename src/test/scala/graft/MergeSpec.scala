@@ -116,6 +116,65 @@ class MergeSpec extends SparkSuite {
     assert(out == Seq(2L))
   }
 
+  test("upsertPartitioned: a null-partition delta merges null-safely — " +
+      "untouched null-partition rows survive (ADVICE r13)") {
+    // isin never matches null: without the null-safe slice filter, a
+    // delta touching __HIVE_DEFAULT_PARTITION__ reads an EMPTY slice of
+    // it and the dynamic overwrite drops every untouched null-row
+    import ops.Merge
+    val root = TempRoots.create("graft_mergenull_")
+    val tgt2 = s"$root/t"
+    Seq((1L, "a", null), (2L, "b", null), (3L, "c", "p1"))
+      .toDF("k", "s", "pc")
+      .write.partitionBy("pc").parquet(tgt2)
+    val delta = Seq((1L, "a2", null: String, "upsert"))
+      .toDF("k", "s", "pc", "_op")
+    Merge.upsertPartitioned(spark, tgt2, delta, Seq("k"), "pc")
+    val out = spark.read.parquet(tgt2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a2"), (2L, "b"), (3L, "c")),
+      s"untouched null-partition row k=2 must survive the merge: $out")
+    // delete-only delta on one null-partition key: the OTHER null-row
+    // stays, the directory is not ghost-removed wholesale
+    val del = Seq((1L, "a2", null: String, "delete"))
+      .toDF("k", "s", "pc", "_op")
+    Merge.upsertPartitioned(spark, tgt2, del, Seq("k"), "pc")
+    val out2 = spark.read.parquet(tgt2).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq
+    assert(out2 == Seq(2L, 3L))
+    // and a delta deleting the LAST null row removes the default dir
+    val del2 = Seq((2L, "b", null: String, "delete"))
+      .toDF("k", "s", "pc", "_op")
+    Merge.upsertPartitioned(spark, tgt2, del2, Seq("k"), "pc")
+    assert(!new java.io.File(
+      s"$tgt2/pc=__HIVE_DEFAULT_PARTITION__").exists())
+    assert(spark.read.parquet(tgt2).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+  }
+
+  test("upsertPartitioned: a delta moving a key across TOUCHED " +
+      "partitions fails loudly — partial partCol-immutability guard") {
+    import ops.Merge
+    val root = TempRoots.create("graft_mergemove_")
+    val tgt2 = s"$root/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("k", "s", "pc")
+      .write.partitionBy("pc").parquet(tgt2)
+    // key 1 currently lives in p1; the delta claims p2 for it while ALSO
+    // touching p1 (via key 2's sibling write) — both sides are in the
+    // slice, so the guard must catch the move
+    val delta = Seq((1L, "a2", "p2", "upsert"), (2L, "b2", "p1", "upsert"))
+      .toDF("k", "s", "pc", "_op")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsertPartitioned(spark, tgt2, delta, Seq("k"), "pc")
+    }
+    assert(e.getMessage.contains("partCol is immutable"),
+      s"guard must name the contract: ${e.getMessage}")
+    // target unchanged — the guard fired before any write
+    val out = spark.read.parquet(tgt2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("a tie on the max seq fails loudly — no arbitrary winner") {
     val delta = Seq(
       (1L, "x", 1.0, "upsert", 7L), (1L, "y", 2.0, "upsert", 7L)

@@ -112,6 +112,30 @@ class ScdSpec extends SparkSuite {
     assert(merged == rebuilt)
   }
 
+  test("guardLateDeltas: a delta at ts EXACTLY equal to effective_from " +
+      "fails loudly — equal-ts tie order vs the opening event is " +
+      "unadjudicable without the retained tie (ADVICE r13)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val hist = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 5L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val dim = ops.Scd.scd2Build(hist)
+    // equal ts, SMALLER tie than the opening event: the rebuild would
+    // order this delta first (tie 2 < 5) but the merge's carried
+    // pseudo-row (tie Long.MinValue) always precedes it — divergent,
+    // and the strict-precondition guard must refuse it
+    val equalTs = Seq(
+      (1L, "b", ts("2024-01-01 00:00:00"), 2L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val ex = intercept[IllegalArgumentException] {
+      ops.Scd.scd2Merge(dim, equalTs, guardLateDeltas = true).collect()
+    }
+    assert(ex.getMessage.contains("not strictly after"),
+      s"equality must trip the strict guard: ${ex.getMessage}")
+  }
+
   test("q91c bucketed build equals the plain build; raw window keys on (key, bucket)") {
     val batch = ops.Scd.q91(spark, sf001).collect().map(_.toString).toSeq
     val bucketed = ops.Scd.q91c(spark, sf001).collect().map(_.toString).toSeq
