@@ -146,6 +146,10 @@ object SparkEntry {
     // the cross-check; shares q41's oracle so star ≡ plain is
     // driver-verified at every SF
     "q41b_dedup_clusters_plain" -> ((s, d) => ops.Text.q41b(s, d)),
+    // incremental cluster maintenance: ccMerge of the nightly delta pair
+    // list into standing components — merge ≡ rebuild, shares q41's
+    // oracle (the erMerge recipe on doc ids; VERDICT r13 #1)
+    "q41c_dedup_clusters_merge" -> ((s, d) => ops.Text.q41c(s, d)),
     // embedding-cosine near-dup dedup end-to-end: blocked cosine pairs
     // resolved to canonical clusters (the embedding-space member of the
     // dedup taxonomy); integer-only output => hash-exact despite the
@@ -215,6 +219,9 @@ object SparkEntry {
     "q67_rank_bands"       -> ((s, d) => ops.TextAnalysis.q67(s, d)),
     // the deduplicated corpus: q41's clusters taken to their endpoint
     "q68_dedup_keep"       -> ((s, d) => ops.Text.q68(s, d)),
+    // the clean corpus maintained incrementally (q41c taken to q68's
+    // endpoint) — merge ≡ rebuild, shares q68's oracle
+    "q68b_dedup_keep_merge" -> ((s, d) => ops.Text.q68b(s, d)),
     // deterministic per-cluster embedding centroid (q47's endpoint)
     "q69_cluster_centroid" -> ((s, d) => ops.Vector.q69(s, d)),
     // per-status p5/p95 winsorized price clipping (robust feature prep)
@@ -429,6 +436,7 @@ object SparkEntry {
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,
+    "q41c_dedup_clusters_merge" -> ops.Text.q41Sql,
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
@@ -454,6 +462,7 @@ object SparkEntry {
     "q66_rolling_zscore"   -> ops.Analytics.q66Sql,
     "q67_rank_bands"       -> ops.TextAnalysis.q67Sql,
     "q68_dedup_keep"       -> ops.Text.q68Sql,
+    "q68b_dedup_keep_merge" -> ops.Text.q68Sql,
     "q69_cluster_centroid" -> ops.Vector.q69Sql,
     "q70_winsorize"        -> ops.Analytics.q70Sql,
     "q71_ivf_search"       -> ops.Vector.q71Sql,

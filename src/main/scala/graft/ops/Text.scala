@@ -1515,6 +1515,117 @@ object Text {
       |  WHERE id <> comp)
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental DOCUMENT-cluster maintenance — merge a delta pair list
+    * into standing [[q41]] components without re-running cluster
+    * resolution over the full pair graph (VERDICT r13 #1; [[erMerge]]'s
+    * merge ≡ rebuild recipe on doc ids). This closes the nightly dedup
+    * pipeline end-to-end: detection is already delta-proportional
+    * ([[lshProbe]] over the standing index, or [[minhashDeltaPairs]]
+    * in-memory), and with ccMerge RESOLUTION is too — the full-corpus CC
+    * rerun q41 would pay every night never happens.
+    *
+    * Inputs: `labels` = yesterday's (id, comp) resolution (clustered docs
+    * only — every id there has ≥ 1 near-dup edge); `deltaPairs` = every
+    * near-dup pair with at least one NEW endpoint: the cross pairs
+    * (delta × standing corpus — lshProbe's output) UNION the
+    * delta-internal pairs ([[minhashPairs]] over the small delta, per
+    * minhashDeltaPairs' documented contract). Work done:
+    *
+    *  1. Touched components only — a standing component none of tonight's
+    *     pairs reach passes through VERBATIM (one left_anti on comp).
+    *  2. Star edges, not original pairs — each touched component re-enters
+    *     CC as its (member, canonical) star, which preserves its exact
+    *     connectivity in O(size) edges; the old×old pair list is never
+    *     revisited.
+    *  3. [[dupComponentsStar]] over star edges ∪ delta pairs — the
+    *     O(log n) rounds run on a DELTA-PROPORTIONAL edge set (touched
+    *     members + tonight's pairs), not the corpus pair graph.
+    *
+    * Merge ≡ rebuild, exactly: star edges preserve old connectivity, the
+    * delta pair list contains by contract every edge with a new endpoint,
+    * and an old×old pair cannot be new. Components therefore coincide as
+    * vertex sets with the full rebuild's, so min-id canonical labels and
+    * cluster sizes coincide row for row ([[q41c]] shares q41's oracle;
+    * TextSpec pins the boundary matrix: bridged old clusters, delta-only
+    * clusters, untouched pass-through, delta joining an unclustered old
+    * doc).
+    *
+    * @return (id, comp) over all clustered docs, rebuild-identical
+    */
+  def ccMerge(
+      labels: DataFrame,
+      deltaPairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val pairs = deltaPairs.select(col(aCol), col(bCol))
+    val touchedIds = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    val touchedComps = labels.join(touchedIds, Seq("id"), "left_semi")
+      .select(col("comp")).distinct()
+    val untouched = labels.join(touchedComps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+    // star edges of the touched components: (member, canonical); the
+    // canonical doc needs no self edge — it is every star edge's dst
+    val touchedEdges = labels.join(touchedComps, Seq("comp"), "left_semi")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(aCol), col("comp").as(bCol))
+    val rewired = dupComponentsStar(
+      touchedEdges.unionByName(pairs), aCol, bCol)
+    untouched.unionByName(rewired)
+  }
+
+  /** The nightly delta pair list for a documents split: cross pairs
+    * (delta probes the standing corpus) ∪ delta-internal pairs — exactly
+    * the edge set [[ccMerge]]'s contract requires. Shared by [[q41c]]/
+    * [[q68b]] and the TextSpec index-path cross-check.
+    */
+  private[graft] def deltaPairList(
+      corpus: DataFrame, delta: DataFrame): DataFrame =
+    minhashDeltaPairs(corpus, delta)
+      .select(col("delta_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      .unionByName(minhashPairs(delta).select(col("doc_a"), col("doc_b")))
+
+  /** q41c_dedup_clusters_merge: [[ccMerge]] over the x21 fixture split
+    * (delta = `doc_id % 5 = 4`, the 20% nightly arrivals) — yesterday's
+    * resolution is rebuilt in-gate from the standing 80% (gate honesty,
+    * q83b's pattern), tonight's pair list is [[deltaPairList]], and the
+    * merged resolution must equal the full rebuild: SHARES q41's oracle.
+    * The standing-index form of the same pair list is driver-verified
+    * separately (x21b shares x21's oracle — lshProbe ≡ minhashDeltaPairs
+    * pair for pair), so gating the in-memory form gates both.
+    */
+  def q41c(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val standing = dupComponentsStar(minhashPairs(corpus))
+    ccMerge(standing, deltaPairList(corpus, delta))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** q68b_dedup_keep_merge: the deduplicated corpus maintained
+    * INCREMENTALLY — [[q41c]]'s merged resolution taken to q68's
+    * endpoint (drop non-canonical members), so the whole nightly
+    * pipeline — probe, merge clusters, materialize the clean corpus —
+    * is delta-proportional. Merge ≡ rebuild: SHARES q68's oracle.
+    */
+  def q68b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val standing = dupComponentsStar(minhashPairs(corpus))
+    val drops = ccMerge(standing, deltaPairList(corpus, delta))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** q74_fuzzy_name_variants: EDIT-DISTANCE near-duplicate detection over
     * the part-name DICTIONARY — every pair of distinct names within
     * Levenshtein distance 2, with how many parts carry each spelling.

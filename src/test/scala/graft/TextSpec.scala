@@ -396,6 +396,73 @@ class TextSpec extends SparkSuite {
     assert(crossing, "vacuous: no cluster spans the old/delta boundary")
   }
 
+  test("ccMerge boundary matrix: bridge, pull-in, delta-only, untouched") {
+    // the same adversarial shapes as erMerge's matrix, on doc ids:
+    //  - a delta doc BRIDGING two standing clusters merges them under
+    //    the global minimum id;
+    //  - a delta doc pulls in an UNCLUSTERED old doc (absent from labels);
+    //  - two delta docs form a delta-only cluster;
+    //  - an untouched standing cluster passes through verbatim.
+    val labels = Seq(
+      (1L, 1L), (5L, 1L),   // cluster 1
+      (2L, 2L), (8L, 2L),   // cluster 2
+      (3L, 3L), (9L, 3L)    // untouched
+    ).toDF("id", "comp")
+    val deltaPairs = Seq(
+      (10L, 5L), (10L, 8L), // doc 10 bridges clusters 1 and 2
+      (11L, 7L),            // doc 11 pulls in unclustered old doc 7
+      (12L, 13L)            // delta-only cluster
+    ).toDF("doc_a", "doc_b")
+    val got = ops.Text.ccMerge(labels, deltaPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Map(
+      1L -> 1L, 5L -> 1L, 2L -> 1L, 8L -> 1L, 10L -> 1L, // bridged
+      7L -> 7L, 11L -> 7L,                               // pulled in
+      12L -> 12L, 13L -> 12L,                            // delta-only
+      3L -> 3L, 9L -> 3L)                                // untouched
+    assert(got == want, s"got $got")
+  }
+
+  test("q41c merge == q41 rebuild; q68b == q68; clusters cross the boundary") {
+    val rebuild = ops.Text.q41(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val merged = ops.Text.q41c(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rebuild.nonEmpty && merged == rebuild)
+    // non-vacuity: at least one cluster holds both an old (% 5 != 4) and
+    // a delta (% 5 == 4) doc, so the merge genuinely stitched across
+    val crossing = rebuild.groupBy(_._2).values
+      .exists(c => c.exists(_._1 % 5 != 4) && c.exists(_._1 % 5 == 4))
+    assert(crossing, "vacuous: no cluster spans the corpus/delta boundary")
+    val keepRebuild = ops.Text.q68(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    val keepMerged = ops.Text.q68b(spark, sf0001).collect()
+      .map(_.getLong(0)).toSeq
+    assert(keepMerged == keepRebuild)
+  }
+
+  test("nightly dedup end-to-end through the STANDING index: lshProbe " +
+      "pairs + ccMerge == full rebuild") {
+    // the production nightly: detection over the materialized LSH index
+    // (delta-proportional probe), resolution via ccMerge (touched
+    // components only) — the composed pipeline must equal the batch
+    // rebuild exactly, completing x21b's pair-level gate at cluster level
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val dir = TempRoots.create("graft_ccmerge_idx_")
+    Text.lshBuild(corpus, dir)
+    val probePairs = Text.lshProbe(spark, dir, delta)
+      .select(col("probe_id").as("doc_a"), col("index_id").as("doc_b"))
+      .unionByName(Text.minhashPairs(delta).select(col("doc_a"), col("doc_b")))
+    val standing = Text.dupComponentsStar(Text.minhashPairs(corpus))
+    val merged = Text.ccMerge(standing, probePairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rebuild = Text.dupComponentsStar(Text.minhashPairs(docs))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rebuild.nonEmpty && merged == rebuild)
+  }
+
   test("two-level wide banding is output-identical to single-level radius 7") {
     // both formulations are EXACT for radius <= 7 (pigeonhole arguments in
     // their docs), so their pair sets must be equal — a splice/shift bug in
