@@ -65,6 +65,7 @@ object Stress {
       want("salted") { saltedJoinStage(spark, n) } ++
       want("prefix") { prefixScanStage(spark, n) } ++
       want("cc") { ccStarStage(spark, n / 10) } ++
+      want("ccmerge") { ccMergeStage(spark, n / 10) } ++
       want("rank") { groupRankStage(spark, n) } ++
       want("gram") { gramCensusStage(spark, n / 10) } ++
       want("hopping") { hoppingStage(spark, n) } ++
@@ -176,6 +177,42 @@ object Stress {
     Seq(s"cc_star_total_${m}" -> total,
         s"cc_star_rounds_${m}" -> rounds.length.toDouble) ++
       rounds.zipWithIndex.map { case (s, i) => s"cc_star_round_$i" -> s }
+  }
+
+  /** The nightly cluster-resolution choice at volume: FULL rebuild
+    * (dupComponentsStar over standing ∪ delta edges — what q41 pays
+    * every night without ccMerge) vs [[graft.ops.Text.ccMerge]] given
+    * yesterday's labels (what the standing-index pipeline pays). The
+    * standing graph is m/4 near-clique components of 4 (the near-dup
+    * shape); the delta is 1% of m new docs each pairing with one
+    * existing doc — so the merge's touched edge set is ~1% of the
+    * rebuild's. The measured gap is the corpus-sized CC the merge never
+    * runs; yesterday's label computation is NOT timed (it is last
+    * night's output, read from the lake in production).
+    */
+  private def ccMergeStage(
+      spark: SparkSession, m: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val dn = m / 100
+    // blobs of 4 consecutive ids: star edges to each blob's minimum
+    def standingEdges = spark.range(m)
+      .filter(pmod(col("id"), lit(4L)) =!= 0)
+      .select(col("id").as("doc_a"),
+        (col("id") - pmod(col("id"), lit(4L))).as("doc_b"))
+    // each new doc m+i attaches to one scattered existing doc
+    def deltaEdges = spark.range(dn)
+      .select((col("id") + m).as("doc_a"),
+        pmod(col("id") * 2654435761L, lit(m)).as("doc_b"))
+    val labels = ops.Text.dupComponentsStar(standingEdges)
+    noop(labels) // materialized: yesterday's output, outside the timings
+    Seq(
+      time(s"cc_rebuild_${m}") {
+        noop(ops.Text.dupComponentsStar(
+          standingEdges.unionByName(deltaEdges)))
+      },
+      time(s"cc_merge_${dn}") {
+        noop(ops.Text.ccMerge(labels, deltaEdges))
+      })
   }
 
   /** Per-group FULL ranking at volume over a 4-value group key: the naive
