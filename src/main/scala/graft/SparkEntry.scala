@@ -337,6 +337,10 @@ object SparkEntry {
     // probe the delta — the full standing-index lifecycle in the gated
     // path; full-band probe => same pairs, shares x21's oracle
     "x21b_delta_dedup_indexed" -> ((s, d) => ops.Text.x21b(s, d)),
+    // generation-pinned (as-of) index read: probe an APPENDED index
+    // pinned at the pre-append generation — a snapshot leak surfaces as
+    // self-pairs at Jaccard 1.0, so sharing x21's oracle gates the pin
+    "x21c_delta_dedup_asof" -> ((s, d) => ops.Text.x21c(s, d)),
     // x06's exact twin: probing ALL 2^bits buckets degenerates the
     // SimHash candidate join to brute force — shares x01's oracle, so
     // the sketch code path itself is driver-gated (q71 precedent)
@@ -501,6 +505,7 @@ object SparkEntry {
     "x20_embed_decontaminate"   -> ops.Vector.x20Sql,
     "x21_delta_dedup"           -> ops.Text.x21Sql,
     "x21b_delta_dedup_indexed"  -> ops.Text.x21Sql,
+    "x21c_delta_dedup_asof"     -> ops.Text.x21Sql,
     // gate twins: the sketch code paths in their degenerate-exact regimes
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,

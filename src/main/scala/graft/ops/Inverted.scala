@@ -106,8 +106,9 @@ object Inverted {
     * partition pruning, unread.
     */
   private def committedTable(spark: SparkSession, indexDir: String,
-      table: String): DataFrame = {
-    val gens = graft.sources.GenCommit.committed(spark, indexDir)
+      table: String, asOfGen: Option[Long] = None): DataFrame = {
+    val gens =
+      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
     require(gens.nonEmpty,
       s"no committed generations at $indexDir — build the index first")
     spark.read.parquet(s"$indexDir/$table")
@@ -170,12 +171,13 @@ object Inverted {
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75,
-      topN: Int = 20): DataFrame = {
+      topN: Int = 20,
+      asOfGen: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.distinct == terms, s"duplicate query terms: $terms")
     val nBuckets = nBucketsOf(spark, indexDir)
     val buckets = terms.map(bucketOf(_, nBuckets)).distinct
-    val stats = committedTable(spark, indexDir, "stats")
+    val stats = committedTable(spark, indexDir, "stats", asOfGen)
       .agg(sum(col("n_docs")).as("n"), sum(col("total_dl")).as("dl"))
       .head()
     // an index built over an empty frame commits gen 0 with n_docs=0 —
@@ -186,7 +188,7 @@ object Inverted {
         "over a non-empty corpus before searching")
     val n = lit(stats.getLong(0))
     val avgdl = lit(stats.getLong(1).toDouble / stats.getLong(0).toDouble)
-    val tf = committedTable(spark, indexDir, "postings")
+    val tf = committedTable(spark, indexDir, "postings", asOfGen)
       .filter(col("tbucket").isin(buckets: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("term"), col("dl"), col("tf"))
@@ -202,11 +204,12 @@ object Inverted {
   def invPhrase(
       spark: SparkSession,
       indexDir: String,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String],
+      asOfGen: Option[Long] = None): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     val nBuckets = nBucketsOf(spark, indexDir)
     val buckets = phrase.map(bucketOf(_, nBuckets)).distinct
-    val postings = committedTable(spark, indexDir, "postings")
+    val postings = committedTable(spark, indexDir, "postings", asOfGen)
       .filter(col("tbucket").isin(buckets: _*))
       .filter(col("term").isin(phrase.distinct: _*))
     def occs(term: String, as: String) = postings

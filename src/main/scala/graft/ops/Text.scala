@@ -828,8 +828,9 @@ object Text {
     * invisible AND, by partition pruning, unread).
     */
   private def lshCommitted(spark: SparkSession, indexDir: String,
-      table: String): DataFrame = {
-    val gens = graft.sources.GenCommit.committed(spark, indexDir)
+      table: String, asOfGen: Option[Long] = None): DataFrame = {
+    val gens =
+      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
     require(gens.nonEmpty,
       s"no committed generations at $indexDir — build the index first")
     spark.read.parquet(s"$indexDir/$table")
@@ -918,6 +919,15 @@ object Text {
     * plan-asserted in TextSpec. Full-band probes keep candidate recall
     * identical to the self-join detector.
     *
+    * `asOfGen` (default: all committed) pins the read to the committed
+    * set as of that generation ([[graft.sources.GenCommit
+    * .committedAsOf]]): a probe running concurrently with an append
+    * keeps a stable snapshot, and an audit reproduces yesterday's
+    * result exactly (driver-gated: x21c probes an APPENDED index pinned
+    * at the pre-append generation and must equal the un-appended
+    * probe's oracle — a leaked later generation would surface as
+    * self-pairs at Jaccard 1.0).
+    *
     * @return (probe_id, index_id, jaccard), all crossing pairs exact on
     *         the surviving candidates
     */
@@ -928,7 +938,8 @@ object Text {
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.9,
-      probeBands: Option[Int] = None): DataFrame = {
+      probeBands: Option[Int] = None,
+      asOfGen: Option[Long] = None): DataFrame = {
     val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
     probeBands.foreach(k => require(k >= 1 && k <= bands,
       s"probeBands must be in [1, $bands]: $k"))
@@ -941,7 +952,7 @@ object Text {
       .filter(col("band") < probeBands.getOrElse(bands))
       .select(concat(lit("b"), col("band").cast("string")).as("band"),
         col("sig"), col("probe_id"))
-    val iBuckets = lshCommitted(spark, indexDir, "buckets")
+    val iBuckets = lshCommitted(spark, indexDir, "buckets", asOfGen)
       .filter(probeBands match {
         // pruning literals, not a generic predicate: k named partition
         // values turn the scan into reading k/bands of the index on disk
@@ -956,7 +967,7 @@ object Text {
     cand
       .join(pSig.select(col("doc_id").as("probe_id"), col("sh").as("sh_p")),
         Seq("probe_id"))
-      .join(lshCommitted(spark, indexDir, "docs")
+      .join(lshCommitted(spark, indexDir, "docs", asOfGen)
         .select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
         Seq("index_id"))
       .select(col("probe_id"), col("index_id"),
@@ -1046,6 +1057,29 @@ object Text {
       corpus.filter(pmod(col("doc_id"), lit(5L)) === 3))
     lshCompact(spark, idx)
     lshProbe(spark, idx, docs.filter(pmod(col("doc_id"), lit(5L)) === 4))
+      .select(col("probe_id").as("delta_id"),
+        col("index_id").as("corpus_id"), col("jaccard"))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** x21c_delta_dedup_asof: the GENERATION-PINNED read, driver-gated —
+    * build the index over the standing corpus (gen 0), APPEND the delta
+    * docs themselves as gen 1, then probe with the delta pinned
+    * `asOfGen = 0`. The pin must hide gen 1 entirely: an unpinned probe
+    * would see every delta doc match ITSELF at Jaccard 1.0 (plus
+    * delta-internal near-dups), so any snapshot leak hash-mismatches
+    * loudly. The pinned result is exactly the un-appended index's
+    * probe — SHARES x21's oracle, completing GenCommit's minimal
+    * table-format story with reproducible as-of reads (VERDICT r13 #2).
+    */
+  def x21c(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val idx = graft.TempRoots.create("graft_lsh_x21c_")
+    lshBuild(corpus, idx)
+    lshAppend(spark, idx, delta)
+    lshProbe(spark, idx, delta, asOfGen = Some(0L))
       .select(col("probe_id").as("delta_id"),
         col("index_id").as("corpus_id"), col("jaccard"))
       .orderBy("delta_id", "corpus_id")

@@ -57,6 +57,31 @@ object GenCommit {
       .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong).sorted
   }
 
+  /** The committed set AS OF generation `asOf` — the reader-side pin
+    * that makes index reads reproducible (VERDICT r13 #2): a probe
+    * running concurrently with an append can pin the snapshot it
+    * started from, and an audit can re-run yesterday's read against
+    * yesterday's committed set. `None` = all committed (the default
+    * read). The pin must itself be a committed generation: after a
+    * compaction collapses history into one generation, older ids no
+    * longer denote a reconstructible state — pinning one fails LOUDLY
+    * instead of silently returning the post-compaction superset (the
+    * same contract as a lake format's time travel after VACUUM).
+    */
+  def committedAsOf(spark: SparkSession, indexDir: String,
+      asOf: Option[Long]): Seq[Long] = {
+    val gens = committed(spark, indexDir)
+    asOf match {
+      case None => gens
+      case Some(k) =>
+        require(gens.contains(k),
+          s"asOfGen $k is not a committed generation at $indexDir " +
+            s"(committed: ${gens.mkString(",")}) — compaction collapses " +
+            "history; only still-present generations can be pinned")
+        gens.filter(_ <= k)
+    }
+  }
+
   /** The next free generation id: past every committed id AND every
     * existing gen dir (a crashed publish may have renamed a table in
     * without committing — its id is burned, never reused).

@@ -190,6 +190,54 @@ class InvertedSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("asOfGen pins the committed snapshot: search/phrase at gen 0 " +
+      "ignore an append; compaction invalidates old pins loudly") {
+    import spark.implicits._
+    val a = Seq((1L, "hash table lookup"), (2L, "hash join"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "hash hash hash"), (4L, "hash table"))
+      .toDF("doc_id", "text")
+    val dir = TempRoots.create("graft_inv_asof_")
+    Inverted.invBuild(a, dir, nBuckets = 8)
+    val pre = Inverted.invSearch(spark, dir, Seq("hash")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val prePh = Inverted.invPhrase(spark, dir, Seq("hash", "table"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    Inverted.invAppend(spark, dir, b)
+    // pinned reads reproduce the pre-append results exactly — doc 3's
+    // tf-3 postings AND its stats contribution (N, avgdl) must both be
+    // invisible, or the BM25 scores drift even for old docs
+    val pinned = Inverted.invSearch(spark, dir, Seq("hash"),
+        asOfGen = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pinned == pre, s"pinned $pinned != pre-append $pre")
+    val pinnedPh = Inverted.invPhrase(spark, dir, Seq("hash", "table"),
+        asOfGen = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pinnedPh == prePh)
+    // the unpinned read sees the append (the pin is not a default)
+    val unpinned = Inverted.invSearch(spark, dir, Seq("hash")).collect()
+      .map(_.getLong(0)).toSet
+    assert(unpinned.contains(3L))
+    // a pin at a never-committed generation fails loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Inverted.invSearch(spark, dir, Seq("hash"), asOfGen = Some(9L))
+    }
+    assert(e1.getMessage.contains("not a committed generation"))
+    // compaction collapses history: the old pin now names a state that
+    // no longer exists and must fail loudly, never silently return the
+    // post-compaction superset
+    Inverted.invCompact(spark, dir)
+    val e2 = intercept[IllegalArgumentException] {
+      Inverted.invSearch(spark, dir, Seq("hash"), asOfGen = Some(1L))
+    }
+    assert(e2.getMessage.contains("compaction collapses"))
+    // gen 0 post-compaction IS the compacted state — pinnable, complete
+    val post = Inverted.invSearch(spark, dir, Seq("hash"),
+        asOfGen = Some(0L)).collect().map(_.getLong(0)).toSet
+    assert(post.contains(3L))
+  }
+
   test("searching an EMPTY index fails loudly, not NaN scores (ADVICE r13)") {
     import spark.implicits._
     val dir = TempRoots.create("graft_inv_empty_")
