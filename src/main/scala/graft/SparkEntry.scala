@@ -140,6 +140,10 @@ object SparkEntry {
     // four parquet chunks as micro-batches, seeded ledger, final
     // target+ledger state vs q46b's oracle minus the LIMIT CTEs
     "x04b_stream_incremental_gate" -> ((s, d) => ops.Convert.x04b(s, d)),
+    // streaming CDC apply: q92b's deltas as CDC files through a real
+    // file-source stream + foreachBatch partitioned MERGE, with a
+    // checkpoint restart between batches — shares q92b's oracle
+    "x24_stream_cdc_apply" -> ((s, d) => streaming.CdcApply.x24(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -437,6 +441,7 @@ object SparkEntry {
     "q46_incremental_pick" -> ops.Convert.q46Sql,
     "q46b_incremental_two_batch" -> ops.Convert.q46bSql,
     "x04b_stream_incremental_gate" -> ops.Convert.x04bSql,
+    "x24_stream_cdc_apply" -> ops.Merge.q92bSql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,

@@ -116,7 +116,7 @@ object Merge {
     * 1992–95 partitions of its partitioned target are genuinely
     * untouched — the property its gate exists to prove.
     */
-  private def mergeFixture(spark: SparkSession, dir: String)
+  private[graft] def mergeFixture(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val all = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

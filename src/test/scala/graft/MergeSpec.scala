@@ -175,6 +175,26 @@ class MergeSpec extends SparkSuite {
     assert(out == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("CDC replay: re-applying the SAME batch is a no-op — the " +
+      "at-least-once foreachBatch contract CdcApply relies on") {
+    import ops.Merge
+    val root = TempRoots.create("graft_mergereplay_")
+    val tgt2 = s"$root/t"
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("k", "s", "pc").write.partitionBy("pc").parquet(tgt2)
+    val batch = Seq((1L, "a2", "p1", "upsert"), (2L, "b", "p1", "delete"))
+      .toDF("k", "s", "pc", "_op")
+    Merge.upsertPartitioned(spark, tgt2, batch, Seq("k"), "pc")
+    val once = spark.read.parquet(tgt2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // a restart replays the last uncommitted batch: same file, same rows
+    Merge.upsertPartitioned(spark, tgt2, batch, Seq("k"), "pc")
+    val twice = spark.read.parquet(tgt2).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(once == Seq((1L, "a2"), (3L, "c")) && twice == once,
+      s"replay must be idempotent: once=$once twice=$twice")
+  }
+
   test("a tie on the max seq fails loudly — no arbitrary winner") {
     val delta = Seq(
       (1L, "x", 1.0, "upsert", 7L), (1L, "y", 2.0, "upsert", 7L)
