@@ -78,6 +78,8 @@ object SparkEntry {
     // of a real parquet target are read (pruned) and rewritten (dynamic
     // overwrite); 1992-95 partition files stay physically untouched
     "q92b_merge_partitioned" -> ((s, d) => ops.Merge.q92b(s, d)),
+    // MERGE schema evolution: batch 2 adds a column, old rows null-fill
+    "q92c_merge_evolve" -> ((s, d) => ops.Merge.q92c(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -408,6 +410,7 @@ object SparkEntry {
     "q91c_scd2_bucketed"   -> ops.Scd.q91Sql,
     "q92_merge_upsert"     -> ops.Merge.q92Sql,
     "q92b_merge_partitioned" -> ops.Merge.q92bSql,
+    "q92c_merge_evolve" -> ops.Merge.q92cSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

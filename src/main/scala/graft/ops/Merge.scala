@@ -50,7 +50,8 @@ object Merge {
       delta: DataFrame,
       keys: Seq[String],
       opCol: String = "_op",
-      seqCol: Option[String] = None): DataFrame = {
+      seqCol: Option[String] = None,
+      evolveSchema: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "merge: at least one key column")
     val keyCols = keys.map(col)
     val w = Window.partitionBy(keyCols: _*)
@@ -91,11 +92,26 @@ object Merge {
           .filter(col("__chk").isNull)
           .drop("__n", "__chk")
     }
-    val untouched = target.join(resolved.select(keyCols: _*),
+    // schema evolution (VERDICT r13 #4, the lake `mergeSchema` write-side
+    // counterpart of q89's readEvolved): delta columns ABSENT from the
+    // target null-fill every old row when `evolveSchema` is on, and fail
+    // loudly when it is off — never silently dropped. Target columns
+    // absent from the delta remain a hard error either way (an upsert
+    // that cannot state a row's full payload has no right answer).
+    val newCols = resolved.columns
+      .filterNot(c => c == opCol || target.columns.contains(c))
+    require(newCols.isEmpty || evolveSchema,
+      s"merge: delta adds column(s) ${newCols.mkString(", ")} not in the " +
+        "target — pass evolveSchema = true to evolve the target (old rows " +
+        "null-fill), or align the schemas")
+    val dt = resolved.schema
+    val base = newCols.foldLeft(target)((t, c) =>
+      t.withColumn(c, lit(null).cast(dt(c).dataType)))
+    val untouched = base.join(resolved.select(keyCols: _*),
       keys, "left_anti")
     val upserts = resolved.filter(col(opCol) =!= "delete").drop(opCol)
-    // unionByName: the delta payload must carry exactly the target's
-    // columns — a missing or extra column fails at analysis, not silently
+    // unionByName: the delta payload must carry exactly the (evolved)
+    // target's columns — a missing column fails at analysis, not silently
     untouched.unionByName(upserts)
   }
 
@@ -300,7 +316,10 @@ object Merge {
     * extra delta-row predicate — empty for q92, the year restriction for
     * q92b — ONE template for both oracles so they cannot drift.
     */
-  private def mergeSqlCte(pred: String): String =
+  private def mergeSqlCte(pred: String, evolve: Boolean = false): String = {
+    val rvD2 = if (evolve) ", 'rv-' || o_orderkey AS o_review" else ""
+    val rvNull = if (evolve) ", NULL AS o_review" else ""
+    val rvSel = if (evolve) ", o_review" else ""
     s"""WITH t0 AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderkey % 4 <> 3),
@@ -325,23 +344,24 @@ object Merge {
       |d2 AS (
       |  SELECT o_orderkey, 'U2' AS o_orderstatus,
       |         o_totalprice * 0.5 AS o_totalprice, o_orderdate,
-      |         'upsert' AS op
+      |         'upsert' AS op$rvD2
       |  FROM orders WHERE o_orderkey % 8 = 5$pred
       |  UNION ALL
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
-      |         'delete'
+      |         'delete'$rvD2
       |  FROM orders WHERE o_orderkey % 8 = 3$pred
       |  UNION ALL
       |  SELECT o_orderkey, 'R2',
-      |         o_totalprice + 0.25, o_orderdate, 'upsert'
+      |         o_totalprice + 0.25, o_orderdate, 'upsert'$rvD2
       |  FROM orders WHERE o_orderkey % 16 = 2$pred),
       |m2 AS (
-      |  SELECT m.* FROM m1 m
+      |  SELECT m.*$rvNull FROM m1 m
       |  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.o_orderkey = m.o_orderkey)
       |  UNION ALL
-      |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate$rvSel
       |  FROM d2 WHERE op <> 'delete')
       |SELECT * FROM m2 ORDER BY o_orderkey""".stripMargin
+  }
 
   val q92Sql: String = mergeSqlCte("")
 
@@ -349,4 +369,23 @@ object Merge {
     * years ≥ 1996 (the 1992–95 partitions stay untouched on disk).
     */
   val q92bSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996")
+
+  /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
+    * (`o_review = 'rv-' || key`) absent from the target — the
+    * `evolveSchema` path: every row the second delta does not upsert
+    * (the whole of m1's untouched set, including batch 1's inserts)
+    * null-fills the new column, d2's surviving upserts carry it. Same
+    * chained-CTE template with the evolution clauses switched on, so
+    * the three oracles cannot drift.
+    */
+  def q92c(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val m1 = upsert(t0, d1, Seq("o_orderkey"))
+    val d2e = d2.withColumn("o_review",
+      concat(lit("rv-"), col("o_orderkey")))
+    upsert(m1, d2e, Seq("o_orderkey"), evolveSchema = true)
+      .orderBy("o_orderkey")
+  }
+
+  val q92cSql: String = mergeSqlCte("", evolve = true)
 }

@@ -195,6 +195,31 @@ class MergeSpec extends SparkSuite {
       s"replay must be idempotent: once=$once twice=$twice")
   }
 
+  test("schema evolution: new delta column null-fills old rows with " +
+      "evolveSchema on, fails loudly with it off") {
+    val delta = Seq((1L, "a2", 11.0, "fresh", "upsert"),
+        (4L, "d", 40.0, "new", "upsert"))
+      .toDF("k", "s", "v", "tag", "_op")
+    // off (the default): loud, names the offending column
+    val e = intercept[IllegalArgumentException] {
+      ops.Merge.upsert(tgt(), delta, Seq("k"))
+    }
+    assert(e.getMessage.contains("tag") &&
+      e.getMessage.contains("evolveSchema"))
+    // on: untouched rows 2 and 3 null-fill, upserts carry the value
+    val out = ops.Merge.upsert(tgt(), delta, Seq("k"), evolveSchema = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(out == Seq((1L, "a2", "fresh"), (2L, "b", null),
+      (3L, "c", null), (4L, "d", "new")))
+    // a delta MISSING a target column stays a hard error either way
+    val narrow = Seq((1L, "a3", "upsert")).toDF("k", "s", "_op")
+    intercept[Exception] {
+      ops.Merge.upsert(tgt(), narrow, Seq("k"), evolveSchema = true)
+        .collect()
+    }
+  }
+
   test("a tie on the max seq fails loudly — no arbitrary winner") {
     val delta = Seq(
       (1L, "x", 1.0, "upsert", 7L), (1L, "y", 2.0, "upsert", 7L)
