@@ -88,16 +88,19 @@ object Inverted {
     */
   private def writeGeneration(spark: SparkSession, indexDir: String,
       gen: Long, docs: DataFrame, nBuckets: Int): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
     val base = tokenized(docs).persist()
     try {
       postingsFrom(base, nBuckets)
         .write.mode("overwrite").partitionBy("tbucket")
-        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "postings"))
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, gen, "postings", tk))
       statsFrom(base)
         .write.mode("overwrite")
-        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "stats"))
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, gen, "stats", tk))
     } finally base.unpersist()
-    graft.sources.GenCommit.publish(spark, indexDir, gen, Tables2)
+    graft.sources.GenCommit.publish(spark, indexDir, gen, Tables2, tk)
   }
 
   /** A table's COMMITTED rows: generations are the first partition level
@@ -244,6 +247,7 @@ object Inverted {
     */
   def invCompact(spark: SparkSession, indexDir: String): Unit = {
     invRecover(spark, indexDir)
+    graft.sources.GenCommit.gcStages(spark, indexDir)
     committedTable(spark, indexDir, "postings").drop("gen")
       .repartition(col("tbucket"))
       .withColumn("gen", lit(0L))

@@ -807,20 +807,23 @@ object Text {
   private def lshWriteGeneration(spark: SparkSession, indexDir: String,
       gen: Long, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
     val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
       bands).persist()
     try {
       sig.select(col("doc_id"), col("sh"))
         .write.mode("overwrite")
-        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "docs"))
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, gen, "docs", tk))
       sig.select(col("doc_id"),
           posexplode(col("bsig")).as(Seq("band", "sig")))
         .select(concat(lit("b"), col("band").cast("string")).as("band"),
           col("sig"), col("doc_id"))
         .write.mode("overwrite").partitionBy("band")
-        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen, "buckets"))
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, gen, "buckets", tk))
     } finally sig.unpersist()
-    graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables)
+    graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables, tk)
   }
 
   /** A table's COMMITTED rows (generation = first partition level,
@@ -994,6 +997,7 @@ object Text {
     */
   def lshCompact(spark: SparkSession, indexDir: String): Unit = {
     lshRecover(spark, indexDir)
+    graft.sources.GenCommit.gcStages(spark, indexDir)
     lshCommitted(spark, indexDir, "buckets").drop("gen")
       .repartition(col("band"))
       .withColumn("gen", lit(0L))

@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.GenCommit
+
+/** The generation-commit protocol's concurrency contract (VERDICT r13
+  * #6): writer-fenced optimistic commits — interleaved appends can race
+  * a generation id, but the race is decided loudly at publish, never by
+  * silent loss of either writer's data.
+  */
+class GenCommitSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("two interleaved appends: first publish wins the generation, the " +
+      "loser fails loudly with its stage intact, retry succeeds") {
+    val dir = TempRoots.create("graft_fence_")
+    def stage(gen: Long, token: String, v: Long): Unit =
+      Seq(v).toDF("x").coalesce(1).write.mode("overwrite")
+        .parquet(GenCommit.stagePath(dir, gen, "t", token))
+    // both writers resolve the same next generation (the race)
+    val gen = GenCommit.nextGen(spark, dir, Seq("t"))
+    assert(gen == 0L)
+    // both stage COMPLETELY before either publishes — the interleaving
+    // that silently lost writer A's bytes before tokens existed (the
+    // shared stage path let B's write clobber A's)
+    stage(gen, "writerA", 1L)
+    stage(gen, "writerB", 2L)
+    GenCommit.publish(spark, dir, gen, Seq("t"), "writerA")
+    val e = intercept[IllegalArgumentException] {
+      GenCommit.publish(spark, dir, gen, Seq("t"), "writerB")
+    }
+    assert(e.getMessage.contains("concurrent writer"),
+      s"loser must learn it lost: ${e.getMessage}")
+    // the committed generation holds the WINNER's bytes
+    assert(GenCommit.committed(spark, dir) == Seq(0L))
+    assert(spark.read.parquet(s"$dir/t/gen=0").head().getLong(0) == 1L)
+    // the loser's staged bytes survived the collision — nothing to
+    // recompute, just re-stage under a fresh id (here: fresh stage write)
+    assert(spark.read.parquet(GenCommit.stagePath(dir, gen, "t", "writerB"))
+      .head().getLong(0) == 2L)
+    val retry = GenCommit.nextGen(spark, dir, Seq("t"))
+    assert(retry == 1L, "the burned id must not be reused")
+    stage(retry, "writerB", 2L)
+    GenCommit.publish(spark, dir, retry, Seq("t"), "writerB")
+    assert(GenCommit.committed(spark, dir) == Seq(0L, 1L))
+    // compaction-entry GC sweeps the orphan stage dirs
+    GenCommit.gcStages(spark, dir)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(".gen"))
+    assert(leftovers.isEmpty, s"stage orphans survived GC: $leftovers")
+    // and the committed data is untouched by the GC
+    assert(spark.read.parquet(s"$dir/t").select("x").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("a crashed publish burns the id: gen dir present without marker " +
+      "is invisible to readers and never recommitted") {
+    val dir = TempRoots.create("graft_fence_crash_")
+    Seq(1L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 0L, "t", "w"))
+    GenCommit.publish(spark, dir, 0L, Seq("t"), "w")
+    // simulate a crash BETWEEN rename and marker for gen 1: rename the
+    // staged dir in by hand, create no marker
+    Seq(9L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 1L, "t", "w"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(GenCommit.stagePath(dir, 1L, "t", "w")),
+      new org.apache.hadoop.fs.Path(s"$dir/t/gen=1")))
+    assert(GenCommit.committed(spark, dir) == Seq(0L),
+      "unmarked generation must be invisible")
+    // the next writer skips the burned id even though it never committed
+    assert(GenCommit.nextGen(spark, dir, Seq("t")) == 2L)
+  }
+}
