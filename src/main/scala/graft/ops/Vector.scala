@@ -533,18 +533,44 @@ object Vector {
       org.apache.spark.sql.types.StructField("cvec",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType))))
+    // a build REPLACES any prior index at this path (the lshBuild/
+    // invBuild contract, unified in r14 with the GenCommit migration)
+    val fs0 = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(indexDir), true)
     spark.createDataFrame(
         spark.sparkContext.parallelize(
           refined.toIndexedSeq.map(t =>
             org.apache.spark.sql.Row(t._1, t._2)), 1),
         centSchema)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val tk = graft.sources.GenCommit.newToken()
     nearestCells(c0, refined, 1)
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
         col("id").as("neighbor_id"), col("vec").as("c_vec"))
       .withColumn("c_norm", nNorm(col("c_vec")))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/postings")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, 0L, "postings", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, 0L, IvfTables, tk)
+  }
+
+  private val IvfTables = Seq("postings")
+
+  /** The postings' COMMITTED rows (generation = first partition level,
+    * admitted by commit marker — a crashed or half-published append is
+    * invisible AND, by partition pruning, unread; GenCommit migration
+    * r14, closing the raw-append commit window the other two standing
+    * indexes closed in r13). `asOfGen` pins the snapshot.
+    */
+  private def ivfPostings(spark: SparkSession, indexDir: String,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val gens =
+      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
+    require(gens.nonEmpty,
+      s"no committed generations at $indexDir — build the index first")
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(col("gen").isin(gens: _*))
   }
 
   /** Incremental IVF maintenance: assign ONLY the delta vectors against
@@ -577,13 +603,21 @@ object Vector {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
+    // committed as a NEW GENERATION (not a raw directory append): a
+    // crash mid-job-commit can no longer leave a partial delta VISIBLE
+    // to searches — uncommitted generations are unread — and concurrent
+    // appends are writer-fenced (GenCommit migration, r14)
+    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, IvfTables)
+    val tk = graft.sources.GenCommit.newToken()
     nearestCells(
         delta.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, 1)
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
         col("id").as("neighbor_id"), col("vec").as("c_vec"))
       .withColumn("c_norm", nNorm(col("c_vec")))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/postings")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, gen, "postings", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen, IvfTables, tk)
   }
 
   /** Small-file compaction for an appended IVF index — the third piece of
@@ -617,23 +651,37 @@ object Vector {
     */
   def ivfCompact(spark: SparkSession, indexDir: String): Unit = {
     ivfRecover(spark, indexDir) // heal any interrupted previous swap first
-    spark.read.parquet(s"$indexDir/postings")
+    graft.sources.GenCommit.gcStages(spark, indexDir)
+    ivfPostings(spark, indexDir).drop("gen")
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
+    // commit set resets to {0}: after the postings swap the listed old
+    // generation ids admit only rows of the (complete) compacted table,
+    // so every intermediate state serves exactly the committed rows —
+    // lshCompact's window-by-window argument applies verbatim
+    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
   }
 
-  /** Heal an IVF index whose [[ivfCompact]] swap was interrupted. Safe to
-    * run any time (no-op + stray cleanup on a healthy index); ivfCompact
-    * invokes it on entry so a crashed compaction self-heals on retry.
-    * The decision table lives in [[graft.sources.SwapDir.recover]] — the
-    * generic rename-aside protocol shared with the text-LSH compactor.
+  /** Heal an IVF index whose [[ivfCompact]] swap was interrupted —
+    * postings and commit set independently (a crash between the swaps
+    * leaves the first promoted and the second not; each heals to a
+    * complete generation). Safe to run any time (no-op + stray cleanup
+    * on a healthy index); ivfCompact invokes it on entry so a crashed
+    * compaction self-heals on retry. The decision table lives in
+    * [[graft.sources.SwapDir.recover]] — the generic rename-aside
+    * protocol shared with the text-LSH and inverted compactors.
     */
-  def ivfRecover(spark: SparkSession, indexDir: String): Unit =
+  def ivfRecover(spark: SparkSession, indexDir: String): Unit = {
     graft.sources.SwapDir.recover(spark, indexDir, "postings",
       s"ivfRecover: no postings at $indexDir in any generation — " +
         "the index is gone, rebuild with ivfBuild")
+    graft.sources.SwapDir.recover(spark, indexDir, "commits",
+      s"ivfRecover: no commit set at $indexDir in any generation — " +
+        "the index is gone, rebuild with ivfBuild")
+  }
 
   /** Search a materialized IVF index ([[ivfBuild]]) — identical results to
     * [[ivfTopK]] at the same (nlist, nprobe, k) on the same corpus (pinned
@@ -652,7 +700,8 @@ object Vector {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nprobe: Int = 4,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      asOfGen: Option[Long] = None): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
@@ -663,7 +712,7 @@ object Vector {
       .withColumn("p_norm", nNorm(col("p_vec")))
     val probed = p.select("cell").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = ivfPostings(spark, indexDir, asOfGen)
       .filter(col("cell").isin(probed: _*))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))

@@ -594,6 +594,43 @@ class VectorSpec extends SparkSuite {
     assert(search() == before)
   }
 
+  test("ivfAppend is generation-committed: an unmarked generation is " +
+      "invisible, asOfGen pins the pre-append snapshot (r14 migration)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val dir = TempRoots.create("graft_ivf_gen_")
+    Vector.ivfBuild(emb.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+    def search(asOf: Option[Long] = None) =
+      Vector.ivfSearch(spark, dir, probes, nprobe = 4, k = 10,
+        asOfGen = asOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sorted.toSeq
+    val pre = search()
+    Vector.ivfAppend(spark, dir, emb.filter(col("vec_id") % 2 === 1))
+    val post = search()
+    assert(post != pre, "fixture degenerate: append changed nothing")
+    // the pinned read reproduces the pre-append result exactly
+    assert(search(Some(0L)) == pre)
+    // a generation dir WITHOUT a commit marker (a crash between rename
+    // and marker, or a half-done copy) is invisible to searches
+    val fake = TempRoots.create("graft_ivf_fakegen_")
+    spark.read.parquet(s"$dir/postings").filter(col("gen") === 1L)
+      .drop("gen")
+      .write.mode("overwrite").partitionBy("cell").parquet(fake)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(fake),
+      new org.apache.hadoop.fs.Path(s"$dir/postings/gen=7")))
+    assert(search() == post, "unmarked generation leaked into a search")
+    // stale pins fail loudly after compaction collapses history
+    Vector.ivfCompact(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Vector.ivfSearch(spark, dir, probes, asOfGen = Some(1L))
+    }
+    assert(e.getMessage.contains("compaction collapses"))
+    assert(search() == post, "compaction (incl. orphan GC) changed results")
+  }
+
   test("ivfCompact: one file per cell afterwards, search bit-identical") {
     val emb = Tables.embeddings(spark, sf001)
     val probes = emb.filter(col("vec_id") < 8)
@@ -604,10 +641,16 @@ class VectorSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).sorted.toSeq
     def filesPerCell(): Map[String, Int] = {
+      // generations are the first partition level (GenCommit migration
+      // r14): count each cell's files ACROSS generations — the small-
+      // files problem is per-cell whatever gen dir the files sit in
       val base = new java.io.File(s"$dir/postings")
-      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .map(d => d.getName ->
-          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("gen="))
+        .flatMap(_.listFiles().filter(f =>
+          f.isDirectory && f.getName.startsWith("cell=")))
+        .groupBy(_.getName).view.mapValues(
+          _.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum)
+        .toMap
     }
     val before = search()
     // the append laid a second file generation into occupied cells
@@ -654,8 +697,9 @@ class VectorSpec extends SparkSuite {
     // state A — crash after writing the compacted set, before rename (1):
     // live postings untouched, complete tmp lingers
     val a = mkIndex()
-    spark.read.parquet(s"$a/postings").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    spark.read.parquet(s"$a/postings").drop("gen").repartition(col("cell"))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$a/postings_compacting")
     Vector.ivfRecover(spark, a)
     assert(!new java.io.File(s"$a/postings_compacting").exists(), "stray tmp kept")
@@ -665,8 +709,9 @@ class VectorSpec extends SparkSuite {
     // old set at postings_old, complete new set at postings_compacting →
     // must roll FORWARD to the compacted generation
     val b = mkIndex()
-    spark.read.parquet(s"$b/postings").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    spark.read.parquet(s"$b/postings").drop("gen").repartition(col("cell"))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$b/postings_compacting")
     move(s"$b/postings", s"$b/postings_old")
     Vector.ivfRecover(spark, b)
@@ -689,8 +734,9 @@ class VectorSpec extends SparkSuite {
     // _SUCCESS + old present) → roll BACK to the old generation
     val d = mkIndex()
     val preCompact = search(d)
-    spark.read.parquet(s"$d/postings").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    spark.read.parquet(s"$d/postings").drop("gen").repartition(col("cell"))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$d/postings_compacting")
     Files.deleteIfExists(Paths.get(s"$d/postings_compacting/_SUCCESS"))
     move(s"$d/postings", s"$d/postings_old")
@@ -702,8 +748,9 @@ class VectorSpec extends SparkSuite {
     // and a crashed compact self-heals on RETRY: state B again, but healed
     // implicitly by the next ivfCompact call instead of an explicit recover
     val e = mkIndex()
-    spark.read.parquet(s"$e/postings").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+    spark.read.parquet(s"$e/postings").drop("gen").repartition(col("cell"))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(s"$e/postings_compacting")
     move(s"$e/postings", s"$e/postings_old")
     Vector.ivfCompact(spark, e)
