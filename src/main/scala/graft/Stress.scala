@@ -504,7 +504,7 @@ object Stress {
     * re-assigning the whole corpus). The append should price like the
     * delta, the rebuild like the corpus; SCALE.md records the ratio.
     */
-  private def ivfAppendStage(
+  private def ivfAppendStage(  // temp dirs via TempRoots (review r14)
       spark: SparkSession, vn: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._
     def vecs(from: Long, until: Long) = spark.range(from, until)
@@ -512,10 +512,8 @@ object Stress {
         transform(sequence(lit(0), lit(63)),
           d => sin(col("id") * 64 + d).cast("float")).as("embedding"))
     val delta = vn / 10
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stress_ivf_").toString
-    val dirFull = java.nio.file.Files
-      .createTempDirectory("graft_stress_ivf_full_").toString
+    val dir = graft.TempRoots.create("graft_stress_ivf_")
+    val dirFull = graft.TempRoots.create("graft_stress_ivf_full_")
     Seq(
       time(s"ivf_build_${vn}") {
         ops.Vector.ivfBuild(vecs(0, vn), dir, nlist = 64)

@@ -109,14 +109,8 @@ object Inverted {
     * partition pruning, unread.
     */
   private def committedTable(spark: SparkSession, indexDir: String,
-      table: String, asOfGen: Option[Long] = None): DataFrame = {
-    val gens =
-      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
-    require(gens.nonEmpty,
-      s"no committed generations at $indexDir — build the index first")
-    spark.read.parquet(s"$indexDir/$table")
-      .filter(col("gen").isin(gens: _*))
-  }
+      table: String, asOfGen: Option[Long] = None): DataFrame =
+    graft.sources.GenCommit.committedTable(spark, indexDir, table, asOfGen)
 
   def invBuild(
       docs: DataFrame,
@@ -248,20 +242,26 @@ object Inverted {
   def invCompact(spark: SparkSession, indexDir: String): Unit = {
     invRecover(spark, indexDir)
     graft.sources.GenCommit.gcStages(spark, indexDir)
+    // collapse keeps the HIGHEST committed id (never 0): ids are never
+    // reused across compaction, so stale asOfGen pins fail loudly and
+    // the surviving pin means the same data before and after (review
+    // r14); the consistency window holds because the old committed set
+    // contains keepGen until the commit-set swap replaces it
+    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
     committedTable(spark, indexDir, "postings").drop("gen")
       .repartition(col("tbucket"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "tbucket")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
     committedTable(spark, indexDir, "stats")
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("total_dl")).cast("long").as("total_dl"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "stats"))
     graft.sources.SwapDir.swap(spark, indexDir, "stats")
-    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
+    graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
   /** Heal an interrupted [[invCompact]] swap — the two tables and the

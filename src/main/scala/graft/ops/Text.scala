@@ -831,14 +831,8 @@ object Text {
     * invisible AND, by partition pruning, unread).
     */
   private def lshCommitted(spark: SparkSession, indexDir: String,
-      table: String, asOfGen: Option[Long] = None): DataFrame = {
-    val gens =
-      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
-    require(gens.nonEmpty,
-      s"no committed generations at $indexDir — build the index first")
-    spark.read.parquet(s"$indexDir/$table")
-      .filter(col("gen").isin(gens: _*))
-  }
+      table: String, asOfGen: Option[Long] = None): DataFrame =
+    graft.sources.GenCommit.committedTable(spark, indexDir, table, asOfGen)
 
   def lshBuild(
       docs: DataFrame,
@@ -998,9 +992,17 @@ object Text {
   def lshCompact(spark: SparkSession, indexDir: String): Unit = {
     lshRecover(spark, indexDir)
     graft.sources.GenCommit.gcStages(spark, indexDir)
+    // the collapsed table keeps the HIGHEST committed id, not 0: ids are
+    // never reused across compaction, so a stale asOfGen pin fails
+    // loudly instead of silently resolving to post-compaction content,
+    // while a pin at the surviving id denotes the same data before and
+    // after (review r14). The consistency window still holds: until the
+    // commit-set swap, readers filter the compacted single-generation
+    // table by the OLD committed set, which contains keepGen — complete.
+    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
     lshCommitted(spark, indexDir, "buckets").drop("gen")
       .repartition(col("band"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "band")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "buckets"))
     graft.sources.SwapDir.swap(spark, indexDir, "buckets")
@@ -1015,14 +1017,14 @@ object Text {
     val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (bytes / (128L << 20)).toInt + 1))
     docs.repartitionByRange(nFiles, col("doc_id"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "docs"))
     graft.sources.SwapDir.swap(spark, indexDir, "docs")
-    // commit set resets to {0}; see invCompact's window-by-window
+    // commit set resets to {keepGen}; see invCompact's window-by-window
     // argument — every intermediate state serves exactly the committed
     // rows, and uncommitted orphan generations vanish with the swaps
-    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
+    graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
   /** Heal an LSH index whose [[lshCompact]] swap was interrupted — the

@@ -564,14 +564,9 @@ object Vector {
     * indexes closed in r13). `asOfGen` pins the snapshot.
     */
   private def ivfPostings(spark: SparkSession, indexDir: String,
-      asOfGen: Option[Long] = None): DataFrame = {
-    val gens =
-      graft.sources.GenCommit.committedAsOf(spark, indexDir, asOfGen)
-    require(gens.nonEmpty,
-      s"no committed generations at $indexDir — build the index first")
-    spark.read.parquet(s"$indexDir/postings")
-      .filter(col("gen").isin(gens: _*))
-  }
+      asOfGen: Option[Long] = None): DataFrame =
+    graft.sources.GenCommit.committedTable(spark, indexDir, "postings",
+      asOfGen)
 
   /** Incremental IVF maintenance: assign ONLY the delta vectors against
     * the index's FROZEN stored quantizer and append them to the existing
@@ -652,17 +647,21 @@ object Vector {
   def ivfCompact(spark: SparkSession, indexDir: String): Unit = {
     ivfRecover(spark, indexDir) // heal any interrupted previous swap first
     graft.sources.GenCommit.gcStages(spark, indexDir)
+    // collapse keeps the HIGHEST committed id (never 0): ids are never
+    // reused across compaction, so stale asOfGen pins fail loudly and
+    // the surviving pin means the same data before and after (review r14)
+    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
     ivfPostings(spark, indexDir).drop("gen")
       .repartition(col("cell"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
-    // commit set resets to {0}: after the postings swap the listed old
-    // generation ids admit only rows of the (complete) compacted table,
-    // so every intermediate state serves exactly the committed rows —
-    // lshCompact's window-by-window argument applies verbatim
-    graft.sources.GenCommit.resetCommits(spark, indexDir, 0L)
+    // commit set resets to {keepGen}: after the postings swap the listed
+    // old generation ids admit only rows of the (complete) compacted
+    // table, so every intermediate state serves exactly the committed
+    // rows — lshCompact's window-by-window argument applies verbatim
+    graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
   /** Heal an IVF index whose [[ivfCompact]] swap was interrupted —

@@ -33,13 +33,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Concurrency: WRITER-FENCED optimistic commits (VERDICT r13 #6).
   * Each append stages under a per-writer token, so racing writers can
-  * never clobber each other's staged bytes; the first rename into the
-  * table tree owns the generation id and the loser fails LOUDLY at
-  * [[publish]] with its stage intact — re-stage under a fresh
-  * [[nextGen]] id to retry (ids are burned, never reused). This is a
-  * lake table format's optimistic-commit loop minus only the automatic
-  * retry; compaction remains single-writer (maintenance-window
-  * semantics, as documented on each compactor).
+  * never clobber each other's staged bytes; the first writer to create
+  * the generation's CLAIM file (one atomic `createNewFile`, taken
+  * before any rename — see [[publish]] for why a rename cannot be the
+  * fence) owns the id, and the loser fails LOUDLY at [[publish]] with
+  * its stage intact — re-stage under a fresh [[nextGen]] id to retry
+  * (claimed ids are burned, never reused). This is a lake table
+  * format's optimistic-commit loop minus only the automatic retry;
+  * compaction remains single-writer (maintenance-window semantics, as
+  * documented on each compactor).
   */
 object GenCommit {
 
@@ -81,11 +83,13 @@ object GenCommit {
     * running concurrently with an append can pin the snapshot it
     * started from, and an audit can re-run yesterday's read against
     * yesterday's committed set. `None` = all committed (the default
-    * read). The pin must itself be a committed generation: after a
-    * compaction collapses history into one generation, older ids no
-    * longer denote a reconstructible state — pinning one fails LOUDLY
-    * instead of silently returning the post-compaction superset (the
-    * same contract as a lake format's time travel after VACUUM).
+    * read). The pin must itself be a committed generation: a compaction
+    * collapses history into the HIGHEST previously committed id (ids
+    * are never reused — review r14), so after it every older pin names
+    * a state that no longer exists and fails LOUDLY instead of silently
+    * resolving to different content (the contract of a lake format's
+    * time travel after VACUUM), while the surviving id still denotes
+    * exactly the data it did before the compaction.
     */
   def committedAsOf(spark: SparkSession, indexDir: String,
       asOf: Option[Long]): Seq[Long] = {
@@ -99,6 +103,24 @@ object GenCommit {
             "history; only still-present generations can be pinned")
         gens.filter(_ <= k)
     }
+  }
+
+  /** A table's COMMITTED rows: generations are the table's first
+    * partition level (`<table>/gen=<k>/…`), filtered to the commit-
+    * marker set (optionally pinned by [[committedAsOf]]) — an
+    * uncommitted (crashed or half-published) generation is both
+    * invisible and, by partition pruning, unread. THE protocol reader,
+    * shared by all three standing indexes so their read semantics
+    * cannot diverge (review r14).
+    */
+  def committedTable(spark: SparkSession, indexDir: String,
+      table: String, asOf: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val gens = committedAsOf(spark, indexDir, asOf)
+    require(gens.nonEmpty,
+      s"no committed generations at $indexDir — build the index first")
+    spark.read.parquet(s"$indexDir/$table")
+      .filter(org.apache.spark.sql.functions.col("gen").isin(gens: _*))
   }
 
   /** The next free generation id: past every committed id AND every
@@ -115,7 +137,17 @@ object GenCommit {
         .collect { case n if n.startsWith("gen=") &&
           n.drop(4).forall(_.isDigit) && n.length > 4 => n.drop(4).toLong }
     }
-    ((committed(spark, indexDir) ++ fromDirs) :+ -1L).max + 1
+    // claims count too: a writer that died between claiming and its
+    // first rename left no gen dir, but its id is burned all the same
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$indexDir/commits")
+    val fromClaims =
+      if (!f.exists(commitsDir)) Seq.empty
+      else f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(Claim) &&
+          n.drop(Claim.length).nonEmpty &&
+          n.drop(Claim.length).forall(_.isDigit) =>
+            n.drop(Claim.length).toLong }
+    ((committed(spark, indexDir) ++ fromDirs ++ fromClaims) :+ -1L).max + 1
   }
 
   /** Promote generation `gen`: rename each staged table dir into its
@@ -126,6 +158,24 @@ object GenCommit {
   def publish(spark: SparkSession, indexDir: String, gen: Long,
       tables: Seq[String], token: String = ""): Unit = {
     val f = fsOf(spark, indexDir)
+    // THE FENCE, and it must be ATOMIC: createNewFile either creates the
+    // file or reports it exists — no check-then-act window. A rename-
+    // based fence is NOT one: Hadoop rename with an existing directory
+    // destination moves src INSIDE dst, so two racing renames would nest
+    // the loser's table into the winner's generation and then half-apply
+    // the loser's remaining tables — exactly the corruption this module
+    // exists to prevent (review r14). The first writer to create the
+    // claim owns generation `gen` and is the only one that renames; the
+    // loser fails LOUDLY here with all its staged content intact — retry
+    // with a fresh nextGen id (claimed ids are burned, counted by
+    // nextGen, never reused). This is the optimistic-commit loop of a
+    // lake table format, minus only the auto-retry.
+    val claim = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")
+    f.mkdirs(claim.getParent)
+    require(f.createNewFile(claim),
+      s"publish: generation $gen at $indexDir is already claimed — a " +
+        "concurrent writer got there first; retry the append with a " +
+        "fresh nextGen id")
     tables.foreach { t =>
       val src = new org.apache.hadoop.fs.Path(
         stagePath(indexDir, gen, t, token))
@@ -133,22 +183,21 @@ object GenCommit {
         s"publish: no complete staged set at $src (missing _SUCCESS)")
       val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$t/gen=$gen")
       f.mkdirs(dst.getParent)
-      // THE FENCE: the first writer to rename its staged dir into the
-      // table tree owns generation `gen`; a concurrent writer racing to
-      // the same id finds the dir taken and fails LOUDLY here with all
-      // its staged content intact — retry with a fresh nextGen id (the
-      // burned id is counted, never reused). This is the optimistic-
-      // commit loop of a lake table format, minus only the auto-retry.
-      require(!f.exists(dst) && f.rename(src, dst),
-        s"publish: generation $gen at $indexDir is already taken — a " +
-          "concurrent writer committed it first; retry the append with " +
-          "a fresh nextGen id")
+      require(!f.exists(dst), s"publish: generation dir $dst already " +
+        "exists — generation ids must come from nextGen")
+      require(f.rename(src, dst), s"publish: could not promote $src")
     }
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")
-    f.mkdirs(marker.getParent)
     require(f.createNewFile(marker),
       s"publish: could not create commit marker $marker")
   }
+
+  /** Claim-file prefix inside commits/ — the atomic per-generation fence
+    * [[publish]] takes before any rename. Dot-prefixed so [[committed]]'s
+    * digit filter ignores it; [[nextGen]] counts claims so a crashed
+    * claimant's id stays burned.
+    */
+  private val Claim = ".claim-"
 
   /** Garbage-collect orphan STAGE dirs (`.gen*` at the index root) —
     * leftovers of crashed appends and fencing losers. Only safe inside

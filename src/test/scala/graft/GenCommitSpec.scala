@@ -73,5 +73,13 @@ class GenCommitSpec extends SparkSuite {
       "unmarked generation must be invisible")
     // the next writer skips the burned id even though it never committed
     assert(GenCommit.nextGen(spark, dir, Seq("t")) == 2L)
+    // a writer that died between CLAIMING and its first rename left
+    // nothing but the claim file — the id is burned all the same
+    require(f.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$dir/commits/.claim-5")))
+    assert(GenCommit.committed(spark, dir) == Seq(0L),
+      "a claim is not a commit")
+    assert(GenCommit.nextGen(spark, dir, Seq("t")) == 6L,
+      "a crashed claimant's id must stay burned")
   }
 }

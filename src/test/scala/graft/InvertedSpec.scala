@@ -125,10 +125,13 @@ class InvertedSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(search() == searchFull(),
       "post-retry search must equal the clean rebuild")
-    // compaction wipes the orphan wholesale and stays search-identical
+    // compaction wipes the orphan wholesale and stays search-identical;
+    // the collapsed table keeps the HIGHEST committed id (2 — ids are
+    // never reused across compaction, review r14), not 0
     Inverted.invCompact(spark, dir)
-    assert(!new java.io.File(s"$dir/postings/gen=1").exists() &&
-      !new java.io.File(s"$dir/postings/gen=2").exists())
+    assert(!new java.io.File(s"$dir/postings/gen=0").exists() &&
+      !new java.io.File(s"$dir/postings/gen=1").exists() &&
+      new java.io.File(s"$dir/postings/gen=2").exists())
     assert(search() == searchFull())
   }
 
@@ -224,17 +227,19 @@ class InvertedSpec extends SparkSuite {
       Inverted.invSearch(spark, dir, Seq("hash"), asOfGen = Some(9L))
     }
     assert(e1.getMessage.contains("not a committed generation"))
-    // compaction collapses history: the old pin now names a state that
-    // no longer exists and must fail loudly, never silently return the
-    // post-compaction superset
+    // compaction collapses history into the HIGHEST committed id (1):
+    // the pre-append pin (0) now names a state that no longer exists and
+    // must fail loudly, never silently resolve to different content —
+    // and because ids are never reused, no later append can resurrect it
     Inverted.invCompact(spark, dir)
     val e2 = intercept[IllegalArgumentException] {
-      Inverted.invSearch(spark, dir, Seq("hash"), asOfGen = Some(1L))
+      Inverted.invSearch(spark, dir, Seq("hash"), asOfGen = Some(0L))
     }
     assert(e2.getMessage.contains("compaction collapses"))
-    // gen 0 post-compaction IS the compacted state — pinnable, complete
+    // the surviving pin (1 = "everything through the append") denotes
+    // the SAME data before and after the compaction
     val post = Inverted.invSearch(spark, dir, Seq("hash"),
-        asOfGen = Some(0L)).collect().map(_.getLong(0)).toSet
+        asOfGen = Some(1L)).collect().map(_.getLong(0)).toSet
     assert(post.contains(3L))
   }
 

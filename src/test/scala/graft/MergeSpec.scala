@@ -164,11 +164,16 @@ class MergeSpec extends SparkSuite {
     // slice, so the guard must catch the move
     val delta = Seq((1L, "a2", "p2", "upsert"), (2L, "b2", "p1", "upsert"))
       .toDF("k", "s", "pc", "_op")
-    val e = intercept[IllegalArgumentException] {
+    // the guard rides in-plan (assert_true — one pass over the slice),
+    // so it surfaces as an execution-time failure during the staged write
+    val e = intercept[Exception] {
       Merge.upsertPartitioned(spark, tgt2, delta, Seq("k"), "pc")
     }
-    assert(e.getMessage.contains("partCol is immutable"),
-      s"guard must name the contract: ${e.getMessage}")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("partCol is immutable")),
+      s"guard must name the contract: ${messages(e)}")
     // target unchanged — the guard fired before any write
     val out = spark.read.parquet(tgt2).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq

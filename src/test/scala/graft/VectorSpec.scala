@@ -622,12 +622,16 @@ class VectorSpec extends SparkSuite {
     require(fs.rename(new org.apache.hadoop.fs.Path(fake),
       new org.apache.hadoop.fs.Path(s"$dir/postings/gen=7")))
     assert(search() == post, "unmarked generation leaked into a search")
-    // stale pins fail loudly after compaction collapses history
+    // stale pins fail loudly after compaction collapses history into
+    // the HIGHEST committed id (1); the pre-append pin (0) is gone for
+    // good — ids are never reused (review r14)
     Vector.ivfCompact(spark, dir)
     val e = intercept[IllegalArgumentException] {
-      Vector.ivfSearch(spark, dir, probes, asOfGen = Some(1L))
+      Vector.ivfSearch(spark, dir, probes, asOfGen = Some(0L))
     }
     assert(e.getMessage.contains("compaction collapses"))
+    assert(search(Some(1L)) == post,
+      "the surviving pin must mean the same data across the compaction")
     assert(search() == post, "compaction (incl. orphan GC) changed results")
   }
 
