@@ -156,6 +156,7 @@ object SparkEntry {
     // list into standing components — merge ≡ rebuild, shares q41's
     // oracle (the erMerge recipe on doc ids; VERDICT r13 #1)
     "q41c_dedup_clusters_merge" -> ((s, d) => ops.Text.q41c(s, d)),
+    "q41d_dedup_clusters_store" -> ((s, d) => ops.Text.q41d(s, d)),
     // embedding-cosine near-dup dedup end-to-end: blocked cosine pairs
     // resolved to canonical clusters (the embedding-space member of the
     // dedup taxonomy); integer-only output => hash-exact despite the
@@ -449,6 +450,7 @@ object SparkEntry {
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,
     "q41c_dedup_clusters_merge" -> ops.Text.q41Sql,
+    "q41d_dedup_clusters_store" -> ops.Text.q41Sql,
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,

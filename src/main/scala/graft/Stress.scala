@@ -575,6 +575,7 @@ object Stress {
         })).as("text"))
     val delta = dn / 10
     val dir = graft.TempRoots.create("graft_stress_lsh_")
+    val dirFine = graft.TempRoots.create("graft_stress_lsh_fine_")
     // the corpus lives in the lake: BOTH nightlies start from parquet
     // text (generating it in-memory would hand the no-index path its
     // corpus scan for free and hide exactly the cost under test)
@@ -592,6 +593,14 @@ object Stress {
         noop(ops.Text.lshProbe(spark, dir,
           docs(dn + delta, dn + delta + delta / 10)))
       },
+      // POINT probe (10 docs): the r14 sub-bucket claim — (band, sb)
+      // static pruning + db verify pruning make its READS
+      // probe-proportional, so it must price like the question, not like
+      // the corpus (lsh_noindex_point below pays the corpus regardless)
+      time("lsh_probe_point_10") {
+        noop(ops.Text.lshProbe(spark, dir,
+          docs(3 * dn, 3 * dn + 10)))
+      },
       time(s"lsh_append_delta_${delta}") {
         ops.Text.lshAppend(spark, dir, docs(dn, dn + delta))
       },
@@ -607,6 +616,23 @@ object Stress {
       time(s"lsh_noindex_probe_${delta / 10}") {
         noop(ops.Text.minhashDeltaPairs(corpus,
           docs(dn + delta, dn + delta + delta / 10)))
+      },
+      // the no-index POINT probe: corpus-proportional no matter how
+      // small the question — the r14 pruning's direct comparator
+      time("lsh_noindex_point_10") {
+        noop(ops.Text.minhashDeltaPairs(corpus, docs(3 * dn, 3 * dn + 10)))
+      },
+      // PRODUCTION-sized sub-bucketing: at 16-way sb even 80 point-probe
+      // sigs touch ~half the combinations (birthday bound), so the point
+      // probe above still reads ~half the bucket table; 128-way cuts the
+      // touched fraction to ~8% with identical build ROWS (just more
+      // directories — the sizing a 10M+ corpus would pick)
+      time("lsh_build_sb128") {
+        ops.Text.lshBuild(corpus, dirFine, subBuckets = 128)
+      },
+      time("lsh_probe_point_10_sb128") {
+        noop(ops.Text.lshProbe(spark, dirFine,
+          docs(3 * dn, 3 * dn + 10)))
       })
   }
 }

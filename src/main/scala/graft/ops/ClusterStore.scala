@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STANDING near-dup cluster state — the nightly dedup pipeline's
+  * last piece made a persisted, atomically-maintained table instead of
+  * an in-memory frame that dies with the job.
+  *
+  * After r13/r14 the nightly is delta-proportional end to end in
+  * COMPUTE: detection probes the materialized LSH index
+  * ([[Text.lshProbe]]), resolution merges the probe's pairs into
+  * yesterday's labels ([[Text.ccMerge]]). But yesterday's labels have to
+  * LIVE somewhere: rewriting the full label table every night re-pays
+  * corpus-sized WRITE I/O for a delta-sized change — q92's
+  * full-rewrite problem, recurring nightly. This store fixes it the
+  * lake way, with the repo's third commit-protocol flavor:
+  * MERGE-ON-READ generations.
+  *
+  *  - `dir/labels/gen=0`: the initial full resolution (doc_id → comp
+  *    for every doc with ≥ 1 near-dup — singletons are absent, exactly
+  *    [[Text.dupComponentsStar]]'s domain).
+  *  - `dir/labels/gen=k` (k ≥ 1): ONLY the labels night k CHANGED —
+  *    [[Text.ccMergeParts]]'s rewired half (touched components' members
+  *    + tonight's new docs). Delta-proportional bytes.
+  *  - Readers ([[read]]) union the committed generations LATEST-WINS
+  *    per doc: components only grow or merge under added pairs (no
+  *    edge deletions in this model), so the newest label is the
+  *    current one. `asOfGen = k` pins "clusters as of night k" — the
+  *    audit read, free because history is the storage format.
+  *  - Every generation commits through [[graft.sources.GenCommit]]
+  *    (claim-first), so a crashed night is INVISIBLE, not half-applied,
+  *    and concurrent writers fence loudly.
+  *  - [[compact]] folds history into one generation when the
+  *    changed-row tail outweighs the read's latest-wins shuffle —
+  *    [[Text.lshCompact]]'s crash-safe SwapDir recipe, same keepGen
+  *    id semantics (stale pins fail loudly, the surviving pin keeps
+  *    its meaning).
+  *
+  * Scale shape: the nightly WRITE is the changed set (delta-
+  * proportional); the nightly READ inside [[merge]] is one scan of the
+  * narrow (id, comp) table plus a latest-wins shuffle — the price of
+  * merge-on-read, bounded by the corpus sliver that has near-dups at
+  * all, and reclaimable any time via [[compact]]. The alternative
+  * (copy-on-write labels) pays a corpus-sized WRITE nightly; for a
+  * label table read once per night and written once per night,
+  * merge-on-read is the right trade. Mirrors the reference's
+  * cache-not-recompute principle
+  * (reference: dags/order_currency_conversion_dag.py:33-42) applied to
+  * derived cluster state.
+  */
+object ClusterStore {
+
+  private val Tables1 = Seq("labels")
+
+  /** Initialize the store with a FULL resolution (gen 0), replacing
+    * anything at `dir`. `labels` must carry (id, comp) —
+    * [[Text.dupComponentsStar]]'s output shape.
+    */
+  def init(labels: DataFrame, dir: String): Unit = {
+    val spark = labels.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    writeGeneration(spark, dir, 0L, labels.select(col("id"), col("comp")),
+      claimed = false)
+  }
+
+  /** Apply one night's delta pair list (the shape [[Text.lshProbe]]
+    * emits, via [[Text.deltaPairList]]'s contract: cross pairs ∪
+    * delta-internal pairs): merge into the current labels and commit
+    * ONLY the changed rows as a new generation. Crash-safe (an
+    * uncommitted night is invisible) and writer-fenced (claim-first).
+    */
+  def merge(
+      spark: SparkSession,
+      dir: String,
+      deltaPairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): Unit = {
+    val cur = read(spark, dir)
+    val (_, rewired) = Text.ccMergeParts(cur, deltaPairs, aCol, bCol)
+    val gen = graft.sources.GenCommit.claimNextGen(spark, dir, Tables1)
+    writeGeneration(spark, dir, gen, rewired, claimed = true)
+  }
+
+  /** The current labels (or, with `asOfGen = k`, the labels as of night
+    * k): committed generations, latest-wins per doc. One narrow scan +
+    * one doc_id shuffle — the merge-on-read price [[compact]] resets.
+    */
+  def read(spark: SparkSession, dir: String,
+      asOfGen: Option[Long] = None): DataFrame =
+    graft.sources.GenCommit.committedTable(spark, dir, "labels", asOfGen)
+      .groupBy(col("id"))
+      .agg(max_by(col("comp"), col("gen")).as("comp"))
+
+  /** Fold history into the single highest committed generation —
+    * [[Text.lshCompact]]'s recipe: SwapDir crash-safe table rewrite,
+    * then the commit set resets to {keepGen} (stale as-of pins fail
+    * loudly; the surviving pin denotes identical data). Single-writer
+    * maintenance window, as with every compactor.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recover(spark, dir)
+    graft.sources.GenCommit.gcStages(spark, dir)
+    val keepGen = graft.sources.GenCommit.committed(spark, dir).max
+    read(spark, dir)
+      .withColumn("gen", lit(keepGen))
+      .write.mode("overwrite").partitionBy("gen")
+      .parquet(graft.sources.SwapDir.stagePath(dir, "labels"))
+    graft.sources.SwapDir.swap(spark, dir, "labels")
+    graft.sources.GenCommit.resetCommits(spark, dir, keepGen)
+  }
+
+  /** Heal an interrupted [[compact]] swap; safe any time. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    graft.sources.SwapDir.recover(spark, dir, "labels",
+      s"ClusterStore.recover: no labels at $dir in any generation — " +
+        "the store is gone, rebuild with init")
+    graft.sources.SwapDir.recover(spark, dir, "commits",
+      s"ClusterStore.recover: no commit set at $dir in any generation " +
+        "— the store is gone, rebuild with init")
+  }
+
+  private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
+      labels: DataFrame, claimed: Boolean): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    labels
+      .write.mode("overwrite")
+      .parquet(graft.sources.GenCommit.stagePath(dir, gen, "labels", tk))
+    graft.sources.GenCommit.publish(spark, dir, gen, Tables1, tk, claimed)
+  }
+}

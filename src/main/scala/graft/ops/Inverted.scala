@@ -87,7 +87,8 @@ object Inverted {
     * plain two-table append has an unfixable half-applied window.
     */
   private def writeGeneration(spark: SparkSession, indexDir: String,
-      gen: Long, docs: DataFrame, nBuckets: Int): Unit = {
+      gen: Long, docs: DataFrame, nBuckets: Int,
+      claimed: Boolean = false): Unit = {
     val tk = graft.sources.GenCommit.newToken()
     val base = tokenized(docs).persist()
     try {
@@ -100,7 +101,8 @@ object Inverted {
         .parquet(graft.sources.GenCommit
           .stagePath(indexDir, gen, "stats", tk))
     } finally base.unpersist()
-    graft.sources.GenCommit.publish(spark, indexDir, gen, Tables2, tk)
+    graft.sources.GenCommit.publish(spark, indexDir, gen, Tables2, tk,
+      claimed)
   }
 
   /** A table's COMMITTED rows: generations are the first partition level
@@ -146,8 +148,10 @@ object Inverted {
       indexDir: String,
       delta: DataFrame): Unit = {
     val nBuckets = nBucketsOf(spark, indexDir)
-    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, Tables2)
-    writeGeneration(spark, indexDir, gen, delta, nBuckets)
+    // claim-first: fence the id before staging (metadata-only retries)
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      Tables2)
+    writeGeneration(spark, indexDir, gen, delta, nBuckets, claimed = true)
   }
 
   /** BM25 over the standing index: the query terms' bucket ids are

@@ -775,26 +775,50 @@ object Text {
     * Layout (every table generation-committed through
     * [[graft.sources.GenCommit]] — see its scaladoc for why a plain
     * two-table append has an unfixable half-applied crash window):
-    *  - `indexDir/meta`: one row (shingle_n, num_hashes, bands) — the
-    *    FROZEN hash parameters. Probes and appends read them from the
-    *    index rather than trusting the caller, so a parameter drift
-    *    between build and probe (which would silently shift every bucket)
-    *    is structurally impossible.
-    *  - `indexDir/docs/gen=<k>`: (doc_id, sh) — the shingle arrays, read
-    *    to exact-verify candidates.
-    *  - `indexDir/buckets/gen=<k>`: (sig, doc_id) DIRECTORY-PARTITIONED
-    *    by band (values carry a "b" prefix so partition-column inference
-    *    reads them back as strings — ivfBuild's trick). Partitioning by
-    *    band is the IVF-nprobe analog for LSH: a full probe reads all
-    *    `bands` partitions, and a recall/cost-tuned probe (`probeBands` <
-    *    `bands`) becomes a PARTITION-PRUNED scan reading probeBands/bands
-    *    of the index on disk, with the recall law 1-(1-J^rows)^probeBands
-    *    still exact. Compaction ([[lshCompact]]) rewrites one file per
-    *    band into a single generation.
+    *  - `indexDir/meta`: one row (shingle_n, num_hashes, bands,
+    *    sub_buckets, doc_buckets) — the FROZEN hash parameters. Probes
+    *    and appends read them from the index rather than trusting the
+    *    caller, so a parameter drift between build and probe (which
+    *    would silently shift every bucket) is structurally impossible.
+    *  - `indexDir/docs/gen=<k>/db=<d>`: (doc_id, sh) — the shingle
+    *    arrays, read to exact-verify candidates, DIRECTORY-PARTITIONED
+    *    by `db = crc32(doc_id) % doc_buckets` so a small probe's verify
+    *    read prunes to the sub-buckets its candidates live in (see
+    *    [[lshProbe]]'s cost-shape note).
+    *  - `indexDir/buckets/gen=<k>/band=<b>/sb=<s>`: (sig, doc_id)
+    *    DIRECTORY-PARTITIONED by band, then by `sb = crc32(sig) %
+    *    sub_buckets` (values carry "b"/"s"/"d" prefixes so
+    *    partition-column inference reads them back as strings —
+    *    ivfBuild's trick; crc32, not a JVM hash, so the layout's meaning
+    *    survives engine upgrades). Band partitioning is the IVF-nprobe
+    *    analog for LSH: a recall/cost-tuned probe (`probeBands` <
+    *    `bands`) reads probeBands/bands of the index with the recall law
+    *    1-(1-J^rows)^probeBands still exact. Sub-bucket partitioning is
+    *    the delta-proportional-READS lever: a probe statically prunes
+    *    the bucket scan to the (band, sb) combinations its own
+    *    signatures touch — a handful of docs reads a handful of
+    *    directories, never the corpus. Compaction ([[lshCompact]])
+    *    rewrites one file per (band, sb) into a single generation.
     *  - `indexDir/commits/<k>`: the commit markers; readers admit exactly
     *    the marked generations.
     */
   private val LshTables = Seq("docs", "buckets")
+
+  /** The bucket table's second partition level: crc32 of the band
+    * signature, modulo the index's frozen `sub_buckets`. crc32 (a fixed
+    * public checksum) rather than Spark's internal hash so the persisted
+    * layout cannot silently change meaning across engine versions.
+    */
+  private def lshSb(sig: Column, subBuckets: Int): Column =
+    concat(lit("s"), pmod(crc32(sig.cast("string").cast("binary")),
+      lit(subBuckets.toLong)).cast("string"))
+
+  /** The docs table's partition level: crc32 of the doc id, modulo the
+    * frozen `doc_buckets` — same stability argument as [[lshSb]].
+    */
+  private def lshDb(id: Column, docBuckets: Int): Column =
+    concat(lit("d"), pmod(crc32(id.cast("string").cast("binary")),
+      lit(docBuckets.toLong)).cast("string"))
 
   /** Stage and atomically commit one generation of (docs, buckets) —
     * [[graft.sources.GenCommit]]'s protocol. The signature frame is
@@ -806,24 +830,36 @@ object Text {
     */
   private def lshWriteGeneration(spark: SparkSession, indexDir: String,
       gen: Long, docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): Unit = {
+      shingleN: Int, numHashes: Int, bands: Int, subBuckets: Int,
+      docBuckets: Int, claimed: Boolean = false): Unit = {
     val tk = graft.sources.GenCommit.newToken()
     val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
       bands).persist()
     try {
+      // range-cluster on (db, doc_id) so each task holds few db values
+      // and the file count stays ~max(tasks, doc_buckets) per generation
+      // instead of tasks × doc_buckets; for an append the shuffle is
+      // delta-sized
       sig.select(col("doc_id"), col("sh"))
-        .write.mode("overwrite")
+        .withColumn("db", lshDb(col("doc_id"), docBuckets))
+        .repartitionByRange(col("db"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("db")
         .parquet(graft.sources.GenCommit
           .stagePath(indexDir, gen, "docs", tk))
+      // one file per touched (band, sb): hash-cluster on the partition
+      // columns so each combination lands in exactly one task
       sig.select(col("doc_id"),
           posexplode(col("bsig")).as(Seq("band", "sig")))
         .select(concat(lit("b"), col("band").cast("string")).as("band"),
           col("sig"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("band")
+        .withColumn("sb", lshSb(col("sig"), subBuckets))
+        .repartition(col("band"), col("sb"))
+        .write.mode("overwrite").partitionBy("band", "sb")
         .parquet(graft.sources.GenCommit
           .stagePath(indexDir, gen, "buckets", tk))
     } finally sig.unpersist()
-    graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables, tk)
+    graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables, tk,
+      claimed)
   }
 
   /** A table's COMMITTED rows (generation = first partition level,
@@ -841,8 +877,12 @@ object Text {
       textCol: String = "text",
       shingleN: Int = 2,
       numHashes: Int = 32,
-      bands: Int = 8): Unit = {
+      bands: Int = 8,
+      subBuckets: Int = 16,
+      docBuckets: Int = 64): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(subBuckets >= 1 && docBuckets >= 1,
+      "sub_buckets and doc_buckets must be positive")
     val spark = docs.sparkSession
     // a build REPLACES any prior index at this path
     val fs = new org.apache.hadoop.fs.Path(indexDir)
@@ -851,16 +891,20 @@ object Text {
     spark.range(1).select(
         lit(shingleN).as("shingle_n"),
         lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"))
+        lit(bands).as("bands"),
+        lit(subBuckets).as("sub_buckets"),
+        lit(docBuckets).as("doc_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     lshWriteGeneration(spark, indexDir, 0L, docs, idCol, textCol,
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands, subBuckets, docBuckets)
   }
 
-  private def lshMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
+  private def lshMeta(spark: SparkSession,
+      indexDir: String): (Int, Int, Int, Int, Int) = {
     val m = spark.read.parquet(s"$indexDir/meta").head()
     (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"))
+      m.getAs[Int]("bands"), m.getAs[Int]("sub_buckets"),
+      m.getAs[Int]("doc_buckets"))
   }
 
   /** Incremental LSH maintenance: sign ONLY the delta under the index's
@@ -882,10 +926,15 @@ object Text {
       delta: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
-    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, LshTables)
+    val (shingleN, numHashes, bands, subBuckets, docBuckets) =
+      lshMeta(spark, indexDir)
+    // claim-first: the id is fenced BEFORE the staged write, so losing
+    // a race with a concurrent appender costs a metadata retry inside
+    // claimNextGen, never a re-staged write job
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      LshTables)
     lshWriteGeneration(spark, indexDir, gen, delta, idCol, textCol,
-      shingleN, numHashes, bands)
+      shingleN, numHashes, bands, subBuckets, docBuckets, claimed = true)
   }
 
   /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
@@ -893,19 +942,33 @@ object Text {
     * identical output to [[minhashDeltaPairs]] at the same parameters on
     * the same corpus split (driver-gated: x21b shares x21's oracle).
     *
-    * Cost shape, stated precisely (the SCALE.md r13 measurement): the
-    * SHUFFLES and the output are |delta|-proportional (the delta signs
-    * map-side and broadcasts into the bucket join), but two SCANS remain
-    * corpus-sized — the bucket table (3 narrow columns, hash-free) and,
-    * in the exact-verify step, the docs table's shingle column (an
-    * equi-join still scans its full input; candidate-bounded FETCH would
-    * need point lookups no uniform-hash layout can give a batch engine).
+    * Cost shape, stated precisely: the SHUFFLES and the output are
+    * |delta|-proportional (the delta signs map-side and broadcasts into
+    * the bucket join), and since r14 the SCANS are probe-proportional
+    * too whenever the probe is small enough for that to matter:
+    *  - the bucket scan statically prunes to the (band, sb) sub-bucket
+    *    combinations the probe's own signatures touch — the touched set
+    *    is structurally bounded by bands × sub_buckets rows, collected
+    *    driver-side at the price of one extra delta-signing job. A
+    *    handful of probe docs reads a handful of directories; a full
+    *    nightly delta touches every combination and keeps the r13
+    *    corpus-sized scan (3 narrow columns), with the collect telling
+    *    us so for free.
+    *  - the exact-verify docs scan prunes to the candidates' `db`
+    *    sub-buckets in the POINT-PROBE regime (probe doc count ≤
+    *    doc_buckets, learned in the same bounded job) — that path runs
+    *    the candidate join one extra time (cheap there by construction)
+    *    to collect ≤ doc_buckets directory names; a full nightly skips
+    *    it and keeps the single-pass corpus scan, since its candidates
+    *    would touch nearly every db (birthday bound) and
+    *    candidate-bounded FETCH needs point lookups no uniform-hash
+    *    layout can give a batch engine.
     * What the index removes vs the no-index nightly is the corpus's
     * per-probe COMPUTE — text parse, shingling, 32-way minhashing — and
-    * what only it can offer is `probeBands` partition pruning. Measured
-    * at a 10M-doc parquet corpus (SCALE.md r13): 2.7× at the realistic
-    * 1% nightly delta (23.5 s vs 63.2 s), converging toward parity at
-    * 10% deltas where the exact-verification work BOTH paths share
+    * its per-probe BYTES for targeted probes. Measured at a 10M-doc
+    * parquet corpus (SCALE.md r13/r14): 2.7× at the realistic 1%
+    * nightly delta (23.5 s vs 63.2 s), converging toward parity at 10%
+    * deltas where the exact-verification work BOTH paths share
     * dominates; the maintenance path (lshAppend 7.6 s for 1M docs vs
     * 33.6 s rebuild) is where the standing index pays for itself.
     *
@@ -937,7 +1000,8 @@ object Text {
       threshold: Double = 0.9,
       probeBands: Option[Int] = None,
       asOfGen: Option[Long] = None): DataFrame = {
-    val (shingleN, numHashes, bands) = lshMeta(spark, indexDir)
+    val (shingleN, numHashes, bands, subBuckets, docBuckets) =
+      lshMeta(spark, indexDir)
     probeBands.foreach(k => require(k >= 1 && k <= bands,
       s"probeBands must be in [1, $bands]: $k"))
     val pSig = lshSignatures(probes, idCol, textCol, shingleN, numHashes,
@@ -949,22 +1013,50 @@ object Text {
       .filter(col("band") < probeBands.getOrElse(bands))
       .select(concat(lit("b"), col("band").cast("string")).as("band"),
         col("sig"), col("probe_id"))
+      .withColumn("sb", lshSb(col("sig"), subBuckets))
+    // ONE bounded job learns the probe's shape: its touched (band, sb)
+    // combinations (structurally capped at bands × sub_buckets values —
+    // a bounded-metadata collect; the job's price is one extra
+    // delta-signing pass) and its doc count. The combinations become
+    // pruning LITERALS so the bucket read scans only the sub-buckets
+    // the probe can match: same sig ⇒ same sb, dropping the rest is
+    // lossless.
+    val shape = pBuckets.agg(
+      collect_set(struct(col("band"), col("sb"))).as("combos"),
+      countDistinct(col("probe_id")).as("n")).head()
+    val touched = shape.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    val nProbe = shape.getLong(1)
     val iBuckets = lshCommitted(spark, indexDir, "buckets", asOfGen)
-      .filter(probeBands match {
-        // pruning literals, not a generic predicate: k named partition
-        // values turn the scan into reading k/bands of the index on disk
-        case Some(k) => col("band").isin((0 until k).map("b" + _): _*)
-        case None => lit(true)
-      })
+      .filter(touched.map { case (b, sb) =>
+        col("band") === b && col("sb") === sb
+      }.reduceOption(_ || _).getOrElse(lit(false)))
     val cand = pBuckets
-      .join(iBuckets.select(col("band"), col("sig"),
-        col("doc_id").as("index_id")), Seq("band", "sig"))
+      .join(iBuckets.select(col("band"), col("sb"), col("sig"),
+        col("doc_id").as("index_id")), Seq("band", "sb", "sig"))
       .select("probe_id", "index_id")
       .distinct()
+    // verify-side pruning in the POINT-PROBE regime (≤ doc_buckets probe
+    // docs): the candidate join runs once extra to collect ≤ doc_buckets
+    // directory names — cheap there, because its bucket scan is the
+    // pruned one above and the candidate set is small. A nightly delta
+    // skips it and keeps the r13 single-pass corpus verify scan: its
+    // candidates would touch nearly every db anyway (birthday bound), so
+    // the extra run would buy nothing.
+    val iDocsAll = lshCommitted(spark, indexDir, "docs", asOfGen)
+    val iDocs =
+      if (nProbe > docBuckets) iDocsAll
+      else {
+        val dbs = cand
+          .select(lshDb(col("index_id"), docBuckets).as("db"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (dbs.isEmpty) iDocsAll.filter(lit(false))
+        else iDocsAll.filter(col("db").isin(dbs: _*))
+      }
     cand
       .join(pSig.select(col("doc_id").as("probe_id"), col("sh").as("sh_p")),
         Seq("probe_id"))
-      .join(lshCommitted(spark, indexDir, "docs", asOfGen)
+      .join(iDocs
         .select(col("doc_id").as("index_id"), col("sh").as("sh_i")),
         Seq("index_id"))
       .select(col("probe_id"), col("index_id"),
@@ -1000,25 +1092,30 @@ object Text {
     // commit-set swap, readers filter the compacted single-generation
     // table by the OLD committed set, which contains keepGen — complete.
     val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
+    // one file per (band, sb): each combination hashes to exactly one
+    // task, so files-per-combination collapses to 1 regardless of how
+    // many generations fed it
     lshCommitted(spark, indexDir, "buckets").drop("gen")
-      .repartition(col("band"))
+      .repartition(col("band"), col("sb"))
       .withColumn("gen", lit(keepGen))
-      .write.mode("overwrite").partitionBy("gen", "band")
+      .write.mode("overwrite").partitionBy("gen", "band", "sb")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "buckets"))
     graft.sources.SwapDir.swap(spark, indexDir, "buckets")
     val docs = lshCommitted(spark, indexDir, "docs").drop("gen")
     // file count from filesystem metadata (~128 MB of parquet per file,
-    // ≥ 2 so the rewrite never regresses to one task), the ledger
-    // compactor's sizing rule
+    // ≥ doc_buckets so every db partition keeps at least one task), the
+    // ledger compactor's sizing rule; range-clustering on (db, doc_id)
+    // keeps files-per-db near nFiles/doc_buckets instead of the
+    // hash-shuffle worst case nFiles × doc_buckets
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(s"$indexDir/docs")).getLength
     val nFiles = math.max(2, math.min(spark.sparkContext.defaultParallelism,
       (bytes / (128L << 20)).toInt + 1))
-    docs.repartitionByRange(nFiles, col("doc_id"))
+    docs.repartitionByRange(nFiles, col("db"), col("doc_id"))
       .withColumn("gen", lit(keepGen))
-      .write.mode("overwrite").partitionBy("gen")
+      .write.mode("overwrite").partitionBy("gen", "db")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "docs"))
     graft.sources.SwapDir.swap(spark, indexDir, "docs")
     // commit set resets to {keepGen}; see invCompact's window-by-window
@@ -1597,6 +1694,22 @@ object Text {
       deltaPairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
+    val (untouched, rewired) = ccMergeParts(labels, deltaPairs, aCol, bCol)
+    untouched.unionByName(rewired)
+  }
+
+  /** [[ccMerge]] split into its two halves: (untouched pass-through,
+    * rewired touched-set labels). The REWIRED half alone is the night's
+    * CHANGED-ROWS set — what [[ClusterStore.merge]] persists as a
+    * merge-on-read generation, so the standing store's nightly write is
+    * delta-proportional while `untouched ∪ rewired` stays the full
+    * resolution ccMerge's merge ≡ rebuild contract pins.
+    */
+  private[ops] def ccMergeParts(
+      labels: DataFrame,
+      deltaPairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): (DataFrame, DataFrame) = {
     val pairs = deltaPairs.select(col(aCol), col(bCol))
     val touchedIds = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id"))).distinct()
@@ -1611,7 +1724,7 @@ object Text {
       .select(col("id").as(aCol), col("comp").as(bCol))
     val rewired = dupComponentsStar(
       touchedEdges.unionByName(pairs), aCol, bCol)
-    untouched.unionByName(rewired)
+    (untouched, rewired)
   }
 
   /** The nightly delta pair list for a documents split: cross pairs
@@ -1640,6 +1753,31 @@ object Text {
     val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
     val standing = dupComponentsStar(minhashPairs(corpus))
     ccMerge(standing, deltaPairList(corpus, delta))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** q41d_dedup_clusters_store: the STANDING form of [[q41c]] —
+    * yesterday's resolution persisted by [[ClusterStore.init]],
+    * tonight's pair list applied by [[ClusterStore.merge]] (ONLY the
+    * changed labels hit disk, as a GenCommit-atomic merge-on-read
+    * generation), the current view read back latest-wins. SHARES q41's
+    * oracle: the store after the nightly merge must equal the batch
+    * rebuild over the full corpus — which gates the whole persisted
+    * lifecycle (init → merge → read) end to end, the way x21b gates the
+    * LSH index's.
+    */
+  def q41d(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val store = graft.TempRoots.create("graft_clusters_q41d_")
+    ClusterStore.init(dupComponentsStar(minhashPairs(corpus)), store)
+    ClusterStore.merge(spark, store, deltaPairList(corpus, delta))
+    ClusterStore.read(spark, store)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
       .select(col("id").as("doc_id"), col("comp").as("component"),

@@ -602,7 +602,9 @@ object Vector {
     // crash mid-job-commit can no longer leave a partial delta VISIBLE
     // to searches — uncommitted generations are unread — and concurrent
     // appends are writer-fenced (GenCommit migration, r14)
-    val gen = graft.sources.GenCommit.nextGen(spark, indexDir, IvfTables)
+    // claim-first: fence the id before staging (metadata-only retries)
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      IvfTables)
     val tk = graft.sources.GenCommit.newToken()
     nearestCells(
         delta.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, 1)
@@ -612,7 +614,8 @@ object Vector {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, gen, "postings", tk))
-    graft.sources.GenCommit.publish(spark, indexDir, gen, IvfTables, tk)
+    graft.sources.GenCommit.publish(spark, indexDir, gen, IvfTables, tk,
+      claimed = true)
   }
 
   /** Small-file compaction for an appended IVF index — the third piece of

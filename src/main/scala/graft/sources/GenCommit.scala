@@ -36,12 +36,12 @@ import org.apache.spark.sql.SparkSession
   * never clobber each other's staged bytes; the first writer to create
   * the generation's CLAIM file (one atomic `createNewFile`, taken
   * before any rename — see [[publish]] for why a rename cannot be the
-  * fence) owns the id, and the loser fails LOUDLY at [[publish]] with
-  * its stage intact — re-stage under a fresh [[nextGen]] id to retry
-  * (claimed ids are burned, never reused). This is a lake table
-  * format's optimistic-commit loop minus only the automatic retry;
-  * compaction remains single-writer (maintenance-window semantics, as
-  * documented on each compactor).
+  * fence) owns the id. Appends take the fence BEFORE staging
+  * ([[claimNextGen]]'s bounded retry loop), so losing a race costs a
+  * metadata retry, never a re-staged write job — the full
+  * optimistic-commit loop of a lake table format; compaction remains
+  * single-writer (maintenance-window semantics, as documented on each
+  * compactor).
   */
 object GenCommit {
 
@@ -150,13 +150,45 @@ object GenCommit {
     ((committed(spark, indexDir) ++ fromDirs ++ fromClaims) :+ -1L).max + 1
   }
 
+  /** Atomically CLAIM the next free generation id — the auto-retry half
+    * of the optimistic-commit loop: claim FIRST (one `createNewFile` per
+    * attempt — a metadata op), stage under the claimed id, then
+    * [[publish]] with `claimed = true`. Losing a race here costs a
+    * directory re-listing and another file create, never a re-staged
+    * write job: concurrent appends to one index serialize at metadata
+    * price. `attempts` bounds pathological contention loudly instead of
+    * spinning (64 lost races in a row is a stuck claimant or a caller
+    * bug, not traffic).
+    */
+  def claimNextGen(spark: SparkSession, indexDir: String,
+      tables: Seq[String], attempts: Int = 64): Long = {
+    val f = fsOf(spark, indexDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$indexDir/commits"))
+    var tries = attempts
+    while (tries > 0) {
+      val gen = nextGen(spark, indexDir, tables)
+      if (f.createNewFile(
+          new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")))
+        return gen
+      tries -= 1
+    }
+    throw new IllegalStateException(
+      s"claimNextGen: lost $attempts claim races at $indexDir — " +
+        "either a claimant is stuck mid-crash-loop or generation ids " +
+        "are being claimed outside this protocol")
+  }
+
   /** Promote generation `gen`: rename each staged table dir into its
     * table tree, then create the commit marker LAST. Caller must have
     * finished writing every [[stagePath]] (Spark leaves `_SUCCESS`,
     * which is checked — promoting a half-written stage is data loss).
+    * `claimed = true` says the caller already owns `gen` via
+    * [[claimNextGen]] (the append path); `false` claims here (the build
+    * path, which owns the whole index dir it just created).
     */
   def publish(spark: SparkSession, indexDir: String, gen: Long,
-      tables: Seq[String], token: String = ""): Unit = {
+      tables: Seq[String], token: String = "",
+      claimed: Boolean = false): Unit = {
     val f = fsOf(spark, indexDir)
     // THE FENCE, and it must be ATOMIC: createNewFile either creates the
     // file or reports it exists — no check-then-act window. A rename-
@@ -165,17 +197,23 @@ object GenCommit {
     // the loser's table into the winner's generation and then half-apply
     // the loser's remaining tables — exactly the corruption this module
     // exists to prevent (review r14). The first writer to create the
-    // claim owns generation `gen` and is the only one that renames; the
-    // loser fails LOUDLY here with all its staged content intact — retry
-    // with a fresh nextGen id (claimed ids are burned, counted by
-    // nextGen, never reused). This is the optimistic-commit loop of a
-    // lake table format, minus only the auto-retry.
+    // claim owns generation `gen` and is the only one that renames; a
+    // loser fails LOUDLY here with all its staged content intact
+    // (claimed ids are burned, counted by nextGen, never reused).
+    // [[claimNextGen]] moves this fence BEFORE staging so retries are
+    // metadata-only — together they are the optimistic-commit loop of a
+    // lake table format.
     val claim = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")
     f.mkdirs(claim.getParent)
-    require(f.createNewFile(claim),
-      s"publish: generation $gen at $indexDir is already claimed — a " +
-        "concurrent writer got there first; retry the append with a " +
-        "fresh nextGen id")
+    if (claimed)
+      require(f.exists(claim),
+        s"publish: claimed=true but no claim file for generation $gen " +
+          s"at $indexDir — ids must come from claimNextGen")
+    else
+      require(f.createNewFile(claim),
+        s"publish: generation $gen at $indexDir is already claimed — a " +
+          "concurrent writer got there first; retry the append with a " +
+          "fresh nextGen id")
     tables.foreach { t =>
       val src = new org.apache.hadoop.fs.Path(
         stagePath(indexDir, gen, t, token))

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{ClusterStore, Text}
+
+/** The standing cluster store's contracts: merge-on-read latest-wins
+  * equals the batch rebuild, nightly generations carry only changed
+  * rows, as-of reads reproduce any night, crashed nights are invisible,
+  * and compaction preserves both content and pin semantics.
+  */
+class ClusterStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  // a two-night fixture with every interesting shape:
+  //   night 0 (init): {1,2,3} (comp 1), {10,11} (comp 10), {30,31} (comp
+  //   30, never touched again)
+  //   night 1: bridge (3,10) merges the first two; new pair (20,21)
+  //   night 2: new doc 4 joins the merged cluster via (4,11)
+  private val night0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+  private val night1 = Seq((3L, 10L), (20L, 21L))
+  private val night2 = Seq((4L, 11L))
+
+  private def pairsDf(p: Seq[(Long, Long)]) = p.toDF("doc_a", "doc_b")
+
+  private def batchLabels(nights: Seq[(Long, Long)]*) =
+    Text.dupComponentsStar(pairsDf(nights.flatten))
+
+  private def readMap(dir: String, asOf: Option[Long] = None) =
+    ClusterStore.read(spark, dir, asOf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two nightly merges ≡ batch rebuild; as-of reads reproduce " +
+      "every night; night generations hold only changed rows") {
+    val dir = TempRoots.create("graft_cstore_")
+    ClusterStore.init(batchLabels(night0), dir)
+    ClusterStore.merge(spark, dir, pairsDf(night1))
+    ClusterStore.merge(spark, dir, pairsDf(night2))
+    assert(readMap(dir) == labelMap(batchLabels(night0, night1, night2)),
+      "current view must equal the batch rebuild over all pairs")
+    // as-of reads ARE each night's state
+    assert(readMap(dir, Some(0L)) == labelMap(batchLabels(night0)))
+    assert(readMap(dir, Some(1L)) == labelMap(batchLabels(night0, night1)))
+    // a stale pin must fail loudly, not guess
+    val e = intercept[IllegalArgumentException] {
+      ClusterStore.read(spark, dir, Some(7L)).collect()
+    }
+    assert(e.getMessage.contains("not a committed generation"))
+    // changed-rows-only: night 2 touched the merged {1,2,3,10,11}
+    // component and added doc 4 — 6 rows — but NOT {20,21} or {30,31}
+    val g2 = spark.read.parquet(s"$dir/labels/gen=2")
+    assert(g2.count() == 6L,
+      s"night-2 generation must hold only the touched set, got ${g2.count()}")
+    assert(g2.filter(col("id").isin(20L, 21L, 30L, 31L)).count() == 0L,
+      "untouched components leaked into a nightly generation")
+  }
+
+  test("a crashed night is invisible; compaction folds history, keeps " +
+      "content and the surviving pin, and rejects stale pins") {
+    val dir = TempRoots.create("graft_cstore_crash_")
+    ClusterStore.init(batchLabels(night0), dir)
+    ClusterStore.merge(spark, dir, pairsDf(night1))
+    val cur = readMap(dir)
+    // a night that staged but never published: invisible to readers
+    Seq((30L, 999L)).toDF("id", "comp").write.mode("overwrite")
+      .parquet(graft.sources.GenCommit.stagePath(dir, 5L, "labels", "w"))
+    assert(readMap(dir) == cur, "an unpublished night leaked into a read")
+    ClusterStore.compact(spark, dir)
+    assert(readMap(dir) == cur, "compaction changed the current view")
+    // history folded into the single highest committed generation (1)
+    assert(graft.sources.GenCommit.committed(spark, dir) == Seq(1L))
+    assert(!new java.io.File(s"$dir/labels/gen=0").exists())
+    assert(readMap(dir, Some(1L)) == cur,
+      "the surviving pin must denote the same data across compaction")
+    val e = intercept[IllegalArgumentException] {
+      ClusterStore.read(spark, dir, Some(0L)).collect()
+    }
+    assert(e.getMessage.contains("compaction collapses"))
+    // and the store still merges after compaction
+    ClusterStore.merge(spark, dir, pairsDf(night2))
+    assert(readMap(dir) == labelMap(batchLabels(night0, night1, night2)))
+  }
+
+  test("q41d end-to-end on the fixture corpus: store view after the " +
+      "nightly merge equals q41's batch rebuild") {
+    val got = Text.q41d(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Text.q41(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "q41d diverged from the batch resolution")
+  }
+}

@@ -82,4 +82,40 @@ class GenCommitSpec extends SparkSuite {
     assert(GenCommit.nextGen(spark, dir, Seq("t")) == 6L,
       "a crashed claimant's id must stay burned")
   }
+
+  test("claim-first appends: claimNextGen skips contended ids with " +
+      "metadata-only retries and publish(claimed=true) needs no re-fence") {
+    val dir = TempRoots.create("graft_claimfirst_")
+    Seq(1L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 0L, "t", "w"))
+    GenCommit.publish(spark, dir, 0L, Seq("t"), "w")
+    // a rival claims what would be the next id (1) — our claim loop must
+    // lose that race once and land on 2 without staging anything
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$dir/commits/.claim-1")))
+    val gen = GenCommit.claimNextGen(spark, dir, Seq("t"))
+    assert(gen == 2L, s"claim loop must skip the rival's id: got $gen")
+    // the claimed id is fenced: a publish that did NOT claim fails on it
+    Seq(7L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, gen, "t", "rival"))
+    val e = intercept[IllegalArgumentException] {
+      GenCommit.publish(spark, dir, gen, Seq("t"), "rival")
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the owner stages and publishes without re-fencing
+    Seq(2L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, gen, "t", "owner"))
+    GenCommit.publish(spark, dir, gen, Seq("t"), "owner", claimed = true)
+    assert(GenCommit.committed(spark, dir) == Seq(0L, 2L))
+    assert(spark.read.parquet(s"$dir/t/gen=2").head().getLong(0) == 2L)
+    // publish(claimed=true) on an UNclaimed id is a caller bug — loud
+    Seq(3L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 9L, "t", "w"))
+    val e2 = intercept[IllegalArgumentException] {
+      GenCommit.publish(spark, dir, 9L, Seq("t"), "w", claimed = true)
+    }
+    assert(e2.getMessage.contains("claimNextGen"))
+  }
 }

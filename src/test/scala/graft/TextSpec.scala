@@ -219,13 +219,16 @@ class TextSpec extends SparkSuite {
     val dir = TempRoots.create("graft_lsh_cmp_")
     ops.Text.lshBuild(corpus.filter(col("doc_id") % 2 === 0), dir)
     ops.Text.lshAppend(spark, dir, corpus.filter(col("doc_id") % 2 === 1))
+    // files per (band, sb) leaf — the compaction contract's unit
     def filesPerBand(): Map[String, Int] = {
       val base = new java.io.File(s"$dir/buckets")
       base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("gen="))
         .flatMap(g => g.listFiles()
           .filter(f => f.isDirectory && f.getName.startsWith("band="))
-          .map(d => d.getName ->
-            d.listFiles().count(_.getName.endsWith(".parquet"))))
+          .flatMap(b => b.listFiles()
+            .filter(f => f.isDirectory && f.getName.startsWith("sb="))
+            .map(d => s"${b.getName}/${d.getName}" ->
+              d.listFiles().count(_.getName.endsWith(".parquet")))))
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     }
     def probe() = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
@@ -237,8 +240,10 @@ class TextSpec extends SparkSuite {
       "fixture degenerate: append produced no multi-file band")
     ops.Text.lshCompact(spark, dir)
     val after = filesPerBand()
-    assert(after.size == 8 && after.values.forall(_ == 1),
-      s"compaction left multi-file bands: $after")
+    assert(after.values.forall(_ == 1),
+      s"compaction left multi-file sub-buckets: $after")
+    assert(after.keys.map(_.takeWhile(_ != '/')).toSet.size == 8,
+      s"compaction lost band partitions: ${after.keys}")
     assert(probe() == before, "compaction changed probe results")
   }
 
@@ -339,6 +344,46 @@ class TextSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       ops.Text.lshProbe(spark, dir, probes, probeBands = Some(0))
     }
+  }
+
+  test("lshProbe small probe: bucket AND docs scans statically pruned " +
+      "to the touched sub-buckets, result equals the full probe's slice") {
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    val dir = TempRoots.create("graft_lsh_small_")
+    ops.Text.lshBuild(corpus, dir)
+    val full = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "vacuous fixture: full probe found no pairs")
+    // probe with exactly ONE doc that the full probe matched
+    val oneId = full.head._1
+    val one = probes.filter(col("doc_id") === oneId)
+    val small = ops.Text.lshProbe(spark, dir, one, threshold = 0.8)
+    val scans = small.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+    // bucket scan: pruned to the single doc's (band, sb) combinations —
+    // at most `bands` of the bands × sub_buckets on disk
+    val buckets = scans.find(_.metadata("Location").contains("buckets"))
+    assert(buckets.nonEmpty)
+    val bpf = buckets.get.partitionFilters.mkString(" ")
+    assert(bpf.contains("sb") && bpf.contains("band"),
+      s"bucket scan must carry (band, sb) pruning literals — got: $bpf")
+    // docs scan: pruned to the candidates' db sub-buckets
+    val docScan = scans.find(_.metadata("Location").contains("docs"))
+    assert(docScan.nonEmpty)
+    val dpf = docScan.get.partitionFilters.mkString(" ")
+    assert(dpf.contains("db#") || dpf.contains("db "),
+      s"small-probe docs scan must carry db pruning literals — got: $dpf")
+    // and pruning is LOSSLESS: the one-doc probe is exactly the full
+    // probe's slice for that doc
+    val got = small.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == full.filter(_._1 == oneId),
+      s"pruned probe diverged for doc $oneId")
+    // a probe with NO shingled docs returns empty, not an error
+    assert(ops.Text.lshProbe(spark, dir,
+      probes.filter(col("doc_id") < 0), threshold = 0.8).count() == 0L)
   }
 
   test("erMerge boundary matrix: bridge, pull-in, delta-only, recurring, untouched") {
