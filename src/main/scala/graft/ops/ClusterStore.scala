@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   *    edge deletions in this model), so the newest label is the
   *    current one. `asOfGen = k` pins "clusters as of night k" — the
   *    audit read, free because history is the storage format.
-  *  - Every generation commits through [[graft.sources.GenCommit]]
-  *    (claim-first), so a crashed night is INVISIBLE, not half-applied,
-  *    and concurrent writers fence loudly.
+  *  - Every generation commits through [[graft.sources.GenCommit]],
+  *    so a crashed night is INVISIBLE, not half-applied; concurrent
+  *    merges serialize by COMPARE-AND-SWAP (see [[merge]] — a merge is
+  *    a read-modify-write, so unlike index appends it claims exactly
+  *    snapshot+1 and the loser fails loudly).
   *  - [[compact]] folds history into one generation when the
   *    changed-row tail outweighs the read's latest-wins shuffle —
   *    [[Text.lshCompact]]'s crash-safe SwapDir recipe, same keepGen
@@ -70,7 +72,19 @@ object ClusterStore {
     * emits, via [[Text.deltaPairList]]'s contract: cross pairs ∪
     * delta-internal pairs): merge into the current labels and commit
     * ONLY the changed rows as a new generation. Crash-safe (an
-    * uncommitted night is invisible) and writer-fenced (claim-first).
+    * uncommitted night is invisible) and SERIALIZED against concurrent
+    * merges by compare-and-swap: unlike the indexes' appends (whose
+    * generations are independent deltas — any interleaving is their
+    * union, so ANY free id serves), a merge is a READ-MODIFY-WRITE, and
+    * two merges from the same snapshot must not both land. The fence is
+    * claiming EXACTLY `snapshot max + 1` ([[graft.sources.GenCommit
+    * .tryClaim]]): every merge writer claims its own snapshot+1, so two
+    * racing from one snapshot collide on the same claim file and the
+    * loser fails LOUDLY here with nothing staged — re-read and re-merge
+    * to retry. The read itself pins `asOfGen = snapshot`, so the labels
+    * merged are exactly the fenced state. (A claim left by a CRASHED
+    * merge blocks the slot until [[compact]] wipes it — the documented
+    * remedy, per GenCommit.resetCommits.)
     */
   def merge(
       spark: SparkSession,
@@ -78,10 +92,14 @@ object ClusterStore {
       deltaPairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b"): Unit = {
-    val cur = read(spark, dir)
+    val base = graft.sources.GenCommit.lastCommitted(spark, dir)
+    require(graft.sources.GenCommit.tryClaim(spark, dir, base + 1),
+      s"ClusterStore.merge: generation ${base + 1} at $dir is already " +
+        "claimed — a concurrent merge is in flight (re-read and retry) " +
+        "or a crashed one left its claim (compact clears it)")
+    val cur = read(spark, dir, asOfGen = Some(base))
     val (_, rewired) = Text.ccMergeParts(cur, deltaPairs, aCol, bCol)
-    val gen = graft.sources.GenCommit.claimNextGen(spark, dir, Tables1)
-    writeGeneration(spark, dir, gen, rewired, claimed = true)
+    writeGeneration(spark, dir, base + 1, rewired, claimed = true)
   }
 
   /** The current labels (or, with `asOfGen = k`, the labels as of night
@@ -103,7 +121,7 @@ object ClusterStore {
   def compact(spark: SparkSession, dir: String): Unit = {
     recover(spark, dir)
     graft.sources.GenCommit.gcStages(spark, dir)
-    val keepGen = graft.sources.GenCommit.committed(spark, dir).max
+    val keepGen = graft.sources.GenCommit.lastCommitted(spark, dir)
     read(spark, dir)
       .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen")

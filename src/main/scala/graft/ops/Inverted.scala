@@ -251,7 +251,7 @@ object Inverted {
     // the surviving pin means the same data before and after (review
     // r14); the consistency window holds because the old committed set
     // contains keepGen until the commit-set swap replaces it
-    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
+    val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
     committedTable(spark, indexDir, "postings").drop("gen")
       .repartition(col("tbucket"))
       .withColumn("gen", lit(keepGen))

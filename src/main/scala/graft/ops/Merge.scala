@@ -247,10 +247,16 @@ object Merge {
       .withColumn("__part_chk", assert_true(
         col("__delta_present").isNull ||
           col(partCol) <=> col("__delta_part"),
+        // coalesce: concat is null if ANY operand is — and null
+        // partition values are exactly one of the moves this guard
+        // catches; without it the null-move case throws with a NULL
+        // message instead of naming the contract (review r14)
         concat(lit("upsertPartitioned: delta moves key "),
           concat_ws(",", keys.map(col): _*),
-          lit(s" from partition $partCol="), col(partCol).cast("string"),
-          lit(s" to $partCol="), col("__delta_part").cast("string"),
+          lit(s" from partition $partCol="),
+          coalesce(col(partCol).cast("string"), lit("null")),
+          lit(s" to $partCol="),
+          coalesce(col("__delta_part").cast("string"), lit("null")),
           lit(" — partCol is immutable under merge; delete in the old " +
             "partition and insert in the new one"))))
       .filter(col("__part_chk").isNull)
@@ -261,37 +267,40 @@ object Merge {
     // stage first: Spark refuses to overwrite a path it is reading from,
     // and a complete staged slice is also the crash-safe ordering
     val stage = graft.TempRoots.create("graft_merge_stage_")
-    merged.write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    staged
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol)
-      .parquet(targetDir)
-    // fully-deleted partitions: present in touched, absent from output.
-    // Directory names go through the SAME Hive-style escaping the writer
-    // used — a raw s"$partCol=$v" misses escaped characters (':' →
-    // '%3A') and nulls ('__HIVE_DEFAULT_PARTITION__'), leaving the ghost
-    // partition alive with its delete silently ignored (review r13).
-    val remaining = staged.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
-    val gone = touched.filterNot(remaining)
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    gone.foreach { v =>
-      val leaf =
-        if (v == null) s"$partCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
-        else ExternalCatalogUtils.getPartitionPathString(
-          partCol, v.toString)
-      val p = new org.apache.hadoop.fs.Path(s"$targetDir/$leaf")
-      require(!fs.exists(p) || fs.delete(p, true),
-        s"merge: could not remove fully-deleted partition $p")
-    }
-    // the staged slice is fully consumed (overwrite job + the collect
-    // above) — delete now instead of leaking one copy per batch until
-    // JVM exit (review r13)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // delete the stage on EVERY exit: success (fully consumed below) and
+    // failure alike — the in-plan guard aborts MID staged write, and a
+    // CdcApply retrying a poisoned micro-batch would otherwise leak one
+    // partial stage copy per attempt until JVM exit (review r14; the
+    // success-path half is review r13)
+    try {
+      merged.write.mode("overwrite").parquet(stage)
+      val staged = spark.read.parquet(stage)
+      staged
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
+        .parquet(targetDir)
+      // fully-deleted partitions: present in touched, absent from output.
+      // Directory names go through the SAME Hive-style escaping the writer
+      // used — a raw s"$partCol=$v" misses escaped characters (':' →
+      // '%3A') and nulls ('__HIVE_DEFAULT_PARTITION__'), leaving the ghost
+      // partition alive with its delete silently ignored (review r13).
+      val remaining = staged.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      val gone = touched.filterNot(remaining)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      gone.foreach { v =>
+        val leaf =
+          if (v == null) s"$partCol=${ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+          else ExternalCatalogUtils.getPartitionPathString(
+            partCol, v.toString)
+        val p = new org.apache.hadoop.fs.Path(s"$targetDir/$leaf")
+        require(!fs.exists(p) || fs.delete(p, true),
+          s"merge: could not remove fully-deleted partition $p")
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     ()
   }
 

@@ -1004,9 +1004,17 @@ object Text {
       lshMeta(spark, indexDir)
     probeBands.foreach(k => require(k >= 1 && k <= bands,
       s"probeBands must be in [1, $bands]: $k"))
+    // persisted: the shape job below, the optional point-regime db
+    // collect, and the returned plan are SEPARATE jobs, and jobs cannot
+    // share an exchange (lshWriteGeneration's lesson) — without the
+    // persist each one would re-parse, re-shingle and re-minhash the
+    // probe set. No matching unpersist by design: the returned plan
+    // holds the reference, and Spark's ContextCleaner drops the cached
+    // blocks when the caller lets go of the frame.
     val pSig = lshSignatures(probes, idCol, textCol, shingleN, numHashes,
         bands)
       .repartition(col("doc_id"))
+      .persist()
     val pBuckets = pSig
       .select(col("doc_id").as("probe_id"),
         posexplode(col("bsig")).as(Seq("band", "sig")))
@@ -1091,7 +1099,7 @@ object Text {
     // after (review r14). The consistency window still holds: until the
     // commit-set swap, readers filter the compacted single-generation
     // table by the OLD committed set, which contains keepGen — complete.
-    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
+    val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
     // one file per (band, sb): each combination hashes to exactly one
     // task, so files-per-combination collapses to 1 regardless of how
     // many generations fed it
@@ -1103,9 +1111,9 @@ object Text {
     graft.sources.SwapDir.swap(spark, indexDir, "buckets")
     val docs = lshCommitted(spark, indexDir, "docs").drop("gen")
     // file count from filesystem metadata (~128 MB of parquet per file,
-    // ≥ doc_buckets so every db partition keeps at least one task), the
-    // ledger compactor's sizing rule; range-clustering on (db, doc_id)
-    // keeps files-per-db near nFiles/doc_buckets instead of the
+    // ≥ 2 so the rewrite never regresses to one task), the ledger
+    // compactor's sizing rule; range-clustering on (db, doc_id) keeps
+    // total files near max(nFiles, doc_buckets) instead of the
     // hash-shuffle worst case nFiles × doc_buckets
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

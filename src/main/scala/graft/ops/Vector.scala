@@ -653,7 +653,7 @@ object Vector {
     // collapse keeps the HIGHEST committed id (never 0): ids are never
     // reused across compaction, so stale asOfGen pins fail loudly and
     // the surviving pin means the same data before and after (review r14)
-    val keepGen = graft.sources.GenCommit.committed(spark, indexDir).max
+    val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
     ivfPostings(spark, indexDir).drop("gen")
       .repartition(col("cell"))
       .withColumn("gen", lit(keepGen))

@@ -162,20 +162,43 @@ object GenCommit {
     */
   def claimNextGen(spark: SparkSession, indexDir: String,
       tables: Seq[String], attempts: Int = 64): Long = {
-    val f = fsOf(spark, indexDir)
-    f.mkdirs(new org.apache.hadoop.fs.Path(s"$indexDir/commits"))
     var tries = attempts
     while (tries > 0) {
       val gen = nextGen(spark, indexDir, tables)
-      if (f.createNewFile(
-          new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")))
-        return gen
+      if (tryClaim(spark, indexDir, gen)) return gen
       tries -= 1
     }
     throw new IllegalStateException(
       s"claimNextGen: lost $attempts claim races at $indexDir — " +
         "either a claimant is stuck mid-crash-loop or generation ids " +
         "are being claimed outside this protocol")
+  }
+
+  /** Atomically claim ONE SPECIFIC generation id: true iff this caller
+    * created the claim file. [[claimNextGen]]'s building block, and the
+    * compare-and-swap a READ-MODIFY-WRITE writer needs: claiming exactly
+    * `snapshot max + 1` succeeds only if no other writer committed (or
+    * is committing) past the snapshot the caller read — see
+    * [[graft.ops.ClusterStore.merge]] for the argument. Append-only
+    * writers whose generations commute should use [[claimNextGen]]
+    * instead (any free id serves them).
+    */
+  def tryClaim(spark: SparkSession, indexDir: String, gen: Long): Boolean = {
+    val f = fsOf(spark, indexDir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$indexDir/commits"))
+    f.createNewFile(
+      new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen"))
+  }
+
+  /** The highest committed generation, with the module's friendly error
+    * instead of `empty.max` when nothing is committed — every
+    * compactor's first read.
+    */
+  def lastCommitted(spark: SparkSession, indexDir: String): Long = {
+    val gens = committed(spark, indexDir)
+    require(gens.nonEmpty,
+      s"no committed generations at $indexDir — build the index first")
+    gens.max
   }
 
   /** Promote generation `gen`: rename each staged table dir into its
@@ -255,6 +278,19 @@ object GenCommit {
     * single generation `gen` (SwapDir on the commits dir — crash-safe
     * like the table swaps it follows; see the compactors for the
     * window-by-window consistency argument).
+    *
+    * Claim files are wiped with the rest of the old commit set. That
+    * SCOPES the never-reuse invariant: COMMITTED ids are never reused,
+    * ever (the next id is past keepGen = the committed max, and stale
+    * as-of pins reference committed ids only) — but a claimed-never-
+    * committed id loses its burn here and may be handed out again.
+    * That is safe, and deliberate: the compactor's single-writer
+    * maintenance window means every outstanding claim belongs to a
+    * CRASHED writer, whose staged bytes gcStages already removed and
+    * whose orphan generations the table swaps erased — nothing of the
+    * claimant survives for a reused id to collide with, and wiping is
+    * also the documented remedy when a crashed claim blocks
+    * [[graft.ops.ClusterStore.merge]]'s compare-and-swap.
     */
   def resetCommits(spark: SparkSession, indexDir: String,
       gen: Long): Unit = {

@@ -83,6 +83,26 @@ class ClusterStoreSpec extends SparkSuite {
     assert(readMap(dir) == labelMap(batchLabels(night0, night1, night2)))
   }
 
+  test("concurrent merges serialize by CAS: a claimed snapshot+1 slot " +
+      "fails the second merge loudly; compact clears a crashed claim") {
+    val dir = TempRoots.create("graft_cstore_cas_")
+    ClusterStore.init(batchLabels(night0), dir)
+    // a rival merge (or a crashed one) holds the snapshot+1 slot
+    require(graft.sources.GenCommit.tryClaim(spark, dir, 1L))
+    val e = intercept[IllegalArgumentException] {
+      ClusterStore.merge(spark, dir, pairsDf(night1))
+    }
+    assert(e.getMessage.contains("concurrent merge"),
+      s"CAS loser must learn why: ${e.getMessage}")
+    assert(readMap(dir) == labelMap(batchLabels(night0)),
+      "a failed CAS merge must leave the store untouched")
+    // compaction (the documented remedy) wipes the crashed claim —
+    // merges flow again
+    ClusterStore.compact(spark, dir)
+    ClusterStore.merge(spark, dir, pairsDf(night1))
+    assert(readMap(dir) == labelMap(batchLabels(night0, night1)))
+  }
+
   test("q41d end-to-end on the fixture corpus: store view after the " +
       "nightly merge equals q41's batch rebuild") {
     val got = Text.q41d(spark, sf001).collect()

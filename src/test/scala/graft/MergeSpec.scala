@@ -178,6 +178,23 @@ class MergeSpec extends SparkSuite {
     val out = spark.read.parquet(tgt2).orderBy("k").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out == Seq((1L, "a"), (2L, "b")))
+    // a NULL-partition move must fire with the SAME named message —
+    // concat over a null partition value would otherwise null the whole
+    // message (review r14: coalesce in the guard)
+    val tgt3 = s"$root/t3"
+    Seq((1L, "a", null: String), (2L, "b", "p1"))
+      .toDF("k", "s", "pc").write.partitionBy("pc").parquet(tgt3)
+    // the delta touches BOTH p1 and the null partition (the guard only
+    // sees moves within the touched slice — the documented residue), so
+    // key 1's current null-partition row is in-slice and the move fires
+    val nullMove = Seq((1L, "a2", "p1", "upsert"),
+      (3L, "c", null: String, "upsert")).toDF("k", "s", "pc", "_op")
+    val e2 = intercept[Exception] {
+      Merge.upsertPartitioned(spark, tgt3, nullMove, Seq("k"), "pc")
+    }
+    assert(messages(e2).exists(m => m.contains("partCol is immutable") &&
+        m.contains("null")),
+      s"null-move guard must name the contract and the null: ${messages(e2)}")
   }
 
   test("CDC replay: re-applying the SAME batch is a no-op — the " +
