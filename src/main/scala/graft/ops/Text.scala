@@ -836,13 +836,16 @@ object Text {
     val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
       bands).persist()
     try {
-      // range-cluster on (db, doc_id) so each task holds few db values
-      // and the file count stays ~max(tasks, doc_buckets) per generation
-      // instead of tasks × doc_buckets; for an append the shuffle is
-      // delta-sized
+      // hash-cluster on db so each db value lands in exactly one task
+      // (one file per touched db per generation, instead of tasks ×
+      // doc_buckets) — HASH, not repartitionByRange, because the range
+      // partitioner SAMPLES its input first: that is a whole extra job
+      // over the persisted signatures per build/append (review r14; at
+      // corpus scale compaction re-sizes files with its one sampled
+      // rewrite, where the price is paid once, not nightly)
       sig.select(col("doc_id"), col("sh"))
         .withColumn("db", lshDb(col("doc_id"), docBuckets))
-        .repartitionByRange(col("db"), col("doc_id"))
+        .repartition(col("db"))
         .write.mode("overwrite").partitionBy("db")
         .parquet(graft.sources.GenCommit
           .stagePath(indexDir, gen, "docs", tk))
