@@ -873,6 +873,15 @@ object Text {
       table: String, asOfGen: Option[Long] = None): DataFrame =
     graft.sources.GenCommit.committedTable(spark, indexDir, table, asOfGen)
 
+  /** Smallest power of two ≥ `x`, clamped to [1, cap] — the sub-bucket
+    * sizing rule's shape.
+    */
+  private def pow2Clamp(x: Long, cap: Int): Int = {
+    var p = 1
+    while (p < x && p < cap) p <<= 1
+    math.min(p, cap)
+  }
+
   def lshBuild(
       docs: DataFrame,
       indexDir: String,
@@ -881,12 +890,28 @@ object Text {
       shingleN: Int = 2,
       numHashes: Int = 32,
       bands: Int = 8,
-      subBuckets: Int = 16,
-      docBuckets: Int = 64): Unit = {
+      subBuckets: Int = 0,
+      docBuckets: Int = 0): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    require(subBuckets >= 1 && docBuckets >= 1,
-      "sub_buckets and doc_buckets must be positive")
+    require(subBuckets >= 0 && docBuckets >= 0,
+      "sub_buckets and doc_buckets must be ≥ 1 (or 0 = size to the corpus)")
     val spark = docs.sparkSession
+    // 0 = SIZE THE LAYOUT TO THE CORPUS (then freeze it in meta like
+    // every other hash parameter): a fixed sub-bucket count is wrong at
+    // both ends — at 60k docs, 8×16 bucket directories are pure
+    // metadata overhead per generation (the r14 closing-bench mover),
+    // while at 10M docs 16 sub-buckets saturate under any real probe
+    // (birthday bound) and 128 is the measured point-probe winner
+    // (SCALE.md r14: 7.4 s vs 17 s). One count() at build time —
+    // build is corpus-sized anyway — buys the right granularity at
+    // every scale: ~64k docs per sub-bucket, ~16k per doc bucket.
+    val (sbN, dbN) =
+      if (subBuckets > 0 && docBuckets > 0) (subBuckets, docBuckets)
+      else {
+        val n = docs.count()
+        (if (subBuckets > 0) subBuckets else pow2Clamp(n / 65536, 128),
+          if (docBuckets > 0) docBuckets else pow2Clamp(n / 16384, 256))
+      }
     // a build REPLACES any prior index at this path
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -895,11 +920,11 @@ object Text {
         lit(shingleN).as("shingle_n"),
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"),
-        lit(subBuckets).as("sub_buckets"),
-        lit(docBuckets).as("doc_buckets"))
+        lit(sbN).as("sub_buckets"),
+        lit(dbN).as("doc_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     lshWriteGeneration(spark, indexDir, 0L, docs, idCol, textCol,
-      shingleN, numHashes, bands, subBuckets, docBuckets)
+      shingleN, numHashes, bands, sbN, dbN)
   }
 
   private def lshMeta(spark: SparkSession,
