@@ -97,9 +97,24 @@ object ClusterStore {
       s"ClusterStore.merge: generation ${base + 1} at $dir is already " +
         "claimed — a concurrent merge is in flight (re-read and retry) " +
         "or a crashed one left its claim (compact clears it)")
-    val cur = read(spark, dir, asOfGen = Some(base))
-    val (_, rewired) = Text.ccMergeParts(cur, deltaPairs, aCol, bCol)
-    writeGeneration(spark, dir, base + 1, rewired, claimed = true)
+    try {
+      val cur = read(spark, dir, asOfGen = Some(base))
+      val (_, rewired) = Text.ccMergeParts(cur, deltaPairs, aCol, bCol)
+      writeGeneration(spark, dir, base + 1, rewired, claimed = true)
+    } catch {
+      case t: Throwable =>
+        // an IN-PROCESS failure before anything was promoted (bad delta
+        // schema, transient stage-write failure) releases our own claim
+        // so the next merge retries at zero cost — only a generation
+        // that began publishing stays burned (its dir exists; crash
+        // semantics unchanged, compact still the remedy there)
+        val f = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/labels/gen=${base + 1}")))
+          graft.sources.GenCommit.releaseClaim(spark, dir, base + 1)
+        throw t
+    }
   }
 
   /** The current labels (or, with `asOfGen = k`, the labels as of night

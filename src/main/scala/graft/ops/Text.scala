@@ -832,35 +832,47 @@ object Text {
       gen: Long, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, subBuckets: Int,
       docBuckets: Int, claimed: Boolean = false): Unit = {
-    val tk = graft.sources.GenCommit.newToken()
     val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
       bands).persist()
-    try {
-      // hash-cluster on db so each db value lands in exactly one task
-      // (one file per touched db per generation, instead of tasks ×
-      // doc_buckets) — HASH, not repartitionByRange, because the range
-      // partitioner SAMPLES its input first: that is a whole extra job
-      // over the persisted signatures per build/append (review r14; at
-      // corpus scale compaction re-sizes files with its one sampled
-      // rewrite, where the price is paid once, not nightly)
-      sig.select(col("doc_id"), col("sh"))
-        .withColumn("db", lshDb(col("doc_id"), docBuckets))
-        .repartition(col("db"))
-        .write.mode("overwrite").partitionBy("db")
-        .parquet(graft.sources.GenCommit
-          .stagePath(indexDir, gen, "docs", tk))
-      // one file per touched (band, sb): hash-cluster on the partition
-      // columns so each combination lands in exactly one task
-      sig.select(col("doc_id"),
-          posexplode(col("bsig")).as(Seq("band", "sig")))
-        .select(concat(lit("b"), col("band").cast("string")).as("band"),
-          col("sig"), col("doc_id"))
-        .withColumn("sb", lshSb(col("sig"), subBuckets))
-        .repartition(col("band"), col("sb"))
-        .write.mode("overwrite").partitionBy("band", "sb")
-        .parquet(graft.sources.GenCommit
-          .stagePath(indexDir, gen, "buckets", tk))
-    } finally sig.unpersist()
+    try lshWriteSig(spark, indexDir, gen, sig, subBuckets, docBuckets,
+      claimed)
+    finally sig.unpersist()
+  }
+
+  /** Stage and commit one generation from an ALREADY-PERSISTED signature
+    * frame — split out of [[lshWriteGeneration]] so [[lshBuild]] can run
+    * its auto-sizing count() against the same persisted pass instead of
+    * scanning the corpus twice (review r14). Caller owns the persist
+    * lifecycle.
+    */
+  private def lshWriteSig(spark: SparkSession, indexDir: String,
+      gen: Long, sig: DataFrame, subBuckets: Int, docBuckets: Int,
+      claimed: Boolean): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    // hash-cluster on db so each db value lands in exactly one task
+    // (one file per touched db per generation, instead of tasks ×
+    // doc_buckets) — HASH, not repartitionByRange, because the range
+    // partitioner SAMPLES its input first: that is a whole extra job
+    // over the persisted signatures per build/append (review r14; at
+    // corpus scale compaction re-sizes files with its one sampled
+    // rewrite, where the price is paid once, not nightly)
+    sig.select(col("doc_id"), col("sh"))
+      .withColumn("db", lshDb(col("doc_id"), docBuckets))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, gen, "docs", tk))
+    // one file per touched (band, sb): hash-cluster on the partition
+    // columns so each combination lands in exactly one task
+    sig.select(col("doc_id"),
+        posexplode(col("bsig")).as(Seq("band", "sig")))
+      .select(concat(lit("b"), col("band").cast("string")).as("band"),
+        col("sig"), col("doc_id"))
+      .withColumn("sb", lshSb(col("sig"), subBuckets))
+      .repartition(col("band"), col("sb"))
+      .write.mode("overwrite").partitionBy("band", "sb")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, gen, "buckets", tk))
     graft.sources.GenCommit.publish(spark, indexDir, gen, LshTables, tk,
       claimed)
   }
@@ -876,7 +888,7 @@ object Text {
   /** Smallest power of two ≥ `x`, clamped to [1, cap] — the sub-bucket
     * sizing rule's shape.
     */
-  private def pow2Clamp(x: Long, cap: Int): Int = {
+  private[graft] def pow2Clamp(x: Long, cap: Int): Int = {
     var p = 1
     while (p < x && p < cap) p <<= 1
     math.min(p, cap)
@@ -902,29 +914,33 @@ object Text {
     // metadata overhead per generation (the r14 closing-bench mover),
     // while at 10M docs 16 sub-buckets saturate under any real probe
     // (birthday bound) and 128 is the measured point-probe winner
-    // (SCALE.md r14: 7.4 s vs 17 s). One count() at build time —
-    // build is corpus-sized anyway — buys the right granularity at
-    // every scale: ~64k docs per sub-bucket, ~16k per doc bucket.
-    val (sbN, dbN) =
-      if (subBuckets > 0 && docBuckets > 0) (subBuckets, docBuckets)
-      else {
-        val n = docs.count()
-        (if (subBuckets > 0) subBuckets else pow2Clamp(n / 65536, 128),
-          if (docBuckets > 0) docBuckets else pow2Clamp(n / 16384, 256))
-      }
-    // a build REPLACES any prior index at this path
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
-    spark.range(1).select(
-        lit(shingleN).as("shingle_n"),
-        lit(numHashes).as("num_hashes"),
-        lit(bands).as("bands"),
-        lit(sbN).as("sub_buckets"),
-        lit(dbN).as("doc_buckets"))
-      .write.mode("overwrite").parquet(s"$indexDir/meta")
-    lshWriteGeneration(spark, indexDir, 0L, docs, idCol, textCol,
-      shingleN, numHashes, bands, sbN, dbN)
+    // (SCALE.md r14: 7.4 s vs 17 s). The sizing count() runs against
+    // the PERSISTED signature frame the staged writes consume anyway,
+    // so auto-sizing costs one corpus pass total, not two (review r14):
+    // ~64k docs per sub-bucket, ~16k per doc bucket, powers of two.
+    val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
+      bands).persist()
+    try {
+      val (sbN, dbN) =
+        if (subBuckets > 0 && docBuckets > 0) (subBuckets, docBuckets)
+        else {
+          val n = sig.count()
+          (if (subBuckets > 0) subBuckets else pow2Clamp(n / 65536, 128),
+            if (docBuckets > 0) docBuckets else pow2Clamp(n / 16384, 256))
+        }
+      // a build REPLACES any prior index at this path
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+      spark.range(1).select(
+          lit(shingleN).as("shingle_n"),
+          lit(numHashes).as("num_hashes"),
+          lit(bands).as("bands"),
+          lit(sbN).as("sub_buckets"),
+          lit(dbN).as("doc_buckets"))
+        .write.mode("overwrite").parquet(s"$indexDir/meta")
+      lshWriteSig(spark, indexDir, 0L, sig, sbN, dbN, claimed = false)
+    } finally sig.unpersist()
   }
 
   private def lshMeta(spark: SparkSession,
@@ -1032,13 +1048,16 @@ object Text {
       lshMeta(spark, indexDir)
     probeBands.foreach(k => require(k >= 1 && k <= bands,
       s"probeBands must be in [1, $bands]: $k"))
-    // persisted: the shape job below, the optional point-regime db
-    // collect, and the returned plan are SEPARATE jobs, and jobs cannot
-    // share an exchange (lshWriteGeneration's lesson) — without the
-    // persist each one would re-parse, re-shingle and re-minhash the
-    // probe set. No matching unpersist by design: the returned plan
-    // holds the reference, and Spark's ContextCleaner drops the cached
-    // blocks when the caller lets go of the frame.
+    // persisted across the DRIVER-SIDE jobs below (the shape job and
+    // the optional point-regime db collect) — separate jobs cannot
+    // share an exchange (lshWriteGeneration's lesson), so without the
+    // persist each would re-parse, re-shingle and re-minhash the probe
+    // set. Unpersisted before returning: the session's CacheManager
+    // holds cached plans STRONGLY (ContextCleaner does not reclaim SQL
+    // cache), so keeping it would leak one cached frame per probe call
+    // for the session's lifetime (review r14). The returned plan then
+    // re-signs the delta once when executed — bounded, delta-sized,
+    // leak-free.
     val pSig = lshSignatures(probes, idCol, textCol, shingleN, numHashes,
         bands)
       .repartition(col("doc_id"))
@@ -1089,6 +1108,10 @@ object Text {
         if (dbs.isEmpty) iDocsAll.filter(lit(false))
         else iDocsAll.filter(col("db").isin(dbs: _*))
       }
+    // driver-side jobs done — release the cache BEFORE handing back the
+    // plan (cache substitution happens at execution time, so the caller
+    // recomputes the delta-sized signatures once and leaks nothing)
+    pSig.unpersist()
     cand
       .join(pSig.select(col("doc_id").as("probe_id"), col("sh").as("sh_p")),
         Seq("probe_id"))

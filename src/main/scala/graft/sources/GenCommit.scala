@@ -190,6 +190,21 @@ object GenCommit {
       new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen"))
   }
 
+  /** Release a claim THIS WRITER owns and has not begun publishing —
+    * the CAS-failure cleanup ([[graft.ops.ClusterStore.merge]]): a
+    * transient in-process failure between claim and publish would
+    * otherwise burn the snapshot+1 slot until a compaction. Owner-only
+    * by contract, and ONLY safe while no table dir for `gen` exists (a
+    * partially-published generation must stay burned — the caller
+    * checks before releasing).
+    */
+  def releaseClaim(spark: SparkSession, indexDir: String,
+      gen: Long): Unit = {
+    val f = fsOf(spark, indexDir)
+    f.delete(
+      new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen"), false)
+  }
+
   /** The highest committed generation, with the module's friendly error
     * instead of `empty.max` when nothing is committed — every
     * compactor's first read.

@@ -103,6 +103,21 @@ class ClusterStoreSpec extends SparkSuite {
     assert(readMap(dir) == labelMap(batchLabels(night0, night1)))
   }
 
+  test("an in-process merge failure before publish releases its claim " +
+      "— the next merge retries without a compaction") {
+    val dir = TempRoots.create("graft_cstore_release_")
+    ClusterStore.init(batchLabels(night0), dir)
+    // malformed delta: no doc_b column → fails inside ccMergeParts,
+    // AFTER the CAS claim was taken
+    intercept[Exception] {
+      ClusterStore.merge(spark, dir, Seq(1L).toDF("doc_a"))
+    }
+    // the slot must be free again: a valid merge lands as gen 1
+    ClusterStore.merge(spark, dir, pairsDf(night1))
+    assert(readMap(dir) == labelMap(batchLabels(night0, night1)),
+      "claim release failed — the CAS slot stayed burned")
+  }
+
   test("q41d end-to-end on the fixture corpus: store view after the " +
       "nightly merge equals q41's batch rebuild") {
     val got = Text.q41d(spark, sf001).collect()

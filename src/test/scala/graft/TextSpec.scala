@@ -346,6 +346,41 @@ class TextSpec extends SparkSuite {
     }
   }
 
+  test("lshBuild sizes the sub-bucket layout to the corpus and freezes " +
+      "it in meta; explicit params bypass the sizing count") {
+    // the rule itself: smallest power of two ≥ x, clamped
+    assert(ops.Text.pow2Clamp(0L, 128) == 1)
+    assert(ops.Text.pow2Clamp(1L, 128) == 1)
+    assert(ops.Text.pow2Clamp(2L, 128) == 2)
+    assert(ops.Text.pow2Clamp(3L, 128) == 4)
+    assert(ops.Text.pow2Clamp(152L, 128) == 128, "cap must clamp")
+    assert(ops.Text.pow2Clamp(610L, 256) == 256)
+    // auto path on the fixture corpus (≈5k docs): both tiers collapse
+    // to the flat layout — small indexes must not pay directory
+    // overhead (the r14 closing-bench lesson)
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val dir = TempRoots.create("graft_lsh_size_")
+    ops.Text.lshBuild(corpus, dir)
+    val m = spark.read.parquet(s"$dir/meta").head()
+    assert(m.getAs[Int]("sub_buckets") == 1 &&
+      m.getAs[Int]("doc_buckets") == 1,
+      s"fixture-sized corpus must get the flat layout: $m")
+    // explicit params are frozen verbatim (no sizing count runs)
+    val dir2 = TempRoots.create("graft_lsh_size_x_")
+    ops.Text.lshBuild(corpus, dir2, subBuckets = 32, docBuckets = 8)
+    val m2 = spark.read.parquet(s"$dir2/meta").head()
+    assert(m2.getAs[Int]("sub_buckets") == 32 &&
+      m2.getAs[Int]("doc_buckets") == 8)
+    // and the layout choice never changes probe RESULTS
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    def run(d: String) = ops.Text.lshProbe(spark, d, probes,
+      threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run(dir) == run(dir2),
+      "sub-bucket sizing changed probe results")
+  }
+
   test("lshProbe small probe: bucket AND docs scans statically pruned " +
       "to the touched sub-buckets, result equals the full probe's slice") {
     val docs = Tables.documents(spark, sf001)
