@@ -383,8 +383,7 @@ object Stress {
     val batches = sys.env.getOrElse("SPARK_GRAFT_STRESS_BATCHES", "1000").toInt
     val perBatch = 1000L
     val ledgerIdSpace = batches * perBatch
-    val root = java.nio.file.Files.createTempDirectory("graft_ledger_stress")
-      .toString
+    val root = graft.TempRoots.create("graft_ledger_stress_")
     val fragDir = s"$root/ledger_frag"
     val flatDir = s"$root/ledger_flat"
     val ts = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")

@@ -93,14 +93,17 @@ object ClusterStore {
       aCol: String = "doc_a",
       bCol: String = "doc_b"): Unit = {
     val base = graft.sources.GenCommit.lastCommitted(spark, dir)
-    require(graft.sources.GenCommit.tryClaim(spark, dir, base + 1),
+    val tk = graft.sources.GenCommit.newToken()
+    require(graft.sources.GenCommit.tryClaim(spark, dir, base + 1, tk),
       s"ClusterStore.merge: generation ${base + 1} at $dir is already " +
         "claimed — a concurrent merge is in flight (re-read and retry) " +
-        "or a crashed one left its claim (compact clears it)")
+        "or a crashed one left its claim (recoverClaims releases it " +
+        "without a compact)")
     try {
       val cur = read(spark, dir, asOfGen = Some(base))
       val (_, rewired) = Text.ccMergeParts(cur, deltaPairs, aCol, bCol)
-      writeGeneration(spark, dir, base + 1, rewired, claimed = true)
+      writeGeneration(spark, dir, base + 1, rewired, claimed = true,
+        token = tk)
     } catch {
       case t: Throwable =>
         // an IN-PROCESS failure before anything was promoted (bad delta
@@ -155,9 +158,19 @@ object ClusterStore {
         "— the store is gone, rebuild with init")
   }
 
+  /** Release claims left by merges that died BEFORE staging anything —
+    * the targeted unblock for a crashed nightly (VERDICT r14 #4): the
+    * snapshot+1 slot frees at metadata cost instead of [[compact]]'s
+    * full label-table rewrite. Single-writer maintenance window (a LIVE
+    * merge between claim and staging is indistinguishable from a crashed
+    * one — see [[graft.sources.GenCommit.recoverClaims]]).
+    */
+  def recoverClaims(spark: SparkSession, dir: String): Seq[Long] =
+    graft.sources.GenCommit.recoverClaims(spark, dir, Tables1)
+
   private def writeGeneration(spark: SparkSession, dir: String, gen: Long,
-      labels: DataFrame, claimed: Boolean): Unit = {
-    val tk = graft.sources.GenCommit.newToken()
+      labels: DataFrame, claimed: Boolean, token: String = ""): Unit = {
+    val tk = if (token.nonEmpty) token else graft.sources.GenCommit.newToken()
     labels
       .write.mode("overwrite")
       .parquet(graft.sources.GenCommit.stagePath(dir, gen, "labels", tk))

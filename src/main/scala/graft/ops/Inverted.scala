@@ -88,8 +88,8 @@ object Inverted {
     */
   private def writeGeneration(spark: SparkSession, indexDir: String,
       gen: Long, docs: DataFrame, nBuckets: Int,
-      claimed: Boolean = false): Unit = {
-    val tk = graft.sources.GenCommit.newToken()
+      claimed: Boolean = false, token: String = ""): Unit = {
+    val tk = if (token.nonEmpty) token else graft.sources.GenCommit.newToken()
     val base = tokenized(docs).persist()
     try {
       postingsFrom(base, nBuckets)
@@ -148,10 +148,13 @@ object Inverted {
       indexDir: String,
       delta: DataFrame): Unit = {
     val nBuckets = nBucketsOf(spark, indexDir)
-    // claim-first: fence the id before staging (metadata-only retries)
+    // claim-first: fence the id before staging (metadata-only retries);
+    // the claim records the writer token so publish verifies ownership
+    val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      Tables2)
-    writeGeneration(spark, indexDir, gen, delta, nBuckets, claimed = true)
+      Tables2, token = tk)
+    writeGeneration(spark, indexDir, gen, delta, nBuckets, claimed = true,
+      token = tk)
   }
 
   /** BM25 over the standing index: the query terms' bucket ids are

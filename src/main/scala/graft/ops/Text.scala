@@ -831,11 +831,12 @@ object Text {
   private def lshWriteGeneration(spark: SparkSession, indexDir: String,
       gen: Long, docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, subBuckets: Int,
-      docBuckets: Int, claimed: Boolean = false): Unit = {
+      docBuckets: Int, claimed: Boolean = false,
+      token: String = ""): Unit = {
     val sig = lshSignatures(docs, idCol, textCol, shingleN, numHashes,
       bands).persist()
     try lshWriteSig(spark, indexDir, gen, sig, subBuckets, docBuckets,
-      claimed)
+      claimed, token)
     finally sig.unpersist()
   }
 
@@ -847,8 +848,8 @@ object Text {
     */
   private def lshWriteSig(spark: SparkSession, indexDir: String,
       gen: Long, sig: DataFrame, subBuckets: Int, docBuckets: Int,
-      claimed: Boolean): Unit = {
-    val tk = graft.sources.GenCommit.newToken()
+      claimed: Boolean, token: String = ""): Unit = {
+    val tk = if (token.nonEmpty) token else graft.sources.GenCommit.newToken()
     // hash-cluster on db so each db value lands in exactly one task
     // (one file per touched db per generation, instead of tasks ×
     // doc_buckets) — HASH, not repartitionByRange, because the range
@@ -974,11 +975,14 @@ object Text {
       lshMeta(spark, indexDir)
     // claim-first: the id is fenced BEFORE the staged write, so losing
     // a race with a concurrent appender costs a metadata retry inside
-    // claimNextGen, never a re-staged write job
+    // claimNextGen, never a re-staged write job; the claim records the
+    // writer token so publish verifies ownership (ADVICE r14)
+    val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      LshTables)
+      LshTables, token = tk)
     lshWriteGeneration(spark, indexDir, gen, delta, idCol, textCol,
-      shingleN, numHashes, bands, subBuckets, docBuckets, claimed = true)
+      shingleN, numHashes, bands, subBuckets, docBuckets, claimed = true,
+      token = tk)
   }
 
   /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
@@ -1082,10 +1086,27 @@ object Text {
     val touched = shape.getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getString(0), r.getString(1)))
     val nProbe = shape.getLong(1)
-    val iBuckets = lshCommitted(spark, indexDir, "buckets", asOfGen)
-      .filter(touched.map { case (b, sb) =>
-        col("band") === b && col("sb") === sb
-      }.reduceOption(_ || _).getOrElse(lit(false)))
+    // full-coverage probes skip the combo filter entirely: a nightly
+    // delta touches every (band, sb) combination of its probed bands
+    // (the collect tells us so for free), and the OR-chain of up to
+    // bands × sub_buckets equality conjunctions it would build prunes
+    // NOTHING there while costing measurable planning and
+    // partition-listing time per probe (ADVICE r14). Dropping it is
+    // lossless at any coverage — the candidate join's keys include
+    // (band, sb) — so the saturated path keeps only the band-level
+    // prune probeBands promises (a plain isin when k < bands, nothing
+    // when every band is probed).
+    val kBands = probeBands.getOrElse(bands)
+    val iBucketsAll = lshCommitted(spark, indexDir, "buckets", asOfGen)
+    val iBuckets =
+      if (touched.size >= kBands * subBuckets) {
+        if (kBands == bands) iBucketsAll
+        else iBucketsAll.filter(
+          col("band").isin((0 until kBands).map("b" + _): _*))
+      } else iBucketsAll
+        .filter(touched.map { case (b, sb) =>
+          col("band") === b && col("sb") === sb
+        }.reduceOption(_ || _).getOrElse(lit(false)))
     val cand = pBuckets
       .join(iBuckets.select(col("band"), col("sb"), col("sig"),
         col("doc_id").as("index_id")), Seq("band", "sb", "sig"))

@@ -602,10 +602,11 @@ object Vector {
     // crash mid-job-commit can no longer leave a partial delta VISIBLE
     // to searches — uncommitted generations are unread — and concurrent
     // appends are writer-fenced (GenCommit migration, r14)
-    // claim-first: fence the id before staging (metadata-only retries)
-    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      IvfTables)
+    // claim-first: fence the id before staging (metadata-only retries);
+    // the claim records the writer token so publish verifies ownership
     val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      IvfTables, token = tk)
     nearestCells(
         delta.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, 1)
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),

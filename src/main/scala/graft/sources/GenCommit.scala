@@ -151,21 +151,26 @@ object GenCommit {
   }
 
   /** Atomically CLAIM the next free generation id — the auto-retry half
-    * of the optimistic-commit loop: claim FIRST (one `createNewFile` per
-    * attempt — a metadata op), stage under the claimed id, then
-    * [[publish]] with `claimed = true`. Losing a race here costs a
+    * of the optimistic-commit loop: claim FIRST (one exclusive file
+    * create per attempt — a metadata op), stage under the claimed id,
+    * then [[publish]] with `claimed = true`. Losing a race here costs a
     * directory re-listing and another file create, never a re-staged
     * write job: concurrent appends to one index serialize at metadata
     * price. `attempts` bounds pathological contention loudly instead of
     * spinning (64 lost races in a row is a stuck claimant or a caller
-    * bug, not traffic).
+    * bug, not traffic). `token` should be the writer's staging token
+    * ([[newToken]]) — it is written INTO the claim file so
+    * [[publish]](claimed = true) can verify the caller actually owns
+    * the claim it names (ADVICE r14: an anonymous claim file lets a
+    * confused caller pass the fence on someone else's generation).
     */
   def claimNextGen(spark: SparkSession, indexDir: String,
-      tables: Seq[String], attempts: Int = 64): Long = {
+      tables: Seq[String], attempts: Int = 64,
+      token: String = ""): Long = {
     var tries = attempts
     while (tries > 0) {
       val gen = nextGen(spark, indexDir, tables)
-      if (tryClaim(spark, indexDir, gen)) return gen
+      if (tryClaim(spark, indexDir, gen, token)) return gen
       tries -= 1
     }
     throw new IllegalStateException(
@@ -175,19 +180,63 @@ object GenCommit {
   }
 
   /** Atomically claim ONE SPECIFIC generation id: true iff this caller
-    * created the claim file. [[claimNextGen]]'s building block, and the
-    * compare-and-swap a READ-MODIFY-WRITE writer needs: claiming exactly
-    * `snapshot max + 1` succeeds only if no other writer committed (or
-    * is committing) past the snapshot the caller read — see
-    * [[graft.ops.ClusterStore.merge]] for the argument. Append-only
-    * writers whose generations commute should use [[claimNextGen]]
-    * instead (any free id serves them).
+    * created the claim file (which records `token` as its owner). [[
+    * claimNextGen]]'s building block, and the compare-and-swap a
+    * READ-MODIFY-WRITE writer needs: claiming exactly `snapshot max + 1`
+    * succeeds only if no other writer committed (or is committing) past
+    * the snapshot the caller read — see [[graft.ops.ClusterStore.merge]]
+    * for the argument. Append-only writers whose generations commute
+    * should use [[claimNextGen]] instead (any free id serves them).
+    *
+    * STORE REQUIREMENT (the SwapDir caveat, ADVICE r14): the fence's
+    * atomicity rests on exclusive file create, which is atomic under
+    * HDFS semantics (HDFS, local FS, ABFS, GCS). On raw S3 the S3A
+    * client implements create-exclusive as check-then-act, so two racing
+    * claimants can both "win" — run this protocol there only behind a
+    * committer/lock layer (e.g. S3A's directory committer or a DynamoDB
+    * lock), exactly as every lake table format requires.
     */
-  def tryClaim(spark: SparkSession, indexDir: String, gen: Long): Boolean = {
+  def tryClaim(spark: SparkSession, indexDir: String, gen: Long,
+      token: String = ""): Boolean = {
     val f = fsOf(spark, indexDir)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$indexDir/commits"))
-    f.createNewFile(
-      new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen"))
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")
+    // createNewFile is THE atomic fence (atomic create-exclusive under
+    // HDFS semantics; java.io.File.createNewFile locally — whereas
+    // FileSystem.create(overwrite = false) is check-then-act on the
+    // local FS). The token is written AFTER winning, into a file this
+    // writer now owns exclusively: the only reader of the content is
+    // the owner itself at publish time, after its own close, so the
+    // two-step write has no observable race. A crash between the two
+    // steps leaves an empty-token claim — a crashed claimant either
+    // way, which [[recoverClaims]] releases.
+    if (!f.createNewFile(p)) false
+    else {
+      if (token.nonEmpty) {
+        val out = f.create(p, true)
+        try out.write(
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      true
+    }
+  }
+
+  /** The owner token recorded in a claim file ("" if the file is empty
+    * or absent) — what [[publish]](claimed = true) verifies.
+    */
+  private def claimToken(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    if (!f.exists(p)) return ""
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** Release a claim THIS WRITER owns and has not begun publishing —
@@ -243,11 +292,22 @@ object GenCommit {
     // lake table format.
     val claim = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")
     f.mkdirs(claim.getParent)
-    if (claimed)
+    if (claimed) {
       require(f.exists(claim),
         s"publish: claimed=true but no claim file for generation $gen " +
           s"at $indexDir — ids must come from claimNextGen")
-    else
+      // the claim must be OURS: the claim file records its owner's token
+      // (tryClaim), so a caller that wrongly passes claimed=true for a
+      // generation someone else claimed fails HERE instead of racing the
+      // owner's renames (ADVICE r14 — an anonymous existence check was
+      // the latent footgun)
+      val owner = claimToken(f, claim)
+      require(owner == token,
+        s"publish: claim for generation $gen at $indexDir belongs to " +
+          s"writer '$owner', not '$token' — claimed=true is only valid " +
+          "for ids this writer claimed via claimNextGen/tryClaim with " +
+          "the same token")
+    } else
       require(f.createNewFile(claim),
         s"publish: generation $gen at $indexDir is already claimed — a " +
           "concurrent writer got there first; retry the append with a " +
@@ -274,6 +334,46 @@ object GenCommit {
     * claimant's id stays burned.
     */
   private val Claim = ".claim-"
+
+  /** Release claims whose generation never BEGAN publishing — no gen dir
+    * exists for the id in any table (a writer that died between claiming
+    * and its first rename). Without this, a crashed CAS writer (e.g.
+    * [[graft.ops.ClusterStore.merge]]'s snapshot+1 claim) blocks every
+    * subsequent merge until a full compact — a corpus-sliver rewrite for
+    * a metadata-only failure (ADVICE r14 / VERDICT r14 #4). A claim with
+    * a gen dir stays burned (partially-published generations must never
+    * be reused — [[nextGen]]'s invariant).
+    *
+    * SAFETY WINDOW: only run this when no writer is mid-flight on the
+    * index — a LIVE claimant between claim and first rename looks
+    * identical to a crashed one (its staged `.gen*` writes live outside
+    * the table trees). Same single-writer maintenance-window contract
+    * the compactors carry; unlike them it costs only metadata, so a
+    * stuck nightly unblocks without paying compact's rewrite.
+    *
+    * @return the released generation ids
+    */
+  def recoverClaims(spark: SparkSession, indexDir: String,
+      tables: Seq[String]): Seq[Long] = {
+    val f = fsOf(spark, indexDir)
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$indexDir/commits")
+    if (!f.exists(commitsDir)) return Seq.empty
+    val claimed = f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(Claim) &&
+        n.drop(Claim.length).nonEmpty &&
+        n.drop(Claim.length).forall(_.isDigit) => n.drop(Claim.length).toLong }
+    val marked = committed(spark, indexDir).toSet
+    claimed.filter { g =>
+      // a marker means the publish COMPLETED and the claim is just its
+      // normal residue — never touch it; a gen dir means publishing
+      // began — the id stays burned
+      !marked.contains(g) &&
+        !tables.exists(t =>
+          f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$t/gen=$g"))) && {
+        releaseClaim(spark, indexDir, g); true
+      }
+    }
+  }
 
   /** Garbage-collect orphan STAGE dirs (`.gen*` at the index root) —
     * leftovers of crashed appends and fencing losers. Only safe inside

@@ -118,6 +118,27 @@ class ClusterStoreSpec extends SparkSuite {
       "claim release failed — the CAS slot stayed burned")
   }
 
+  test("recoverClaims unsticks a crashed nightly WITHOUT a compaction: " +
+      "the orphan claim frees, a published gen's claim residue stays") {
+    val dir = TempRoots.create("graft_cstore_recover_")
+    ClusterStore.init(batchLabels(night0), dir)
+    ClusterStore.merge(spark, dir, pairsDf(night1)) // gen 1, claim residue
+    // a nightly that died between claim and staging: burns snapshot+1
+    require(graft.sources.GenCommit.tryClaim(spark, dir, 2L, "crashed"))
+    intercept[IllegalArgumentException] {
+      ClusterStore.merge(spark, dir, pairsDf(night2))
+    }
+    // the targeted unblock: metadata-only, no label-table rewrite —
+    // and it must not free gen 1's residue claim (its marker exists)
+    assert(ClusterStore.recoverClaims(spark, dir) == Seq(2L))
+    ClusterStore.merge(spark, dir, pairsDf(night2))
+    assert(readMap(dir) == labelMap(batchLabels(night0, night1, night2)),
+      "post-recovery merge diverged from the batch rebuild")
+    // history intact: generation 0 still on disk, pins still serve
+    assert(readMap(dir, Some(0L)) == labelMap(batchLabels(night0)),
+      "recoverClaims must not disturb committed history")
+  }
+
   test("q41d end-to-end on the fixture corpus: store view after the " +
       "nightly merge equals q41's batch rebuild") {
     val got = Text.q41d(spark, sf001).collect()

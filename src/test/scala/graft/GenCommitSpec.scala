@@ -95,7 +95,7 @@ class GenCommitSpec extends SparkSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(f.createNewFile(
       new org.apache.hadoop.fs.Path(s"$dir/commits/.claim-1")))
-    val gen = GenCommit.claimNextGen(spark, dir, Seq("t"))
+    val gen = GenCommit.claimNextGen(spark, dir, Seq("t"), token = "owner")
     assert(gen == 2L, s"claim loop must skip the rival's id: got $gen")
     // the claimed id is fenced: a publish that did NOT claim fails on it
     Seq(7L).toDF("x").write.mode("overwrite")
@@ -117,5 +117,65 @@ class GenCommitSpec extends SparkSuite {
       GenCommit.publish(spark, dir, 9L, Seq("t"), "w", claimed = true)
     }
     assert(e2.getMessage.contains("claimNextGen"))
+  }
+
+  test("the claim records its owner: publish(claimed=true) with a " +
+      "different writer's token fails loudly instead of racing renames") {
+    val dir = TempRoots.create("graft_claimowner_")
+    Seq(1L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 0L, "t", "w"))
+    GenCommit.publish(spark, dir, 0L, Seq("t"), "w")
+    // writer A claims generation 1 with its token
+    val gen = GenCommit.claimNextGen(spark, dir, Seq("t"), token = "wrA")
+    assert(gen == 1L)
+    // writer B wrongly believes IT claimed gen 1 (the ADVICE r14 footgun:
+    // an anonymous existence check would let it pass the fence here and
+    // nest its renames into A's generation)
+    Seq(2L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, gen, "t", "wrB"))
+    val e = intercept[IllegalArgumentException] {
+      GenCommit.publish(spark, dir, gen, Seq("t"), "wrB", claimed = true)
+    }
+    assert(e.getMessage.contains("belongs to writer 'wrA'"),
+      s"foreign claim must be refused by owner token: ${e.getMessage}")
+    // the true owner still publishes normally
+    Seq(3L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, gen, "t", "wrA"))
+    GenCommit.publish(spark, dir, gen, Seq("t"), "wrA", claimed = true)
+    assert(spark.read.parquet(s"$dir/t/gen=1").head().getLong(0) == 3L)
+  }
+
+  test("recoverClaims releases only never-published claims: a claim with " +
+      "a gen dir stays burned, a marker's residue claim stays untouched") {
+    val dir = TempRoots.create("graft_recoverclaims_")
+    // gen 0: fully committed via claim-first (its claim file remains as
+    // normal residue and must NOT be released)
+    val tk0 = GenCommit.newToken()
+    val g0 = GenCommit.claimNextGen(spark, dir, Seq("t"), token = tk0)
+    Seq(1L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, g0, "t", tk0))
+    GenCommit.publish(spark, dir, g0, Seq("t"), tk0, claimed = true)
+    // gen 1: claimed, publishing BEGAN (gen dir exists), no marker — a
+    // crashed publish; the id must stay burned
+    require(GenCommit.tryClaim(spark, dir, 1L, "crashed-mid-publish"))
+    Seq(9L).toDF("x").write.mode("overwrite")
+      .parquet(GenCommit.stagePath(dir, 1L, "t", "w1"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(GenCommit.stagePath(dir, 1L, "t", "w1")),
+      new org.apache.hadoop.fs.Path(s"$dir/t/gen=1")))
+    // gen 2: claimed, NOTHING staged into the tables — a writer that died
+    // between claim and first rename; exactly what recoverClaims frees
+    require(GenCommit.tryClaim(spark, dir, 2L, "crashed-pre-stage"))
+    assert(GenCommit.nextGen(spark, dir, Seq("t")) == 3L)
+    val released = GenCommit.recoverClaims(spark, dir, Seq("t"))
+    assert(released == Seq(2L), s"only the pre-stage crash frees: $released")
+    // the partially-published id stays burned (its gen dir exists)...
+    assert(GenCommit.nextGen(spark, dir, Seq("t")) == 2L)
+    // ...and the released slot is claimable again at metadata cost
+    require(GenCommit.tryClaim(spark, dir, 2L, "retry"))
+    assert(GenCommit.committed(spark, dir) == Seq(0L),
+      "recovery must not touch the committed set")
   }
 }
