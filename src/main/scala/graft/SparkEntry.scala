@@ -157,6 +157,10 @@ object SparkEntry {
     // oracle (the erMerge recipe on doc ids; VERDICT r13 #1)
     "q41c_dedup_clusters_merge" -> ((s, d) => ops.Text.q41c(s, d)),
     "q41d_dedup_clusters_store" -> ((s, d) => ops.Text.q41d(s, d)),
+    // ClusterStore tombstone removal: init full resolution, remove the
+    // takedown slice, read — view ≡ resolution minus removed rows, sizes
+    // recounted; oracle = q41's CTE filtered before the size window
+    "q41e_dedup_clusters_remove" -> ((s, d) => ops.Text.q41e(s, d)),
     // embedding-cosine near-dup dedup end-to-end: blocked cosine pairs
     // resolved to canonical clusters (the embedding-space member of the
     // dedup taxonomy); integer-only output => hash-exact despite the
@@ -211,6 +215,9 @@ object SparkEntry {
     // partition-pruned posting lookups — share q61's / q58's oracles
     "q61c_bm25_indexed"    -> ((s, d) => ops.Inverted.q61c(s, d)),
     "q58b_phrase_indexed"  -> ((s, d) => ops.Inverted.q58b(s, d)),
+    // inverted-index tombstone delete: build all, delete 40%, search —
+    // netted stats + masked postings must equal the pre-filtered build
+    "q61d_bm25_deleted"    -> ((s, d) => ops.Inverted.q61d(s, d)),
     // calendar densification + carry-forward fill; the window runs over
     // pre-aggregated daily rows, never fact volume
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
@@ -234,6 +241,9 @@ object SparkEntry {
     // per-status p5/p95 winsorized price clipping (robust feature prep)
     "q70_winsorize"        -> ((s, d) => ops.Analytics.q70(s, d)),
     "q71_ivf_search"       -> ((s, d) => ops.Vector.q71(s, d)),
+    // IVF tombstone delete: build all, delete the vec_id%5=3 slice,
+    // all-cells search ≡ brute-force top-k over the survivors
+    "q71b_ivf_deleted"     -> ((s, d) => ops.Vector.q71b(s, d)),
     "q72_transitions"      -> ((s, d) => ops.Analytics.q72(s, d)),
     "q73_vocab_coverage"   -> ((s, d) => ops.Text.q73(s, d)),
     "q74_fuzzy_names"      -> ((s, d) => ops.Text.q74(s, d)),
@@ -348,6 +358,9 @@ object SparkEntry {
     // pinned at the pre-append generation — a snapshot leak surfaces as
     // self-pairs at Jaccard 1.0, so sharing x21's oracle gates the pin
     "x21c_delta_dedup_asof" -> ((s, d) => ops.Text.x21c(s, d)),
+    // LSH tombstone delete: build the corpus index, delete a 40% slice,
+    // probe — must equal probing an index built over the survivors
+    "x21d_delta_dedup_deleted" -> ((s, d) => ops.Text.x21d(s, d)),
     // x06's exact twin: probing ALL 2^bits buckets degenerates the
     // SimHash candidate join to brute force — shares x01's oracle, so
     // the sketch code path itself is driver-gated (q71 precedent)
@@ -451,6 +464,7 @@ object SparkEntry {
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,
     "q41c_dedup_clusters_merge" -> ops.Text.q41Sql,
     "q41d_dedup_clusters_store" -> ops.Text.q41Sql,
+    "q41e_dedup_clusters_remove" -> ops.Text.q41eSql,
     "q47_embed_dedup"      -> ops.Vector.q47Sql,
     "q48_sample_mix"       -> ops.TextAnalysis.q48Sql,
     "q49_clean_pipeline"   -> ops.TextAnalysis.q49Sql,
@@ -469,6 +483,7 @@ object SparkEntry {
     "q61b_bm25_multi"      -> ops.Text.q61bSql,
     "q61c_bm25_indexed"    -> ops.Text.q61Sql,
     "q58b_phrase_indexed"  -> ops.Text.q58Sql,
+    "q61d_bm25_deleted"    -> ops.Inverted.q61dSql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q64_sample_stratified" -> ops.TextAnalysis.q64Sql,
@@ -480,6 +495,7 @@ object SparkEntry {
     "q69_cluster_centroid" -> ops.Vector.q69Sql,
     "q70_winsorize"        -> ops.Analytics.q70Sql,
     "q71_ivf_search"       -> ops.Vector.q71Sql,
+    "q71b_ivf_deleted"     -> ops.Vector.q71bSql,
     "q72_transitions"      -> ops.Analytics.q72Sql,
     "q73_vocab_coverage"   -> ops.Text.q73Sql,
     "q74_fuzzy_names"      -> ops.Text.q74Sql,
@@ -516,6 +532,7 @@ object SparkEntry {
     "x21_delta_dedup"           -> ops.Text.x21Sql,
     "x21b_delta_dedup_indexed"  -> ops.Text.x21Sql,
     "x21c_delta_dedup_asof"     -> ops.Text.x21Sql,
+    "x21d_delta_dedup_deleted"  -> ops.Text.x21dSql,
     // gate twins: the sketch code paths in their degenerate-exact regimes
     "x06b_ann_simhash_gate"     -> ops.Vector.x01Sql,
     "x14b_heavy_hitters_gate"   -> functions.HeavyHitters.x14bSql,

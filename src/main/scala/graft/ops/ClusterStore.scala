@@ -120,15 +120,60 @@ object ClusterStore {
     }
   }
 
+  /** TOMBSTONE removal from the standing labels (VERDICT r14 #1 — the
+    * takedown path: a document leaves the corpus, its cluster label must
+    * leave the store without a rewrite): commits one delta-proportional
+    * generation of (id, comp = NULL) rows — the latest-wins read machinery
+    * IS the tombstone machinery, a null comp simply wins and then drops
+    * from the view. Removing an id the store never held is a harmless
+    * no-op (its null row wins over nothing). A later [[merge]] whose
+    * delta pairs touch a removed id RE-ADDS it (the merge generation
+    * outranks the tombstone — re-entry is the correct semantic for a doc
+    * that re-appears with near-dups), and an `asOfGen` pin from before
+    * the removal still reads the old label (both spec-pinned).
+    * [[compact]] folds tombstones away for free: it persists [[read]]'s
+    * view, which has already dropped them.
+    *
+    * REMOVAL IS ROW-SCOPED, not cluster-scoped, by design: the remaining
+    * members of the removed doc's cluster keep their labels (component
+    * names are stable ids, not live min-member recomputations — the same
+    * reason ccMerge never relabels untouched components). Re-deriving
+    * "what the clusters would be had the doc never existed" is a
+    * resolution question, answered by rebuilding the affected component
+    * from its surviving pair list — a different, costlier operation.
+    */
+  def remove(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String = "id"): Unit = {
+    val compType = graft.sources.GenCommit
+      .committedTable(spark, dir, "labels").schema("comp").dataType
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, dir, Tables1,
+      token = tk)
+    writeGeneration(spark, dir, gen,
+      ids.select(col(idCol).as("id"),
+        lit(null).cast(compType).as("comp")).distinct(),
+      claimed = true, token = tk)
+  }
+
   /** The current labels (or, with `asOfGen = k`, the labels as of night
-    * k): committed generations, latest-wins per doc. One narrow scan +
-    * one doc_id shuffle — the merge-on-read price [[compact]] resets.
+    * k): committed generations, latest-wins per doc — and a latest row
+    * whose comp is NULL is a [[remove]] tombstone, dropped from the
+    * view. Latest-wins rides a struct max ordered by gen (an id appears
+    * at most once per generation — init once, one row per changed id per
+    * merge, one per remove — so the comp field never tiebreaks). One
+    * narrow scan + one doc_id shuffle — the merge-on-read price
+    * [[compact]] resets.
     */
   def read(spark: SparkSession, dir: String,
       asOfGen: Option[Long] = None): DataFrame =
     graft.sources.GenCommit.committedTable(spark, dir, "labels", asOfGen)
       .groupBy(col("id"))
-      .agg(max_by(col("comp"), col("gen")).as("comp"))
+      .agg(max(struct(col("gen"), col("comp"))).as("__latest"))
+      .select(col("id"), col("__latest.comp").as("comp"))
+      .filter(col("comp").isNotNull)
 
   /** Fold history into the single highest committed generation —
     * [[Text.lshCompact]]'s recipe: SwapDir crash-safe table rewrite,

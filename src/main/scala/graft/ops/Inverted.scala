@@ -57,6 +57,11 @@ object Inverted {
 
   private val Tables2 = Seq("postings", "stats")
 
+  /** Claim-scan table set: includes the tombstone table so a delete
+    * generation can never collide with an append's id.
+    */
+  private val Tables2Scan = Tables2 :+ graft.sources.GenCommit.TombsTable
+
   /** The shared tokenization base: (doc_id, w, dl) — computed ONCE per
     * build/append and PERSISTED across the stats and postings writes
     * (two separate write jobs cannot share an exchange, so without the
@@ -152,9 +157,67 @@ object Inverted {
     // the claim records the writer token so publish verifies ownership
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      Tables2, token = tk)
+      Tables2Scan, token = tk)
     writeGeneration(spark, indexDir, gen, delta, nBuckets, claimed = true,
       token = tk)
+  }
+
+  /** TOMBSTONE delete from the standing inverted index — remove
+    * documents without a rebuild (VERDICT r14 #1). One atomic generation
+    * carries BOTH halves of the removal: the `tombs` table (the removed
+    * ids — searches mask posting rows by [[graft.sources.GenCommit
+    * .maskTombstones]]' later-generation rule) and a NEGATIVE `stats`
+    * row (−n_docs, −Σdl of the removed docs — BM25's N and avgdl are
+    * sums over generations, so subtraction is just another summand, the
+    * same argument that made append ≡ build exact). df needs no
+    * correction at all: it is counted per search on the MASKED posting
+    * slice. GenCommit's two-table atomicity is what keeps stats and
+    * tombstones from drifting — exactly the half-applied window the
+    * module exists to close, now for deletes.
+    *
+    * Contract: `ids` must be CURRENT members of the index, each passed
+    * once (the delete-side mirror of "caller owns doc_id uniqueness
+    * across appends") — the negative stats row is computed from the
+    * ids as given, and a non-member or double-deleted id would skew N.
+    * Σdl comes from the id's alive posting rows (token-less members
+    * carry no postings and contribute dl = 0, which is also their build
+    * contribution). Delete-then-re-append revives the doc: the
+    * re-appended generation sits past the tombstone and its stats row
+    * re-adds what the delete subtracted. [[invCompact]] folds tombstones
+    * away (dead posting rows dropped, stats collapsed to the net sum,
+    * tombs table removed).
+    */
+  def invDelete(
+      spark: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      Tables2Scan, token = tk)
+    val del = ids.select(col(idCol).as("id")).distinct().persist()
+    try {
+      del.select(col("id"))
+        .write.mode("overwrite")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
+          graft.sources.GenCommit.TombsTable, tk))
+      // dl per removed id from its ALIVE posting rows (any term's row
+      // carries the doc's dl — max() just picks one); ids without
+      // postings (token-less members) contribute 0, matching what their
+      // build generation added
+      val alivePost = graft.sources.GenCommit.maskTombstones(spark,
+        indexDir, committedTable(spark, indexDir, "postings"), "doc_id")
+      val dl = alivePost.select(col("doc_id").as("id"), col("dl"))
+        .groupBy(col("id")).agg(max(col("dl")).as("dl"))
+      del.join(dl, Seq("id"), "left")
+        .agg((-count(lit(1))).cast("long").as("n_docs"),
+          (-coalesce(sum(col("dl")), lit(0L))).cast("long").as("total_dl"))
+        .write.mode("overwrite")
+        .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
+          "stats", tk))
+    } finally del.unpersist()
+    graft.sources.GenCommit.publish(spark, indexDir, gen,
+      Seq(graft.sources.GenCommit.TombsTable, "stats"), tk, claimed = true)
   }
 
   /** BM25 over the standing index: the query terms' bucket ids are
@@ -192,9 +255,14 @@ object Inverted {
         "over a non-empty corpus before searching")
     val n = lit(stats.getLong(0))
     val avgdl = lit(stats.getLong(1).toDouble / stats.getLong(0).toDouble)
-    val tf = committedTable(spark, indexDir, "postings", asOfGen)
-      .filter(col("tbucket").isin(buckets: _*))
-      .filter(col("term").isin(terms: _*))
+    // tombstone masking rides on the PRUNED slice (no cost until a
+    // delete exists); df is counted downstream of the mask, so deleted
+    // docs vanish from document frequency with no stored correction
+    val tf = graft.sources.GenCommit.maskTombstones(spark, indexDir,
+        committedTable(spark, indexDir, "postings", asOfGen)
+          .filter(col("tbucket").isin(buckets: _*))
+          .filter(col("term").isin(terms: _*)),
+        "doc_id", asOfGen)
       .select(col("doc_id"), col("term"), col("dl"), col("tf"))
     Text.bm25ScoreTf(tf, n, avgdl, k1, b, topN)
   }
@@ -213,9 +281,11 @@ object Inverted {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     val nBuckets = nBucketsOf(spark, indexDir)
     val buckets = phrase.map(bucketOf(_, nBuckets)).distinct
-    val postings = committedTable(spark, indexDir, "postings", asOfGen)
-      .filter(col("tbucket").isin(buckets: _*))
-      .filter(col("term").isin(phrase.distinct: _*))
+    val postings = graft.sources.GenCommit.maskTombstones(spark, indexDir,
+      committedTable(spark, indexDir, "postings", asOfGen)
+        .filter(col("tbucket").isin(buckets: _*))
+        .filter(col("term").isin(phrase.distinct: _*)),
+      "doc_id", asOfGen)
     def occs(term: String, as: String) = postings
       .filter(col("term") === term)
       .select(col("doc_id").as(s"${as}_doc"),
@@ -255,7 +325,14 @@ object Inverted {
     // r14); the consistency window holds because the old committed set
     // contains keepGen until the commit-set swap replaces it
     val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
-    committedTable(spark, indexDir, "postings").drop("gen")
+    // tombstones FOLD: the rewrite keeps alive posting rows only, the
+    // stats collapse below nets the delete generations' negative rows,
+    // and the tombs dir drops last (lshCompact's window argument: the
+    // compacted rows sit at gen=keepGen ≥ every tombstone generation,
+    // which the strict later-generation rule leaves untouched)
+    graft.sources.GenCommit.maskTombstones(spark, indexDir,
+        committedTable(spark, indexDir, "postings"), "doc_id")
+      .drop("gen")
       .repartition(col("tbucket"))
       .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "tbucket")
@@ -268,6 +345,10 @@ object Inverted {
       .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "stats"))
     graft.sources.SwapDir.swap(spark, indexDir, "stats")
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
@@ -304,6 +385,55 @@ object Inverted {
     invCompact(spark, idx)
     invSearch(spark, idx, Seq("table", "hash"))
   }
+
+  /** q61d_bm25_deleted: the TOMBSTONE-DELETE gate for the inverted index
+    * (VERDICT r14 #1) — build over the full corpus, [[invDelete]] the
+    * `doc_id % 5 ≥ 3` slice, search. The search must score exactly as if
+    * the index had been built over the surviving 60%: N and avgdl
+    * through the netted stats sum, df through the masked posting slice,
+    * every per-doc score and the top-20 cut identical. Own oracle =
+    * q61's SQL over the pre-filtered corpus, so one leaked dead doc (or
+    * one drifted stats integer — avgdl feeds every score) mismatches
+    * loudly. Delete-then-re-append stats restoration and
+    * as-of-before-delete reads are spec-pinned in InvertedSpec.
+    */
+  def q61d(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = graft.TempRoots.create("graft_inv_q61d_")
+    invBuild(docs, idx)
+    invDelete(spark, idx, docs.filter(pmod(col("doc_id"), lit(5L)) >= 3))
+    invSearch(spark, idx, Seq("table", "hash"))
+  }
+
+  /** q61's chain verbatim, with the corpus pre-filtered to the
+    * post-delete survivors — what the tombstoned index must match.
+    */
+  val q61dSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, w,
+      |         len(list_filter(w, t -> t <> '')) AS dl
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents WHERE doc_id % 5 < 3)),
+      |s AS (
+      |  SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+      |         count(*) AS n
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, dl, count(*) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      |  WHERE term IN ('table', 'hash')
+      |  GROUP BY doc_id, term, dl),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id, sum(sc) AS score FROM (
+      |  SELECT tf.doc_id,
+      |         (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)
+      |           * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |           / (CAST(tf.tf AS DOUBLE)
+      |              + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS sc
+      |  FROM tf JOIN dfreq f ON tf.term = f.term CROSS JOIN s)
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id ASC
+      |LIMIT 20""".stripMargin
 
   /** q58b_phrase_indexed: q58's phrase search as two pruned posting
     * lookups against the materialized index. Deliberately searches the

@@ -804,6 +804,13 @@ object Text {
     */
   private val LshTables = Seq("docs", "buckets")
 
+  /** Every table whose gen dirs burn an id — the claim scan includes the
+    * tombstone table so a delete generation can never collide with an
+    * append's ([[lshDelete]]).
+    */
+  private val LshScanTables =
+    LshTables :+ graft.sources.GenCommit.TombsTable
+
   /** The bucket table's second partition level: crc32 of the band
     * signature, modulo the index's frozen `sub_buckets`. crc32 (a fixed
     * public checksum) rather than Spark's internal hash so the persisted
@@ -979,10 +986,45 @@ object Text {
     // writer token so publish verifies ownership (ADVICE r14)
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      LshTables, token = tk)
+      LshScanTables, token = tk)
     lshWriteGeneration(spark, indexDir, gen, delta, idCol, textCol,
       shingleN, numHashes, bands, subBuckets, docBuckets, claimed = true,
       token = tk)
+  }
+
+  /** TOMBSTONE delete from the standing LSH index — remove documents
+    * WITHOUT a rebuild (VERDICT r14 #1: takedown/opt-out removal is a
+    * standing LLM-corpus requirement, and append+compact alone forces a
+    * corpus-sized rebuild for a handful of removed ids). The delete
+    * commits ONE delta-proportional generation holding only the removed
+    * ids (the shared `tombs` table, [[graft.sources.GenCommit
+    * .TombsTable]]); nothing in the docs/buckets trees is touched.
+    * Probes mask dead rows by the lake formats' sequence-number rule
+    * ([[graft.sources.GenCommit.maskTombstones]]): a tombstone kills
+    * every EARLIER generation's rows for the id, so
+    * delete-then-re-append revives the doc (the re-appended generation
+    * is later), and an `asOfGen` pin from before the delete still reads
+    * it (both spec-pinned). [[lshCompact]] folds tombstones into the
+    * data tables (dead rows physically dropped, tombs table removed), so
+    * the masking join's price is bounded by the compaction cadence.
+    * Deleting an id the index never held masks nothing and is harmless —
+    * which is also what makes a replayed streaming delete idempotent
+    * ([[graft.streaming.DedupStream]]).
+    */
+  def lshDelete(
+      spark: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      LshScanTables, token = tk)
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
+        graft.sources.GenCommit.TombsTable, tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen,
+      Seq(graft.sources.GenCommit.TombsTable), tk, claimed = true)
   }
 
   /** Probe a materialized LSH index ([[lshBuild]]) with a delta of
@@ -1097,7 +1139,13 @@ object Text {
     // prune probeBands promises (a plain isin when k < bands, nothing
     // when every band is probed).
     val kBands = probeBands.getOrElse(bands)
-    val iBucketsAll = lshCommitted(spark, indexDir, "buckets", asOfGen)
+    // tombstone masking rides on the PRUNED reads (costs nothing until a
+    // delete exists — see maskTombstones); dead docs leave the candidate
+    // set here, and their shingle rows are masked from the verify scan
+    // below, so a deleted doc can surface in NO pair
+    def alive(df: DataFrame) = graft.sources.GenCommit
+      .maskTombstones(spark, indexDir, df, "doc_id", asOfGen)
+    val iBucketsAll = alive(lshCommitted(spark, indexDir, "buckets", asOfGen))
     val iBuckets =
       if (touched.size >= kBands * subBuckets) {
         if (kBands == bands) iBucketsAll
@@ -1119,7 +1167,7 @@ object Text {
     // skips it and keeps the r13 single-pass corpus verify scan: its
     // candidates would touch nearly every db anyway (birthday bound), so
     // the extra run would buy nothing.
-    val iDocsAll = lshCommitted(spark, indexDir, "docs", asOfGen)
+    val iDocsAll = alive(lshCommitted(spark, indexDir, "docs", asOfGen))
     val iDocs =
       if (nProbe > docBuckets) iDocsAll
       else {
@@ -1172,16 +1220,24 @@ object Text {
     // commit-set swap, readers filter the compacted single-generation
     // table by the OLD committed set, which contains keepGen — complete.
     val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
+    // tombstones FOLD here: the rewrite keeps only alive rows and the
+    // tombs table is dropped below. Window consistency holds throughout:
+    // the rewritten rows land at gen=keepGen, and a tombstone can sit at
+    // most AT keepGen (never later), so the strict tombGen > gen rule
+    // masks nothing of the compacted data even before the tombs dir
+    // goes — every intermediate state reads alive rows exactly
+    def aliveC(table: String) = graft.sources.GenCommit.maskTombstones(
+      spark, indexDir, lshCommitted(spark, indexDir, table), "doc_id")
     // one file per (band, sb): each combination hashes to exactly one
     // task, so files-per-combination collapses to 1 regardless of how
     // many generations fed it
-    lshCommitted(spark, indexDir, "buckets").drop("gen")
+    aliveC("buckets").drop("gen")
       .repartition(col("band"), col("sb"))
       .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "band", "sb")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "buckets"))
     graft.sources.SwapDir.swap(spark, indexDir, "buckets")
-    val docs = lshCommitted(spark, indexDir, "docs").drop("gen")
+    val docs = aliveC("docs").drop("gen")
     // file count from filesystem metadata (~128 MB of parquet per file,
     // ≥ 2 so the rewrite never regresses to one task), the ledger
     // compactor's sizing rule; range-clustering on (db, doc_id) keeps
@@ -1198,6 +1254,12 @@ object Text {
       .write.mode("overwrite").partitionBy("gen", "db")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "docs"))
     graft.sources.SwapDir.swap(spark, indexDir, "docs")
+    // folded tombstones go last: both data tables are already alive-only
+    // at gen=keepGen (which the strict masking rule leaves untouched —
+    // see above), so dropping the tombs dir changes no read at any
+    // crash point
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
     // commit set resets to {keepGen}; see invCompact's window-by-window
     // argument — every intermediate state serves exactly the committed
     // rows, and uncommitted orphan generations vanish with the swaps
@@ -1267,6 +1329,47 @@ object Text {
         col("index_id").as("corpus_id"), col("jaccard"))
       .orderBy("delta_id", "corpus_id")
   }
+
+  /** x21d_delta_dedup_deleted: the TOMBSTONE-DELETE gate (VERDICT r14
+    * #1, the merge ≡ rebuild precedent inverted) — build the index over
+    * the standing corpus, [[lshDelete]] a 40% drop-slice (`doc_id % 5 ∈
+    * {2,3}`), probe with the delta. The probe must behave exactly as if
+    * the index had been BUILT over the pre-filtered corpus: own oracle
+    * = x21's brute-force SQL with the corpus side restricted to
+    * `doc_id % 5 < 2` — a single leaked dead doc surfaces as an extra
+    * pair and hash-mismatches loudly. Delete-then-re-append revival and
+    * as-of-before-delete reads are spec-pinned in TextSpec.
+    */
+  def x21d(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+    val idx = graft.TempRoots.create("graft_lsh_x21d_")
+    lshBuild(corpus, idx)
+    lshDelete(spark, idx,
+      corpus.filter(pmod(col("doc_id"), lit(5L)).isin(2L, 3L)))
+    lshProbe(spark, idx, delta)
+      .select(col("probe_id").as("delta_id"),
+        col("index_id").as("corpus_id"), col("jaccard"))
+      .orderBy("delta_id", "corpus_id")
+  }
+
+  /** [[x21Sql]] over the post-delete corpus: the tombstoned 40% never
+    * existed as far as the probe may tell.
+    */
+  val x21dSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(string_split(lower(text), ' '))),
+      |           i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS s
+      |  FROM documents)
+      |SELECT delta_id, corpus_id, jaccard FROM (
+      |  SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+      |         CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
+      |           / CAST(len(d.s) + len(c.s) - len(list_intersect(d.s, c.s)) AS DOUBLE) AS jaccard
+      |  FROM sh d JOIN sh c ON d.doc_id % 5 = 4 AND c.doc_id % 5 < 2)
+      |WHERE jaccard >= 0.9
+      |ORDER BY delta_id, corpus_id""".stripMargin
 
   // ---- x10: exact n-gram Jaccard join via prefix filtering ----
 
@@ -1864,6 +1967,41 @@ object Text {
         col("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** q41e_dedup_clusters_remove: the ClusterStore TOMBSTONE gate
+    * (VERDICT r14 #1) — init the store with the FULL corpus resolution,
+    * [[ClusterStore.remove]] every `doc_id % 5 = 4` id (the takedown
+    * slice; removing the unclustered ones among them is the documented
+    * no-op), read back. The view must be exactly the full resolution
+    * MINUS the removed rows — row-scoped removal, labels of surviving
+    * cluster members stable (see remove's scaladoc for why that is the
+    * contract) — with cluster sizes recounted over the survivors. Own
+    * oracle: q41's reachability CTE filtered before the size window, so
+    * a leaked tombstone (or a dropped survivor) hash-mismatches loudly.
+    * Remove-then-merge re-entry and as-of-before-remove reads are
+    * spec-pinned in ClusterStoreSpec.
+    */
+  def q41e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val store = graft.TempRoots.create("graft_clusters_q41e_")
+    ClusterStore.init(dupComponentsStar(minhashPairs(docs)), store)
+    ClusterStore.remove(spark, store,
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 4).select(col("doc_id")),
+      idCol = "doc_id")
+    ClusterStore.read(spark, store)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long"))
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  val q41eSql: String = dupReachCte + "\n" +
+    """SELECT id AS doc_id, comp AS component,
+      |       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+      |FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      |WHERE id % 5 <> 4
+      |ORDER BY doc_id""".stripMargin
 
   /** q68b_dedup_keep_merge: the deduplicated corpus maintained
     * INCREMENTALLY — [[q41c]]'s merged resolution taken to q68's

@@ -557,6 +557,11 @@ object Vector {
 
   private val IvfTables = Seq("postings")
 
+  /** Claim-scan table set: includes the tombstone table so a delete
+    * generation can never collide with an append's id.
+    */
+  private val IvfScanTables = IvfTables :+ graft.sources.GenCommit.TombsTable
+
   /** The postings' COMMITTED rows (generation = first partition level,
     * admitted by commit marker — a crashed or half-published append is
     * invisible AND, by partition pruning, unread; GenCommit migration
@@ -606,7 +611,7 @@ object Vector {
     // the claim records the writer token so publish verifies ownership
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      IvfTables, token = tk)
+      IvfScanTables, token = tk)
     nearestCells(
         delta.select(col(idCol).as("id"), col(vecCol).as("vec")), cents, 1)
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
@@ -617,6 +622,35 @@ object Vector {
         .stagePath(indexDir, gen, "postings", tk))
     graft.sources.GenCommit.publish(spark, indexDir, gen, IvfTables, tk,
       claimed = true)
+  }
+
+  /** TOMBSTONE delete from the standing IVF index — remove vectors
+    * without a rebuild (VERDICT r14 #1): one delta-proportional
+    * generation holding only the removed ids (the shared `tombs` table);
+    * the postings' cell partitions are never touched. Searches mask dead
+    * rows by [[graft.sources.GenCommit.maskTombstones]]' later-generation
+    * rule, so delete-then-re-append revives the vector (its new posting
+    * row sits past the tombstone) and an `asOfGen` pin from before the
+    * delete still sees it — both spec-pinned in VectorSpec. The frozen
+    * quantizer is untouched (deleting training points does not move the
+    * stored centroids — the ivfAppend drift argument applies verbatim);
+    * [[ivfCompact]] folds tombstones into the posting rewrite and drops
+    * the tombs table.
+    */
+  def ivfDelete(
+      spark: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      IvfScanTables, token = tk)
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
+        graft.sources.GenCommit.TombsTable, tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen,
+      Seq(graft.sources.GenCommit.TombsTable), tk, claimed = true)
   }
 
   /** Small-file compaction for an appended IVF index — the third piece of
@@ -655,12 +689,22 @@ object Vector {
     // reused across compaction, so stale asOfGen pins fail loudly and
     // the surviving pin means the same data before and after (review r14)
     val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
-    ivfPostings(spark, indexDir).drop("gen")
+    // tombstones FOLD: alive rows only survive the rewrite, and the tombs
+    // dir drops before the commit-set reset (lshCompact's window
+    // argument: the compacted rows sit at gen=keepGen ≥ every tombstone
+    // generation, untouched by the strict later-generation rule)
+    graft.sources.GenCommit.maskTombstones(spark, indexDir,
+        ivfPostings(spark, indexDir), "neighbor_id")
+      .drop("gen")
       .repartition(col("cell"))
       .withColumn("gen", lit(keepGen))
       .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
     // commit set resets to {keepGen}: after the postings swap the listed
     // old generation ids admit only rows of the (complete) compacted
     // table, so every intermediate state serves exactly the committed
@@ -715,8 +759,12 @@ object Vector {
       .withColumn("p_norm", nNorm(col("p_vec")))
     val probed = p.select("cell").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val postings = ivfPostings(spark, indexDir, asOfGen)
-      .filter(col("cell").isin(probed: _*))
+    // tombstone masking rides on the cell-pruned slice (no cost until a
+    // delete exists) — a deleted vector can reach no candidate list
+    val postings = graft.sources.GenCommit.maskTombstones(spark, indexDir,
+      ivfPostings(spark, indexDir, asOfGen)
+        .filter(col("cell").isin(probed: _*)),
+      "neighbor_id", asOfGen)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     postings.join(broadcast(p), Seq("cell"))
@@ -1253,6 +1301,50 @@ object Vector {
       |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
       |  FROM v p, v c
       |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+
+  /** q71b_ivf_deleted: the TOMBSTONE-DELETE gate for the IVF index
+    * (VERDICT r14 #1) — build over the full embedding corpus,
+    * [[ivfDelete]] the `vec_id % 5 = 3` slice, search all cells. With
+    * nprobe = nlist the masked candidate set is exactly the surviving
+    * corpus, so the result must equal brute-force top-k over the
+    * pre-filtered corpus — own oracle = q71's SQL with the candidate
+    * side filtered (one leaked dead vector re-ranks a top-10 and
+    * mismatches loudly). Probes stay UNfiltered: a deleted vector may
+    * still probe (the takedown flow queries with content the index no
+    * longer holds). Delete-then-re-append and as-of-before-delete are
+    * spec-pinned in VectorSpec.
+    */
+  def q71b(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.TempRoots.create("graft_ivf_q71b_")
+    val emb = Tables.embeddings(spark, dir)
+    ivfBuild(emb, idx, nlist = 16)
+    ivfDelete(spark, idx, emb.filter(pmod(col("vec_id"), lit(5L)) === 3))
+    ivfSearch(spark, idx, emb.filter(col("vec_id") < 8),
+        nprobe = 16, k = 10)
+      .select(col("probe_id"), col("neighbor_id"), col("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** q71's brute-force fold with the candidate side restricted to the
+    * post-delete survivors.
+    */
+  val q71bSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM embeddings)
+      |SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         row_number() OVER (PARTITION BY p.vec_id
+      |           ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))),
+      |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
+      |  FROM v p, v c
+      |  WHERE p.vec_id < 8 AND c.vec_id <> p.vec_id AND c.vec_id % 5 <> 3)
       |WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin
 

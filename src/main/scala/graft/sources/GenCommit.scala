@@ -123,6 +123,58 @@ object GenCommit {
       .filter(org.apache.spark.sql.functions.col("gen").isin(gens: _*))
   }
 
+  /** [[committedTable]] for a table that may not exist yet — the
+    * TOMBSTONE table's reader: an index that has never seen a delete has
+    * no `tombs` dir at all, and the read must then cost NOTHING (no scan,
+    * no join — callers skip masking entirely on None). An existing dir
+    * whose generations are all outside the as-of pin reads as an empty
+    * frame through the ordinary committed filter.
+    */
+  def committedTableIfExists(spark: SparkSession, indexDir: String,
+      table: String, asOf: Option[Long] = None)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val f = fsOf(spark, indexDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$indexDir/$table"))) None
+    else Some(committedTable(spark, indexDir, table, asOf))
+  }
+
+  /** The shared tombstone table name: a DELETE commits a generation
+    * holding only the removed ids (single column `id`), and readers mask
+    * data rows by [[maskTombstones]]' rule. Kept one name across every
+    * standing index so the delete lifecycle cannot drift per index.
+    */
+  val TombsTable = "tombs"
+
+  /** Equality-delete masking (the lake formats' sequence-number rule): a
+    * data row of generation g is DEAD iff some committed tombstone for
+    * its id sits at a LATER generation (tombGen > g — strictly, so
+    * delete-then-re-append revives the id: the re-appended rows carry a
+    * generation past the tombstone's and survive, while every copy from
+    * before the delete stays masked). `asOf` pins both sides to one
+    * snapshot, so an as-of read from before a delete still sees the doc.
+    *
+    * Cost shape: nothing at all while the index has no tombs table (the
+    * common case — the filter is only planned when deletes exist); with
+    * deletes, one delete-proportional aggregate plus a join the optimizer
+    * broadcasts at real-world delete rates. Deletes accumulate until the
+    * index's compaction folds them into the data tables and drops the
+    * tombs table.
+    */
+  def maskTombstones(spark: SparkSession, indexDir: String,
+      data: org.apache.spark.sql.DataFrame, idCol: String,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    committedTableIfExists(spark, indexDir, TombsTable, asOf) match {
+      case None => data
+      case Some(tombs) =>
+        val tmax = tombs.groupBy(col("id").as(idCol))
+          .agg(max(col("gen")).as("__tomb_gen"))
+        data.join(tmax, Seq(idCol), "left")
+          .filter(col("__tomb_gen").isNull || col("gen") > col("__tomb_gen"))
+          .drop("__tomb_gen")
+    }
+  }
+
   /** The next free generation id: past every committed id AND every
     * existing gen dir (a crashed publish may have renamed a table in
     * without committing — its id is burned, never reused).

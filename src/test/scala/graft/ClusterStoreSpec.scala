@@ -118,6 +118,40 @@ class ClusterStoreSpec extends SparkSuite {
       "claim release failed — the CAS slot stayed burned")
   }
 
+  test("remove tombstones: view = labels minus removed rows (absent ids " +
+      "a no-op); as-of-before-remove reads the old label; a later merge " +
+      "RE-ADDS a removed doc its pairs touch; compact folds tombstones") {
+    val dir = TempRoots.create("graft_cstore_rm_")
+    ClusterStore.init(batchLabels(night0), dir)          // gen 0
+    val full = labelMap(batchLabels(night0))
+    // remove doc 2 (mid-cluster), 31 (pair cluster) and 999 (never held)
+    ClusterStore.remove(spark, dir, Seq(2L, 31L, 999L).toDF("id")) // gen 1
+    assert(readMap(dir) == full - 2L - 31L,
+      "view must be the labels minus exactly the removed rows")
+    // row-scoped: the survivors of the removed docs' clusters keep labels
+    assert(readMap(dir)(3L) == full(3L) && readMap(dir)(30L) == full(30L))
+    assert(readMap(dir, Some(0L)) == full,
+      "as-of-before-remove must read the old label")
+    // a merge whose delta pairs touch a removed doc re-adds it: (2, 11)
+    // pulls doc 2 back into 11's cluster. Removal was ROW-SCOPED, so the
+    // store holds no memory of 2's OLD membership — cluster {1, 3} stays
+    // apart (re-linking it would need a re-detected (2, 1-or-3) pair),
+    // which is exactly the documented takedown semantic
+    ClusterStore.merge(spark, dir, pairsDf(Seq((2L, 11L))))  // gen 2
+    val re = readMap(dir)
+    assert(re.contains(2L) && re(2L) == re(11L) && re(2L) == re(10L),
+      s"re-entered doc must land in the touched cluster: $re")
+    assert(re(1L) == 1L && re(3L) == 1L,
+      s"row-scoped removal must not re-link the old cluster: $re")
+    assert(!re.contains(31L), "the un-touched removed doc must stay gone")
+    // compact folds: tombstones vanish with the history, view unchanged
+    ClusterStore.compact(spark, dir)
+    assert(readMap(dir) == re, "compaction changed the view")
+    assert(spark.read.parquet(s"$dir/labels")
+        .filter(col("comp").isNull).count() == 0L,
+      "tombstone rows survived the compaction rewrite")
+  }
+
   test("recoverClaims unsticks a crashed nightly WITHOUT a compaction: " +
       "the orphan claim frees, a published gen's claim residue stays") {
     val dir = TempRoots.create("graft_cstore_recover_")

@@ -193,6 +193,52 @@ class InvertedSpec extends SparkSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("invDelete tombstones: netted stats + masked postings ≡ a build " +
+      "over the survivors; as-of-before-delete reads the old scores; " +
+      "re-append restores them; compact folds (stats net to one row)") {
+    val docs = Tables.documents(spark, sf001)
+    val dropped = docs.filter(col("doc_id") % 5 >= 3)
+    val kept = docs.filter(col("doc_id") % 5 < 3)
+    def search(d: String, asOf: Option[Long] = None) =
+      Inverted.invSearch(spark, d, Seq("table", "hash"), asOfGen = asOf)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = TempRoots.create("graft_inv_del_")
+    Inverted.invBuild(docs, dir, nBuckets = 16)         // gen 0
+    val before = search(dir)
+    Inverted.invDelete(spark, dir, dropped)             // gen 1
+    val after = search(dir)
+    val ref = TempRoots.create("graft_inv_del_ref_")
+    Inverted.invBuild(kept, ref, nBuckets = 16)
+    assert(after == search(ref),
+      "post-delete search must equal a build over the survivors — " +
+        "scores included (a stats drift moves every avgdl-dependent score)")
+    assert(before != after, "vacuous fixture: deletion moved no score")
+    assert(search(dir, asOf = Some(0L)) == before,
+      "as-of-before-delete must reproduce the pre-delete scores")
+    // delete-then-re-append: the new generation re-adds exactly the
+    // stats the delete subtracted and its postings outrank the tombstone
+    Inverted.invAppend(spark, dir, dropped)             // gen 2
+    assert(search(dir) == before,
+      "re-append must restore the original scores bit for bit")
+    // delete again, compact: postings rewrite drops dead rows, stats net
+    // to ONE row equal to the survivors' build stats, tombs table goes
+    Inverted.invDelete(spark, dir, dropped)             // gen 3
+    Inverted.invCompact(spark, dir)
+    assert(search(dir) == after, "compaction changed the search result")
+    assert(!new java.io.File(s"$dir/tombs").exists(),
+      "compaction must fold the tombstone table away")
+    val st = spark.read.parquet(s"$dir/stats").collect()
+    assert(st.length == 1)
+    val refSt = spark.read.parquet(s"$ref/stats")
+      .select("n_docs", "total_dl").head()
+    assert(st.head.getAs[Long]("n_docs") == refSt.getLong(0) &&
+      st.head.getAs[Long]("total_dl") == refSt.getLong(1),
+      "netted stats must equal the survivors' build stats exactly")
+    assert(spark.read.parquet(s"$dir/postings")
+        .filter(col("doc_id") % 5 >= 3).count() == 0L,
+      "dead posting rows survived the compaction rewrite")
+  }
+
   test("asOfGen pins the committed snapshot: search/phrase at gen 0 " +
       "ignore an append; compaction invalidates old pins loudly") {
     import spark.implicits._

@@ -212,6 +212,47 @@ class TextSpec extends SparkSuite {
     assert(pairs(dirApp) == appended)
   }
 
+  test("lshDelete tombstones: delete ≡ pre-filtered build, as-of-before-" +
+      "delete still reads the doc, re-append revives, compact folds") {
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    val dropped = corpus.filter(col("doc_id") % 5 isin (2, 3))
+    def pairs(idx: String, asOf: Option[Long] = None) =
+      ops.Text.lshProbe(spark, idx, probes, threshold = 0.8, asOfGen = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val dir = TempRoots.create("graft_lsh_del_")
+    ops.Text.lshBuild(corpus, dir)                      // gen 0
+    val before = pairs(dir)
+    ops.Text.lshDelete(spark, dir, dropped)             // gen 1
+    val after = pairs(dir)
+    val ref = TempRoots.create("graft_lsh_del_ref_")
+    ops.Text.lshBuild(corpus.filter(!(col("doc_id") % 5 isin (2, 3))), ref)
+    assert(after == pairs(ref),
+      "post-delete probe must equal a build over the survivors")
+    assert(before != after,
+      "vacuous fixture: the drop slice matched no probe — widen it")
+    // an as-of pin from BEFORE the delete still reads the dropped docs
+    assert(pairs(dir, asOf = Some(0L)) == before,
+      "as-of-before-delete must see the pre-delete world")
+    // delete-then-re-append REVIVES: the re-appended generation outranks
+    // the tombstone, the pre-delete copies stay masked (exactly one copy)
+    ops.Text.lshAppend(spark, dir, dropped)             // gen 2
+    assert(pairs(dir) == before, "re-append must revive the deleted docs")
+    // delete again, then compact: dead rows physically drop, the tombs
+    // table goes away, and the probe is bit-identical across the fold
+    ops.Text.lshDelete(spark, dir, dropped)             // gen 3
+    assert(pairs(dir) == after)
+    ops.Text.lshCompact(spark, dir)
+    assert(pairs(dir) == after, "compaction changed the probe result")
+    assert(!new java.io.File(s"$dir/tombs").exists(),
+      "compaction must fold the tombstone table away")
+    assert(spark.read.parquet(s"$dir/docs")
+        .filter(col("doc_id") % 5 isin (2, 3)).count() == 0L,
+      "dead doc rows survived the compaction rewrite")
+  }
+
   test("lshCompact: one file per band afterwards, probes bit-identical") {
     val docs = Tables.documents(spark, sf001)
     val corpus = docs.filter(col("doc_id") % 5 =!= 4)

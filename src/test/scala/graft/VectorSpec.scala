@@ -579,6 +579,47 @@ class VectorSpec extends SparkSuite {
       "no delta (odd-id) neighbors surfaced — append wrote nothing?")
   }
 
+  test("ivfDelete tombstones: delete ≡ same-centroid build over the " +
+      "survivors; as-of-before-delete reads the old top-k; re-append " +
+      "revives; compact folds the tombs away") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val dropped = emb.filter(col("vec_id") % 5 === 3)
+    def search(d: String, asOf: Option[Long] = None) =
+      Vector.ivfSearch(spark, d, probes, nprobe = 16, k = 10,
+          asOfGen = asOf)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sorted.toSeq
+    val dir = TempRoots.create("graft_ivf_del_")
+    Vector.ivfBuild(emb, dir, nlist = 16)               // gen 0
+    val frozen = spark.read.parquet(s"$dir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    val before = search(dir)
+    Vector.ivfDelete(spark, dir, dropped)               // gen 1
+    val after = search(dir)
+    val ref = TempRoots.create("graft_ivf_del_ref_")
+    Vector.ivfBuild(emb.filter(col("vec_id") % 5 =!= 3), ref,
+      nlist = 16, centroids = Some(frozen))
+    assert(after == search(ref),
+      "post-delete search must equal a same-centroid build over the survivors")
+    assert(before != after, "vacuous fixture: the drop slice hit no top-k")
+    assert(search(dir, asOf = Some(0L)) == before,
+      "as-of-before-delete must read the pre-delete top-k")
+    // delete-then-re-append revives (frozen quantizer ⇒ same cells)
+    Vector.ivfAppend(spark, dir, dropped)               // gen 2
+    assert(search(dir) == before, "re-append must revive the deleted vectors")
+    // delete again, compact: dead rows physically drop, tombs table goes
+    Vector.ivfDelete(spark, dir, dropped)               // gen 3
+    Vector.ivfCompact(spark, dir)
+    assert(search(dir) == after, "compaction changed the search result")
+    assert(!new java.io.File(s"$dir/tombs").exists(),
+      "compaction must fold the tombstone table away")
+    assert(spark.read.parquet(s"$dir/postings")
+        .filter(col("neighbor_id") % 5 === 3).count() == 0L,
+      "dead posting rows survived the compaction rewrite")
+  }
+
   test("ivfAppend: an EMPTY delta leaves search results untouched") {
     // the no-new-data nightly: append of zero rows must not disturb the
     // index (a stray overwrite or partition clobber would)
