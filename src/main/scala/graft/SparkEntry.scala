@@ -80,6 +80,13 @@ object SparkEntry {
     "q92b_merge_partitioned" -> ((s, d) => ops.Merge.q92b(s, d)),
     // MERGE schema evolution: batch 2 adds a column, old rows null-fill
     "q92c_merge_evolve" -> ((s, d) => ops.Merge.q92c(s, d)),
+    // the merge target as a GenCommit table: every batch one atomic
+    // generation (stage -> manifest -> marker), merges + compact + read,
+    // torn-write window closed — shares q92b's oracle
+    "q92d_merge_gentable" -> ((s, d) => ops.Merge.q92d(s, d)),
+    // time travel on the merged table: read asOfGen = the batch-1
+    // generation after both batches applied — own batch-1 oracle
+    "q92e_merge_asof" -> ((s, d) => ops.Merge.q92e(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -425,6 +432,8 @@ object SparkEntry {
     "q92_merge_upsert"     -> ops.Merge.q92Sql,
     "q92b_merge_partitioned" -> ops.Merge.q92bSql,
     "q92c_merge_evolve" -> ops.Merge.q92cSql,
+    "q92d_merge_gentable" -> ops.Merge.q92bSql,
+    "q92e_merge_asof" -> ops.Merge.q92eSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

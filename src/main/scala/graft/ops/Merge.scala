@@ -210,57 +210,7 @@ object Merge {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq // bounded by the table's partition count
     if (touched.isEmpty) return
-    // NULL-SAFE membership: isin never matches null, so a delta touching
-    // the null partition (__HIVE_DEFAULT_PARTITION__) would otherwise
-    // read an EMPTY slice of it — the dynamic overwrite then drops every
-    // untouched null-partition row, and a delete-only delta routes null
-    // into `gone` and removes the whole directory (ADVICE r13). The
-    // ghost-partition cleanup below already treats null as a supported
-    // value; the slice filter must agree.
-    val touchedNonNull = touched.filter(_ != null)
-    val sliceFilter = {
-      val base =
-        if (touchedNonNull.nonEmpty) col(partCol).isin(touchedNonNull: _*)
-        else lit(false)
-      if (touched.contains(null)) base || col(partCol).isNull else base
-    }
-    // PARTIAL partCol-immutability guard (VERDICT r13): a delta key
-    // whose current row sits in a touched partition under a DIFFERENT
-    // partition value fails loudly instead of silently stranding the
-    // stale row. The guard rides IN-PLAN (assert_true on a left join of
-    // the small delta key→partition map, upsert's op-check technique) so
-    // the touched slice is scanned exactly ONCE — a collect-based probe
-    // would double the merge's read I/O, which CdcApply pays per
-    // micro-batch (review r14). Violations whose current row lives in an
-    // UNTOUCHED partition remain out of reach (detecting them needs a
-    // full-table read, which defeats the operator) — that residue is the
-    // documented contract.
-    val deltaParts = delta
-      .select(keys.map(col) :+ col(partCol).as("__delta_part"): _*)
-      .distinct()
-      // presence is a separate flag: a delta row may legitimately carry
-      // a NULL partition value, which must still be move-checked — the
-      // value column alone cannot distinguish "no delta row" from it
-      .withColumn("__delta_present", lit(true))
-    val slice = target.filter(sliceFilter)
-      .join(deltaParts, keys, "left")
-      .withColumn("__part_chk", assert_true(
-        col("__delta_present").isNull ||
-          col(partCol) <=> col("__delta_part"),
-        // coalesce: concat is null if ANY operand is — and null
-        // partition values are exactly one of the moves this guard
-        // catches; without it the null-move case throws with a NULL
-        // message instead of naming the contract (review r14)
-        concat(lit("upsertPartitioned: delta moves key "),
-          concat_ws(",", keys.map(col): _*),
-          lit(s" from partition $partCol="),
-          coalesce(col(partCol).cast("string"), lit("null")),
-          lit(s" to $partCol="),
-          coalesce(col("__delta_part").cast("string"), lit("null")),
-          lit(" — partCol is immutable under merge; delete in the old " +
-            "partition and insert in the new one"))))
-      .filter(col("__part_chk").isNull)
-      .drop("__part_chk", "__delta_part", "__delta_present")
+    val slice = guardedSlice(target, delta, keys, partCol, touched)
     // the delta keeps partCol: the read-back target carries it too, and
     // unionByName inside upsert enforces the schemas match column-for-column
     val merged = upsert(slice, delta, keys, opCol, seqCol)
@@ -304,6 +254,69 @@ object Merge {
     ()
   }
 
+  /** The touched-partition slice of `target`, move-guarded — shared by
+    * [[upsertPartitioned]] and [[graft.sources.GenTable.merge]] so the
+    * two partitioned-merge flavors cannot drift on the contract.
+    *
+    * NULL-SAFE membership: isin never matches null, so a delta touching
+    * the null partition (__HIVE_DEFAULT_PARTITION__) would otherwise
+    * read an EMPTY slice of it — the dynamic overwrite then drops every
+    * untouched null-partition row, and a delete-only delta routes null
+    * into `gone` and removes the whole directory (ADVICE r13).
+    *
+    * PARTIAL partCol-immutability guard (VERDICT r13): a delta key
+    * whose current row sits in a touched partition under a DIFFERENT
+    * partition value fails loudly instead of silently stranding the
+    * stale row. The guard rides IN-PLAN (assert_true on a left join of
+    * the small delta key→partition map, upsert's op-check technique) so
+    * the touched slice is scanned exactly ONCE — a collect-based probe
+    * would double the merge's read I/O, which CdcApply pays per
+    * micro-batch (review r14). Violations whose current row lives in an
+    * UNTOUCHED partition remain out of reach (detecting them needs a
+    * full-table read, which defeats the operator) — that residue is the
+    * documented contract.
+    */
+  private[graft] def guardedSlice(
+      target: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      partCol: String,
+      touched: Seq[Any]): DataFrame = {
+    val touchedNonNull = touched.filter(_ != null)
+    val sliceFilter = {
+      val base =
+        if (touchedNonNull.nonEmpty) col(partCol).isin(touchedNonNull: _*)
+        else lit(false)
+      if (touched.contains(null)) base || col(partCol).isNull else base
+    }
+    val deltaParts = delta
+      .select(keys.map(col) :+ col(partCol).as("__delta_part"): _*)
+      .distinct()
+      // presence is a separate flag: a delta row may legitimately carry
+      // a NULL partition value, which must still be move-checked — the
+      // value column alone cannot distinguish "no delta row" from it
+      .withColumn("__delta_present", lit(true))
+    target.filter(sliceFilter)
+      .join(deltaParts, keys, "left")
+      .withColumn("__part_chk", assert_true(
+        col("__delta_present").isNull ||
+          col(partCol) <=> col("__delta_part"),
+        // coalesce: concat is null if ANY operand is — and null
+        // partition values are exactly one of the moves this guard
+        // catches; without it the null-move case throws with a NULL
+        // message instead of naming the contract (review r14)
+        concat(lit("upsertPartitioned: delta moves key "),
+          concat_ws(",", keys.map(col): _*),
+          lit(s" from partition $partCol="),
+          coalesce(col(partCol).cast("string"), lit("null")),
+          lit(s" to $partCol="),
+          coalesce(col("__delta_part").cast("string"), lit("null")),
+          lit(" — partCol is immutable under merge; delete in the old " +
+            "partition and insert in the new one"))))
+      .filter(col("__part_chk").isNull)
+      .drop("__part_chk", "__delta_part", "__delta_present")
+  }
+
   /** q92b_merge_partitioned: the two q92 merge batches, restricted to
     * order years ≥ 1996, against a REAL parquet target partitioned by
     * order year — [[upsertPartitioned]]'s full path: partition-pruned
@@ -333,10 +346,13 @@ object Merge {
     * extra delta-row predicate — empty for q92, the year restriction for
     * q92b — ONE template for both oracles so they cannot drift.
     */
-  private def mergeSqlCte(pred: String, evolve: Boolean = false): String = {
+  private def mergeSqlCte(pred: String, evolve: Boolean = false,
+      batches: Int = 2): String = {
+    require(batches == 1 || batches == 2, s"batches: $batches")
     val rvD2 = if (evolve) ", 'rv-' || o_orderkey AS o_review" else ""
     val rvNull = if (evolve) ", NULL AS o_review" else ""
     val rvSel = if (evolve) ", o_review" else ""
+    val finalCte = if (batches == 1) "m1" else "m2"
     s"""WITH t0 AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderkey % 4 <> 3),
@@ -377,7 +393,7 @@ object Merge {
       |  UNION ALL
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate$rvSel
       |  FROM d2 WHERE op <> 'delete')
-      |SELECT * FROM m2 ORDER BY o_orderkey""".stripMargin
+      |SELECT * FROM $finalCte ORDER BY o_orderkey""".stripMargin
   }
 
   val q92Sql: String = mergeSqlCte("")
@@ -386,6 +402,64 @@ object Merge {
     * years ≥ 1996 (the 1992–95 partitions stay untouched on disk).
     */
   val q92bSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996")
+
+  /** q92d_merge_gentable: q92b's two batches through [[graft.sources
+    * .GenTable]] — every merge an ATOMIC generation (stage → manifest →
+    * marker; the torn-write window of q92b's in-place dynamic overwrite
+    * closed), plus a compaction, then the current view. Same final state
+    * as q92b by construction: SHARES q92b's oracle, which gates init →
+    * merge → merge → compact → read end to end (the x21b lifecycle
+    * precedent for the warehouse table).
+    */
+  def q92d(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92d_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.compact(spark, tbl, "yr")
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
+    * applied, then read `asOfGen` = the batch-1 generation: the result
+    * must be the state AFTER batch 1 and BEFORE batch 2 (batch 2's
+    * updates, deletes and re-inserts all invisible). Own oracle: the
+    * same chained-CTE template cut at m1 — the template's batch
+    * parameter, so the two oracles cannot drift. A leaked batch-2
+    * partition (the resolution rule's failure mode) changes rows and
+    * hash-mismatches loudly.
+    */
+  def q92e(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92e_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))                                     // gen 1
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))                                     // gen 2
+    graft.sources.GenTable.read(spark, tbl, "yr", asOfGen = Some(1L))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** q92e's restatement: the shared template cut at batch 1, with the
+    * year restriction on the applied delta.
+    */
+  val q92eSql: String =
+    mergeSqlCte(" AND year(o_orderdate) >= 1996", batches = 1)
 
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the
