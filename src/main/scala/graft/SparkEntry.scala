@@ -153,6 +153,11 @@ object SparkEntry {
     // file-source stream + foreachBatch partitioned MERGE, with a
     // checkpoint restart between batches — shares q92b's oracle
     "x24_stream_cdc_apply" -> ((s, d) => streaming.CdcApply.x24(s, d)),
+    // the nightly dedup pipeline as a STREAM: foreachBatch { tombstone
+    // -> lshAppend -> lshProbe -> ClusterStore.merge } over a file
+    // source with a checkpoint restart mid-gate — final store view
+    // equals q41's batch resolution (shares its oracle)
+    "x25_stream_dedup_pipeline" -> ((s, d) => streaming.DedupStream.x25(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -468,6 +473,7 @@ object SparkEntry {
     "q46b_incremental_two_batch" -> ops.Convert.q46bSql,
     "x04b_stream_incremental_gate" -> ops.Convert.x04bSql,
     "x24_stream_cdc_apply" -> ops.Merge.q92bSql,
+    "x25_stream_dedup_pipeline" -> ops.Text.q41Sql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,

@@ -526,4 +526,38 @@ class StreamingSpec extends SparkSuite {
       .map(_.getLong(0)).toSeq
     assert(got.nonEmpty && got == want)
   }
+
+  test("DedupStream replay: re-applying the SAME batch (the at-least-once " +
+      "foreachBatch case) leaves index probes and store view unchanged — " +
+      "the tombstone-first apply is the idempotency mechanism") {
+    import graft.ops.{ClusterStore, Text}
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+      .select("doc_id", "text")
+    val root = TempRoots.create("graft_dedupstream_replay_")
+    val (idx, store) = (s"$root/idx", s"$root/store")
+    Text.lshBuild(corpus, idx)
+    ClusterStore.init(
+      Text.dupComponentsStar(Text.minhashPairs(corpus)), store)
+    def view() = ClusterStore.read(spark, store).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def probeAll() = Text.lshProbe(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    graft.streaming.DedupStream.applyBatch(batch, idx, store)
+    val (v1, p1) = (view(), probeAll())
+    // the crashed-attempt replay: the SAME batch applies again
+    graft.streaming.DedupStream.applyBatch(batch, idx, store)
+    assert(view() == v1,
+      "replay changed the store view — the apply is not idempotent")
+    // a fresh probe sees each batch doc EXACTLY once (self-pairs at
+    // jaccard 1.0 from a double-appended copy would surface here)
+    assert(probeAll() == p1,
+      "replay changed index probes — a batch doc got double-appended")
+    // and the final state is the batch rebuild (merge ≡ rebuild held
+    // through the replay)
+    val want = Text.dupComponentsStar(Text.minhashPairs(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(v1 == want, "streamed resolution diverged from the rebuild")
+  }
 }
