@@ -73,7 +73,8 @@ object Stress {
       want("skyline") { skylineStage(spark, n) } ++
       want("ivfappend") { ivfAppendStage(spark, n / 10) } ++
       want("lsh") { lshStage(spark, n / 10) } ++
-      want("decon") { deconStage(spark, n / 10) }
+      want("decon") { deconStage(spark, n / 10) } ++
+      want("compactpolicy") { compactPolicyStage(spark, n / 10) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -376,6 +377,58 @@ object Stress {
     * commit) — post-compaction latency should sit at that anchor, i.e. the
     * accumulated commit history costs nothing after maintenance.
     */
+  /** The compaction-policy constants, measured (VERDICT r14 #5): a
+    * ClusterStore label pile at the 1M-label scale, 30 tiny nightly
+    * merge generations on top — the shape a month of nightlies leaves.
+    * Emits the read time at 31 generations vs compacted, the compact
+    * cost itself, and `shouldCompact`'s verdict before/after, which is
+    * how GenCommit's PerGenReadSec / CompactFixedSec constants were
+    * fitted (SCALE.md r15).
+    */
+  private def compactPolicyStage(
+      spark: SparkSession, m: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    val root = graft.TempRoots.create("graft_cpolicy_")
+    val store = s"$root/store"
+    // m labels: pair clusters (2k ↔ 2k+1), comp = the even member
+    val labels = spark.range(m)
+      .select(col("id"), (col("id") - pmod(col("id"), lit(2L))).as("comp"))
+    val nights = 30
+    val perNight = math.max(1L, m / 1000)
+    val t0 = System.nanoTime()
+    ops.ClusterStore.init(labels, store)
+    val initSec = (System.nanoTime() - t0) / 1e9
+    // 30 nightly merges, each a tiny batch of NEW pair clusters — the
+    // delta-proportional write path, leaving 31 generations on disk
+    val tm = System.nanoTime()
+    (0 until nights).foreach { k =>
+      val lo = m + k * 2 * perNight
+      val pairs = spark.range(lo, lo + perNight)
+        .select((col("id") * 2).as("doc_a"), (col("id") * 2 + 1).as("doc_b"))
+      ops.ClusterStore.merge(spark, store, pairs)
+    }
+    val mergeSec = (System.nanoTime() - tm) / 1e9
+    val should31 =
+      if (ops.ClusterStore.shouldCompact(spark, store)) 1.0 else 0.0
+    val readPiled = time(s"cpolicy_read_${nights + 1}gens") {
+      noop(ops.ClusterStore.read(spark, store))
+    }
+    val compactT = time("cpolicy_compact") {
+      ops.ClusterStore.compact(spark, store)
+    }
+    val readFlat = time("cpolicy_read_1gen") {
+      noop(ops.ClusterStore.read(spark, store))
+    }
+    val should1 =
+      if (ops.ClusterStore.shouldCompact(spark, store)) 1.0 else 0.0
+    Seq(
+      (s"cpolicy_init_${m}", initSec),
+      (s"cpolicy_merge_${nights}x${perNight}", mergeSec),
+      readPiled, compactT, readFlat,
+      ("cpolicy_should_at_31gens", should31),
+      ("cpolicy_should_at_1gen", should1))
+  }
+
   private def ledgerCompactionStage(
       spark: SparkSession, n: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._

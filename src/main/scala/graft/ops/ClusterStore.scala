@@ -193,6 +193,17 @@ object ClusterStore {
     graft.sources.GenCommit.resetCommits(spark, dir, keepGen)
   }
 
+  /** The measured compact-now signal ([[graft.sources.GenCommit
+    * .shouldCompact]]'s crossover over the labels table): true once the
+    * nightly generations' read toll outweighs one fold. The nightly's
+    * natural call shape: `if (shouldCompact(...)) compact(...)` in the
+    * maintenance window.
+    */
+  def shouldCompact(spark: SparkSession, dir: String,
+      expectedReads: Int = 30): Boolean =
+    graft.sources.GenCommit.shouldCompact(spark, dir, Tables1,
+      expectedReads)
+
   /** Heal an interrupted [[compact]] swap; safe any time. */
   def recover(spark: SparkSession, dir: String): Unit = {
     graft.sources.SwapDir.recover(spark, dir, "labels",

@@ -352,6 +352,15 @@ object Inverted {
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
+  /** The measured compact-now signal for the inverted index
+    * ([[graft.sources.GenCommit.shouldCompact]] over postings + stats +
+    * tombstones).
+    */
+  def invShouldCompact(spark: SparkSession, indexDir: String,
+      expectedReads: Int = 30): Boolean =
+    graft.sources.GenCommit.shouldCompact(spark, indexDir, Tables2Scan,
+      expectedReads)
+
   /** Heal an interrupted [[invCompact]] swap — the two tables and the
     * commit set, each independently (a crash between swaps leaves
     * earlier ones promoted and later ones not; each rolls to a complete

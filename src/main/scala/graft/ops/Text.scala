@@ -1266,6 +1266,16 @@ object Text {
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
+  /** The measured compact-now signal for the LSH index ([[graft.sources
+    * .GenCommit.shouldCompact]]'s crossover over docs + buckets + the
+    * tombstone table — tombstone bytes are pure read redundancy, so they
+    * push toward folding).
+    */
+  def lshShouldCompact(spark: SparkSession, indexDir: String,
+      expectedReads: Int = 30): Boolean =
+    graft.sources.GenCommit.shouldCompact(spark, indexDir, LshScanTables,
+      expectedReads)
+
   /** Heal an LSH index whose [[lshCompact]] swap was interrupted — the
     * two tables and the commit set, each independently (a crash between
     * swaps leaves earlier ones promoted and later ones not; each heals

@@ -712,6 +712,15 @@ object Vector {
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 
+  /** The measured compact-now signal for the IVF index
+    * ([[graft.sources.GenCommit.shouldCompact]] over postings +
+    * tombstones).
+    */
+  def ivfShouldCompact(spark: SparkSession, indexDir: String,
+      expectedReads: Int = 30): Boolean =
+    graft.sources.GenCommit.shouldCompact(spark, indexDir, IvfScanTables,
+      expectedReads)
+
   /** Heal an IVF index whose [[ivfCompact]] swap was interrupted —
     * postings and commit set independently (a crash between the swaps
     * leaves the first promoted and the second not; each heals to a

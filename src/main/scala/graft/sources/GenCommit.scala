@@ -387,6 +387,82 @@ object GenCommit {
     */
   private val Claim = ".claim-"
 
+  /** Compaction-policy inputs, driver-side metadata only: (committed
+    * generation count, total committed bytes across `tables`, the
+    * largest single generation's bytes). Absent gen dirs (a table a
+    * generation never wrote — tombstone-only generations, delete-only
+    * nights) count zero.
+    */
+  def compactionStats(spark: SparkSession, indexDir: String,
+      tables: Seq[String]): (Int, Long, Long) = {
+    val f = fsOf(spark, indexDir)
+    val gens = committed(spark, indexDir)
+    val perGen = gens.map { g =>
+      tables.map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/$t/gen=$g")
+        if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+      }.sum
+    }
+    (gens.size, perGen.sum, if (perGen.isEmpty) 0L else perGen.max)
+  }
+
+  /** WHEN to compact — the measured crossover (VERDICT r14 #5), not a
+    * guess: every read of a multi-generation table pays (a) a
+    * per-generation metadata/open toll and (b) a re-read of the
+    * redundant bytes (everything outside the one generation a compacted
+    * table would serve), while compaction pays one fixed job overhead
+    * plus a read+write pass over the table. Compact when the expected
+    * reads before the next compaction would waste more than the rewrite
+    * costs:
+    *
+    *   expectedReads × (PerGenReadSec × (G − 1)
+    *                    + ReadSecPerByte × (B_total − B_largest))
+    *     ≥ CompactFixedSec + RewriteSecPerByte × B_total
+    *
+    * Constants measured by the Stress `compactpolicy` stage on the
+    * reference box (SCALE.md r15): the per-generation toll dominates for
+    * label-store-sized tables (many tiny nightly generations — the
+    * file-count pressure), the byte terms dominate for index-sized ones.
+    * The fixed-cost floor is what keeps a fresh 2-generation store
+    * uncompacted: two Spark jobs of overhead buy nothing there.
+    *
+    * `expectedReads` is the caller's cadence knob: how many reads the
+    * table serves between maintenance windows (default 30 ≈ a nightly
+    * pipeline compacting monthly).
+    */
+  def shouldCompact(spark: SparkSession, indexDir: String,
+      tables: Seq[String], expectedReads: Int = 30): Boolean = {
+    val (g, total, largest) = compactionStats(spark, indexDir, tables)
+    if (g <= 1) return false
+    val extraPerRead = PerGenReadSec * (g - 1) +
+      ReadSecPerByte * (total - largest).toDouble
+    val compactCost = CompactFixedSec + RewriteSecPerByte * total.toDouble
+    expectedReads * extraPerRead >= compactCost
+  }
+
+  /** Per-generation read toll: footer/open/listing per generation per
+    * read. Stress `compactpolicy` datum (1M-label ClusterStore, 30 tiny
+    * nightly generations): read at 31 gens 0.609 s vs 0.386 s compacted
+    * → (0.609 − 0.386)/30 ≈ 0.0074 s/generation (SCALE.md r15).
+    */
+  private val PerGenReadSec = 0.0075
+  /** Redundant-byte re-read rate (local parquet scan ~1 GB/s upward;
+    * conservative 2 GB/s would under-compact, so 1 GB/s).
+    */
+  private val ReadSecPerByte = 1.0e-9
+  /** One compaction's fixed overhead: the read+rewrite Spark jobs plus
+    * the swap/commit metadata. Stress `compactpolicy` datum: compacting
+    * the ~10 MB pile took 0.97 s — essentially all fixed cost at that
+    * size (SCALE.md r15). This floor is what keeps a fresh store
+    * uncompacted: with the measured toll, the nightly-cadence default
+    * (expectedReads = 30) first fires at ~6 generations.
+    */
+  private val CompactFixedSec = 1.0
+  /** Rewrite rate: read all generations + write the view (~1 GB/s read +
+    * ~0.3 GB/s snappy parquet write on the reference box).
+    */
+  private val RewriteSecPerByte = 4.0e-9
+
   /** Release claims whose generation never BEGAN publishing — no gen dir
     * exists for the id in any table (a writer that died between claiming
     * and its first rename). Without this, a crashed CAS writer (e.g.

@@ -173,6 +173,32 @@ class ClusterStoreSpec extends SparkSuite {
       "recoverClaims must not disturb committed history")
   }
 
+  test("shouldCompact crossover: a fresh store says no, a pile of " +
+      "nightly generations says yes, compaction resets the signal") {
+    val dir = TempRoots.create("graft_cstore_policy_")
+    ClusterStore.init(batchLabels(night0), dir)          // G = 1
+    assert(!ClusterStore.shouldCompact(spark, dir),
+      "a single-generation store must never ask for a fold")
+    ClusterStore.merge(spark, dir, pairsDf(night1))      // G = 2
+    ClusterStore.merge(spark, dir, pairsDf(night2))      // G = 3
+    assert(!ClusterStore.shouldCompact(spark, dir),
+      "three generations sit under the measured fixed-cost floor " +
+        "(CompactFixedSec) — folding buys less than it costs")
+    // a month of tiny nightly generations: the per-generation read toll
+    // (PerGenReadSec, Stress-measured) accumulates past the rewrite cost
+    (0 until 12).foreach { k =>
+      val lo = 1000L + k * 2
+      ClusterStore.merge(spark, dir, pairsDf(Seq((lo, lo + 1))))
+    }
+    assert(ClusterStore.shouldCompact(spark, dir),
+      "15 generations of nightly tolls must cross the measured threshold")
+    val before = readMap(dir)
+    ClusterStore.compact(spark, dir)
+    assert(readMap(dir) == before)
+    assert(!ClusterStore.shouldCompact(spark, dir),
+      "the fold must reset the signal")
+  }
+
   test("q41d end-to-end on the fixture corpus: store view after the " +
       "nightly merge equals q41's batch rebuild") {
     val got = Text.q41d(spark, sf001).collect()
