@@ -363,20 +363,6 @@ object Stress {
       })
   }
 
-  /** The incremental pipeline's ledger after sustained operation
-    * (VERDICT r9 #8): every [[graft.streaming.IncrementalPipeline.runBatch]]
-    * appends one small file per batch, so a pipeline that has run 1000
-    * micro-batches anti-joins its source against a 1000-file ledger —
-    * footer reads and task scheduling scale with the COMMIT COUNT, not the
-    * id count. The probe replays that commit history literally (default
-    * 1000 single-file appends, `SPARK_GRAFT_STRESS_BATCHES` to vary),
-    * measures the pickup anti-join against the fragmented ledger, runs
-    * [[graft.streaming.IncrementalPipeline.compactLedger]], and re-measures.
-    * "Flat after compaction" is pinned by the third timing: the same
-    * pickup against a BORN-COMPACT ledger (identical ids written in one
-    * commit) — post-compaction latency should sit at that anchor, i.e. the
-    * accumulated commit history costs nothing after maintenance.
-    */
   /** The compaction-policy constants, measured (VERDICT r14 #5): a
     * ClusterStore label pile at the 1M-label scale, 30 tiny nightly
     * merge generations on top — the shape a month of nightlies leaves.
@@ -429,6 +415,20 @@ object Stress {
       ("cpolicy_should_at_1gen", should1))
   }
 
+  /** The incremental pipeline's ledger after sustained operation
+    * (VERDICT r9 #8): every [[graft.streaming.IncrementalPipeline.runBatch]]
+    * appends one small file per batch, so a pipeline that has run 1000
+    * micro-batches anti-joins its source against a 1000-file ledger —
+    * footer reads and task scheduling scale with the COMMIT COUNT, not the
+    * id count. The probe replays that commit history literally (default
+    * 1000 single-file appends, `SPARK_GRAFT_STRESS_BATCHES` to vary),
+    * measures the pickup anti-join against the fragmented ledger, runs
+    * [[graft.streaming.IncrementalPipeline.compactLedger]], and re-measures.
+    * "Flat after compaction" is pinned by the third timing: the same
+    * pickup against a BORN-COMPACT ledger (identical ids written in one
+    * commit) — post-compaction latency should sit at that anchor, i.e. the
+    * accumulated commit history costs nothing after maintenance.
+    */
   private def ledgerCompactionStage(
       spark: SparkSession, n: Long): Seq[(String, Double)] = {
     import org.apache.spark.sql.functions._

@@ -204,10 +204,14 @@ object Inverted {
       // dl per removed id from its ALIVE posting rows (any term's row
       // carries the doc's dl — max() just picks one); ids without
       // postings (token-less members) contribute 0, matching what their
-      // build generation added
+      // build generation added. The semi-join to the (small, broadcast)
+      // delete set runs BELOW the aggregate (review r15): the scan stays
+      // one narrow pass over the postings, but the groupBy shuffles only
+      // the deleted ids' rows — delete-proportional, not corpus-wide
       val alivePost = graft.sources.GenCommit.maskTombstones(spark,
         indexDir, committedTable(spark, indexDir, "postings"), "doc_id")
       val dl = alivePost.select(col("doc_id").as("id"), col("dl"))
+        .join(del, Seq("id"), "left_semi")
         .groupBy(col("id")).agg(max(col("dl")).as("dl"))
       del.join(dl, Seq("id"), "left")
         .agg((-count(lit(1))).cast("long").as("n_docs"),
@@ -345,10 +349,7 @@ object Inverted {
       .write.mode("overwrite").partitionBy("gen")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "stats"))
     graft.sources.SwapDir.swap(spark, indexDir, "stats")
-    val f = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.delete(new org.apache.hadoop.fs.Path(
-      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
+    graft.sources.GenCommit.dropTombs(spark, indexDir)
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
 

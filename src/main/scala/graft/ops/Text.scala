@@ -1258,8 +1258,7 @@ object Text {
     // at gen=keepGen (which the strict masking rule leaves untouched —
     // see above), so dropping the tombs dir changes no read at any
     // crash point
-    fs.delete(new org.apache.hadoop.fs.Path(
-      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
+    graft.sources.GenCommit.dropTombs(spark, indexDir)
     // commit set resets to {keepGen}; see invCompact's window-by-window
     // argument — every intermediate state serves exactly the committed
     // rows, and uncommitted orphan generations vanish with the swaps

@@ -701,10 +701,7 @@ object Vector {
       .write.mode("overwrite").partitionBy("gen", "cell")
       .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
     graft.sources.SwapDir.swap(spark, indexDir, "postings")
-    val f = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    f.delete(new org.apache.hadoop.fs.Path(
-      s"$indexDir/${graft.sources.GenCommit.TombsTable}"), true)
+    graft.sources.GenCommit.dropTombs(spark, indexDir)
     // commit set resets to {keepGen}: after the postings swap the listed
     // old generation ids admit only rows of the (complete) compacted
     // table, so every intermediate state serves exactly the committed

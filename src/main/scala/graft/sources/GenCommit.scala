@@ -274,22 +274,37 @@ object GenCommit {
     }
   }
 
-  /** The owner token recorded in a claim file ("" if the file is empty
-    * or absent) — what [[publish]](claimed = true) verifies.
+  /** Read a small metadata file fully as UTF-8 ("" if absent) — claim
+    * tokens here, partition manifests in [[GenTable]]. Metadata-sized
+    * files only (read into one driver-side buffer).
     */
-  private def claimToken(f: org.apache.hadoop.fs.FileSystem,
+  def readSmallFile(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
     if (!f.exists(p)) return ""
     val in = f.open(p)
     try {
       val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](256)
+      val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       new String(bytes.toByteArray,
         java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
+
+  /** The owner token recorded in a claim file ("" if the file is empty
+    * or absent) — what [[publish]](claimed = true) verifies.
+    */
+  private def claimToken(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = readSmallFile(f, p)
+
+  /** Drop the folded tombstone table — every index compactor's last
+    * step before (or after) its commit-set reset; shared so the delete
+    * lifecycle stays one code path across the standing indexes.
+    */
+  def dropTombs(spark: SparkSession, indexDir: String): Unit =
+    fsOf(spark, indexDir).delete(
+      new org.apache.hadoop.fs.Path(s"$indexDir/$TombsTable"), true)
 
   /** Release a claim THIS WRITER owns and has not begun publishing —
     * the CAS-failure cleanup ([[graft.ops.ClusterStore.merge]]): a
@@ -428,14 +443,21 @@ object GenCommit {
     *
     * `expectedReads` is the caller's cadence knob: how many reads the
     * table serves between maintenance windows (default 30 ≈ a nightly
-    * pipeline compacting monthly).
+    * pipeline compacting monthly). `bytesAmplified = false` drops the
+    * redundant-byte term for stores whose reads touch each row exactly
+    * once regardless of generation count ([[GenTable]]'s
+    * partition-granular resolution — review r15): only the
+    * per-generation metadata toll applies there.
     */
   def shouldCompact(spark: SparkSession, indexDir: String,
-      tables: Seq[String], expectedReads: Int = 30): Boolean = {
+      tables: Seq[String], expectedReads: Int = 30,
+      bytesAmplified: Boolean = true): Boolean = {
     val (g, total, largest) = compactionStats(spark, indexDir, tables)
     if (g <= 1) return false
-    val extraPerRead = PerGenReadSec * (g - 1) +
-      ReadSecPerByte * (total - largest).toDouble
+    val redundant =
+      if (bytesAmplified) ReadSecPerByte * (total - largest).toDouble
+      else 0.0
+    val extraPerRead = PerGenReadSec * (g - 1) + redundant
     val compactCost = CompactFixedSec + RewriteSecPerByte * total.toDouble
     expectedReads * extraPerRead >= compactCost
   }

@@ -67,26 +67,48 @@ object DedupStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexDir, storeDir, idCol, textCol, threshold)
+        applyBatch(batch, batchId, indexDir, storeDir, idCol, textCol,
+          threshold)
       }
       .start()
 
   /** One micro-batch's apply — the loop body, split out so the replay
     * contract is directly spec-pinned (StreamingSpec applies a batch
     * twice and asserts index probes and store view unchanged).
+    *
+    * The tombstone is RETRY-ONLY (review r15): an unconditional
+    * delete-first would commit a tombs generation of every id ever
+    * ingested, so every probe would pay the masking join against a
+    * TOTAL-INGEST-sized table from the first batch on. Instead one
+    * atomic attempt marker (`indexDir/stream_attempts/<batchId>`,
+    * created BEFORE any apply work) distinguishes the cases: marker
+    * freshly created ⇒ first delivery, nothing to mask, no tombstone;
+    * marker already present ⇒ a previous attempt may have half-applied,
+    * so tombstone the batch's ids first. The happy path therefore never
+    * grows the tombs table at all — maskTombstones stays the free no-op
+    * — while every crash point still replays idempotently (the marker
+    * lands before the first append can).
     */
   private[graft] def applyBatch(
       batch: DataFrame,
+      batchId: Long,
       indexDir: String,
       storeDir: String,
       idCol: String = "doc_id",
       textCol: String = "text",
       threshold: Double = 0.9): Unit = {
     val spark = batch.sparkSession
+    if (batch.isEmpty) return // no generations for an empty trigger
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/stream_attempts/$batchId")
+    fs.mkdirs(marker.getParent)
+    val retry = !fs.createNewFile(marker)
     val b = batch.persist() // three consumers below; unpersisted per batch
     try {
       graft.ops.ClusterStore.recoverClaims(spark, storeDir)
-      graft.ops.Text.lshDelete(spark, indexDir, b, idCol)
+      if (retry) graft.ops.Text.lshDelete(spark, indexDir, b, idCol)
       graft.ops.Text.lshAppend(spark, indexDir, b, idCol, textCol)
       val pairs = graft.ops.Text
         .lshProbe(spark, indexDir, b, idCol, textCol, threshold)

@@ -98,6 +98,20 @@ class GenTableSpec extends SparkSuite {
       GenTable.read(spark, dir, "p", Some(0L)).collect()
     }
     assert(e.getMessage.contains("not a committed generation"))
+    // the degenerate endpoint: delete EVERY remaining row, compact — the
+    // table must read as an empty frame (not crash on empty.reduce or
+    // schema inference; review r15), and still accept a new merge
+    GenTable.merge(spark, dir, "p",
+      Seq((1L, "A", 10.0, "delete"), (2L, "A", 20.0, "delete"),
+        (5L, "C", 50.0, "delete")).toDF("k", "p", "v", "_op"),
+      Seq("k"))
+    assert(readSet(dir).isEmpty, "delete-all must read as empty")
+    GenTable.compact(spark, dir, "p")
+    assert(readSet(dir).isEmpty, "empty view must survive compaction")
+    GenTable.merge(spark, dir, "p",
+      Seq((8L, "D", 80.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(readSet(dir) == Set((8L, "D", 80.0)),
+      "an emptied-then-compacted table must accept new merges")
   }
 
   test("merge-on-read resolution: untouched partitions keep serving " +

@@ -544,10 +544,14 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     def probeAll() = Text.lshProbe(spark, idx, batch).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-    graft.streaming.DedupStream.applyBatch(batch, idx, store)
+    graft.streaming.DedupStream.applyBatch(batch, 7L, idx, store)
     val (v1, p1) = (view(), probeAll())
-    // the crashed-attempt replay: the SAME batch applies again
-    graft.streaming.DedupStream.applyBatch(batch, idx, store)
+    // first delivery never grows the tombstone table — the masking join
+    // stays the free no-op on the happy path (review r15)
+    assert(!new java.io.File(s"$idx/tombs").exists(),
+      "a first delivery committed tombstones — the retry marker failed")
+    // the crashed-attempt replay: the SAME batchId applies again
+    graft.streaming.DedupStream.applyBatch(batch, 7L, idx, store)
     assert(view() == v1,
       "replay changed the store view — the apply is not idempotent")
     // a fresh probe sees each batch doc EXACTLY once (self-pairs at
