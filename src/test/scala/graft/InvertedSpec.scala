@@ -213,6 +213,13 @@ class InvertedSpec extends SparkSuite {
       "post-delete search must equal a build over the survivors — " +
         "scores included (a stats drift moves every avgdl-dependent score)")
     assert(before != after, "vacuous fixture: deletion moved no score")
+    // phrase search masks through the same rule: post-delete phrase hits
+    // equal the survivors' build's (same pruned-lookup code path)
+    def phrase(d: String) =
+      Inverted.invPhrase(spark, d, Seq("table", "hash")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(phrase(dir) == phrase(ref),
+      "post-delete phrase search diverged from the survivors' build")
     assert(search(dir, asOf = Some(0L)) == before,
       "as-of-before-delete must reproduce the pre-delete scores")
     // delete-then-re-append: the new generation re-adds exactly the

@@ -462,6 +462,38 @@ class TextSpec extends SparkSuite {
       probes.filter(col("doc_id") < 0), threshold = 0.8).count() == 0L)
   }
 
+  test("lshProbe with TOMBSTONES present: the pruned scans keep their " +
+      "static (band, sb)/db literals — masking rides above the prune") {
+    val docs = Tables.documents(spark, sf001)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+    val probes = docs.filter(col("doc_id") % 5 === 4)
+    val dir = TempRoots.create("graft_lsh_delplan_")
+    ops.Text.lshBuild(corpus, dir)
+    ops.Text.lshDelete(spark, dir,
+      corpus.filter(col("doc_id") % 7 === 3))
+    val full = ops.Text.lshProbe(spark, dir, probes, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(full.nonEmpty, "vacuous fixture")
+    val one = probes.filter(col("doc_id") === full.head._1)
+    val small = ops.Text.lshProbe(spark, dir, one, threshold = 0.8)
+    val scans = small.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+    // the probe-proportional-reads property must SURVIVE deletion: the
+    // masking join consumes the pruned scans, it must not widen them
+    val bpf = scans.find(_.metadata("Location").contains("buckets"))
+      .get.partitionFilters.mkString(" ")
+    assert(bpf.contains("sb") && bpf.contains("band"),
+      s"tombstoned bucket scan lost its (band, sb) pruning: $bpf")
+    val dpf = scans.find(_.metadata("Location").contains("docs"))
+      .get.partitionFilters.mkString(" ")
+    assert(dpf.contains("db#") || dpf.contains("db "),
+      s"tombstoned docs scan lost its db pruning: $dpf")
+    // and the pruned one-doc probe equals the full probe's slice
+    val got = small.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == full.filter(_._1 == full.head._1))
+  }
+
   test("erMerge boundary matrix: bridge, pull-in, delta-only, recurring, untouched") {
     // the adversarial shapes an incremental ER must get right:
     //  - a delta spelling BRIDGING two standing clusters (>2 edits apart)
