@@ -158,6 +158,10 @@ object SparkEntry {
     // source with a checkpoint restart mid-gate — final store view
     // equals q41's batch resolution (shares its oracle)
     "x25_stream_dedup_pipeline" -> ((s, d) => streaming.DedupStream.x25(s, d)),
+    // x24's CDC harness onto the GenTable target: every micro-batch ONE
+    // atomic generation (no torn mid-batch state, ever), checkpoint
+    // restart between the deltas — shares q92b's oracle
+    "x26_stream_cdc_gentable" -> ((s, d) => streaming.CdcApply.x26(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -230,6 +234,9 @@ object SparkEntry {
     // inverted-index tombstone delete: build all, delete 40%, search —
     // netted stats + masked postings must equal the pre-filtered build
     "q61d_bm25_deleted"    -> ((s, d) => ops.Inverted.q61d(s, d)),
+    // the positional path under deletion: phrase search over the
+    // tombstoned index == the direct bigram scan of the survivors
+    "q58c_phrase_deleted"  -> ((s, d) => ops.Inverted.q58c(s, d)),
     // calendar densification + carry-forward fill; the window runs over
     // pre-aggregated daily rows, never fact volume
     "q62_gap_fill"         -> ((s, d) => ops.Analytics.q62(s, d)),
@@ -474,6 +481,7 @@ object SparkEntry {
     "x04b_stream_incremental_gate" -> ops.Convert.x04bSql,
     "x24_stream_cdc_apply" -> ops.Merge.q92bSql,
     "x25_stream_dedup_pipeline" -> ops.Text.q41Sql,
+    "x26_stream_cdc_gentable" -> ops.Merge.q92bSql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,
@@ -499,6 +507,7 @@ object SparkEntry {
     "q61c_bm25_indexed"    -> ops.Text.q61Sql,
     "q58b_phrase_indexed"  -> ops.Text.q58Sql,
     "q61d_bm25_deleted"    -> ops.Inverted.q61dSql,
+    "q58c_phrase_deleted"  -> ops.Inverted.q58cSql,
     "q62_gap_fill"         -> ops.Analytics.q62Sql,
     "q63_interp_linear"    -> ops.Analytics.q63Sql,
     "q64_sample_stratified" -> ops.TextAnalysis.q64Sql,

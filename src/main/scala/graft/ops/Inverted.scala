@@ -445,6 +445,37 @@ object Inverted {
       |ORDER BY score DESC, doc_id ASC
       |LIMIT 20""".stripMargin
 
+  /** q58c_phrase_deleted: the tombstone-delete gate for the POSITIONAL
+    * path — build over the full corpus, [[invDelete]] the
+    * `doc_id % 5 ≥ 3` slice, phrase-search. Phrase hits need no stats,
+    * so this isolates the posting-mask rule on the adjacency join:
+    * every occurrence of the phrase in a deleted doc must vanish, every
+    * survivor's must stay, positions exact. Own oracle: q58's
+    * direct-bigram-scan definition over the pre-filtered corpus.
+    */
+  def q58c(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = graft.TempRoots.create("graft_inv_q58c_")
+    invBuild(docs, idx)
+    invDelete(spark, idx, docs.filter(pmod(col("doc_id"), lit(5L)) >= 3))
+    invPhrase(spark, idx, Seq("table", "hash"))
+  }
+
+  /** [[graft.ops.Text.q58Sql]]'s direct-bigram scan verbatim, over the
+    * post-delete survivors.
+    */
+  val q58cSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS pos FROM (
+      |  SELECT doc_id,
+      |         unnest(range(len(w) - 1)) AS i,
+      |         unnest(list_transform(range(1, len(w)),
+      |           j -> w[j] = 'table' AND w[j+1] = 'hash')) AS hit
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |        FROM documents WHERE doc_id % 5 < 3)
+      |  WHERE len(w) > 1)
+      |WHERE hit
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** q58b_phrase_indexed: q58's phrase search as two pruned posting
     * lookups against the materialized index. Deliberately searches the
     * APPENDED two-generation index WITHOUT compacting (q61c gates the

@@ -52,6 +52,66 @@ object CdcApply {
       }
       .start()
 
+  /** The CDC apply loop onto a [[graft.sources.GenTable]] — the ingest
+    * composition with the torn-write window CLOSED (r15): [[stream]]'s
+    * foreachBatch × upsertPartitioned is effectively-once for the target
+    * STATE, but each merge's dynamic overwrite is non-atomic on disk —
+    * a crash mid-batch leaves a torn table until the replay heals it.
+    * Here every micro-batch commits as one atomic GenTable generation:
+    * a crash leaves the LAST COMMITTED state readable (never torn), the
+    * replay re-merges idempotently (same delta onto the same snapshot ⇒
+    * a new generation with identical content), and the table carries
+    * as-of reads of every applied batch until compaction.
+    */
+  def streamGen(
+      cdc: DataFrame,
+      tableDir: String,
+      keys: Seq[String],
+      partCol: String,
+      checkpointDir: String,
+      opCol: String = "_op",
+      seqCol: Option[String] = None): StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.GenTable.merge(batch.sparkSession, tableDir,
+          partCol, batch, keys, opCol, seqCol)
+      }
+      .start()
+
+  /** x26_stream_cdc_gentable: [[x24]]'s harness shape — q92b's deltas
+    * as CDC files, checkpoint restart between them — applied through
+    * [[streamGen]] to a GenTable target instead of the in-place
+    * dynamic-overwrite table. Final view SHARES q92b's oracle, gating
+    * the atomic ingest loop (stream → generation-committed MERGE →
+    * restart-safe resume) end to end.
+    */
+  def x26(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = graft.ops.Merge.mergeFixture(spark, dir)
+    val root = graft.TempRoots.create("graft_x26_")
+    val (cdcDir, tbl, ckpt) = (s"$root/cdc", s"$root/table", s"$root/ckpt")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    val sch = recent(d1).schema
+    def startApply(): StreamingQuery = {
+      val cdc = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(cdcDir)
+      streamGen(cdc, tbl, Seq("o_orderkey"), "yr", ckpt)
+    }
+    recent(d1).coalesce(1).write.mode("append").parquet(cdcDir)
+    val q1 = startApply()
+    try q1.processAllAvailable() finally q1.stop()
+    recent(d2).coalesce(1).write.mode("append").parquet(cdcDir)
+    val q2 = startApply()
+    try q2.processAllAvailable() finally q2.stop()
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
   /** x24_stream_cdc_apply: the driver gate — q92b's two delta batches
     * arrive as CDC FILES over time (one parquet file each, a file
     * source with `maxFilesPerTrigger = 1`), applied to the same

@@ -116,6 +116,17 @@ object DedupStream {
         .select(col("probe_id").as("doc_a"),
           col("index_id").as("doc_b"))
       graft.ops.ClusterStore.merge(spark, storeDir, pairs)
+      // SELF-MAINTAINING: the measured compaction policy (SCALE.md r15)
+      // runs as part of the loop — the stream is both states' single
+      // writer, so the compactors' maintenance-window contract holds by
+      // construction. The checks are driver-side metadata per trigger;
+      // a fold fires only past the measured crossover (~6 tiny nightly
+      // generations at default cadence), amortizing its cost against the
+      // per-generation read toll every subsequent probe would pay.
+      if (graft.ops.Text.lshShouldCompact(spark, indexDir))
+        graft.ops.Text.lshCompact(spark, indexDir)
+      if (graft.ops.ClusterStore.shouldCompact(spark, storeDir))
+        graft.ops.ClusterStore.compact(spark, storeDir)
     } finally b.unpersist()
   }
 
