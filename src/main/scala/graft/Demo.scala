@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.Files
 import java.time.LocalDate
 
 /** Runnable end-to-end of the reference's whole lifecycle on this engine:
@@ -24,7 +23,7 @@ object Demo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val root = Files.createTempDirectory("graft_demo_").toString
+    val root = TempRoots.create("graft_demo_")
     val (src, tgt, led) = (s"$root/orders", s"$root/orders_eur", s"$root/ledger")
 
     // six 10-minute generator ticks (dags/order_generator_dag.py:14,62)
