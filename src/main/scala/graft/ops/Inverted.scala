@@ -179,6 +179,17 @@ object Inverted {
     * once (the delete-side mirror of "caller owns doc_id uniqueness
     * across appends") — the negative stats row is computed from the
     * ids as given, and a non-member or double-deleted id would skew N.
+    * The DOUBLE-DELETE half is guarded loudly (ADVICE r15 — it was the
+    * silent-drift hole in the contract): an id already tombstoned and
+    * not since revived fails the merge here instead of committing a
+    * skewed stats row that corrupts every subsequent BM25 N/avgdl. The
+    * check costs nothing while the index has no tombs table and is
+    * delete-proportional after (both sides semi-joined to the delete
+    * set). Never-member ids remain the caller's contract: a token-less
+    * member leaves no posting rows, so membership is not representable
+    * — and for the same reason a REVIVED token-less doc is
+    * indistinguishable from a dead one and its re-delete is (rarely,
+    * conservatively) rejected too; compact first if that case is real.
     * Σdl comes from the id's alive posting rows (token-less members
     * carry no postings and contribute dl = 0, which is also their build
     * contribution). Delete-then-re-append revives the doc: the
@@ -192,11 +203,35 @@ object Inverted {
       indexDir: String,
       ids: DataFrame,
       idCol: String = "doc_id"): Unit = {
-    val tk = graft.sources.GenCommit.newToken()
-    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
-      Tables2Scan, token = tk)
     val del = ids.select(col(idCol).as("id")).distinct().persist()
     try {
+      // the double-delete guard (see the contract above): an id whose
+      // latest tombstone is NOT superseded by a later posting row is
+      // already dead — deleting it again would double-subtract its
+      // stats. Planned only when a tombs table exists (the common index
+      // pays zero), both scans semi-joined down to the delete set before
+      // aggregating, and run BEFORE the claim so a contract violation
+      // burns nothing.
+      graft.sources.GenCommit.committedTableIfExists(spark, indexDir,
+          graft.sources.GenCommit.TombsTable).foreach { tombs =>
+        val tmax = tombs.join(del, Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(max(col("gen")).as("__tgen"))
+        val pmax = committedTable(spark, indexDir, "postings")
+          .select(col("doc_id").as("id"), col("gen"))
+          .join(del, Seq("id"), "left_semi")
+          .groupBy(col("id")).agg(max(col("gen")).as("__pgen"))
+        val dead = tmax.join(pmax, Seq("id"), "left")
+          .filter(col("__pgen").isNull || col("__pgen") <= col("__tgen"))
+          .limit(5).select(col("id")).collect().map(_.get(0))
+        require(dead.isEmpty,
+          s"invDelete: id(s) ${dead.mkString(", ")} are already " +
+            "tombstoned and not since re-appended — deleting them again " +
+            "would skew the index's N/avgdl (ids must be CURRENT " +
+            "members, passed once)")
+      }
+      val tk = graft.sources.GenCommit.newToken()
+      val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+        Tables2Scan, token = tk)
       del.select(col("id"))
         .write.mode("overwrite")
         .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
@@ -219,9 +254,10 @@ object Inverted {
         .write.mode("overwrite")
         .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
           "stats", tk))
+      graft.sources.GenCommit.publish(spark, indexDir, gen,
+        Seq(graft.sources.GenCommit.TombsTable, "stats"), tk,
+        claimed = true)
     } finally del.unpersist()
-    graft.sources.GenCommit.publish(spark, indexDir, gen,
-      Seq(graft.sources.GenCommit.TombsTable, "stats"), tk, claimed = true)
   }
 
   /** BM25 over the standing index: the query terms' bucket ids are

@@ -485,6 +485,20 @@ object GenCommit {
     */
   private val RewriteSecPerByte = 4.0e-9
 
+  /** The generation ids with an outstanding CLAIM file (committed or
+    * not) — the recovery paths' worklist ([[recoverClaims]] here,
+    * [[graft.sources.GenTable.recover]] for the single-writer table).
+    */
+  def claimedGens(spark: SparkSession, indexDir: String): Seq[Long] = {
+    val f = fsOf(spark, indexDir)
+    val commitsDir = new org.apache.hadoop.fs.Path(s"$indexDir/commits")
+    if (!f.exists(commitsDir)) Seq.empty
+    else f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(Claim) &&
+        n.drop(Claim.length).nonEmpty &&
+        n.drop(Claim.length).forall(_.isDigit) => n.drop(Claim.length).toLong }
+  }
+
   /** Release claims whose generation never BEGAN publishing — no gen dir
     * exists for the id in any table (a writer that died between claiming
     * and its first rename). Without this, a crashed CAS writer (e.g.
@@ -508,10 +522,7 @@ object GenCommit {
     val f = fsOf(spark, indexDir)
     val commitsDir = new org.apache.hadoop.fs.Path(s"$indexDir/commits")
     if (!f.exists(commitsDir)) return Seq.empty
-    val claimed = f.listStatus(commitsDir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith(Claim) &&
-        n.drop(Claim.length).nonEmpty &&
-        n.drop(Claim.length).forall(_.isDigit) => n.drop(Claim.length).toLong }
+    val claimed = claimedGens(spark, indexDir)
     val marked = committed(spark, indexDir).toSet
     claimed.filter { g =>
       // a marker means the publish COMPLETED and the claim is just its

@@ -217,6 +217,41 @@ object GenTable {
   def recoverClaims(spark: SparkSession, dir: String): Seq[Long] =
     GenCommit.recoverClaims(spark, dir, DataTable)
 
+  /** SINGLE-WRITER crash healing, whatever the crash point (ADVICE r15:
+    * a merge that died mid-publish — gen dir renamed in, marker never
+    * created — burned its snapshot+1 claim, bricking a CDC stream's
+    * replay until a full [[compact]]; this is the metadata-cost remedy).
+    * Sweeps orphan stage dirs, releases pre-stage claims
+    * ([[recoverClaims]]), then ROLLS BACK every claimed-but-uncommitted
+    * generation that began publishing: its gen dir (data and tombs
+    * alike) and manifest are deleted and the claim released — safe
+    * because an unmarked generation is invisible to every reader (the
+    * protocol's whole point), so deleting it cannot change any view,
+    * and the writer that staged it is dead by the caller's contract.
+    *
+    * ONLY safe when no other writer is mid-flight — a LIVE claimant
+    * between rename and marker looks identical to a crashed one. Held
+    * by construction when the caller is the table's single writer: a
+    * CDC stream at start-up ([[graft.streaming.CdcApply.streamGen]]
+    * calls this before its first trigger), or a maintenance window.
+    *
+    * @return every generation id freed (pre-stage and mid-publish)
+    */
+  def recover(spark: SparkSession, dir: String): Seq[Long] = {
+    GenCommit.gcStages(spark, dir)
+    val f = fsOf(spark, dir)
+    val marked = GenCommit.committed(spark, dir).toSet
+    val stale = GenCommit.claimedGens(spark, dir).filterNot(marked)
+    stale.sorted.map { g =>
+      (DataTable :+ GenCommit.TombsTable).foreach { t =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$dir/$t/gen=$g"), true)
+      }
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests/$g"), false)
+      GenCommit.releaseClaim(spark, dir, g)
+      g
+    }
+  }
+
   /** The measured compact-now signal — [[GenCommit.shouldCompact]] with
     * the byte-amplification term OFF: a GenTable read scans exactly one
     * generation's copy of each partition (zero redundant bytes by

@@ -62,6 +62,16 @@ object CdcApply {
     * replay re-merges idempotently (same delta onto the same snapshot ⇒
     * a new generation with identical content), and the table carries
     * as-of reads of every applied batch until compaction.
+    *
+    * Crash recovery is START-OF-STREAM, not per batch (ADVICE r15): a
+    * merge that died between its publish rename and its commit marker
+    * burns the snapshot+1 claim, and every replay of that batch would
+    * fail the CAS loudly — availability lost until a manual compact.
+    * Since foreachBatch makes this stream the table's single writer,
+    * [[graft.sources.GenTable.recover]]'s maintenance-window contract
+    * holds at start-up by construction, so the uncommitted (and by the
+    * protocol, invisible) generation is rolled back here and the
+    * replayed batch re-merges cleanly.
     */
   def streamGen(
       cdc: DataFrame,
@@ -70,7 +80,8 @@ object CdcApply {
       partCol: String,
       checkpointDir: String,
       opCol: String = "_op",
-      seqCol: Option[String] = None): StreamingQuery =
+      seqCol: Option[String] = None): StreamingQuery = {
+    graft.sources.GenTable.recover(cdc.sparkSession, tableDir)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -78,6 +89,7 @@ object CdcApply {
           partCol, batch, keys, opCol, seqCol)
       }
       .start()
+  }
 
   /** x26_stream_cdc_gentable: [[x24]]'s harness shape — q92b's deltas
     * as CDC files, checkpoint restart between them — applied through

@@ -127,8 +127,31 @@ object DedupStream {
         graft.ops.Text.lshCompact(spark, indexDir)
       if (graft.ops.ClusterStore.shouldCompact(spark, storeDir))
         graft.ops.ClusterStore.compact(spark, storeDir)
+      // prune attempt markers below the retained low-watermark (ADVICE
+      // r15): Structured Streaming replays only the LAST uncommitted
+      // batch, so a marker more than a few batches old can never be
+      // consulted again — unpruned, the continuously-ingesting stream
+      // this operator exists for accumulates one small file per trigger
+      // forever, and a RESET checkpoint (batchIds restarting at 0) would
+      // read every reused id as a retry, permanently forcing the
+      // tombstone-first path and growing the tombs table on every batch.
+      // The sweep is one bounded-dir listing per trigger (≤ the retention
+      // window after the first sweep).
+      fs.listStatus(marker.getParent).foreach { s =>
+        val n = s.getPath.getName
+        if (n.nonEmpty && n.forall(_.isDigit) &&
+            n.toLong < batchId - RetainedAttempts)
+          fs.delete(s.getPath, false)
+      }
     } finally b.unpersist()
   }
+
+  /** How many recent attempt markers survive pruning. Anything ≥ 1
+    * preserves the retry contract (only the last uncommitted batch can
+    * replay); a few extra keep the window honest across a stop between
+    * commit and next trigger.
+    */
+  private val RetainedAttempts = 8L
 
   /** x25_stream_dedup_pipeline: the driver gate — the q41 fixture's
     * delta (`doc_id % 5 = 4`) arrives as TWO parquet files over a file

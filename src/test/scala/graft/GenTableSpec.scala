@@ -68,6 +68,43 @@ class GenTableSpec extends SparkSuite {
     assert(readSet(dir) == before + ((9L, "C", 90.0)))
   }
 
+  test("recover (single-writer): a mid-publish crash — gen dir renamed " +
+      "in, marker never created — is rolled back at metadata cost, and " +
+      "the replayed merge lands without a compact (ADVICE r15: the CDC " +
+      "stream's burned-claim window)") {
+    val dir = s"${TempRoots.create("graft_gt_recover_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    val before = readSet(dir)
+    // the crash: claimed, data renamed in, manifest written, NO marker
+    require(GenCommit.tryClaim(spark, dir, 1L, "w1"))
+    Seq((3L, "B", 999.0)).toDF("k", "p", "v")
+      .write.partitionBy("p")
+      .parquet(GenCommit.stagePath(dir, 1L, "data", "w1"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(GenCommit.stagePath(dir, 1L, "data", "w1")),
+      new org.apache.hadoop.fs.Path(s"$dir/data/gen=1")))
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/manifests/1"), true)
+    try out.write("B".getBytes("UTF-8")) finally out.close()
+    // without recovery the slot is burned: merge fails loudly
+    intercept[IllegalArgumentException] {
+      GenTable.merge(spark, dir, "p",
+        Seq((3L, "B", 31.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    }
+    assert(GenTable.recover(spark, dir) == Seq(1L))
+    assert(readSet(dir) == before, "recovery changed the committed view")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/data/gen=1")) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"$dir/manifests/1")),
+      "the uncommitted generation's debris survived recovery")
+    // the replay lands — no compact needed
+    GenTable.merge(spark, dir, "p",
+      Seq((3L, "B", 31.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(readSet(dir) == before - ((3L, "B", 30.0)) + ((3L, "B", 31.0)))
+    // idempotent when healthy: nothing to free, view unchanged
+    assert(GenTable.recover(spark, dir).isEmpty)
+  }
+
   test("emptied partition: a delete-all-rows batch removes the partition " +
       "via its manifest claim — no ghost rows, no in-place delete; " +
       "compact folds it away physically") {

@@ -222,6 +222,16 @@ class InvertedSpec extends SparkSuite {
       "post-delete phrase search diverged from the survivors' build")
     assert(search(dir, asOf = Some(0L)) == before,
       "as-of-before-delete must reproduce the pre-delete scores")
+    // the double-delete guard (ADVICE r15): re-deleting already-dead ids
+    // must fail LOUDLY before anything commits — a silent second
+    // tombstone generation would double-subtract N/avgdl and skew every
+    // subsequent score
+    val dd = intercept[IllegalArgumentException] {
+      Inverted.invDelete(spark, dir, dropped.limit(3))
+    }
+    assert(dd.getMessage.contains("already tombstoned"))
+    assert(search(dir) == after,
+      "the rejected double-delete must leave the index untouched")
     // delete-then-re-append: the new generation re-adds exactly the
     // stats the delete subtracted and its postings outrank the tombstone
     Inverted.invAppend(spark, dir, dropped)             // gen 2

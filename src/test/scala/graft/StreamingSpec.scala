@@ -564,4 +564,37 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(v1 == want, "streamed resolution diverged from the rebuild")
   }
+
+  test("DedupStream attempt markers prune below the low-watermark — the " +
+      "continuously-ingesting stream cannot accumulate one marker file " +
+      "per trigger forever (ADVICE r15)") {
+    import graft.ops.{ClusterStore, Text}
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(10L)) === 4)
+      .select("doc_id", "text")
+    val b2 = docs.filter(pmod(col("doc_id"), lit(20L)) === 9)
+      .select("doc_id", "text")
+    val b3 = docs.filter(pmod(col("doc_id"), lit(20L)) === 19)
+      .select("doc_id", "text")
+    val root = TempRoots.create("graft_dedupstream_prune_")
+    val (idx, store) = (s"$root/idx", s"$root/store")
+    Text.lshBuild(corpus, idx)
+    ClusterStore.init(
+      Text.dupComponentsStar(Text.minhashPairs(corpus)), store)
+    // digit names only: the local FS keeps .crc sidecars next to markers
+    def markers() = new java.io.File(s"$idx/stream_attempts").list()
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).toSet
+    graft.streaming.DedupStream.applyBatch(b1, 0L, idx, store)
+    assert(markers() == Set("0"))
+    // a batch still inside the retention window keeps the old marker …
+    graft.streaming.DedupStream.applyBatch(b2, 5L, idx, store)
+    assert(markers() == Set("0", "5"))
+    // … and a batch far past it (a reset checkpoint's reused id would
+    // sit below this watermark) sweeps the stale ones: bounded files,
+    // and old ids read as FIRST deliveries again instead of forcing
+    // tombstone-first
+    graft.streaming.DedupStream.applyBatch(b3, 42L, idx, store)
+    assert(markers() == Set("42"), s"stale markers survived: ${markers()}")
+  }
 }
