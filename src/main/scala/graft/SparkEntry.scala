@@ -87,6 +87,10 @@ object SparkEntry {
     // time travel on the merged table: read asOfGen = the batch-1
     // generation after both batches applied — own batch-1 oracle
     "q92e_merge_asof" -> ((s, d) => ops.Merge.q92e(s, d)),
+    // row-level delete on the GenTable: a scattered takedown commits ONE
+    // tombstone generation (no partition rewritten), reads mask by the
+    // later-generation rule — own DELETE-CTE oracle
+    "q92f_merge_rowdelete" -> ((s, d) => ops.Merge.q92f(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -446,6 +450,7 @@ object SparkEntry {
     "q92c_merge_evolve" -> ops.Merge.q92cSql,
     "q92d_merge_gentable" -> ops.Merge.q92bSql,
     "q92e_merge_asof" -> ops.Merge.q92eSql,
+    "q92f_merge_rowdelete" -> ops.Merge.q92fSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -347,12 +347,18 @@ object Merge {
     * q92b — ONE template for both oracles so they cannot drift.
     */
   private def mergeSqlCte(pred: String, evolve: Boolean = false,
-      batches: Int = 2): String = {
+      batches: Int = 2, rowDeletePred: String = ""): String = {
     require(batches == 1 || batches == 2, s"batches: $batches")
     val rvD2 = if (evolve) ", 'rv-' || o_orderkey AS o_review" else ""
     val rvNull = if (evolve) ", NULL AS o_review" else ""
     val rvSel = if (evolve) ", o_review" else ""
-    val finalCte = if (batches == 1) "m1" else "m2"
+    // the row-level DELETE batch (q92f): everything in the merged state
+    // except the keys the takedown names — the masked read's semantics
+    val del =
+      if (rowDeletePred.isEmpty) ""
+      else s",\nm3 AS (\n  SELECT * FROM m2 WHERE NOT ($rowDeletePred))"
+    val finalCte =
+      if (rowDeletePred.nonEmpty) "m3" else if (batches == 1) "m1" else "m2"
     s"""WITH t0 AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderkey % 4 <> 3),
@@ -392,7 +398,7 @@ object Merge {
       |  WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.o_orderkey = m.o_orderkey)
       |  UNION ALL
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate$rvSel
-      |  FROM d2 WHERE op <> 'delete')
+      |  FROM d2 WHERE op <> 'delete')$del
       |SELECT * FROM $finalCte ORDER BY o_orderkey""".stripMargin
   }
 
@@ -460,6 +466,39 @@ object Merge {
     */
   val q92eSql: String =
     mergeSqlCte(" AND year(o_orderdate) >= 1996", batches = 1)
+
+  /** q92f_merge_rowdelete: q92d's GenTable flow plus a SCATTERED
+    * row-level delete (VERDICT r15 #1) — the takedown keys
+    * (`o_orderkey % 32 = 9`) span every year partition, including the
+    * 1992–95 ones no merge ever touched. [[graft.sources.GenTable
+    * .deleteRows]] commits them as ONE tombstone generation (no
+    * partition read or rewritten — MergeSpec pins the file-level bill
+    * at zero data files), and the read masks by the later-generation
+    * rule. Own oracle: the shared chained-CTE template with a DELETE
+    * CTE on top, so the four merge oracles cannot drift.
+    */
+  def q92f(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92f_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.deleteRows(spark, tbl,
+      Tables.orders(spark, dir).select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 32 === 9))
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  val q92fSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    rowDeletePred = "o_orderkey % 32 = 9")
 
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the

@@ -56,6 +56,10 @@ import org.apache.spark.sql.functions._
 object GenTable {
 
   private val DataTable = Seq("data")
+  // every table tree a generation may write: data (init/merge/compact)
+  // and the row-tombstone table (deleteRows) — id burning, claim
+  // recovery and compaction must scan both
+  private val AllTables = Seq("data", GenCommit.TombsTable)
   // the null-partition sentinel: a LITERAL SPACE prefix, which
   // URLEncoder never emits (it encodes space as '+'), so no real value
   // can collide — and the source/manifests stay plain text (review r15:
@@ -131,7 +135,10 @@ object GenTable {
 
   /** The table's current state (or as of generation `asOfGen`): each
     * partition from the single generation that last claimed it — one
-    * statically partition-pruned scan, no row-level merge work at all.
+    * statically partition-pruned scan, no row-level merge work at all
+    * until a [[deleteRows]] exists, after which the delete-proportional
+    * tombstone mask joins on top (see [[deleteRows]] for the rule and
+    * the cost argument).
     */
   def read(spark: SparkSession, dir: String, partCol: String,
       asOfGen: Option[Long] = None): DataFrame = {
@@ -158,7 +165,46 @@ object GenTable {
         else withVals
       (col("gen") === g) && part
     }.reduce(_ || _)
-    df.filter(cond).drop("gen")
+    maskRowTombs(spark, dir, df.filter(cond), asOfGen).drop("gen")
+  }
+
+  /** Row-level tombstone masking (the [[GenCommit.maskTombstones]] rule,
+    * generalized to the table's multi-column keys): a row served from
+    * generation g is DEAD iff some committed tombstone for its key sits
+    * at a LATER generation — strictly later, so a merge after the delete
+    * revives the key (its rows outrank the tombstone), while every copy
+    * from before stays masked. Costs NOTHING until a [[deleteRows]] has
+    * committed (no tombs dir → no join planned); with deletes, one
+    * delete-proportional aggregate plus a join AQE broadcasts at
+    * real-world delete rates.
+    */
+  private def maskRowTombs(spark: SparkSession, dir: String,
+      data: DataFrame, asOfGen: Option[Long]): DataFrame =
+    GenCommit.committedTableIfExists(spark, dir, GenCommit.TombsTable,
+        asOfGen) match {
+      case None => data
+      case Some(tombs) =>
+        val keys = tombKeys(spark, dir)
+        val tmax = tombs.groupBy(keys.map(col): _*)
+          .agg(max(col("gen")).as("__tomb_gen"))
+        data.join(tmax, keys, "left")
+          .filter(col("__tomb_gen").isNull ||
+            col("gen") > col("__tomb_gen"))
+          .drop("__tomb_gen")
+    }
+
+  /** The key columns every [[deleteRows]] of this table identifies rows
+    * by — recorded once in `dir/tombkeys` (plain text, one per line) so
+    * reads are self-describing.
+    */
+  private def tombKeys(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fsOf(spark, dir)
+    val s = GenCommit.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"$dir/tombkeys"))
+    require(s.nonEmpty,
+      s"GenTable: tombstones exist at $dir but no tombkeys record — " +
+        "the table was not deleted from by this protocol")
+    s.split("\n").toSeq
   }
 
   /** Apply one MERGE batch (the [[graft.ops.Merge.upsert]] delta
@@ -210,12 +256,84 @@ object GenTable {
     }
   }
 
+  /** ROW-LEVEL DELETE (VERDICT r15 #1 — the deletion-vector gap): remove
+    * every row matching a key in `keys`, WITHOUT rewriting any
+    * partition. [[merge]]'s unit of work is the partition, so a takedown
+    * of 1k rows scattered over 1k partitions costs 1k copy-on-write
+    * rewrites there; here it commits ONE generation holding only the
+    * keys (the index family's tombstone machinery — [[GenCommit
+    * .maskTombstones]], proven across the LSH/inverted/IVF stores —
+    * applied to the data table): the `tombs` table gains the distinct
+    * key rows, the manifest claims NO partitions (so partition
+    * resolution is untouched), and reads mask by the later-generation
+    * rule ([[maskRowTombs]]). Merge-on-read at row granularity, paid
+    * only while tombstones exist; [[compact]] folds them away
+    * physically.
+    *
+    * `keys`' columns name the identifying columns (any subset of the
+    * table's payload — every row matching a key tuple dies); they are
+    * recorded in `dir/tombkeys` on first delete and must match on every
+    * later one (one key shape per table — reads join on it).
+    *
+    * Concurrency: a delete does NOT commute with a merge (a merge
+    * committing after the delete would revive the very rows the delete
+    * masked — its rows outrank the tombstone), so it CAS-claims
+    * `snapshot + 1` exactly like [[merge]]. Deletes of absent keys are
+    * the SQL no-op; delete-then-merge revives the key by design (the
+    * revival rule is what makes re-ingest after takedown work).
+    *
+    * At 100 TB: a GDPR takedown is one key-count-sized parquet write +
+    * two metadata files, visible atomically; every read until the next
+    * compaction pays one broadcast-sized anti-mask instead of the 1k
+    * partition rewrites the merge path would have billed up front.
+    */
+  def deleteRows(spark: SparkSession, dir: String,
+      keys: DataFrame): Unit = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteRows: at least one key column")
+    val f = fsOf(spark, dir)
+    val tkPath = new org.apache.hadoop.fs.Path(s"$dir/tombkeys")
+    val prior = GenCommit.readSmallFile(f, tkPath)
+    require(prior.isEmpty || prior.split("\n").toSeq == keyCols,
+      s"deleteRows: this table's deletes are keyed by [$prior] — a " +
+        s"second key shape [${keyCols.mkString(",")}] would make the " +
+        "read-side mask ambiguous; one key shape per table")
+    val del = keys.distinct()
+    if (del.isEmpty) return // no generation for an empty delete
+    val base = GenCommit.lastCommitted(spark, dir)
+    val tk = GenCommit.newToken()
+    require(GenCommit.tryClaim(spark, dir, base + 1, tk),
+      s"GenTable.deleteRows: generation ${base + 1} at $dir is already " +
+        "claimed — a concurrent writer is in flight (re-read and retry), " +
+        "or a crashed one left its claim (recover frees it)")
+    try {
+      del.write.mode("overwrite")
+        .parquet(GenCommit.stagePath(dir, base + 1,
+          GenCommit.TombsTable, tk))
+      if (prior.isEmpty) {
+        val out = f.create(tkPath, true)
+        try out.write(keyCols.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      writeManifest(spark, dir, base + 1, Seq.empty)
+      GenCommit.publish(spark, dir, base + 1, Seq(GenCommit.TombsTable),
+        tk, claimed = true)
+    } catch {
+      case t: Throwable =>
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/${GenCommit.TombsTable}/gen=${base + 1}")))
+          GenCommit.releaseClaim(spark, dir, base + 1)
+        throw t
+    }
+  }
+
   /** Release claims of merges that died before staging — the
     * metadata-cost unblock ([[GenCommit.recoverClaims]]'s contract and
     * safety window).
     */
   def recoverClaims(spark: SparkSession, dir: String): Seq[Long] =
-    GenCommit.recoverClaims(spark, dir, DataTable)
+    GenCommit.recoverClaims(spark, dir, AllTables)
 
   /** SINGLE-WRITER crash healing, whatever the crash point (ADVICE r15:
     * a merge that died mid-publish — gen dir renamed in, marker never
@@ -242,14 +360,25 @@ object GenTable {
     val f = fsOf(spark, dir)
     val marked = GenCommit.committed(spark, dir).toSet
     val stale = GenCommit.claimedGens(spark, dir).filterNot(marked)
-    stale.sorted.map { g =>
-      (DataTable :+ GenCommit.TombsTable).foreach { t =>
+    val freed = stale.sorted.map { g =>
+      AllTables.foreach { t =>
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$t/gen=$g"), true)
       }
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests/$g"), false)
       GenCommit.releaseClaim(spark, dir, g)
       g
     }
+    // a rollback can leave the tombstone table's root CHILDLESS (the
+    // only tombs generation was the crashed one) — an empty parquet dir
+    // breaks schema inference on the next read's mask, so drop it, and
+    // the key record with it (a future first delete may then re-key)
+    val tombsRoot = new org.apache.hadoop.fs.Path(
+      s"$dir/${GenCommit.TombsTable}")
+    if (f.exists(tombsRoot) && f.listStatus(tombsRoot).isEmpty) {
+      f.delete(tombsRoot, true)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/tombkeys"), false)
+    }
+    freed
   }
 
   /** The measured compact-now signal — [[GenCommit.shouldCompact]] with
@@ -262,7 +391,7 @@ object GenTable {
     */
   def shouldCompact(spark: SparkSession, dir: String,
       expectedReads: Int = 30): Boolean =
-    GenCommit.shouldCompact(spark, dir, DataTable, expectedReads,
+    GenCommit.shouldCompact(spark, dir, AllTables, expectedReads,
       bytesAmplified = false)
 
   /** Fold history: the current view commits as one FRESH generation
@@ -285,7 +414,7 @@ object GenTable {
   def compact(spark: SparkSession, dir: String, partCol: String): Unit = {
     GenCommit.gcStages(spark, dir)
     val tk = GenCommit.newToken()
-    val gen = GenCommit.claimNextGen(spark, dir, DataTable, token = tk)
+    val gen = GenCommit.claimNextGen(spark, dir, AllTables, token = tk)
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
@@ -315,5 +444,12 @@ object GenTable {
     f.listStatus(manDir).toSeq
       .filter(_.getPath.getName != gen.toString)
       .foreach(s => f.delete(s.getPath, false))
+    // fold row tombstones away: the fresh generation was written from
+    // the MASKED view, so every dead row is physically gone from it,
+    // and after resetCommits the tomb generations are uncommitted
+    // (mask-invisible) at every crash point before this delete lands
+    GenCommit.dropTombs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/tombkeys"), false)
+    ()
   }
 }

@@ -151,6 +151,108 @@ class GenTableSpec extends SparkSuite {
       "an emptied-then-compacted table must accept new merges")
   }
 
+  test("deleteRows: a scattered takedown costs ONE tombstone generation " +
+      "and zero data files (the partition-rewrite bill is NOT paid); " +
+      "as-of-before-delete still sees the rows; a later merge revives " +
+      "the key; compact folds the tombstones away physically") {
+    val dir = s"${TempRoots.create("graft_gt_rowdel_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = {
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/data"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val s = it.next()
+        b += s.getPath.toString + ":" + s.getModificationTime
+      }
+      b.result().toSet
+    }
+    val filesBefore = dataFiles()
+    // the takedown: keys scattered over partitions A and B — the merge
+    // path would rewrite both; this must rewrite NEITHER
+    GenTable.deleteRows(spark, dir, Seq(1L, 3L).toDF("k"))     // gen 1
+    assert(readSet(dir) == Set((2L, "A", 20.0), (4L, "B", 40.0),
+      (5L, "C", 50.0)))
+    assert(dataFiles() == filesBefore,
+      "a row-level delete touched data files — the partition-rewrite " +
+        "bill was paid after all")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/data/gen=1")),
+      "a delete generation must carry no data dir at all")
+    // time travel: before the delete the rows are alive
+    assert(readSet(dir, asOf = Some(0L)).map(_._1) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+    // delete of an absent key: the SQL no-op, still one atomic gen
+    GenTable.deleteRows(spark, dir, Seq(99L).toDF("k"))        // gen 2
+    assert(readSet(dir).size == 3)
+    // one key shape per table: a different delete key fails loudly
+    val ks = intercept[IllegalArgumentException] {
+      GenTable.deleteRows(spark, dir, Seq("A").toDF("p"))
+    }
+    assert(ks.getMessage.contains("one key shape per table"))
+    // revival: a merge AFTER the delete re-inserts key 1 — its rows
+    // outrank the tombstone (and key 3 stays dead through the rewrite
+    // of partition B it does not touch... here partition A's rewrite)
+    GenTable.merge(spark, dir, "p",
+      Seq((1L, "A", 11.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(readSet(dir) == Set((1L, "A", 11.0), (2L, "A", 20.0),
+      (4L, "B", 40.0), (5L, "C", 50.0)),
+      "the re-inserted key must revive; key 3 must stay dead")
+    // the rewritten partition A physically dropped key 1's old copy and
+    // key 3 (B) remains masked, not physically gone, until compact
+    GenTable.compact(spark, dir, "p")
+    assert(readSet(dir) == Set((1L, "A", 11.0), (2L, "A", 20.0),
+      (4L, "B", 40.0), (5L, "C", 50.0)))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/${GenCommit.TombsTable}")) &&
+      !f.exists(new org.apache.hadoop.fs.Path(s"$dir/tombkeys")),
+      "compact must fold the tombstone state away")
+    // post-compact reads carry NO mask join and the table deletes again
+    GenTable.deleteRows(spark, dir, Seq(5L).toDF("k"))
+    assert(readSet(dir) == Set((1L, "A", 11.0), (2L, "A", 20.0),
+      (4L, "B", 40.0)))
+  }
+
+  test("deleteRows serializes against merges by the same snapshot+1 CAS " +
+      "— a delete does NOT commute with a merge (the merge would " +
+      "revive the masked rows)") {
+    val dir = s"${TempRoots.create("graft_gt_rowdel_cas_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    // a writer holds snapshot+1 (an in-flight merge)
+    require(GenCommit.tryClaim(spark, dir, 1L, "w1"))
+    val e = intercept[IllegalArgumentException] {
+      GenTable.deleteRows(spark, dir, Seq(1L).toDF("k"))
+    }
+    assert(e.getMessage.contains("already claimed"))
+    // nothing staged, nothing recorded: the loser left no tombkeys
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$dir/tombkeys")))
+    GenCommit.releaseClaim(spark, dir, 1L)
+    // and recover() rolls back a delete that died mid-publish: tombkeys
+    // recorded, tombs gen dir renamed in, marker never created (the
+    // real write order — tombkeys always lands before the rename)
+    require(GenCommit.tryClaim(spark, dir, 1L, "w2"))
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/tombkeys"), true)
+    try out.write("k".getBytes("UTF-8")) finally out.close()
+    Seq(1L).toDF("k").write
+      .parquet(GenCommit.stagePath(dir, 1L, GenCommit.TombsTable, "w2"))
+    require(f.rename(
+      new org.apache.hadoop.fs.Path(
+        GenCommit.stagePath(dir, 1L, GenCommit.TombsTable, "w2")),
+      new org.apache.hadoop.fs.Path(
+        s"$dir/${GenCommit.TombsTable}/gen=1")))
+    assert(readSet(dir).size == 5,
+      "an unmarked tombstone generation must be invisible")
+    assert(GenTable.recover(spark, dir) == Seq(1L))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/${GenCommit.TombsTable}")),
+      "recovery must not leave a childless tombs root behind")
+    assert(readSet(dir).size == 5)
+    GenTable.deleteRows(spark, dir, Seq(1L).toDF("k"))
+    assert(readSet(dir).size == 4)
+  }
+
   test("merge-on-read resolution: untouched partitions keep serving " +
       "their ORIGINAL generation's files; the scan is pruned to one " +
       "generation per partition") {
