@@ -91,6 +91,9 @@ object SparkEntry {
     // tombstone generation (no partition rewritten), reads mask by the
     // later-generation rule — own DELETE-CTE oracle
     "q92f_merge_rowdelete" -> ((s, d) => ops.Merge.q92f(s, d)),
+    // file-level min/max skipping: stats-clustered generations + a range
+    // read that opens only intersecting files — own BETWEEN oracle
+    "q92g_merge_skipping" -> ((s, d) => ops.Merge.q92g(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -451,6 +454,7 @@ object SparkEntry {
     "q92d_merge_gentable" -> ops.Merge.q92bSql,
     "q92e_merge_asof" -> ops.Merge.q92eSql,
     "q92f_merge_rowdelete" -> ops.Merge.q92fSql,
+    "q92g_merge_skipping" -> ops.Merge.q92gSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

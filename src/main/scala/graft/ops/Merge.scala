@@ -347,18 +347,25 @@ object Merge {
     * q92b — ONE template for both oracles so they cannot drift.
     */
   private def mergeSqlCte(pred: String, evolve: Boolean = false,
-      batches: Int = 2, rowDeletePred: String = ""): String = {
+      batches: Int = 2, rowDeletePred: String = "",
+      finalWhere: String = ""): String = {
     require(batches == 1 || batches == 2, s"batches: $batches")
+    require(rowDeletePred.isEmpty || finalWhere.isEmpty,
+      "one final CTE flavor at a time")
     val rvD2 = if (evolve) ", 'rv-' || o_orderkey AS o_review" else ""
     val rvNull = if (evolve) ", NULL AS o_review" else ""
     val rvSel = if (evolve) ", o_review" else ""
     // the row-level DELETE batch (q92f): everything in the merged state
-    // except the keys the takedown names — the masked read's semantics
+    // except the keys the takedown names — the masked read's semantics;
+    // or the range predicate (q92g): the file-skipped read's semantics
     val del =
-      if (rowDeletePred.isEmpty) ""
-      else s",\nm3 AS (\n  SELECT * FROM m2 WHERE NOT ($rowDeletePred))"
+      if (rowDeletePred.nonEmpty)
+        s",\nm3 AS (\n  SELECT * FROM m2 WHERE NOT ($rowDeletePred))"
+      else if (finalWhere.nonEmpty)
+        s",\nm3 AS (\n  SELECT * FROM m2 WHERE $finalWhere)"
+      else ""
     val finalCte =
-      if (rowDeletePred.nonEmpty) "m3" else if (batches == 1) "m1" else "m2"
+      if (del.nonEmpty) "m3" else if (batches == 1) "m1" else "m2"
     s"""WITH t0 AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
       |  FROM orders WHERE o_orderkey % 4 <> 3),
@@ -499,6 +506,38 @@ object Merge {
 
   val q92fSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
     rowDeletePred = "o_orderkey % 32 = 9")
+
+  /** q92g_merge_skipping: the q92d flow written WITH per-file min/max
+    * stats (`statsCols = o_totalprice` range-clusters each generation's
+    * write and records the sidecar), then a RANGE read through
+    * [[graft.sources.GenTable.readWhere]] — the scan opens only the
+    * files whose recorded range intersects the predicate (file-level
+    * data skipping, VERDICT r15 #2; GenTableSpec pins files-opened <
+    * files-present and ScaleSpec measures the ratio). Own oracle: the
+    * shared template with the same BETWEEN as the final CTE.
+    */
+  def q92g(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92g_")}/table"
+    val stats = Seq("o_totalprice")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr",
+      statsCols = stats)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"), statsCols = stats)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"), statsCols = stats)
+    graft.sources.GenTable.readWhere(spark, tbl, "yr",
+      "o_totalprice", 50000.0, 100000.0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  val q92gSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    finalWhere = "o_totalprice BETWEEN 50000.0 AND 100000.0")
 
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the

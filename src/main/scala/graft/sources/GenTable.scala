@@ -74,6 +74,12 @@ object GenTable {
     if (v == null) NullMark
     else java.net.URLEncoder.encode(v.toString, "UTF-8")
 
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def decN(s: String): String =
+    if (s == NullMark) null else dec(s)
+
   private def writeManifest(spark: SparkSession, dir: String, gen: Long,
       values: Seq[Any]): Unit = {
     val f = fsOf(spark, dir)
@@ -97,9 +103,16 @@ object GenTable {
   }
 
   /** Create the table at `dir` (replacing anything there): the full
-    * frame as generation 0, claiming every partition.
+    * frame as generation 0, claiming every partition. `statsCols`
+    * switches on FILE SKIPPING for those columns (see [[readWhere]]):
+    * the generation's rows are range-clustered so per-file min/max are
+    * narrow, and a per-file stats sidecar is recorded in the manifest
+    * tree. Pass the same columns on every [[merge]]/[[compact]] to keep
+    * skipping effective across generations (a generation written
+    * without stats reads correctly — just unskipped).
     */
-  def init(df: DataFrame, dir: String, partCol: String): Unit = {
+  def init(df: DataFrame, dir: String, partCol: String,
+      statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     val touched = df.select(col(partCol)).distinct()
@@ -110,10 +123,64 @@ object GenTable {
       s"GenTable.init: refusing to create an EMPTY table at $dir — " +
         "the schema lives in the data files; init with at least one row")
     val tk = GenCommit.newToken()
-    df.write.mode("overwrite").partitionBy(partCol)
-      .parquet(GenCommit.stagePath(dir, 0L, "data", tk))
+    stageData(df, dir, 0L, partCol, tk, statsCols)
     writeManifest(spark, dir, 0L, touched)
     GenCommit.publish(spark, dir, 0L, DataTable, tk)
+  }
+
+  /** Stage a generation's data, optionally range-clustered on
+    * `(partCol, statsCols…)` — skipping is only as good as the
+    * clustering: hash-shuffled files all span the whole value range
+    * and nothing ever prunes, so requesting stats also sorts the write
+    * (the lake formats' ORDER BY/Z-ORDER write clause) — and record
+    * the per-file min/max sidecar.
+    */
+  private def stageData(df: DataFrame, dir: String, gen: Long,
+      partCol: String, tk: String, statsCols: Seq[String]): Unit = {
+    val out =
+      if (statsCols.isEmpty) df
+      else df.repartitionByRange((partCol +: statsCols).map(col): _*)
+    val staged = GenCommit.stagePath(dir, gen, "data", tk)
+    out.write.mode("overwrite").partitionBy(partCol).parquet(staged)
+    writeFileStats(df.sparkSession, dir, gen, staged, statsCols)
+  }
+
+  /** Record `dir/filestats/<gen>`: one line per (file, stats column) —
+    * `relpath \t col \t min \t max`, URL-encoded, nulls as the manifest
+    * sentinel. Committed atomically with the generation (written before
+    * its marker, invisible garbage if the publish dies). The aggregate
+    * is one pass over the freshly-staged delta, grouped by
+    * `input_file_name` — delta-proportional, never table-sized.
+    */
+  private def writeFileStats(spark: SparkSession, dir: String, gen: Long,
+      staged: String, statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    val df = spark.read.parquet(staged)
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"GenTable: stats column $c is not in the table " +
+        s"(${df.columns.mkString(", ")})"))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val leaf = new org.apache.hadoop.fs.Path(staged).getName + "/"
+    val lines = rows.flatMap { r =>
+      val uri = r.getString(0)
+      val i = uri.indexOf(leaf)
+      require(i >= 0, s"GenTable: cannot relativize $uri against $leaf")
+      val rel = uri.substring(i + leaf.length)
+      statsCols.zipWithIndex.map { case (c, j) =>
+        Seq(enc(rel), enc(c), enc(r.getString(1 + 2 * j)),
+          enc(r.getString(2 + 2 * j))).mkString("\t")
+      }
+    }
+    val f = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/filestats/$gen")
+    f.mkdirs(p.getParent)
+    val o = f.create(p, true)
+    try o.write(lines.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
   }
 
   /** Resolve which generation serves each partition — highest committed
@@ -144,17 +211,95 @@ object GenTable {
       asOfGen: Option[Long] = None): DataFrame = {
     val resolved = claims(spark, dir, asOfGen)
     val df = spark.read.parquet(s"$dir/data")
-    val dt = df.schema(partCol).dataType
     // an EMPTY view (every row deleted, manifests claim nothing) is a
     // legitimate state and must read as an empty frame, not crash on
     // empty.reduce (review r15); compact keeps older generation dirs
     // around in that state as the schema carriers
     if (resolved.isEmpty) return df.filter(lit(false)).drop("gen")
-    val cond = resolved.map { case (g, vals) =>
-      // manifest strings → literals of the partition column's INFERRED
-      // type (cast on the literal side folds at analysis, so the whole
-      // predicate is static partition pruning — no runtime cast on the
-      // column, no DPP)
+    val cond = resolveCond(resolved, partCol, df.schema(partCol).dataType)
+    maskRowTombs(spark, dir, df.filter(cond), asOfGen).drop("gen")
+  }
+
+  /** [[read]] plus FILE SKIPPING (VERDICT r15 #2): rows with `statsCol`
+    * in `[lo, hi]`, scanning only the files whose recorded min/max
+    * intersects the range. Partition claims prune at directory
+    * granularity already; this prunes INSIDE the winning partitions —
+    * a point/range predicate on a stats-clustered table opens the few
+    * files that can hold it instead of every file of the generation
+    * (the manifest-stats skipping every lake format keeps in its log).
+    * Resolution: per committed generation, the `filestats` sidecar
+    * turns the range into an explicit file list (driver-side metadata,
+    * file-count-sized); generations with no stats for `statsCol`
+    * contribute all their files (correct, just unskipped). The pruned
+    * scan then applies the SAME resolution predicate, row-tombstone
+    * mask, and the exact range filter — file skipping never changes
+    * semantics, only which files are opened (spec-asserted via
+    * `inputFiles`).
+    */
+  def readWhere(spark: SparkSession, dir: String, partCol: String,
+      statsCol: String, lo: Any, hi: Any,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val resolved = claims(spark, dir, asOfGen)
+    val full = spark.read.parquet(s"$dir/data")
+    val sdt = full.schema(statsCol).dataType
+    val range = col(statsCol) >= lit(lo).cast(sdt) &&
+      col(statsCol) <= lit(hi).cast(sdt)
+    if (resolved.isEmpty) return full.filter(lit(false)).drop("gen")
+    val f = fsOf(spark, dir)
+    val files = resolved.flatMap { case (g, _) =>
+      prunedPaths(spark, f, dir, g, statsCol, sdt, lo, hi)
+    }
+    // every file of every winning generation skipped: the empty view
+    if (files.isEmpty) return full.filter(lit(false)).drop("gen")
+    val pruned = spark.read.option("basePath", s"$dir/data")
+      .parquet(files: _*)
+    val cond = resolveCond(resolved, partCol, full.schema(partCol).dataType)
+    maskRowTombs(spark, dir, pruned.filter(cond && range), asOfGen)
+      .drop("gen")
+  }
+
+  /** One generation's candidate paths for [[readWhere]]: stats-pruned
+    * leaf files when the sidecar covers `statsCol`, the whole gen dir
+    * otherwise. A file whose min/max are BOTH the null sentinel holds
+    * only nulls for the column and is skipped (BETWEEN never matches
+    * null) — the comparison below is null-rejecting by construction.
+    */
+  private def prunedPaths(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, g: Long,
+      statsCol: String, sdt: org.apache.spark.sql.types.DataType,
+      lo: Any, hi: Any): Seq[String] = {
+    val s = GenCommit.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"))
+    val entries = (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
+      .map(_.split("\t", -1))
+      .filter(a => a.length == 4 && dec(a(1)) == statsCol)
+    if (entries.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
+      if (f.exists(p)) Seq(p.toString) else Seq.empty
+    } else {
+      // the intersect test runs IN CATALYST over the (tiny, driver-
+      // local) stats rows so min/max compare under the column's real
+      // type, not lexically
+      import spark.implicits._
+      entries.map(a => (dec(a(0)), decN(a(2)), decN(a(3))))
+        .toDF("rel", "mn", "mx")
+        .filter(col("mx").cast(sdt) >= lit(lo).cast(sdt) &&
+          col("mn").cast(sdt) <= lit(hi).cast(sdt))
+        .select("rel").collect().map(_.getString(0))
+        .map(rel => s"$dir/data/gen=$g/$rel").toSeq
+    }
+  }
+
+  /** The one statically-pruning resolution predicate both readers
+    * compile: `(gen = k₁ AND part IN …) OR …` — manifest strings become
+    * literals of the partition column's INFERRED type (cast on the
+    * literal side folds at analysis, so the whole predicate is static
+    * partition pruning — no runtime cast on the column, no DPP).
+    */
+  private def resolveCond(resolved: Seq[(Long, Seq[String])],
+      partCol: String, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column =
+    resolved.map { case (g, vals) =>
       val nonNull = vals.filterNot(_ == NullMark)
         .map(v => lit(java.net.URLDecoder.decode(v, "UTF-8")).cast(dt))
       val withVals =
@@ -165,8 +310,6 @@ object GenTable {
         else withVals
       (col("gen") === g) && part
     }.reduce(_ || _)
-    maskRowTombs(spark, dir, df.filter(cond), asOfGen).drop("gen")
-  }
 
   /** Row-level tombstone masking (the [[GenCommit.maskTombstones]] rule,
     * generalized to the table's multi-column keys): a row served from
@@ -221,7 +364,8 @@ object GenTable {
       delta: DataFrame,
       keys: Seq[String],
       opCol: String = "_op",
-      seqCol: Option[String] = None): Unit = {
+      seqCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
@@ -237,8 +381,7 @@ object GenTable {
       val slice = graft.ops.Merge.guardedSlice(cur, delta, keys, partCol,
         touched)
       val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol, seqCol)
-      merged.write.mode("overwrite").partitionBy(partCol)
-        .parquet(GenCommit.stagePath(dir, base + 1, "data", tk))
+      stageData(merged, dir, base + 1, partCol, tk, statsCols)
       // the manifest claims EVERY touched value — also the ones the
       // merged output no longer contains: that claim with no data dir IS
       // the emptied partition (committed atomically with the data by the
@@ -365,6 +508,7 @@ object GenTable {
         f.delete(new org.apache.hadoop.fs.Path(s"$dir/$t/gen=$g"), true)
       }
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests/$g"), false)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"), false)
       GenCommit.releaseClaim(spark, dir, g)
       g
     }
@@ -411,15 +555,15 @@ object GenTable {
     * every compactor; also the documented remedy for a claim burned by a
     * mid-publish merge crash.
     */
-  def compact(spark: SparkSession, dir: String, partCol: String): Unit = {
+  def compact(spark: SparkSession, dir: String, partCol: String,
+      statsCols: Seq[String] = Nil): Unit = {
     GenCommit.gcStages(spark, dir)
     val tk = GenCommit.newToken()
     val gen = GenCommit.claimNextGen(spark, dir, AllTables, token = tk)
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    cur.write.mode("overwrite").partitionBy(partCol)
-      .parquet(GenCommit.stagePath(dir, gen, "data", tk))
+    stageData(cur, dir, gen, partCol, tk, statsCols)
     writeManifest(spark, dir, gen, live)
     GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
     // committed set → {gen} FIRST: from here no reader dereferences any
@@ -442,6 +586,10 @@ object GenTable {
     }
     val manDir = new org.apache.hadoop.fs.Path(s"$dir/manifests")
     f.listStatus(manDir).toSeq
+      .filter(_.getPath.getName != gen.toString)
+      .foreach(s => f.delete(s.getPath, false))
+    val fsDir = new org.apache.hadoop.fs.Path(s"$dir/filestats")
+    if (f.exists(fsDir)) f.listStatus(fsDir).toSeq
       .filter(_.getPath.getName != gen.toString)
       .foreach(s => f.delete(s.getPath, false))
     // fold row tombstones away: the fresh generation was written from

@@ -213,6 +213,65 @@ class GenTableSpec extends SparkSuite {
       (4L, "B", 40.0)))
   }
 
+  test("readWhere: per-generation min/max stats turn a range predicate " +
+      "into a file-pruned scan (files opened < files present); a " +
+      "stats-less generation falls back to all its files; tombstones " +
+      "and the empty range compose") {
+    val dir = s"${TempRoots.create("graft_gt_skip_")}/t"
+    val base = spark.range(1, 201).select(col("id").as("k"),
+      when(col("id") <= 100, "A").otherwise("B").as("p"),
+      col("id").cast("double").as("v"))
+    // AQE's partition coalescing folds this tiny fixture to ~2 files —
+    // right at scale (it targets the advisory bytes per file), but the
+    // spec needs a multi-file generation to prove skipping; a 100 TB
+    // table gets its many files from data volume instead
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val (oldCoalesce, oldShuffle) =
+      (spark.conf.get(coalesceKey, "true"), spark.conf.get(shuffleKey))
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(shuffleKey, "32")
+    try {
+    GenTable.init(base, dir, "p", statsCols = Seq("v"))
+    val totalFiles = GenTable.read(spark, dir, "p").inputFiles.length
+    assert(totalFiles > 8, s"vacuous: clustering wrote $totalFiles files")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.select("k", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val got = GenTable.readWhere(spark, dir, "p", "v", 5.0, 10.0)
+    assert(rows(got) ==
+      rows(GenTable.read(spark, dir, "p").filter(col("v").between(5, 10))),
+      "file skipping changed the answer")
+    assert(got.inputFiles.length < totalFiles / 2,
+      s"no files skipped: ${got.inputFiles.length} of $totalFiles opened")
+    // a generation written WITHOUT stats: correct, just unskipped
+    GenTable.merge(spark, dir, "p",
+      Seq((5L, "A", 500.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    val after = GenTable.readWhere(spark, dir, "p", "v", 5.0, 10.0)
+    assert(rows(after).map(_._1) == Set(6L, 7L, 8L, 9L, 10L),
+      "the merged-away row must leave the range")
+    assert(rows(GenTable.readWhere(spark, dir, "p", "v", 499.0, 501.0)) ==
+      Set((5L, "A", 500.0)),
+      "the stats-less generation's rows must still be found")
+    // row tombstones mask through the pruned scan too
+    GenTable.deleteRows(spark, dir, Seq(7L).toDF("k"))
+    assert(rows(GenTable.readWhere(spark, dir, "p", "v", 5.0, 10.0))
+      .map(_._1) == Set(6L, 8L, 9L, 10L))
+    // a range no file intersects: the empty view, no scan crash
+    assert(GenTable.readWhere(spark, dir, "p", "v", -10.0, -5.0).isEmpty)
+    // compact WITH stats re-clusters the fold and skipping still holds
+    GenTable.compact(spark, dir, "p", statsCols = Seq("v"))
+    val post = GenTable.readWhere(spark, dir, "p", "v", 5.0, 10.0)
+    assert(rows(post).map(_._1) == Set(6L, 8L, 9L, 10L))
+    val postAll = GenTable.read(spark, dir, "p").inputFiles.length
+    assert(post.inputFiles.length < postAll,
+      "post-compact skipping must hold (stats recorded on the fold)")
+    } finally {
+      spark.conf.set(coalesceKey, oldCoalesce)
+      spark.conf.set(shuffleKey, oldShuffle)
+    }
+  }
+
   test("deleteRows serializes against merges by the same snapshot+1 CAS " +
       "— a delete does NOT commute with a merge (the merge would " +
       "revive the masked rows)") {
