@@ -49,6 +49,33 @@ object GenCommit {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The fence's primitive: ATOMIC create-exclusive, true iff this call
+    * created the file. Hadoop's `FileSystem.createNewFile` default is
+    * CHECK-THEN-ACT (`if (exists) false else create`), and so is the
+    * local filesystem's `create(overwrite = false)` — two genuinely
+    * concurrent claimants could both "win" (caught by GenTableSpec's
+    * threaded disjoint-merge test). On the local FS this goes through
+    * `java.io.File.createNewFile` (POSIX O_CREAT|O_EXCL — atomic);
+    * elsewhere `create(overwrite = false)` is NameNode-atomic (HDFS and
+    * HDFS-semantics stores — ABFS, GCS). Raw S3 remains out, as the
+    * class doc requires a committer/lock layer there.
+    */
+  private[sources] def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      val file = new java.io.File(p.toUri.getPath)
+      val parent = file.getParentFile
+      if (parent != null) parent.mkdirs()
+      file.createNewFile()
+    case other =>
+      try { other.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if other.exists(p) => false
+      }
+  }
+
   /** Where a writer stages table `table`'s content for generation `gen`
     * before [[publish]] — outside every table tree, so a crashed staged
     * write is invisible to partition discovery. `token` is the writer's
@@ -218,11 +245,11 @@ object GenCommit {
     */
   def claimNextGen(spark: SparkSession, indexDir: String,
       tables: Seq[String], attempts: Int = 64,
-      token: String = ""): Long = {
+      token: String = "", declare: Seq[String] = Nil): Long = {
     var tries = attempts
     while (tries > 0) {
       val gen = nextGen(spark, indexDir, tables)
-      if (tryClaim(spark, indexDir, gen, token)) return gen
+      if (tryClaim(spark, indexDir, gen, token, declare)) return gen
       tries -= 1
     }
     throw new IllegalStateException(
@@ -249,30 +276,56 @@ object GenCommit {
     * lock), exactly as every lake table format requires.
     */
   def tryClaim(spark: SparkSession, indexDir: String, gen: Long,
-      token: String = ""): Boolean = {
+      token: String = "", declare: Seq[String] = Nil): Boolean = {
     val f = fsOf(spark, indexDir)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$indexDir/commits"))
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen")
-    // createNewFile is THE atomic fence (atomic create-exclusive under
-    // HDFS semantics; java.io.File.createNewFile locally — whereas
-    // FileSystem.create(overwrite = false) is check-then-act on the
-    // local FS). The token is written AFTER winning, into a file this
-    // writer now owns exclusively: the only reader of the content is
-    // the owner itself at publish time, after its own close, so the
-    // two-step write has no observable race. A crash between the two
-    // steps leaves an empty-token claim — a crashed claimant either
-    // way, which [[recoverClaims]] releases.
-    if (!f.createNewFile(p)) false
+    // [[createExclusive]] is THE atomic fence (java.io.File's
+    // O_CREAT|O_EXCL locally, NameNode-atomic create elsewhere —
+    // Hadoop's own createNewFile is check-then-act). The token (line 1) and the optional partition
+    // DECLARATION (lines 2+, [[claimDeclaration]]) are written AFTER
+    // winning, into a file this writer now owns exclusively: the token
+    // is only read back by the owner at publish time, and a concurrent
+    // writer that reads the declaration in the create→write window sees
+    // none and treats the claimant as unknowable — conservative, never
+    // unsound. A crash between the two steps leaves an empty claim — a
+    // crashed claimant either way, which [[recoverClaims]] releases.
+    if (!createExclusive(f, p)) false
     else {
-      if (token.nonEmpty) {
+      if (token.nonEmpty || declare.nonEmpty) {
         val out = f.create(p, true)
-        try out.write(
-          token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write((token +: declare).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
       true
     }
   }
+
+  /** What an outstanding claim DECLARES it will touch — the concurrency
+    * information a disjoint-writer check needs about an in-flight,
+    * not-yet-committed generation (its manifest does not exist yet).
+    * `None` = no declaration (a legacy or crashed-mid-write claim: the
+    * writer's reach is unknowable, treat as conflicting). The entries
+    * are whatever the claimant wrote — [[graft.sources.GenTable]] uses
+    * its manifest encoding plus an all-partitions sentinel.
+    */
+  def claimDeclaration(spark: SparkSession, indexDir: String,
+      gen: Long): Option[Seq[String]] = {
+    val s = claimContent(spark, indexDir, gen)
+    val lines = s.split("\n", -1).toSeq
+    if (s.isEmpty || lines.length < 2) None else Some(lines.tail)
+  }
+
+  /** Raw claim-file content ("" if absent or not yet written) — lets a
+    * concurrency check distinguish the owner's create→write window
+    * (empty: re-read shortly) from a token-only claim that genuinely
+    * declared nothing (unknowable: conflict).
+    */
+  def claimContent(spark: SparkSession, indexDir: String,
+      gen: Long): String =
+    readSmallFile(fsOf(spark, indexDir),
+      new org.apache.hadoop.fs.Path(s"$indexDir/commits/$Claim$gen"))
 
   /** Read a small metadata file fully as UTF-8 ("" if absent) — claim
     * tokens here, partition manifests in [[GenTable]]. Metadata-sized
@@ -293,10 +346,12 @@ object GenCommit {
   }
 
   /** The owner token recorded in a claim file ("" if the file is empty
-    * or absent) — what [[publish]](claimed = true) verifies.
+    * or absent) — what [[publish]](claimed = true) verifies. Line 1 of
+    * the file; later lines are the [[claimDeclaration]].
     */
   private def claimToken(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = readSmallFile(f, p)
+      p: org.apache.hadoop.fs.Path): String =
+    readSmallFile(f, p).split("\n", -1).head
 
   /** Drop the folded tombstone table — every index compactor's last
     * step before (or after) its commit-set reset; shared so the delete
@@ -375,7 +430,7 @@ object GenCommit {
           "for ids this writer claimed via claimNextGen/tryClaim with " +
           "the same token")
     } else
-      require(f.createNewFile(claim),
+      require(createExclusive(f, claim),
         s"publish: generation $gen at $indexDir is already claimed — a " +
           "concurrent writer got there first; retry the append with a " +
           "fresh nextGen id")
@@ -391,7 +446,7 @@ object GenCommit {
       require(f.rename(src, dst), s"publish: could not promote $src")
     }
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")
-    require(f.createNewFile(marker),
+    require(createExclusive(f, marker),
       s"publish: could not create commit marker $marker")
   }
 

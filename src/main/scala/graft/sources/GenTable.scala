@@ -41,12 +41,15 @@ import org.apache.spark.sql.functions._
   * from upsertPartitioned — touched partitions only — plus history
   * retention until [[compact]].
   *
-  * Concurrency: a merge is a READ-MODIFY-WRITE, so it CAS-claims exactly
-  * `snapshot + 1` ([[graft.ops.ClusterStore.merge]]'s argument — two
-  * merges from one snapshot must not both land); a loser fails loudly
-  * with nothing staged. A merge that died before staging frees via
-  * [[GenCommit.recoverClaims]]; one that died mid-publish stays burned
-  * until [[compact]] (which claims a fresh id and resets the set).
+  * Concurrency: a merge is a READ-MODIFY-WRITE of its touched
+  * partitions only, so claims carry a partition DECLARATION and
+  * disjointly-declared writers commit in parallel ([[merge]]'s
+  * contract; row deletes and compactions declare all partitions and
+  * serialize against everything). An overlapping or undeclared
+  * in-flight writer fails the newcomer loudly with nothing staged. A
+  * writer that died before staging frees via [[GenCommit
+  * .recoverClaims]]; one that died mid-publish rolls back via
+  * [[recover]] (single-writer window) or [[compact]].
   *
   * At 100 TB: day-partitioned facts absorb a continuous MERGE feed at
   * the cost of the days each batch touches; the driver-side metadata is
@@ -65,6 +68,10 @@ object GenTable {
   // can collide — and the source/manifests stay plain text (review r15:
   // a NUL-byte sentinel made git treat both as binary)
   private val NullMark = " null"
+  // the all-partitions claim declaration (same no-collision argument):
+  // what a row DELETE or a compaction declares — its effect spans every
+  // partition, so it conflicts with every concurrent writer
+  private val AllMark = " all"
 
   private def fsOf(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -355,7 +362,22 @@ object GenTable {
     * generation. Crash-invisible at every point: nothing is renamed into
     * the data tree until the staged slice is complete, and the commit
     * marker lands after data and manifest — a torn write cannot exist.
-    * Serialized against concurrent merges by CAS on `snapshot + 1`.
+    *
+    * Concurrency (VERDICT r15 #3 — disjoint writers commit in parallel):
+    * a merge is a read-modify-write OF ITS TOUCHED PARTITIONS ONLY, so
+    * full CAS-on-snapshot+1 over-serializes. Instead each claim DECLARES
+    * the partitions it will touch ([[GenCommit.claimDeclaration]]), and
+    * [[claimDisjoint]] admits a claim at any fresh id provided every
+    * uncommitted id between this writer's snapshot and its claim is
+    * declared DISJOINT from its touched set: the merge then reads its
+    * partitions as of its snapshot — which, by disjointness, is still
+    * their latest state — and the resolution rule composes the commits
+    * in claim order. Two nightly feeds loading different day ranges
+    * commit concurrently with zero coordination; an OVERLAPPING or
+    * undeclared in-flight writer still fails this merge loudly (re-run
+    * once it commits — the retry's fresh snapshot then covers it), and
+    * an in-flight row DELETE or compaction conflicts with everything
+    * (they declare all partitions).
     */
   def merge(
       spark: SparkSession,
@@ -369,34 +391,106 @@ object GenTable {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
-    val base = GenCommit.lastCommitted(spark, dir)
     val tk = GenCommit.newToken()
-    require(GenCommit.tryClaim(spark, dir, base + 1, tk),
-      s"GenTable.merge: generation ${base + 1} at $dir is already " +
-        "claimed — a concurrent merge is in flight (re-read and retry), " +
-        "or a crashed one left its claim (recoverClaims frees a " +
-        "pre-stage crash; compact clears a mid-publish one)")
+    val (snapshot, gen) =
+      claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "merge")
     try {
-      val cur = read(spark, dir, partCol, asOfGen = Some(base))
+      val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
       val slice = graft.ops.Merge.guardedSlice(cur, delta, keys, partCol,
         touched)
       val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol, seqCol)
-      stageData(merged, dir, base + 1, partCol, tk, statsCols)
+      stageData(merged, dir, gen, partCol, tk, statsCols)
       // the manifest claims EVERY touched value — also the ones the
       // merged output no longer contains: that claim with no data dir IS
       // the emptied partition (committed atomically with the data by the
       // marker below)
-      writeManifest(spark, dir, base + 1, touched)
-      GenCommit.publish(spark, dir, base + 1, DataTable, tk,
-        claimed = true)
+      writeManifest(spark, dir, gen, touched)
+      GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
     } catch {
       case t: Throwable =>
         val f = fsOf(spark, dir)
         if (!f.exists(new org.apache.hadoop.fs.Path(
-            s"$dir/data/gen=${base + 1}")))
-          GenCommit.releaseClaim(spark, dir, base + 1)
+            s"$dir/data/gen=$gen")))
+          GenCommit.releaseClaim(spark, dir, gen)
         throw t
     }
+  }
+
+  /** The disjoint-writer admission loop: returns `(snapshot, gen)` where
+    * `snapshot` is the last committed generation this writer read and
+    * `gen` its successfully claimed id, such that EVERY id in
+    * `(snapshot, gen)` is an outstanding claim whose declaration is
+    * disjoint from `declareEnc` (manifest-encoded partition values;
+    * [[AllMark]] conflicts with everything, and so does a claim with no
+    * declaration — a legacy or mid-crash writer is unknowable). The
+    * check-then-claim races are safe because a claim targets ONE
+    * specific id: losing it re-enumerates everything, and ids are
+    * handed out densely ([[GenCommit.nextGen]] counts claims), so when
+    * this writer wins id g every id below g existed at enumeration
+    * time. Losing a race costs a directory listing, never staged work
+    * (the claim is taken before any read or write job).
+    */
+  private def claimDisjoint(spark: SparkSession, dir: String,
+      declareEnc: Set[String], tk: String, verb: String,
+      attempts: Int = 16): (Long, Long) = {
+    var tries = attempts
+    while (tries > 0) {
+      tries -= 1
+      val committed = GenCommit.committed(spark, dir)
+      require(committed.nonEmpty,
+        s"no committed generations at $dir — init the table first")
+      val base = committed.max
+      val gen = GenCommit.nextGen(spark, dir, AllTables)
+      // EVERY uncommitted claim conflicts on overlap — including ones
+      // BELOW this writer's snapshot: an in-flight writer that claimed
+      // early and commits late must not be silently outranked by a
+      // later generation it never saw (the lost-update skew)
+      val outstanding =
+        GenCommit.claimedGens(spark, dir).filterNot(committed.toSet).toSet
+      val decls = outstanding.toSeq.sorted
+        .map(g => g -> GenCommit.claimContent(spark, dir, g))
+      if (decls.exists(_._2.isEmpty)) {
+        // a claim with NO content yet: its owner won the fence
+        // microseconds ago and is between create and write — re-read
+        // shortly. A PERMANENTLY empty claim (a claimant that crashed
+        // mid-write) exhausts the bounded retries into the loud
+        // failure below instead of deadlocking.
+        Thread.sleep(50)
+      } else {
+        decls.foreach { case (g, content) =>
+          val dd = content.split("\n", -1).toSeq.tail // line 1 = token
+          require(dd.nonEmpty,
+            s"GenTable.$verb: generation $g at $dir is already claimed " +
+              "with NO partition declaration — an unknowable (legacy " +
+              "or crashed) writer; recover() or compact in a " +
+              "maintenance window")
+          require(!(dd.contains(AllMark) || declareEnc == Set(AllMark) ||
+              dd.exists(declareEnc)),
+            s"GenTable.$verb: generation $g at $dir is already claimed " +
+              "by an in-flight writer whose declared partitions " +
+              "overlap — writers on overlapping partitions serialize: " +
+              "retry once it commits, or recover()/compact a crashed one")
+        }
+        // an id between snapshot and claim that is neither committed
+        // nor claimed (an orphan dir) is an unknowable crashed writer
+        ((base + 1) until gen)
+          .filterNot(g => outstanding(g) || committed.contains(g))
+          .foreach { g =>
+            throw new IllegalArgumentException(
+              s"GenTable.$verb: generation $g at $dir has table state " +
+                "but no claim or marker — an unknowable crashed writer; " +
+                "run recover() or compact in a maintenance window")
+          }
+        if (GenCommit.tryClaim(spark, dir, gen, tk,
+            declare = declareEnc.toSeq.sorted))
+          return (base, gen)
+      }
+    }
+    throw new IllegalStateException(
+      s"GenTable.$verb: exhausted $attempts claim attempts at $dir — a " +
+        "stuck or crashed claimant (possibly a claim with no " +
+        "declaration: a writer that died mid-claim-write; recover() " +
+        "frees it), or ids claimed outside this protocol")
   }
 
   /** ROW-LEVEL DELETE (VERDICT r15 #1 — the deletion-vector gap): remove
@@ -443,30 +537,29 @@ object GenTable {
         "read-side mask ambiguous; one key shape per table")
     val del = keys.distinct()
     if (del.isEmpty) return // no generation for an empty delete
-    val base = GenCommit.lastCommitted(spark, dir)
     val tk = GenCommit.newToken()
-    require(GenCommit.tryClaim(spark, dir, base + 1, tk),
-      s"GenTable.deleteRows: generation ${base + 1} at $dir is already " +
-        "claimed — a concurrent writer is in flight (re-read and retry), " +
-        "or a crashed one left its claim (recover frees it)")
+    // a delete's effect spans every partition (it outranks all lower
+    // generations), so it declares ALL and conflicts with any in-flight
+    // writer — and any later writer conflicts with it until it commits
+    val (_, gen) =
+      claimDisjoint(spark, dir, Set(AllMark), tk, "deleteRows")
     try {
       del.write.mode("overwrite")
-        .parquet(GenCommit.stagePath(dir, base + 1,
-          GenCommit.TombsTable, tk))
+        .parquet(GenCommit.stagePath(dir, gen, GenCommit.TombsTable, tk))
       if (prior.isEmpty) {
         val out = f.create(tkPath, true)
         try out.write(keyCols.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
-      writeManifest(spark, dir, base + 1, Seq.empty)
-      GenCommit.publish(spark, dir, base + 1, Seq(GenCommit.TombsTable),
+      writeManifest(spark, dir, gen, Seq.empty)
+      GenCommit.publish(spark, dir, gen, Seq(GenCommit.TombsTable),
         tk, claimed = true)
     } catch {
       case t: Throwable =>
         if (!f.exists(new org.apache.hadoop.fs.Path(
-            s"$dir/${GenCommit.TombsTable}/gen=${base + 1}")))
-          GenCommit.releaseClaim(spark, dir, base + 1)
+            s"$dir/${GenCommit.TombsTable}/gen=$gen")))
+          GenCommit.releaseClaim(spark, dir, gen)
         throw t
     }
   }
@@ -559,7 +652,10 @@ object GenTable {
       statsCols: Seq[String] = Nil): Unit = {
     GenCommit.gcStages(spark, dir)
     val tk = GenCommit.newToken()
-    val gen = GenCommit.claimNextGen(spark, dir, AllTables, token = tk)
+    // declared all-partitions so a concurrent disjoint merge fails
+    // loudly instead of racing the maintenance window
+    val gen = GenCommit.claimNextGen(spark, dir, AllTables, token = tk,
+      declare = Seq(AllMark))
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq

@@ -312,6 +312,64 @@ class GenTableSpec extends SparkSuite {
     assert(readSet(dir).size == 4)
   }
 
+  test("disjoint-writer concurrency: a merge commits while another " +
+      "writer's claim is OUTSTANDING on disjoint partitions; an " +
+      "overlapping or undeclared writer still fails loudly; the " +
+      "in-flight writer then completes and both effects compose") {
+    val dir = s"${TempRoots.create("graft_gt_disj_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    // W1 in flight: claimed gen 1 declaring partition B, nothing staged
+    require(GenCommit.tryClaim(spark, dir, 1L, "w1", declare = Seq("B")))
+    // W2 touches C — disjoint from the declaration: commits at gen 2
+    GenTable.merge(spark, dir, "p",
+      Seq((6L, "C", 60.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(readSet(dir).contains((6L, "C", 60.0)),
+      "the disjoint merge must land while W1 is still in flight")
+    // W3 touches B — overlaps W1's declaration: loud fail
+    val ov = intercept[IllegalArgumentException] {
+      GenTable.merge(spark, dir, "p",
+        Seq((3L, "B", 31.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    }
+    assert(ov.getMessage.contains("overlap"))
+    // a row delete spans every partition: conflicts with W1 too
+    val dl = intercept[IllegalArgumentException] {
+      GenTable.deleteRows(spark, dir, Seq(5L).toDF("k"))
+    }
+    assert(dl.getMessage.contains("already claimed"))
+    // W1 completes: stages its B rewrite, manifest, publishes gen 1
+    Seq((3L, "B", 33.0)).toDF("k", "p", "v")
+      .write.partitionBy("p")
+      .parquet(GenCommit.stagePath(dir, 1L, "data", "w1"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$dir/manifests/1"), true)
+    try out.write("B".getBytes("UTF-8")) finally out.close()
+    GenCommit.publish(spark, dir, 1L, Seq("data"), "w1", claimed = true)
+    // both effects compose: B from gen 1 (W1's rewrite), C from gen 2
+    assert(readSet(dir) == Set((1L, "A", 10.0), (2L, "A", 20.0),
+      (3L, "B", 33.0), (5L, "C", 50.0), (6L, "C", 60.0)))
+  }
+
+  test("two genuinely concurrent merges on disjoint partitions both " +
+      "commit, no compact, no retry-to-failure") {
+    val dir = s"${TempRoots.create("graft_gt_conc_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def runner(row: (Long, String, Double)) = new Thread(() =>
+      try GenTable.merge(spark, dir, "p",
+        Seq((row._1, row._2, row._3, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"))
+      catch { case t: Throwable => errs.add(t) })
+    val (t1, t2) = (runner((3L, "B", 31.0)), runner((5L, "C", 51.0)))
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"a disjoint concurrent merge failed: ${
+      Option(errs.peek()).map(_.getMessage)}")
+    assert(readSet(dir) == Set((1L, "A", 10.0), (2L, "A", 20.0),
+      (3L, "B", 31.0), (4L, "B", 40.0), (5L, "C", 51.0)))
+    assert(GenCommit.committed(spark, dir) == Seq(0L, 1L, 2L),
+      "both merges must have committed their own generation")
+  }
+
   test("merge-on-read resolution: untouched partitions keep serving " +
       "their ORIGINAL generation's files; the scan is pruned to one " +
       "generation per partition") {
