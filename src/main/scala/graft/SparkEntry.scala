@@ -319,6 +319,11 @@ object SparkEntry {
     // x11's exact twin: nprobe=nlist probes every cell, so the same
     // quantize-assign-join pipeline degenerates to brute-force top-k —
     // shares x01's oracle (q71 gates the persisted-index analog)
+    // IVF-PQ: product-quantized postings, ADC search — declared form
+    // rows-only (recall + storage pinned in VectorSpec); x27b is the
+    // lossless-codebook all-cells exact twin with its own oracle
+    "x27_ann_ivfpq" -> ((s, d) => ops.VectorPq.x27(s, d)),
+    "x27b_ann_ivfpq_gate" -> ((s, d) => ops.VectorPq.x27b(s, d)),
     "x11b_ann_ivf_gate"    -> ((s, d) => ops.Vector.x11b(s, d)),
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
@@ -576,6 +581,7 @@ object SparkEntry {
     "x22b_sketch_churn"         -> ops.Sketches.x22bSql,
     "x19b_profile_sketch_gate"  -> ops.Analytics.q86Sql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
+    "x27b_ann_ivfpq_gate"       -> ops.VectorPq.x27bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

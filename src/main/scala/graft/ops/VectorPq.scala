@@ -1,0 +1,410 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product-quantized postings for the IVF index (VERDICT r15
+  * #4) — the standard compression that keeps a 100 TB embedding corpus'
+  * postings cache-resident. [[Vector.ivfBuild]] stores every vector
+  * verbatim (dim × 4 bytes in the float path); here each vector is cut
+  * into `m` subvectors and every subvector replaced by the index of its
+  * nearest codeword in a per-subspace codebook of ≤ `kCodes` entries —
+  * m small codes per vector (m bytes at kCodes = 256; stored as parquet
+  * int arrays, which dictionary/bit-pack to the same order), a
+  * dim·4/m-fold reduction of the candidate payload, at an accuracy cost
+  * VectorSpec pins as a recall floor vs the exact baseline.
+  *
+  * Spark-first shape, mirroring [[Vector.ivfBuild]]'s decisions:
+  *  - codebook TRAINING is per-subspace k-means on a bounded,
+  *    hash-ordered sample, run driver-side (m × sample × k flops of
+  *    index metadata, the [[Vector.seedCentroids]] precedent — never a
+  *    corpus job). When a subspace has ≤ kCodes DISTINCT values the
+  *    codebook is those values exactly and quantization is LOSSLESS —
+  *    the property the driver gate twin (x27b) is built on.
+  *  - ENCODING is one map-side pass: codes and the reconstruction norm
+  *    are pure codegen'd HOF expressions over a literal flat codebook
+  *    (`transform`/`slice`/`aggregate` — no UDF, no shuffle beyond the
+  *    partitioned write), composed with the same zero-shuffle cell
+  *    argmax ([[Vector.nearestCells]]) the plain index uses.
+  *  - SEARCH is asymmetric distance computation (ADC): each probe's
+  *    (m × kCodes) lookup table of subvector dot products is computed
+  *    ONCE driver-side (probes are the small side by contract, exactly
+  *    as ivfSearch collects them to prune cells) and broadcast; a
+  *    candidate's score is then m table lookups summed in subspace
+  *    order — `aggregate(transform(codes, …element_at(lut, …)))`, all
+  *    whole-stage codegen. At sublen = 1 the summation order equals the
+  *    full left-to-right dot fold bit for bit, which is what lets the
+  *    gate twin share an exact brute-force oracle.
+  *  - postings are cell-directory-partitioned and generation-committed
+  *    ([[graft.sources.GenCommit]]) like every standing index; a search
+  *    reads only the probed cells' partitions.
+  *
+  * Quantizing RAW vectors (FAISS's `by_residual = false` flavor) rather
+  * than centroid residuals keeps the codebook global across cells — the
+  * residual flavor buys accuracy at equal code budget but couples every
+  * codebook to the coarse quantizer (a centroid refresh invalidates all
+  * codes); the flat flavor's codes survive re-clustering, the right
+  * trade for an index whose compaction story is periodic re-seeding.
+  */
+object VectorPq {
+
+  private val PqTables = Seq("postings")
+
+  /** Build the IVF-PQ index at `indexDir` (replacing anything there):
+    * coarse quantizer (`nlist` cells, shared training path with
+    * [[Vector.ivfBuild]]), per-subspace codebooks, and cell-partitioned
+    * postings of (id, codes, reconstruction norm). `m` must divide the
+    * dimension. Norms are of the RECONSTRUCTION (not the original):
+    * search scores live entirely in quantized space, so its cosine is
+    * internally consistent — and exact whenever quantization is.
+    */
+  def pqBuild(
+      corpus: DataFrame,
+      indexDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nlist: Int = 16,
+      m: Int = 16,
+      kCodes: Int = 256,
+      lloydIters: Int = 3,
+      kmeansSample: Int = 4096,
+      kmeansIters: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val c0 = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      col(vecCol).cast("array<double>").as("vecD"))
+    val dimRow = c0.select(size(col("vecD"))).head()
+    val dim = dimRow.getInt(0)
+    require(dim > 0 && dim % m == 0,
+      s"pqBuild: m = $m must divide the dimension $dim")
+    val sublen = dim / m
+    val cents = Vector.seedCentroids(
+      c0.select(col("id"), col("vec")), nlist, lloydIters)
+    require(cents.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
+
+    // ---- codebooks: exact when a subspace's distinct values fit ----
+    val subs = c0.select(posexplode(transform(
+        sequence(lit(0), lit(m - 1)),
+        i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
+      .as(Seq("sub", "sv"))).distinct()
+    val perSub: Map[Int, Long] = subs.groupBy(col("sub")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cb: IndexedSeq[IndexedSeq[Array[Double]]] =
+      if (perSub.values.max <= kCodes) {
+        // LOSSLESS: the codebook IS the subspace's distinct values
+        // (deterministic order), every subvector encodes to itself
+        val all = subs.orderBy(col("sub"), col("sv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        (0 until m).map(i =>
+          all.filter(_._1 == i).map(_._2).toIndexedSeq)
+      } else {
+        // bounded hash-ordered sample per subspace → driver k-means
+        val w = Window.partitionBy(col("sub"))
+          .orderBy(xxhash64(col("sv").cast("string")))
+        val sample = subs
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= kmeansSample).drop("__r")
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        (0 until m).map(i => kmeansL2(
+          sample.filter(_._1 == i).map(_._2).toIndexedSeq,
+          kCodes, kmeansIters))
+      }
+    val kEff = cb.map(_.size).max
+    // pad ragged codebooks with their first entry: a duplicate codeword
+    // can never WIN an argmin (array_position takes the first minimum),
+    // so pads are unreachable — they only square the flat layout
+    val padded = cb.map(b => b ++ IndexedSeq.fill(kEff - b.size)(b.head))
+    val flat: Array[Double] =
+      padded.flatMap(_.flatMap(_.toIndexedSeq)).toArray
+
+    // ---- persist metadata (replace-on-build, the ivfBuild contract) --
+    val fs0 = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(indexDir), true)
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        c0.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toIndexedSeq.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2)), 1),
+        centSchema)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    spark.range(1).select(lit(m).as("m"), lit(kEff).as("k"),
+        lit(sublen).as("sublen"), lit(dim).as("dim"))
+      .write.mode("overwrite").parquet(s"$indexDir/pqmeta")
+    import spark.implicits._
+    padded.zipWithIndex.flatMap { case (b, i) =>
+      b.zipWithIndex.map { case (cw, c) => (i, c, cw.toSeq) }
+    }.toDF("sub", "code", "cvec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/pqcodes")
+
+    // ---- encode + assign + publish as generation 0 ----
+    val tk = graft.sources.GenCommit.newToken()
+    val recon = reconExpr(col("codes"), flat, kEff, sublen)
+    Vector.nearestCells(c0, cents, 1)
+      .withColumn("codes", encodeExpr(col("vecD"), flat, m, kEff, sublen))
+      .withColumn("c_norm", sqrt(aggregate(
+        zip_with(recon, recon, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)))
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("neighbor_id"), col("codes"), col("c_norm"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, 0L, "postings", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, 0L, PqTables, tk)
+  }
+
+  /** Map-side PQ encode: for each of the `m` subspaces, the argmin-
+    * distance codeword index — `transform`/`slice`/`aggregate` over the
+    * literal flat codebook, zero shuffle, whole-stage codegen. Ties take
+    * the first minimum (`array_position`): deterministic, and what makes
+    * the padded entries unreachable.
+    */
+  private def encodeExpr(vecD: Column, flat: Array[Double], m: Int,
+      kEff: Int, sublen: Int): Column = {
+    val fl = lit(flat)
+    transform(sequence(lit(0), lit(m - 1)), i => {
+      val sv = slice(vecD, i * sublen + 1, lit(sublen))
+      val dists = transform(sequence(lit(0), lit(kEff - 1)), c => {
+        val cw = slice(fl, (i * lit(kEff) + c) * sublen + 1, lit(sublen))
+        aggregate(zip_with(sv, cw, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (s, x) => s + x)
+      })
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+  }
+
+  /** The decoded vector: codeword slices concatenated in subspace
+    * order — build-side only (norms); search never reconstructs.
+    */
+  private def reconExpr(codes: Column, flat: Array[Double], kEff: Int,
+      sublen: Int): Column = {
+    val fl = lit(flat)
+    flatten(transform(codes, (c, i) =>
+      slice(fl, (i * lit(kEff) + c) * sublen + 1, lit(sublen))))
+  }
+
+  /** Search the IVF-PQ index: probe `nprobe` cells, score candidates by
+    * ADC over the broadcast per-probe lookup tables, top `topK` per
+    * probe by (cosine desc, id asc). The scan touches only the probed
+    * cells' partitions; the only per-candidate work is m table lookups
+    * and one divide.
+    */
+  def pqSearch(
+      spark: SparkSession,
+      indexDir: String,
+      probes: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      nprobe: Int = 4,
+      topK: Int = 10): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
+    val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("sublen"))
+    val cbRows = spark.read.parquet(s"$indexDir/pqcodes").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    val p0 = probes.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      col(vecCol).cast("array<double>").as("vecD"))
+    val pc = Vector.nearestCells(p0, cents, nprobe)
+      .select(col("id"), col("vecD"), col("cell")).collect()
+    // one LUT per distinct probe (probes are the small, collected side —
+    // ivfSearch's contract): lut(i·k + c) = ⟨probe subvector i,
+    // codeword c⟩, products and sums in ascending position order so the
+    // sublen = 1 case reproduces the full dot fold bit for bit
+    val lutByProbe = pc.map(r => r.get(0) -> r.getSeq[Double](1)).distinct
+      .map { case (pid, pv) =>
+        val lut = new Array[Double](m * kEff)
+        var i = 0
+        while (i < m) {
+          var c = 0
+          while (c < kEff) {
+            val cw = cbRows((i, c))
+            var s = 0.0
+            var j = 0
+            while (j < sublen) { s += pv(i * sublen + j) * cw(j); j += 1 }
+            lut(i * kEff + c) = s
+            c += 1
+          }
+          i += 1
+        }
+        var n2 = 0.0
+        var j = 0
+        while (j < pv.length) { n2 += pv(j) * pv(j); j += 1 }
+        pid -> (lut.toSeq, math.sqrt(n2))
+      }.toMap
+    val idDt = p0.schema("id").dataType
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("probe_id", idDt),
+      org.apache.spark.sql.types.StructField("lut",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("p_norm",
+        org.apache.spark.sql.types.DoubleType)))
+    val pRows = pc.toIndexedSeq.map { r =>
+      val (lut, pn) = lutByProbe(r.get(0))
+      org.apache.spark.sql.Row("c" + r.get(2).toString, r.get(0), lut, pn)
+    }
+    val pdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pRows, 1), pSchema)
+    val probed = pRows.map(_.getString(0)).distinct.sorted
+    val posts = graft.sources.GenCommit
+      .committedTable(spark, indexDir, "postings")
+      .filter(col("cell").isin(probed: _*))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    posts.join(broadcast(pdf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .filter(col("c_norm") > 0 && col("p_norm") > 0)
+      .withColumn("dotv", aggregate(
+        transform(col("codes"),
+          (x, i) => element_at(col("lut"), i * kEff + x + 1)),
+        lit(0.0), (s, v) => s + v))
+      .withColumn("cosine", col("dotv") / (col("c_norm") * col("p_norm")))
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Driver-side L2 k-means over one subspace's sampled values:
+    * deterministic farthest-point init from the (hash-ordered) sample's
+    * head, a few Lloyd iterations, empty clusters keep their center.
+    * Index-metadata scale by construction (≤ kmeansSample points of
+    * `sublen` doubles per subspace).
+    */
+  private def kmeansL2(vals: IndexedSeq[Array[Double]], k: Int,
+      iters: Int): IndexedSeq[Array[Double]] = {
+    if (vals.size <= k) return vals
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(vals.head)
+    val minD = scala.collection.mutable.ArrayBuffer.from(
+      vals.map(d2(_, vals.head)))
+    while (centers.size < k) {
+      var best = 0; var bd = Double.NegativeInfinity; var i = 0
+      while (i < vals.size) {
+        if (minD(i) > bd) { bd = minD(i); best = i }; i += 1
+      }
+      val nc = vals(best)
+      centers += nc
+      minD(best) = Double.NegativeInfinity
+      var j = 0
+      while (j < vals.size) {
+        if (minD(j) > Double.NegativeInfinity) {
+          val d = d2(vals(j), nc)
+          if (d < minD(j)) minD(j) = d
+        }
+        j += 1
+      }
+    }
+    var cs = centers.toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cs.size)(new Array[Double](vals.head.length))
+      val counts = new Array[Long](cs.size)
+      vals.foreach { v =>
+        var bi = 0; var bd = Double.MaxValue; var i = 0
+        while (i < cs.size) {
+          val d = d2(v, cs(i)); if (d < bd) { bd = d; bi = i }; i += 1
+        }
+        counts(bi) += 1
+        var j = 0
+        while (j < v.length) { sums(bi)(j) += v(j); j += 1 }
+      }
+      cs = cs.indices.map { i =>
+        if (counts(i) == 0) cs(i)
+        else sums(i).map(_ / counts(i))
+      }
+      it += 1
+    }
+    cs
+  }
+
+  /** x27_ann_ivfpq: the DECLARED compressed form — IVF-PQ over the raw
+    * embeddings (m = 16 subspaces of 4 floats, 256-entry codebooks
+    * trained by sampled k-means: 16 bytes of code per 256-byte vector),
+    * nprobe = 4 of 16 cells, same probe set as x01/x06/x11. Rows-only
+    * at the driver (ANN output is not SQL-restatable); VectorSpec pins
+    * recall vs the exact x01 baseline and the storage ratio vs the
+    * uncompressed IVF postings; x27b is the exact-path gate twin.
+    */
+  def x27(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = s"${graft.TempRoots.create("graft_x27_")}/ivfpq"
+    pqBuild(emb, idx, nlist = 16, m = 16)
+    pqSearch(spark, idx, emb.filter(col("vec_id") < 8), nprobe = 4)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27b_ann_ivfpq_gate: x27's EXACT twin through the identical build +
+    * ADC search code path, hash-gated against a brute-force oracle. Two
+    * levers make the sketch exact (VERDICT r15 #4's recipe): the corpus
+    * is snapped to a 1/8 grid (`floor(x·8)/8` — ≤ 8 distinct values per
+    * dimension on this fixture's [−0.53, 0.46] range), so with m = dim
+    * (sublen = 1) every subspace has ≤ 256 distinct values and the
+    * codebook is LOSSLESS by pqBuild's distinct-values path; and
+    * nprobe = nlist probes every cell (x11b's argument), so the
+    * candidate set is the whole corpus and each (probe, neighbor) pair
+    * surfaces exactly once. ADC at sublen = 1 sums p_i·recon_i in
+    * dimension order — bit-identical to the oracle's left-to-right dot
+    * fold (q60's parity argument), with norms folded the same way on
+    * both sides. x27 stays the declared approximate form; this twin
+    * puts its entire pipeline (training, encode, cell assignment,
+    * LUT scoring, rank window) under the driver's hash gate.
+    */
+  def x27b(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val idx = s"${graft.TempRoots.create("graft_x27b_")}/ivfpq"
+    pqBuild(grid, idx, nlist = 16, m = 64)
+    pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27b's own oracle: q60's brute-force shape over the grid-snapped
+    * corpus — the same left-to-right folds for dot and norm.
+    */
+  val x27bSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> floor(CAST(x AS DOUBLE) * 8) / 8) AS vec
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, vec,
+      |         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> vec[i] * vec[i])),
+      |           (x, y) -> x + y)) AS nrm
+      |  FROM v)
+      |SELECT probe_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |           list_transform(range(1, 65), i -> c.vec[i] * p.vec[i])),
+      |           (x, y) -> x + y) / (c.nrm * p.nrm) AS cosine,
+      |         row_number() OVER (
+      |           PARTITION BY p.vec_id
+      |           ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(1, 65), i -> c.vec[i] * p.vec[i])),
+      |             (x, y) -> x + y) / (c.nrm * p.nrm) DESC, c.vec_id ASC) AS rank
+      |  FROM n c JOIN n p ON p.vec_id < 8 AND c.vec_id <> p.vec_id
+      |  WHERE c.nrm > 0 AND p.nrm > 0)
+      |WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin
+}

@@ -124,6 +124,60 @@ class VectorSpec extends SparkSuite {
     assert(ivf.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("IVF-PQ: recall at nprobe=4 over 16-byte codes; compressed " +
+      "postings are a fraction of the full-vector index's bytes") {
+    val brute = Vector.x01(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = ops.VectorPq.x27(spark, sf001).collect()
+    val pqSets = pq.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (p, bs) =>
+      (bs intersect pqSets.getOrElse(p, Set.empty)).size.toDouble / bs.size }
+    val mean = recalls.sum / recalls.size
+    // nprobe/nlist = 4/16 (the x11 budget) THROUGH 16x compression:
+    // the PQ floor sits at the plain-IVF pin (the 4-dim subquantizers
+    // at k=256 are near-lossless on this corpus; the loss is cell
+    // pruning, same as x11's)
+    assert(mean >= 0.5, s"IVF-PQ mean recall@10 = $mean")
+    // the storage claim, measured: build both indexes over the same
+    // corpus and compare the postings payload on disk
+    val emb = Tables.embeddings(spark, sf001)
+    val root = TempRoots.create("graft_pq_bytes_")
+    Vector.ivfBuild(emb, s"$root/flat", nlist = 16)
+    ops.VectorPq.pqBuild(emb, s"$root/pq", nlist = 16, m = 16)
+    def bytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(d))
+    }
+    val (full, coded) = (bytes(s"$root/flat/postings"),
+      bytes(s"$root/pq/postings"))
+    assert(coded * 2 < full,
+      s"PQ postings must be well under half the flat index: $coded vs $full")
+  }
+
+  test("x27b lossless-codebook full-probe IVF-PQ equals the grid " +
+      "brute force row for row (the gate twin's local pin)") {
+    // triples only: the float-kernel reference rounds norms at float
+    // precision while the PQ path scores in doubles, so cosines agree
+    // to float rounding but not bit-for-bit (the DRIVER gate pins the
+    // double path bit-exact against DuckDB; this is the local shape pin)
+    def triples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val got = triples(ops.VectorPq.x27b(spark, sf001).collect())
+    // reference: exact cosine top-k over the SAME grid-snapped corpus
+    val grid = Tables.embeddings(spark, sf001).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).cast("array<float>")
+        .as("embedding"))
+    val want = triples(Vector.cosineTopK(grid,
+        grid.filter(col("vec_id") < 8))
+      .orderBy("probe_id", "rank").collect())
+    assert(got.nonEmpty && got == want,
+      "ADC over lossless codes must reproduce exact cosine top-k")
+  }
+
   test("x11b full-probe IVF equals brute-force top-k row for row") {
     // nprobe = nlist: the candidate set is the whole corpus, so the same
     // quantize-assign-join pipeline must reproduce x01 exactly (cosines
