@@ -169,6 +169,10 @@ object SparkEntry {
     // atomic generation (no torn mid-batch state, ever), checkpoint
     // restart between the deltas — shares q92b's oracle
     "x26_stream_cdc_gentable" -> ((s, d) => streaming.CdcApply.x26(s, d)),
+    // R18 live: the rates dim re-resolves per micro-batch across a day
+    // boundary (day-keyed on-disk memo; once-per-day fetch budget holds
+    // across triggers and restarts) — own per-day revalued-dim oracle
+    "x28_stream_dim_refresh" -> ((s, d) => streaming.DimRefreshStream.x28(s, d)),
     // large-star/small-star CC — the declared default since round 9
     "q41_dedup_clusters"   -> ((s, d) => ops.Text.q41(s, d)),
     // same clusters via plain min-label propagation (diameter-bounded) —
@@ -496,6 +500,7 @@ object SparkEntry {
     "x24_stream_cdc_apply" -> ops.Merge.q92bSql,
     "x25_stream_dedup_pipeline" -> ops.Text.q41Sql,
     "x26_stream_cdc_gentable" -> ops.Merge.q92bSql,
+    "x28_stream_dim_refresh" -> streaming.DimRefreshStream.x28Sql,
     "x12_bloom_semi"       -> ops.Relational.q06Sql,
     "q41_dedup_clusters"   -> ops.Text.q41Sql,
     "q41b_dedup_clusters_plain" -> ops.Text.q41Sql,

@@ -1,0 +1,214 @@
+package graft.streaming
+
+import graft.{Dims, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** R18 LIVE (VERDICT r15 #5): a conversion STREAM whose daily rates
+  * dimension re-resolves per micro-batch — the piece of the reference's
+  * daily-acquisition path (R16–R18) that the batch queries exercise
+  * per JOB but no stream exercised per TRIGGER. A long-running ingest
+  * crosses day boundaries: the dim it joined an hour ago is stale for
+  * the next batch's events. The production answer is exactly the batch
+  * one, applied inside `foreachBatch`: resolve the day-keyed memo
+  * ([[graft.sources.RatesDim.DailyCachedRates]]) for each event day the
+  * batch carries — a memo HIT for a day already fetched (the reference's
+  * once-per-day API budget holds across triggers and restarts, because
+  * the memo is on disk, not in the stream's state), a provider fetch on
+  * the first batch of a new day — and broadcast-join the slice.
+  *
+  * Idempotent by construction: each micro-batch's output lands at a
+  * batchId-keyed path in overwrite mode, so an at-least-once replay
+  * rewrites the same rows instead of double-appending (the standard
+  * foreachBatch exactly-once recipe for file sinks).
+  *
+  * At 100 TB: the per-trigger added cost is one memo-dir existence
+  * check per event day in the batch (driver metadata) and a
+  * broadcast-sized dim read — the events themselves never shuffle for
+  * the dim (broadcast join, q03's plan shape per slice).
+  */
+object DimRefreshStream {
+
+  /** The two-day revaluation fixture, shared literal-for-literal with
+    * the oracle: day 1 serves the declared base dim, day 2 the base
+    * revalued by ×1.05 (exact scale-6 decimals via BigDecimal — the
+    * [[graft.Dims.ratesHistory]] arithmetic). EUR pins to 1.000000 on
+    * both days, which also makes [[graft.sources.RatesDim
+    * .DailyCachedRates]]' USD→EUR rebase the exact identity (÷1.0) —
+    * the doubles that cross the provider boundary are the scale-6
+    * decimals themselves, so the decimal cast at join time recovers
+    * them exactly in both engines.
+    */
+  val Day1 = java.time.LocalDate.parse("1995-03-01")
+  val Day2 = java.time.LocalDate.parse("1995-03-02")
+
+  private def reval(base: String, factor: String): java.math.BigDecimal =
+    new java.math.BigDecimal(base)
+      .multiply(new java.math.BigDecimal(factor))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  private def factorOf(day: java.time.LocalDate): String =
+    if (day == Day1) "1.000000" else "1.050000"
+
+  /** The day's rates as the provider ships them (EUR = 1.0 exact). */
+  def dayRates(day: java.time.LocalDate): Map[String, Double] =
+    Dims.rates.map { case (c, r) =>
+      c -> (if (c == "EUR") 1.0 else reval(r, factorOf(day)).doubleValue)
+    }.toMap
+
+  /** A [[graft.sources.RatesDim.RatesProvider]] over the fixture, with
+    * a fetch counter for the once-per-day budget pin.
+    */
+  final class TwoDayProvider extends graft.sources.RatesDim.RatesProvider {
+    @volatile var fetches: List[java.time.LocalDate] = Nil
+    override def fetch(day: java.time.LocalDate): Map[String, Double] = {
+      fetches = day :: fetches
+      dayRates(day)
+    }
+  }
+
+  /** One micro-batch's apply, split out for direct spec pinning: for
+    * each event day the batch carries (bounded — a trigger spans at
+    * most a few days), resolve THAT day's dim through the shared memo
+    * store and convert the slice. Output overwrites the batch's own
+    * path — replay-idempotent.
+    */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      ratesStore: String,
+      provider: graft.sources.RatesDim.RatesProvider,
+      sinkDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val dims = new graft.sources.RatesDim.DailyCachedRates(
+      spark, ratesStore, provider)
+    val days = batch.select(col("event_day")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val out = days.map { day =>
+      val rates = dims.broadcastable(day)
+        .select(col("currency"),
+          col("rate").cast("decimal(10,6)").as("eur_per_unit"))
+      val slice = batch
+        .filter(col("event_day") === java.sql.Date.valueOf(day))
+      val amount = col("amount").cast("decimal(18,2)")
+      slice.join(broadcast(rates), Seq("currency"), "left")
+        .select(
+          col("order_id"),
+          amount.cast("double").as("original_amount"),
+          col("currency").as("original_currency"),
+          graft.ops.Convert.convertDeclared(amount, col("currency"),
+            col("eur_per_unit")).cast("double").as("amount_eur"),
+          coalesce(col("eur_per_unit"),
+            lit("1.000000").cast("decimal(10,6)"))
+            .cast("double").as("exchange_rate"),
+          col("event_day"))
+    }.reduce(_ unionByName _)
+    out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
+  }
+
+  /** Start the conversion stream: micro-batches of orders (carrying
+    * `order_id, amount, currency, event_day`) convert under the day's
+    * dim, re-resolved per trigger through the on-disk memo at
+    * `ratesStore`.
+    */
+  def stream(
+      orders: DataFrame,
+      ratesStore: String,
+      provider: graft.sources.RatesDim.RatesProvider,
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    orders.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, ratesStore, provider, sinkDir)
+      }
+      .start()
+
+  /** x28_stream_dim_refresh: the driver gate — the q03-shaped order
+    * slice (orders ⋈ customer ⋈ nation ⋈ nation-currency) assigned to
+    * TWO event days (`o_orderkey % 2`), arriving as one file per day
+    * over a file source with a checkpoint restart between them (x24's
+    * harness). Batch 1 fetches day 1's rates; batch 2 crosses the day
+    * boundary and fetches day 2's — the stale-dim failure this operator
+    * exists to prevent is exactly what the oracle would catch (day-2
+    * rows converted at day-1 rates hash-mismatch). Own oracle: the
+    * per-day conversions unioned, each against its day's revalued
+    * literal dim.
+    */
+  def x28(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.TempRoots.create("graft_x28_")
+    val (srcDir, store, sink, ckpt) =
+      (s"$root/src", s"$root/rates", s"$root/sink", s"$root/ckpt")
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val src = Tables.orders(spark, dir)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Dims.nationCurrencyDf(spark)),
+        col("n_name") === col("n_name_key"))
+      .select(col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("amount"), col("currency"),
+        when(col("o_orderkey") % 2 === 0,
+          lit(java.sql.Date.valueOf(Day1)))
+          .otherwise(lit(java.sql.Date.valueOf(Day2))).as("event_day"))
+    val provider = new TwoDayProvider
+    def startApply(): StreamingQuery = {
+      val in = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      stream(in, store, provider, sink, ckpt)
+    }
+    src.filter(col("event_day") === java.sql.Date.valueOf(Day1))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = startApply()
+    try q1.processAllAvailable() finally q1.stop()
+    src.filter(col("event_day") === java.sql.Date.valueOf(Day2))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = startApply()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(sink)
+      .select("order_id", "original_amount", "original_currency",
+        "amount_eur", "exchange_rate", "event_day")
+      .orderBy("order_id")
+  }
+
+  /** x28's oracle: the same join chain, each day's slice converted
+    * against its day's revalued literal dim — the literals computed by
+    * the SAME BigDecimal arithmetic as the provider's.
+    */
+  val x28Sql: String = {
+    def ratesValues(day: java.time.LocalDate): String =
+      Dims.rates.map { case (c, r) =>
+        val v = if (c == "EUR") "1.000000"
+          else reval(r, factorOf(day)).toPlainString
+        s"('$c', CAST($v AS DECIMAL(10,6)))"
+      }.mkString("(VALUES ", ", ", ")")
+    def convertDay(day: java.time.LocalDate, pred: String): String =
+      s"""SELECT s.order_id,
+         |       CAST(s.amount AS DOUBLE) AS original_amount,
+         |       s.currency AS original_currency,
+         |       CAST(CASE WHEN s.currency = 'EUR' THEN s.amount
+         |            ELSE round(CAST(s.amount * COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DECIMAL(28,8)), 2)
+         |       END AS DOUBLE) AS amount_eur,
+         |       CAST(COALESCE(r.eur_per_unit, CAST(1.000000 AS DECIMAL(10,6))) AS DOUBLE) AS exchange_rate,
+         |       DATE '$day' AS event_day
+         |FROM src s
+         |LEFT JOIN ${ratesValues(day)} AS r(currency, eur_per_unit)
+         |  ON s.currency = r.currency
+         |WHERE $pred""".stripMargin
+    s"""WITH src AS (
+       |  SELECT o.o_orderkey AS order_id,
+       |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS amount,
+       |         nc.currency, o.o_orderkey % 2 AS par
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN ${Dims.nationCurrencySql()} ON n.n_name = nc.n_name_key)
+       |${convertDay(Day1, "s.par = 0")}
+       |UNION ALL
+       |${convertDay(Day2, "s.par = 1")}
+       |ORDER BY order_id""".stripMargin
+  }
+}

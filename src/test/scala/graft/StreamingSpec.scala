@@ -565,6 +565,44 @@ class StreamingSpec extends SparkSuite {
     assert(v1 == want, "streamed resolution diverged from the rebuild")
   }
 
+  test("DimRefreshStream: the dim re-resolves per batch across the day " +
+      "boundary (day-2 rows at day-2 rates); the once-per-day fetch " +
+      "budget holds across batches AND replays (memo hits); a replayed " +
+      "batch overwrites its own output, never double-appends") {
+    import graft.streaming.DimRefreshStream
+    import DimRefreshStream.{Day1, Day2}
+    import spark.implicits._
+    val root = TempRoots.create("graft_dimrefresh_")
+    val (store, sink) = (s"$root/rates", s"$root/sink")
+    val (d1, d2) = (java.sql.Date.valueOf(Day1), java.sql.Date.valueOf(Day2))
+    val src = Seq(
+      (1L, 100.0, "USD", d1), (2L, 100.0, "USD", d2),
+      (3L, 50.0, "EUR", d2), (4L, 10.0, "XXX", d2))
+      .toDF("order_id", "amount", "currency", "event_day")
+    val provider = new DimRefreshStream.TwoDayProvider
+    def apply(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DimRefreshStream.applyBatch(b, id, store, provider, sink)
+    apply(src.filter(col("event_day") === d1), 0L)
+    assert(provider.fetches == List(Day1), "batch 1 fetches day 1 once")
+    apply(src.filter(col("event_day") === d2), 1L)
+    assert(provider.fetches.sortBy(_.toString) == List(Day1, Day2),
+      "crossing the day boundary fetches the NEW day exactly once")
+    def rows() = spark.read.parquet(sink)
+      .select("order_id", "exchange_rate", "amount_eur").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sorted.toSeq
+    val got = rows()
+    // day-1 USD at the base rate; day-2 USD at the ×1.05 reval — a
+    // stale (day-1) dim on the day-2 batch is exactly what this catches
+    assert(got == Seq(
+      (1L, 0.913242, 91.32), (2L, 0.958904, 95.89),
+      (3L, 1.0, 50.0), (4L, 1.0, 10.0)), s"got $got")
+    // replay batch 1 (at-least-once): memo hit — no new fetch — and the
+    // batch-keyed overwrite leaves the sink EXACTLY as it was
+    apply(src.filter(col("event_day") === d1), 0L)
+    assert(provider.fetches.size == 2, "a replay must hit the memo")
+    assert(rows() == got, "a replayed batch must not change the sink")
+  }
+
   test("DedupStream attempt markers prune below the low-watermark — the " +
       "continuously-ingesting stream cannot accumulate one marker file " +
       "per trigger forever (ADVICE r15)") {
