@@ -74,7 +74,8 @@ object Stress {
       want("ivfappend") { ivfAppendStage(spark, n / 10) } ++
       want("lsh") { lshStage(spark, n / 10) } ++
       want("decon") { deconStage(spark, n / 10) } ++
-      want("compactpolicy") { compactPolicyStage(spark, n / 10) }
+      want("compactpolicy") { compactPolicyStage(spark, n / 10) } ++
+      want("gentable") { genTableStage(spark, n / 10) }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -686,5 +687,108 @@ object Stress {
         noop(ops.Text.lshProbe(spark, dirFine,
           docs(3 * dn, 3 * dn + 10)))
       })
+  }
+
+  /** The GenTable METADATA path under sustained nightly operation
+    * (VERDICT r15 #7): read-side resolution is driver work over
+    * generations × partitions (one manifest file per committed
+    * generation), so a lazily-compacted table's reads pay a growing
+    * metadata toll even though the SCAN stays one generation per
+    * partition. The probe: a 256-partition table absorbs 50 tiny merges
+    * (51 generations), then measures (a) pure resolution — DataFrame
+    * CONSTRUCTION, no job — at 51 vs 1 generations, (b) the full read
+    * at both, (c) the row-tombstone masking increment after a scattered
+    * deleteRows, (d) GenTable.shouldCompact's verdict on both states
+    * (bytesAmplified = false — the data table's policy), and (e) the
+    * file-skipping ratio on the stats-clustered compacted table
+    * (files opened / files present for a 0.1% range predicate).
+    */
+  private def genTableStage(
+      spark: SparkSession, m: Long): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = graft.TempRoots.create("graft_gtstress_")
+    val tbl = s"$root/t"
+    val parts = 256L
+    val base = spark.range(m).select(col("id").as("k"),
+      pmod(col("id"), lit(parts)).as("p"),
+      (col("id") * lit(1.0)).as("v"))
+    val t0 = System.nanoTime()
+    sources.GenTable.init(base, tbl, "p")
+    val initSec = (System.nanoTime() - t0) / 1e9
+    val nights = 50
+    val tm = System.nanoTime()
+    (0 until nights).foreach { k =>
+      val p0 = (k % parts).toLong
+      sources.GenTable.merge(spark, tbl, "p",
+        Seq((p0, p0, -1.0, "upsert"), (p0 + parts, p0, -2.0, "upsert"))
+          .toDF("k", "p", "v", "_op"),
+        Seq("k"))
+    }
+    val mergeSec = (System.nanoTime() - tm) / 1e9
+    def resolveOnly(label: String) = time(label) {
+      sources.GenTable.read(spark, tbl, "p") // construction = claims IO
+      ()
+    }
+    val res51 = resolveOnly(s"gt_resolve_${nights + 1}gens")
+    val read51 = time(s"gt_read_${nights + 1}gens") {
+      noop(sources.GenTable.read(spark, tbl, "p"))
+    }
+    // a scattered takedown: 1 every 1000 keys, spanning all partitions
+    sources.GenTable.deleteRows(spark, tbl,
+      spark.range(0, m, 1000).select(col("id").as("k")))
+    val readMasked = time(s"gt_read_${nights + 2}gens_masked") {
+      noop(sources.GenTable.read(spark, tbl, "p"))
+    }
+    val shouldPiled =
+      if (sources.GenTable.shouldCompact(spark, tbl)) 1.0 else 0.0
+    val compactT = time("gt_compact") {
+      sources.GenTable.compact(spark, tbl, "p", statsCols = Seq("v"))
+    }
+    val res1 = resolveOnly("gt_resolve_1gen")
+    val read1 = time("gt_read_1gen") {
+      noop(sources.GenTable.read(spark, tbl, "p"))
+    }
+    val shouldFlat =
+      if (sources.GenTable.shouldCompact(spark, tbl)) 1.0 else 0.0
+    // skipping ratio, measured on a fixture whose SHAPE can skip: with
+    // 256 partitions over 32 range buckets each partition folds to ONE
+    // file spanning its whole value range — nothing to prune inside a
+    // partition (measured: 256/263 opened). A WIDE-partition table
+    // (8 partitions, each spanning many range-clustered files) is the
+    // shape the stats column is for; a 0.1%-selectivity range there
+    // opens a small fraction of the files present.
+    val skipTbl = s"$root/skip"
+    val wideParts = 8L
+    // a 100 TB table gets many files per partition from data volume;
+    // this fixture fits in a couple of AQE-coalesced buckets, so pin the
+    // write fan-out to make the layout representative (the spec does the
+    // same — GenTableSpec's readWhere test)
+    val (ck, sk) = ("spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val (oc, os) = (spark.conf.get(ck, "true"), spark.conf.get(sk))
+    spark.conf.set(ck, "false")
+    spark.conf.set(sk, "128")
+    try sources.GenTable.init(
+      spark.range(m).select(col("id").as("k"),
+        pmod(col("id"), lit(wideParts)).as("p"),
+        (col("id") * lit(1.0)).as("v")),
+      skipTbl, "p", statsCols = Seq("v"))
+    finally { spark.conf.set(ck, oc); spark.conf.set(sk, os) }
+    val lo = m * 0.4995
+    val hi = m * 0.5005
+    val opened = sources.GenTable
+      .readWhere(spark, skipTbl, "p", "v", lo, hi).inputFiles.length
+    val present = sources.GenTable.read(spark, skipTbl, "p")
+      .inputFiles.length
+    Seq(
+      (s"gt_init_${m}x$parts", initSec),
+      (s"gt_merge_${nights}x2rows", mergeSec),
+      res51, read51, readMasked,
+      ("gt_should_at_52gens", shouldPiled),
+      compactT, res1, read1,
+      ("gt_should_at_1gen", shouldFlat),
+      ("gt_skip_files_opened", opened.toDouble),
+      ("gt_skip_files_present", present.toDouble))
   }
 }
