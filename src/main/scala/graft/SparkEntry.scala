@@ -328,6 +328,10 @@ object SparkEntry {
     // lossless-codebook all-cells exact twin with its own oracle
     "x27_ann_ivfpq" -> ((s, d) => ops.VectorPq.x27(s, d)),
     "x27b_ann_ivfpq_gate" -> ((s, d) => ops.VectorPq.x27b(s, d)),
+    // the compressed index's full lifecycle (build half, append half,
+    // delete, revive, compact) — final alive set = whole corpus, so it
+    // shares x27b's oracle
+    "x27c_ann_ivfpq_lifecycle" -> ((s, d) => ops.VectorPq.x27c(s, d)),
     "x11b_ann_ivf_gate"    -> ((s, d) => ops.Vector.x11b(s, d)),
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
@@ -587,6 +591,7 @@ object SparkEntry {
     "x19b_profile_sketch_gate"  -> ops.Analytics.q86Sql,
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x27b_ann_ivfpq_gate"       -> ops.VectorPq.x27bSql,
+    "x27c_ann_ivfpq_lifecycle"  -> ops.VectorPq.x27bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

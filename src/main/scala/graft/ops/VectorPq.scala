@@ -70,23 +70,32 @@ object VectorPq {
       kCodes: Int = 256,
       lloydIters: Int = 3,
       kmeansSample: Int = 4096,
-      kmeansIters: Int = 4): Unit = {
+      kmeansIters: Int = 4,
+      trainOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
-    val c0 = corpus.select(col(idCol).as("id"),
+    def shape(df: DataFrame) = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"),
       col(vecCol).cast("array<double>").as("vecD"))
+    val c0 = shape(corpus)
+    // `trainOn` decouples quantizer/codebook TRAINING from the initial
+    // load: a table built from one shard but trained on a representative
+    // sample of the whole stream encodes later pqAppend deltas without
+    // the coverage gaps a shard-trained codebook would have (x27c's gate
+    // relies on exactly this — codes must be lossless for vectors the
+    // initial load never saw)
+    val t0 = trainOn.map(shape).getOrElse(c0)
     val dimRow = c0.select(size(col("vecD"))).head()
     val dim = dimRow.getInt(0)
     require(dim > 0 && dim % m == 0,
       s"pqBuild: m = $m must divide the dimension $dim")
     val sublen = dim / m
     val cents = Vector.seedCentroids(
-      c0.select(col("id"), col("vec")), nlist, lloydIters)
+      t0.select(col("id"), col("vec")), nlist, lloydIters)
     require(cents.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
 
     // ---- codebooks: exact when a subspace's distinct values fit ----
-    val subs = c0.select(posexplode(transform(
+    val subs = t0.select(posexplode(transform(
         sequence(lit(0), lit(m - 1)),
         i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
       .as(Seq("sub", "sv"))).distinct()
@@ -205,7 +214,8 @@ object VectorPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       nprobe: Int = 4,
-      topK: Int = 10): DataFrame = {
+      topK: Int = 10,
+      asOfGen: Option[Long] = None): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(spark)
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
@@ -261,9 +271,13 @@ object VectorPq {
     val pdf = spark.createDataFrame(
       spark.sparkContext.parallelize(pRows, 1), pSchema)
     val probed = pRows.map(_.getString(0)).distinct.sorted
-    val posts = graft.sources.GenCommit
-      .committedTable(spark, indexDir, "postings")
-      .filter(col("cell").isin(probed: _*))
+    // tombstone masking rides on the cell-pruned slice (free until a
+    // pqDelete exists — ivfSearch's rule verbatim)
+    val posts = graft.sources.GenCommit.maskTombstones(spark, indexDir,
+      graft.sources.GenCommit
+        .committedTable(spark, indexDir, "postings", asOfGen)
+        .filter(col("cell").isin(probed: _*)),
+      "neighbor_id", asOfGen)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     posts.join(broadcast(pdf), Seq("cell"))
@@ -277,6 +291,138 @@ object VectorPq {
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
+  }
+
+  /** Claim-scan table set: includes the tombstone table so a delete
+    * generation can never collide with an append's id.
+    */
+  private val PqScanTables =
+    PqTables :+ graft.sources.GenCommit.TombsTable
+
+  /** Load the index's PQ parameters and flat codebook (index metadata —
+    * m·kEff·sublen doubles), shared by [[pqAppend]] and [[pqSearch]].
+    */
+  private def loadPq(spark: SparkSession, indexDir: String)
+      : (Int, Int, Int, Array[Double]) = {
+    val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
+    val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("sublen"))
+    val flat = new Array[Double](m * kEff * sublen)
+    spark.read.parquet(s"$indexDir/pqcodes").collect().foreach { r =>
+      val (sub, code) = (r.getInt(0), r.getInt(1))
+      val cw = r.getSeq[Double](2)
+      var j = 0
+      while (j < sublen) {
+        flat((sub * kEff + code) * sublen + j) = cw(j); j += 1
+      }
+    }
+    (m, kEff, sublen, flat)
+  }
+
+  /** Incremental maintenance under the FROZEN quantizer AND codebooks:
+    * assign + encode only the delta and commit it as a new generation —
+    * [[Vector.ivfAppend]]'s argument carried to the compressed index.
+    * Freezing BOTH layers is what makes append ≡ build: cells come from
+    * the stored centroids and codes from the stored codebooks, so the
+    * appended postings are bit-identical to what a build over the union
+    * would write (spec-pinned). Codebook drift under a large accumulated
+    * delta degrades quantization error, not correctness; the rebalance
+    * move is a fresh [[pqBuild]]. Caller owns id-uniqueness, as with
+    * every index.
+    */
+  def pqAppend(
+      spark: SparkSession,
+      indexDir: String,
+      delta: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    graft.ext.GraftFunctions.ensureVecDot(spark)
+    val (m, kEff, sublen, flat) = loadPq(spark, indexDir)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, s"no centroids at $indexDir — build first")
+    val d0 = delta.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("vec"),
+      col(vecCol).cast("array<double>").as("vecD"))
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      PqScanTables, token = tk)
+    val recon = reconExpr(col("codes"), flat, kEff, sublen)
+    Vector.nearestCells(d0, cents, 1)
+      .withColumn("codes", encodeExpr(col("vecD"), flat, m, kEff, sublen))
+      .withColumn("c_norm", sqrt(aggregate(
+        zip_with(recon, recon, (a, b) => a * b),
+        lit(0.0), (s, x) => s + x)))
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("neighbor_id"), col("codes"), col("c_norm"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(graft.sources.GenCommit
+        .stagePath(indexDir, gen, "postings", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen, PqTables, tk,
+      claimed = true)
+  }
+
+  /** Tombstone delete — [[Vector.ivfDelete]] verbatim: one committed
+    * generation of removed ids; searches mask by the later-generation
+    * rule (free until a delete exists), delete-then-append revives,
+    * [[pqCompact]] folds.
+    */
+  def pqDelete(
+      spark: SparkSession,
+      indexDir: String,
+      ids: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val tk = graft.sources.GenCommit.newToken()
+    val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
+      PqScanTables, token = tk)
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite")
+      .parquet(graft.sources.GenCommit.stagePath(indexDir, gen,
+        graft.sources.GenCommit.TombsTable, tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen,
+      Seq(graft.sources.GenCommit.TombsTable), tk, claimed = true)
+  }
+
+  /** Small-file compaction + tombstone fold — [[Vector.ivfCompact]]'s
+    * rename-aside swap applied to the compressed postings (one file per
+    * cell, alive rows only, frozen quantizer and codebooks, commit set
+    * reset to the highest id). Single-writer maintenance window.
+    */
+  def pqCompact(spark: SparkSession, indexDir: String): Unit = {
+    pqRecover(spark, indexDir)
+    graft.sources.GenCommit.gcStages(spark, indexDir)
+    val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
+    graft.sources.GenCommit.maskTombstones(spark, indexDir,
+        graft.sources.GenCommit.committedTable(spark, indexDir,
+          "postings"), "neighbor_id")
+      .drop("gen")
+      .repartition(col("cell"))
+      .withColumn("gen", lit(keepGen))
+      .write.mode("overwrite").partitionBy("gen", "cell")
+      .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
+    graft.sources.SwapDir.swap(spark, indexDir, "postings")
+    graft.sources.GenCommit.dropTombs(spark, indexDir)
+    graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
+  }
+
+  /** The measured compact-now signal ([[graft.sources.GenCommit
+    * .shouldCompact]] over postings + tombstones).
+    */
+  def pqShouldCompact(spark: SparkSession, indexDir: String,
+      expectedReads: Int = 30): Boolean =
+    graft.sources.GenCommit.shouldCompact(spark, indexDir, PqScanTables,
+      expectedReads)
+
+  /** Heal an interrupted [[pqCompact]] swap — [[graft.sources.SwapDir
+    * .recover]]'s decision table, same as every compactor.
+    */
+  def pqRecover(spark: SparkSession, indexDir: String): Unit = {
+    graft.sources.SwapDir.recover(spark, indexDir, "postings",
+      s"pqRecover: no postings at $indexDir in any generation — " +
+        "the index is gone, rebuild with pqBuild")
+    graft.sources.SwapDir.recover(spark, indexDir, "commits",
+      s"pqRecover: no commit set at $indexDir in any generation — " +
+        "the index is gone, rebuild with pqBuild")
   }
 
   /** Driver-side L2 k-means over one subspace's sampled values:
@@ -374,6 +520,39 @@ object VectorPq {
         x => floor(x.cast("double") * 8) / 8).as("embedding"))
     val idx = s"${graft.TempRoots.create("graft_x27b_")}/ivfpq"
     pqBuild(grid, idx, nlist = 16, m = 64)
+    pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27c_ann_ivfpq_lifecycle: the FULL standing-index lifecycle under
+    * the driver's hash gate — build over HALF the grid corpus, append
+    * the other half under the frozen quantizer + codebooks, tombstone-
+    * delete a slice, RE-APPEND it (revival: the later generation
+    * outranks the tombstone, old copies stay masked — exactly one alive
+    * copy), compact (tombs fold, one file per cell), then the all-cells
+    * exact search. The final alive set is the whole corpus, so the
+    * result must equal x27b's — SHARES x27b's oracle verbatim, putting
+    * append/delete/revive/compact on the compressed index under the
+    * hash gate (x21b's lifecycle precedent, applied to IVF-PQ).
+    * Codebooks train on the FULL grid corpus (`trainOn`) while the
+    * initial load is the even half — the production shape (train on a
+    * representative sample, load shards incrementally), and what keeps
+    * the odd half's codes lossless (a half-trained codebook measured
+    * 25/80 rows off: dimensions whose edge values appear only in the
+    * odd half quantize to the nearest even-half codeword).
+    */
+  def x27c(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val idx = s"${graft.TempRoots.create("graft_x27c_")}/ivfpq"
+    pqBuild(grid.filter(col("vec_id") % 2 === 0), idx, nlist = 16,
+      m = 64, trainOn = Some(grid))
+    pqAppend(spark, idx, grid.filter(col("vec_id") % 2 === 1))
+    val slice = grid.filter(col("vec_id") % 10 === 3)
+    pqDelete(spark, idx, slice.select("vec_id"))
+    pqAppend(spark, idx, slice)
+    pqCompact(spark, idx)
     pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
       .orderBy("probe_id", "rank")
   }

@@ -178,6 +178,49 @@ class VectorSpec extends SparkSuite {
       "ADC over lossless codes must reproduce exact cosine top-k")
   }
 
+  test("IVF-PQ lifecycle: append ≡ build under the frozen quantizer + " +
+      "codebooks (bit-exact search); delete masks, as-of pins the " +
+      "pre-delete view; compact preserves results, folds tombs, one " +
+      "file per cell") {
+    val emb = Tables.embeddings(spark, sf001)
+    val root = TempRoots.create("graft_pqlife_")
+    val (inc, full) = (s"$root/inc", s"$root/full")
+    ops.VectorPq.pqBuild(emb.filter(col("vec_id") % 2 === 0), inc,
+      nlist = 8, m = 16, trainOn = Some(emb))
+    ops.VectorPq.pqAppend(spark, inc, emb.filter(col("vec_id") % 2 === 1))
+    ops.VectorPq.pqBuild(emb, full, nlist = 8, m = 16,
+      trainOn = Some(emb))
+    def search(d: String, asOf: Option[Long] = None) =
+      ops.VectorPq.pqSearch(spark, d, emb.filter(col("vec_id") < 8),
+          nprobe = 8, asOfGen = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val incView = search(inc)
+    assert(incView == search(full),
+      "append under the frozen quantizer+codebooks must equal the build " +
+        "over the union, bit for bit")
+    val preDelete = graft.sources.GenCommit.lastCommitted(spark, inc)
+    val dropped = emb.filter(col("vec_id") % 7 === 3)
+    val droppedIds = dropped.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    ops.VectorPq.pqDelete(spark, inc, dropped.select("vec_id"))
+    val masked = search(inc)
+    assert(masked != incView && masked.forall(t => !droppedIds(t._2)),
+      "deleted ids must vanish from every candidate list")
+    assert(search(inc, asOf = Some(preDelete)) == incView,
+      "as-of-before-delete must reproduce the pre-delete top-k")
+    ops.VectorPq.pqCompact(spark, inc)
+    assert(search(inc) == masked, "compaction changed the search result")
+    assert(!new java.io.File(s"$inc/tombs").exists(),
+      "compaction must fold the tombstone table away")
+    val cells = new java.io.File(s"$inc/postings").listFiles
+      .filter(_.getName.startsWith("gen=")).flatMap(_.listFiles)
+      .filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty && cells.forall(
+      _.listFiles.count(_.getName.endsWith(".parquet")) == 1),
+      "compaction must leave one file per cell")
+  }
+
   test("x11b full-probe IVF equals brute-force top-k row for row") {
     // nprobe = nlist: the candidate set is the whole corpus, so the same
     // quantize-assign-join pipeline must reproduce x01 exactly (cosines
