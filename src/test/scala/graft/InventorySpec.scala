@@ -55,6 +55,7 @@ class InventorySpec extends AnyFunSuite {
       "x07_simhash_dedup",     // signature family, spec-green
       "x09_approx_percentile", // GK sketch differs from DuckDB's t-digest
       "x11_ann_ivf",           // q71 is its oracle-gated twin
+      "x27_ann_ivfpq",         // x27b/x27c are its oracle-gated twins
       "x14_heavy_hitters",     // guarantee pinned in HeavyHittersSpec
       "x18_sketch_columns",    // Datasketches layout differs from DuckDB's
       "x19_profile_sketch")    // sketch profile; 3σ vs exact q86 in SketchesSpec
