@@ -94,6 +94,9 @@ object SparkEntry {
     // file-level min/max skipping: stats-clustered generations + a range
     // read that opens only intersecting files — own BETWEEN oracle
     "q92g_merge_skipping" -> ((s, d) => ops.Merge.q92g(s, d)),
+    // z-ordered layout: multi-column skipping — range read on the SECOND
+    // clustered column, which the lexicographic layout cannot skip on
+    "q92h_merge_zorder" -> ((s, d) => ops.Merge.q92h(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -468,6 +471,7 @@ object SparkEntry {
     "q92e_merge_asof" -> ops.Merge.q92eSql,
     "q92f_merge_rowdelete" -> ops.Merge.q92fSql,
     "q92g_merge_skipping" -> ops.Merge.q92gSql,
+    "q92h_merge_zorder" -> ops.Merge.q92hSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -539,6 +539,38 @@ object Merge {
   val q92gSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
     finalWhere = "o_totalprice BETWEEN 50000.0 AND 100000.0")
 
+  /** q92h_merge_zorder: the q92d flow written Z-ORDERED on TWO stats
+    * columns (`zorder = true` bit-interleaves each column's quantile
+    * rank), then a range read on the SECOND one — the column the
+    * lexicographic range layout cannot skip on (it only clusters within
+    * ties of the first). Same machinery as q92g otherwise; GenTableSpec
+    * pins that the z-layout skips on BOTH columns while the range
+    * layout skips on the second not at all. Own oracle: the shared
+    * template with the second column's BETWEEN as the final CTE.
+    */
+  def q92h(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92h_")}/table"
+    val stats = Seq("o_totalprice", "o_orderkey")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr",
+      statsCols = stats, zorder = true)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"), statsCols = stats, zorder = true)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"), statsCols = stats, zorder = true)
+    graft.sources.GenTable.readWhere(spark, tbl, "yr",
+      "o_orderkey", 10000L, 20000L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  val q92hSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    finalWhere = "o_orderkey BETWEEN 10000 AND 20000")
+
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the
     * `evolveSchema` path: every row the second delta does not upsert

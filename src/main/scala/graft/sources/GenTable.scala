@@ -119,7 +119,7 @@ object GenTable {
     * without stats reads correctly — just unskipped).
     */
   def init(df: DataFrame, dir: String, partCol: String,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
     val spark = df.sparkSession
     fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     val touched = df.select(col(partCol)).distinct()
@@ -130,26 +130,87 @@ object GenTable {
       s"GenTable.init: refusing to create an EMPTY table at $dir — " +
         "the schema lives in the data files; init with at least one row")
     val tk = GenCommit.newToken()
-    stageData(df, dir, 0L, partCol, tk, statsCols)
+    stageData(df, dir, 0L, partCol, tk, statsCols, zorder)
     writeManifest(spark, dir, 0L, touched)
     GenCommit.publish(spark, dir, 0L, DataTable, tk)
   }
 
-  /** Stage a generation's data, optionally range-clustered on
+  /** Stage a generation's data, optionally clustered on
     * `(partCol, statsCols…)` — skipping is only as good as the
-    * clustering: hash-shuffled files all span the whole value range
-    * and nothing ever prunes, so requesting stats also sorts the write
-    * (the lake formats' ORDER BY/Z-ORDER write clause) — and record
-    * the per-file min/max sidecar.
+    * clustering: hash-shuffled files all span the whole value range and
+    * nothing ever prunes, so requesting stats also sorts the write (the
+    * lake formats' ORDER BY / Z-ORDER write clause) — and record the
+    * per-file min/max sidecar.
+    *
+    * Two layouts. RANGE (`zorder = false`): lexicographic
+    * `repartitionByRange(partCol, statsCols…)` — the FIRST stats column
+    * gets tight per-file ranges; later columns only cluster within ties
+    * of the earlier ones (a second column over mostly-distinct first
+    * values spans its whole range in every file). ZORDER
+    * (`zorder = true`): rows order by the bit-interleaving of each
+    * stats column's 256-bucket quantile rank, so every clustered column
+    * gets moderately tight per-file ranges simultaneously — the lake
+    * formats' multi-dimensional layout, traded off exactly the same way
+    * (per-column selectivity of a z-ordered file list is ~√ of the
+    * single-column sort's, but it holds for ALL columns at once). The
+    * z-value is pure codegen HOF arithmetic over literal quantile
+    * boundaries (one approxQuantile pass over the delta to fetch them —
+    * delta-proportional, build-side only; readers never see the
+    * z-value, only the recorded min/max per real column).
     */
   private def stageData(df: DataFrame, dir: String, gen: Long,
-      partCol: String, tk: String, statsCols: Seq[String]): Unit = {
+      partCol: String, tk: String, statsCols: Seq[String],
+      zorder: Boolean = false): Unit = {
     val out =
       if (statsCols.isEmpty) df
-      else df.repartitionByRange((partCol +: statsCols).map(col): _*)
+      else if (!zorder)
+        df.repartitionByRange((partCol +: statsCols).map(col): _*)
+      else {
+        val z = zorderColumn(df, statsCols)
+        df.withColumn("__z", z)
+          .repartitionByRange(col(partCol), col("__z"))
+          .drop("__z")
+      }
     val staged = GenCommit.stagePath(dir, gen, "data", tk)
     out.write.mode("overwrite").partitionBy(partCol).parquet(staged)
     writeFileStats(df.sparkSession, dir, gen, staged, statsCols)
+  }
+
+  /** Bits of quantile rank interleaved per clustered column. 8 bits ×
+    * up to 4 columns fits a 32-bit z-value comfortably.
+    */
+  private val ZBits = 8
+
+  /** The z-value: each column's 256-bucket quantile rank (boundaries
+    * from one `approxQuantile` pass, shipped as literals), bit-
+    * interleaved column-major — plain integer arithmetic, whole-stage
+    * codegen, no UDF. NULLs rank in bucket 0 (they sort first, as in
+    * the range layout).
+    */
+  private def zorderColumn(df: DataFrame,
+      statsCols: Seq[String]): org.apache.spark.sql.Column = {
+    require(statsCols.size * ZBits <= 31,
+      s"zorder: at most ${31 / ZBits} clustered columns")
+    val nb = 1 << ZBits
+    val qs = (1 until nb).map(_.toDouble / nb).toArray
+    // numeric columns only (approxQuantile's domain) — the range layout
+    // remains the clustering for date/string stats columns
+    val bounds = df.stat.approxQuantile(statsCols.toArray, qs, 0.001)
+    val ranks = statsCols.zip(bounds.toIndexedSeq).map { case (c, bs) =>
+      // rank = number of boundaries strictly below the value — 255
+      // codegen comparisons over a literal array; null → 0
+      val bl = lit(bs)
+      coalesce(aggregate(bl,
+        lit(0), (acc, b) => acc + when(col(c).cast("double") > b, 1)
+          .otherwise(0)), lit(0))
+    }
+    // interleave: bit i of column j lands at position i·ncols + j
+    val ncols = statsCols.size
+    (0 until ZBits).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(shiftright(r, i).bitwiseAND(lit(1)), i * ncols + j)
+      }
+    }.reduce(_ + _)
   }
 
   /** Record `dir/filestats/<gen>`: one line per (file, stats column) —
@@ -387,7 +448,8 @@ object GenTable {
       keys: Seq[String],
       opCol: String = "_op",
       seqCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      zorder: Boolean = false): Unit = {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
@@ -399,7 +461,7 @@ object GenTable {
       val slice = graft.ops.Merge.guardedSlice(cur, delta, keys, partCol,
         touched)
       val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol, seqCol)
-      stageData(merged, dir, gen, partCol, tk, statsCols)
+      stageData(merged, dir, gen, partCol, tk, statsCols, zorder)
       // the manifest claims EVERY touched value — also the ones the
       // merged output no longer contains: that claim with no data dir IS
       // the emptied partition (committed atomically with the data by the
@@ -649,7 +711,7 @@ object GenTable {
     * mid-publish merge crash.
     */
   def compact(spark: SparkSession, dir: String, partCol: String,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
     GenCommit.gcStages(spark, dir)
     val tk = GenCommit.newToken()
     // declared all-partitions so a concurrent disjoint merge fails
@@ -659,7 +721,7 @@ object GenTable {
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    stageData(cur, dir, gen, partCol, tk, statsCols)
+    stageData(cur, dir, gen, partCol, tk, statsCols, zorder)
     writeManifest(spark, dir, gen, live)
     GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
     // committed set → {gen} FIRST: from here no reader dereferences any

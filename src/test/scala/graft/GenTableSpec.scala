@@ -272,6 +272,59 @@ class GenTableSpec extends SparkSuite {
     }
   }
 
+  test("zorder layout: a range read skips files on BOTH clustered " +
+      "columns, where the lexicographic range layout skips only on the " +
+      "first; answers identical to the filtered read either way") {
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val (oldCoalesce, oldShuffle) =
+      (spark.conf.get(coalesceKey, "true"), spark.conf.get(shuffleKey))
+    spark.conf.set(coalesceKey, "false")
+    spark.conf.set(shuffleKey, "32")
+    try {
+      // two INDEPENDENT dimensions: v2 is a pseudo-random permutation of
+      // v1's domain, so sorting by v1 leaves v2 full-range in every file
+      val base = spark.range(0, 4000).select(col("id").as("k"),
+        when(col("id") < 2000, "A").otherwise("B").as("p"),
+        col("id").cast("double").as("v1"),
+        pmod(col("id") * 2654435761L, lit(4000L)).cast("double").as("v2"))
+      def opened(dir: String, c: String) = GenTable
+        .readWhere(spark, dir, "p", c, 100.0, 200.0).inputFiles.length
+      def answers(dir: String, c: String) = GenTable
+        .readWhere(spark, dir, "p", c, 100.0, 200.0)
+        .select("k").collect().map(_.getLong(0)).toSet
+      def expect(c: String) = base.filter(col(c).between(100.0, 200.0))
+        .select("k").collect().map(_.getLong(0)).toSet
+      val rangeDir = s"${TempRoots.create("graft_gt_zr_")}/t"
+      GenTable.init(base, rangeDir, "p", statsCols = Seq("v1", "v2"))
+      val zDir = s"${TempRoots.create("graft_gt_zz_")}/t"
+      GenTable.init(base, zDir, "p", statsCols = Seq("v1", "v2"),
+        zorder = true)
+      val present = GenTable.read(spark, zDir, "p").inputFiles.length
+      assert(present > 16, s"vacuous: only $present files")
+      // correctness is layout-independent
+      Seq(rangeDir, zDir).foreach { d =>
+        assert(answers(d, "v1") == expect("v1"))
+        assert(answers(d, "v2") == expect("v2"))
+      }
+      // the range layout: tight on v1, blind on v2
+      assert(opened(rangeDir, "v1") < present / 2,
+        s"range layout must skip on its lead column: ${
+          opened(rangeDir, "v1")} of $present")
+      assert(opened(rangeDir, "v2") > present * 3 / 4,
+        s"vacuous fixture: the range layout skipped on v2 (${
+          opened(rangeDir, "v2")} of $present) — dims not independent?")
+      // the z layout: moderately tight on BOTH
+      assert(opened(zDir, "v1") < present / 2,
+        s"zorder must skip on v1: ${opened(zDir, "v1")} of $present")
+      assert(opened(zDir, "v2") < present / 2,
+        s"zorder must skip on v2: ${opened(zDir, "v2")} of $present")
+    } finally {
+      spark.conf.set(coalesceKey, oldCoalesce)
+      spark.conf.set(shuffleKey, oldShuffle)
+    }
+  }
+
   test("deleteRows serializes against merges by the same snapshot+1 CAS " +
       "— a delete does NOT commute with a merge (the merge would " +
       "revive the masked rows)") {
