@@ -441,6 +441,76 @@ object GraftFunctions {
         bloomMightContainBuilder _)
     }
   }
+
+  /** `pq_encode(vecD, flatCodebook, m, k, sublen)` — codebook and shape
+    * must be FOLDABLE literals: they are evaluated once here and live as
+    * codegen reference objects, keeping the per-row expression unary.
+    */
+  def pqEncodeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 5 && args.drop(1).forall(_.foldable),
+      "pq_encode(vec, flatCodebook LITERAL, m LITERAL, k LITERAL, " +
+        "sublen LITERAL)")
+    val flat = args(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    PqEncode(args(0), flat,
+      args(2).eval().asInstanceOf[Int],
+      args(3).eval().asInstanceOf[Int],
+      args(4).eval().asInstanceOf[Int])
+  }
+
+  val pqEncodeIdentifier: FunctionIdentifier = FunctionIdentifier("pq_encode")
+  val pqEncodeInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[PqEncode].getName, "pq_encode")
+
+  def ensurePqEncode(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(pqEncodeIdentifier)) {
+      reg.registerFunction(pqEncodeIdentifier, pqEncodeInfo,
+        pqEncodeBuilder _)
+    }
+  }
+
+  /** `pq_adc(codes, lut, k)` — k must be a foldable literal. */
+  def pqAdcBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3 && args(2).foldable,
+      "pq_adc(codes, lut, k LITERAL)")
+    PqAdc(args(0), args(1), args(2).eval().asInstanceOf[Int])
+  }
+
+  val pqAdcIdentifier: FunctionIdentifier = FunctionIdentifier("pq_adc")
+  val pqAdcInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[PqAdc].getName, "pq_adc")
+
+  def ensurePqAdc(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(pqAdcIdentifier)) {
+      reg.registerFunction(pqAdcIdentifier, pqAdcInfo, pqAdcBuilder _)
+    }
+  }
+
+  /** `bucket_rank(x, bounds)` — bounds must be a foldable literal. */
+  def bucketRankBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2 && args(1).foldable,
+      "bucket_rank(x, bounds LITERAL)")
+    val bounds = args(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    BucketRank(Cast(args(0), org.apache.spark.sql.types.DoubleType), bounds)
+  }
+
+  val bucketRankIdentifier: FunctionIdentifier =
+    FunctionIdentifier("bucket_rank")
+  val bucketRankInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[BucketRank].getName, "bucket_rank")
+
+  def ensureBucketRank(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(bucketRankIdentifier)) {
+      reg.registerFunction(bucketRankIdentifier, bucketRankInfo,
+        bucketRankBuilder _)
+    }
+  }
 }
 
 /** `spark.sql.extensions=graft.ext.GraftExtensions` wires both halves into
@@ -511,6 +581,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.cutsBucketIdentifier, GraftFunctions.cutsBucketInfo,
         GraftFunctions.cutsBucketBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.pqEncodeIdentifier, GraftFunctions.pqEncodeInfo,
+        GraftFunctions.pqEncodeBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.pqAdcIdentifier, GraftFunctions.pqAdcInfo,
+        GraftFunctions.pqAdcBuilder _))
+    ext.injectFunction(
+      (GraftFunctions.bucketRankIdentifier, GraftFunctions.bucketRankInfo,
+        GraftFunctions.bucketRankBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
   }
 }

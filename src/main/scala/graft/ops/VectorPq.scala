@@ -157,28 +157,29 @@ object VectorPq {
 
     // ---- encode + assign + publish as generation 0 ----
     val tk = graft.sources.GenCommit.newToken()
-    val recon = reconExpr(col("codes"), flat, kEff, sublen)
+    graft.ext.GraftFunctions.ensurePqEncode(spark)
     Vector.nearestCells(c0, cents, 1)
-      .withColumn("codes", encodeExpr(col("vecD"), flat, m, kEff, sublen))
-      .withColumn("c_norm", sqrt(aggregate(
-        zip_with(recon, recon, (a, b) => a * b),
-        lit(0.0), (s, x) => s + x)))
+      .withColumn("__pq", call_function("pq_encode", col("vecD"),
+        lit(flat), lit(m), lit(kEff), lit(sublen)))
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
-        col("id").as("neighbor_id"), col("codes"), col("c_norm"))
+        col("id").as("neighbor_id"), col("__pq.codes").as("codes"),
+        col("__pq.c_norm").as("c_norm"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, 0L, "postings", tk))
     graft.sources.GenCommit.publish(spark, indexDir, 0L, PqTables, tk)
   }
 
-  /** Map-side PQ encode: for each of the `m` subspaces, the argmin-
-    * distance codeword index — `transform`/`slice`/`aggregate` over the
-    * literal flat codebook, zero shuffle, whole-stage codegen. Ties take
-    * the first minimum (`array_position`): deterministic, and what makes
-    * the padded entries unreachable.
+  /** The HOF REFERENCE form of the encode (first cut): correct but
+    * CodegenFallback — every lambda application is an interpreted tree
+    * walk, m × k × sublen of them per row (measured ~30 s of the x27
+    * gate's 35 s at sf0.1). [[graft.ext.PqEncode]] runs the identical
+    * arithmetic as one tight loop; ExtSpec pins the two value-equal
+    * (the hofSimhashBucket precedent). Ties take the first minimum
+    * (`array_position`), matching the kernel's strict-< argmin.
     */
-  private def encodeExpr(vecD: Column, flat: Array[Double], m: Int,
-      kEff: Int, sublen: Int): Column = {
+  private[graft] def hofEncodeExpr(vecD: Column, flat: Array[Double],
+      m: Int, kEff: Int, sublen: Int): Column = {
     val fl = lit(flat)
     transform(sequence(lit(0), lit(m - 1)), i => {
       val sv = slice(vecD, i * sublen + 1, lit(sublen))
@@ -191,11 +192,12 @@ object VectorPq {
     })
   }
 
-  /** The decoded vector: codeword slices concatenated in subspace
-    * order — build-side only (norms); search never reconstructs.
+  /** The decoded vector (HOF reference): codeword slices concatenated
+    * in subspace order — the norm the kernel computes inline; ExtSpec
+    * pins kernel c_norm == sqrt(Σ recon²) over this form.
     */
-  private def reconExpr(codes: Column, flat: Array[Double], kEff: Int,
-      sublen: Int): Column = {
+  private[graft] def hofReconExpr(codes: Column, flat: Array[Double],
+      kEff: Int, sublen: Int): Column = {
     val fl = lit(flat)
     flatten(transform(codes, (c, i) =>
       slice(fl, (i * lit(kEff) + c) * sublen + 1, lit(sublen))))
@@ -217,6 +219,7 @@ object VectorPq {
       topK: Int = 10,
       asOfGen: Option[Long] = None): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(spark)
+    graft.ext.GraftFunctions.ensurePqAdc(spark)
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("sublen"))
@@ -283,10 +286,8 @@ object VectorPq {
     posts.join(broadcast(pdf), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .filter(col("c_norm") > 0 && col("p_norm") > 0)
-      .withColumn("dotv", aggregate(
-        transform(col("codes"),
-          (x, i) => element_at(col("lut"), i * kEff + x + 1)),
-        lit(0.0), (s, v) => s + v))
+      .withColumn("dotv",
+        call_function("pq_adc", col("codes"), col("lut"), lit(kEff)))
       .withColumn("cosine", col("dotv") / (col("c_norm") * col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -347,14 +348,13 @@ object VectorPq {
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
       PqScanTables, token = tk)
-    val recon = reconExpr(col("codes"), flat, kEff, sublen)
+    graft.ext.GraftFunctions.ensurePqEncode(spark)
     Vector.nearestCells(d0, cents, 1)
-      .withColumn("codes", encodeExpr(col("vecD"), flat, m, kEff, sublen))
-      .withColumn("c_norm", sqrt(aggregate(
-        zip_with(recon, recon, (a, b) => a * b),
-        lit(0.0), (s, x) => s + x)))
+      .withColumn("__pq", call_function("pq_encode", col("vecD"),
+        lit(flat), lit(m), lit(kEff), lit(sublen)))
       .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
-        col("id").as("neighbor_id"), col("codes"), col("c_norm"))
+        col("id").as("neighbor_id"), col("__pq.codes").as("codes"),
+        col("__pq.c_norm").as("c_norm"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, gen, "postings", tk))

@@ -196,13 +196,14 @@ object GenTable {
     // numeric columns only (approxQuantile's domain) — the range layout
     // remains the clustering for date/string stats columns
     val bounds = df.stat.approxQuantile(statsCols.toArray, qs, 0.001)
+    graft.ext.GraftFunctions.ensureBucketRank(df.sparkSession)
     val ranks = statsCols.zip(bounds.toIndexedSeq).map { case (c, bs) =>
-      // rank = number of boundaries strictly below the value — 255
-      // codegen comparisons over a literal array; null → 0
-      val bl = lit(bs)
-      coalesce(aggregate(bl,
-        lit(0), (acc, b) => acc + when(col(c).cast("double") > b, 1)
-          .otherwise(0)), lit(0))
+      // rank = number of boundaries strictly below the value — one
+      // binary search per row in the native kernel (the HOF
+      // aggregate-over-255-literals form is CodegenFallback: 255
+      // interpreted comparisons per row per column); null → 0
+      coalesce(call_function("bucket_rank", col(c).cast("double"),
+        lit(bs)), lit(0))
     }
     // interleave: bit i of column j lands at position i·ncols + j
     val ncols = statsCols.size

@@ -165,6 +165,67 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("pq kernels == the HOF reference forms: codes, norms, ADC scores " +
+      "and bucket ranks bit/value-identical") {
+    import spark.implicits._
+    graft.ext.GraftFunctions.ensurePqEncode(spark)
+    graft.ext.GraftFunctions.ensurePqAdc(spark)
+    graft.ext.GraftFunctions.ensureBucketRank(spark)
+    val (m, k, sublen) = (4, 8, 2)
+    val rnd = new scala.util.Random(7)
+    val flat = Array.fill(m * k * sublen)(rnd.nextDouble() * 2 - 1)
+    val df = (1 to 40).map(i =>
+      Tuple1(Array.tabulate(m * sublen)(d => math.sin(i * 8 + d))))
+      .toDF("v")
+    val enc = df.select(
+      call_function("pq_encode", col("v"), lit(flat), lit(m), lit(k),
+        lit(sublen)).as("n"),
+      ops.VectorPq.hofEncodeExpr(col("v"), flat, m, k, sublen).as("h"))
+    enc.collect().foreach { r =>
+      val (nr, hof) = (r.getStruct(0), r.getSeq[Int](1))
+      assert(nr.getSeq[Int](0) == hof, "codes diverge from the HOF form")
+    }
+    // kernel c_norm == sqrt(Σ recon²) over the HOF reconstruction
+    val norms = df.select(
+      col("v"),
+      call_function("pq_encode", col("v"), lit(flat), lit(m), lit(k),
+        lit(sublen)).as("n"))
+      .select(col("n.c_norm").as("kn"),
+        sqrt(aggregate(zip_with(
+          ops.VectorPq.hofReconExpr(col("n.codes"), flat, k, sublen),
+          ops.VectorPq.hofReconExpr(col("n.codes"), flat, k, sublen),
+          (a, b) => a * b), lit(0.0), (s, x) => s + x)).as("hn"))
+      .collect()
+    norms.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      "kernel norm diverges from the HOF reconstruction norm"))
+    // ADC == the aggregate-over-lookups fold, bit for bit
+    val lut = Array.fill(m * k)(rnd.nextDouble())
+    val adc = df.select(
+      call_function("pq_encode", col("v"), lit(flat), lit(m), lit(k),
+        lit(sublen)).getField("codes").as("codes"))
+      .select(
+        call_function("pq_adc", col("codes"), lit(lut), lit(k)).as("n"),
+        aggregate(transform(col("codes"),
+          (x, i) => element_at(lit(lut), i * k + x + 1)),
+          lit(0.0), (s, v) => s + v).as("h"))
+      .collect()
+    adc.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // bucket_rank == the strictly-greater count, repeats included
+    val bounds = Array(1.0, 2.0, 2.0, 5.0, 5.0, 9.0)
+    val xs = Seq(0.0, 1.0, 1.5, 2.0, 2.1, 5.0, 9.0, 10.0).toDF("x")
+    val br = xs.select(
+      call_function("bucket_rank", col("x"), lit(bounds)).as("n"),
+      aggregate(lit(bounds), lit(0),
+        (acc, b) => acc + when(col("x") > b, 1).otherwise(0)).as("h"))
+      .collect()
+    br.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"bucket_rank diverges: ${r.getInt(0)} vs ${r.getInt(1)}"))
+  }
+
   test("vec_dot yields NULL on malformed embeddings, exactly like the fold") {
     import spark.implicits._
     graft.ext.GraftFunctions.ensureVecDot(spark)
@@ -438,6 +499,14 @@ class ExtSpec extends SparkSuite {
         InternalRow(utf("one two three four five"))),
       ("cuts_bucket", CutsBucket(ref(0, DoubleType), ref(1, da)),
         InternalRow(java.lang.Double.valueOf(2.5), arr(1.0, 2.0, 3.0))),
+      ("pq_encode", PqEncode(ref(0, da),
+        Array(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0), 2, 2, 2),
+        InternalRow(arr(2.1, 2.9, 11.2, 13.4))),
+      ("pq_adc", PqAdc(ref(0, ArrayType(IntegerType)), ref(1, da), 2),
+        InternalRow(arr(1, 0), arr(0.5, -1.0, 2.0, 4.0))),
+      ("bucket_rank", BucketRank(ref(0, DoubleType),
+        Array(1.0, 2.0, 2.0, 5.0)),
+        InternalRow(java.lang.Double.valueOf(2.0))),
       ("theta_estimate", ThetaEstimate(ref(0, BinaryType)), {
         val sk = org.apache.datasketches.theta.UpdateSketch.builder().build()
         (1L to 10L).foreach(sk.update)
