@@ -97,6 +97,9 @@ object SparkEntry {
     // z-ordered layout: multi-column skipping — range read on the SECOND
     // clustered column, which the lexicographic layout cannot skip on
     "q92h_merge_zorder" -> ((s, d) => ops.Merge.q92h(s, d)),
+    // schema evolution through the lake table: evolved merge + a read
+    // that pins the newest generation's schema (old rows null-fill)
+    "q92i_merge_gentable_evolve" -> ((s, d) => ops.Merge.q92i(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -472,6 +475,7 @@ object SparkEntry {
     "q92f_merge_rowdelete" -> ops.Merge.q92fSql,
     "q92g_merge_skipping" -> ops.Merge.q92gSql,
     "q92h_merge_zorder" -> ops.Merge.q92hSql,
+    "q92i_merge_gentable_evolve" -> ops.Merge.q92iSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

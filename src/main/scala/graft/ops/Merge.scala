@@ -571,6 +571,40 @@ object Merge {
   val q92hSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
     finalWhere = "o_orderkey BETWEEN 10000 AND 20000")
 
+  /** q92i_merge_gentable_evolve: schema evolution THROUGH the lake table
+    * (r16) — batch 2 adds `o_review`, `GenTable.merge(evolveSchema =
+    * true)` commits the widened generation, and the READ side pins the
+    * newest resolved generation's schema so older generations' rows
+    * null-fill the new column (without the pin, `spark.read.parquet`
+    * takes an arbitrary file's footer and the evolved column silently
+    * VANISHES from the view — the bug this gate exists to catch; and
+    * `mergeSchema = true` would pay every file's footer per read).
+    * Own oracle: the shared template with both the year restriction and
+    * the evolution clauses on.
+    */
+  def q92i(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92i_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    val d2e = d2.withColumn("o_review",
+      concat(lit("rv-"), col("o_orderkey")))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2e),
+      Seq("o_orderkey"), evolveSchema = true)
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_review")
+      .orderBy("o_orderkey")
+  }
+
+  val q92iSql: String =
+    mergeSqlCte(" AND year(o_orderdate) >= 1996", evolve = true)
+
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the
     * `evolveSchema` path: every row the second delta does not upsert

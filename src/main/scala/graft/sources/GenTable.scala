@@ -279,14 +279,57 @@ object GenTable {
   def read(spark: SparkSession, dir: String, partCol: String,
       asOfGen: Option[Long] = None): DataFrame = {
     val resolved = claims(spark, dir, asOfGen)
-    val df = spark.read.parquet(s"$dir/data")
     // an EMPTY view (every row deleted, manifests claim nothing) is a
     // legitimate state and must read as an empty frame, not crash on
     // empty.reduce (review r15); compact keeps older generation dirs
     // around in that state as the schema carriers
-    if (resolved.isEmpty) return df.filter(lit(false)).drop("gen")
+    if (resolved.isEmpty)
+      return spark.read.parquet(s"$dir/data")
+        .filter(lit(false)).drop("gen")
+    val df = readPinned(spark, dir, partCol, resolved, Nil)
     val cond = resolveCond(resolved, partCol, df.schema(partCol).dataType)
     maskRowTombs(spark, dir, df.filter(cond), asOfGen).drop("gen")
+  }
+
+  /** Open the data tree under the NEWEST resolved generation's schema —
+    * the schema-evolution read rule (the write side is [[merge]]'s
+    * `evolveSchema`): without a pinned schema `spark.read.parquet` takes
+    * an ARBITRARY file's footer, so a column an evolved merge added can
+    * silently VANISH from the view depending on which file wins;
+    * `mergeSchema = true` would read every file's footer — table-sized
+    * metadata work per read. The newest resolved generation carries the
+    * widest schema by Merge's add-only evolution contract, and parquet
+    * null-fills pinned columns absent from older files — exactly
+    * upsert's null-fill semantics, for free. One extra footer read per
+    * query (driver-side). `paths` non-empty = [[readWhere]]'s explicit
+    * file list (read with basePath so partition columns survive).
+    */
+  private def readPinned(spark: SparkSession, dir: String,
+      partCol: String, resolved: Seq[(Long, Seq[String])],
+      paths: Seq[String]): DataFrame = {
+    val f = fsOf(spark, dir)
+    def hasParquet(g: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
+      if (!f.exists(p)) return false
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    val pinned = resolved.map(_._1).sorted.reverse.find(hasParquet)
+      .map { g =>
+        val base = spark.read.parquet(s"$dir/data/gen=$g").schema
+        org.apache.spark.sql.types.StructType(
+          base.fields.filterNot(_.name == partCol).toIndexedSeq :+
+            org.apache.spark.sql.types.StructField("gen",
+              org.apache.spark.sql.types.LongType) :+
+            base(partCol))
+      }
+    val reader = spark.read
+    val withSchema = pinned.map(reader.schema).getOrElse(reader)
+    if (paths.isEmpty) withSchema.parquet(s"$dir/data")
+    else withSchema.option("basePath", s"$dir/data").parquet(paths: _*)
   }
 
   /** [[read]] plus FILE SKIPPING (VERDICT r15 #2): rows with `statsCol`
@@ -320,8 +363,7 @@ object GenTable {
     }
     // every file of every winning generation skipped: the empty view
     if (files.isEmpty) return full.filter(lit(false)).drop("gen")
-    val pruned = spark.read.option("basePath", s"$dir/data")
-      .parquet(files: _*)
+    val pruned = readPinned(spark, dir, partCol, resolved, files)
     val cond = resolveCond(resolved, partCol, full.schema(partCol).dataType)
     maskRowTombs(spark, dir, pruned.filter(cond && range), asOfGen)
       .drop("gen")
@@ -450,7 +492,8 @@ object GenTable {
       opCol: String = "_op",
       seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      zorder: Boolean = false): Unit = {
+      zorder: Boolean = false,
+      evolveSchema: Boolean = false): Unit = {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
@@ -461,7 +504,8 @@ object GenTable {
       val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
       val slice = graft.ops.Merge.guardedSlice(cur, delta, keys, partCol,
         touched)
-      val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol, seqCol)
+      val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol,
+        seqCol, evolveSchema)
       stageData(merged, dir, gen, partCol, tk, statsCols, zorder)
       // the manifest claims EVERY touched value — also the ones the
       // merged output no longer contains: that claim with no data dir IS

@@ -272,6 +272,39 @@ class GenTableSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: the read pins the newest resolved " +
+      "generation's schema — evolved columns null-fill old rows " +
+      "instead of silently vanishing; an as-of read before the " +
+      "evolution serves the HISTORICAL schema") {
+    val dir = s"${TempRoots.create("graft_gt_evolve_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    GenTable.merge(spark, dir, "p",
+      Seq((3L, "B", 31.0, "note-3", "upsert"), (6L, "B", 60.0, "note-6",
+        "upsert")).toDF("k", "p", "v", "note", "_op"),
+      Seq("k"), evolveSchema = true)
+    val cur = GenTable.read(spark, dir, "p")
+    assert(cur.columns.contains("note"),
+      "the evolved column vanished — the read took an old file's footer")
+    val notes = cur.select("k", "note").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(notes(3L) == Some("note-3") && notes(6L) == Some("note-6") &&
+      notes(1L).isEmpty && notes(5L).isEmpty,
+      s"evolution null-fill wrong: $notes")
+    // evolution without the flag still fails loudly through the table
+    val e = intercept[IllegalArgumentException] {
+      GenTable.merge(spark, dir, "p",
+        Seq((5L, "C", 50.0, "x", 1, "upsert"))
+          .toDF("k", "p", "v", "note", "extra2", "_op"), Seq("k"))
+    }
+    assert(e.getMessage.contains("evolveSchema"))
+    // time travel BEFORE the evolution: the historical schema, not a
+    // null-filled projection of today's
+    val old = GenTable.read(spark, dir, "p", asOfGen = Some(0L))
+    assert(!old.columns.contains("note"),
+      "an as-of read must serve the schema of its snapshot")
+    assert(old.count() == 5)
+  }
+
   test("zorder layout: a range read skips files on BOTH clustered " +
       "columns, where the lexicographic range layout skips only on the " +
       "first; answers identical to the filtered read either way") {
