@@ -80,15 +80,42 @@ object CdcApply {
       partCol: String,
       checkpointDir: String,
       opCol: String = "_op",
-      seqCol: Option[String] = None): StreamingQuery = {
+      seqCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): StreamingQuery = {
     graft.sources.GenTable.recover(cdc.sparkSession, tableDir)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.GenTable.merge(batch.sparkSession, tableDir,
-          partCol, batch, keys, opCol, seqCol)
+        applyGenBatch(batch, tableDir, keys, partCol, opCol, seqCol,
+          statsCols)
       }
       .start()
+  }
+
+  /** One micro-batch onto the GenTable, SELF-MAINTAINING (DedupStream's
+    * precedent): after the merge, the measured compaction policy
+    * ([[graft.sources.GenTable.shouldCompact]] — per-generation
+    * metadata toll only, the data table's bytesAmplified = false rule)
+    * decides whether to fold history now. The stream is the table's
+    * single writer, so the compactors' maintenance-window contract
+    * holds by construction; the check itself is driver-side metadata
+    * per trigger, and a fold fires only past the measured crossover
+    * (~6 tiny nightly generations at default cadence) — a continuous
+    * CDC feed never piles up unbounded read-side generation tolls.
+    */
+  private[graft] def applyGenBatch(
+      batch: DataFrame,
+      tableDir: String,
+      keys: Seq[String],
+      partCol: String,
+      opCol: String = "_op",
+      seqCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.GenTable.merge(spark, tableDir, partCol, batch, keys,
+      opCol, seqCol, statsCols)
+    if (graft.sources.GenTable.shouldCompact(spark, tableDir))
+      graft.sources.GenTable.compact(spark, tableDir, partCol, statsCols)
   }
 
   /** x26_stream_cdc_gentable: [[x24]]'s harness shape — q92b's deltas

@@ -565,6 +565,28 @@ class StreamingSpec extends SparkSuite {
     assert(v1 == want, "streamed resolution diverged from the rebuild")
   }
 
+  test("CdcApply GenTable batches are SELF-MAINTAINING: the measured " +
+      "policy folds history past the crossover, the view stays exact, " +
+      "and a continuous feed never piles unbounded generations") {
+    import spark.implicits._
+    import graft.sources.{GenCommit, GenTable}
+    val dir = s"${TempRoots.create("graft_cdc_selfmaint_")}/t"
+    GenTable.init(Seq((0L, "A", 0.0)).toDF("k", "p", "v"), dir, "p")
+    (1 to 10).foreach { i =>
+      graft.streaming.CdcApply.applyGenBatch(
+        Seq((i.toLong, "A", i.toDouble, "upsert"))
+          .toDF("k", "p", "v", "_op"),
+        dir, Seq("k"), "p")
+    }
+    val gens = GenCommit.committed(spark, dir).size
+    assert(gens < 8,
+      s"no compaction fired across 10 batches ($gens generations piled)")
+    val got = GenTable.read(spark, dir, "p").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == (0 to 10).map(i => (i.toLong, i.toDouble)).toSet,
+      "self-maintenance changed the view")
+  }
+
   test("DimRefreshStream: the dim re-resolves per batch across the day " +
       "boundary (day-2 rows at day-2 rates); the once-per-day fetch " +
       "budget holds across batches AND replays (memo hits); a replayed " +
