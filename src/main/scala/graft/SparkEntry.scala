@@ -76,7 +76,7 @@ object SparkEntry {
     "q92_merge_upsert"     -> ((s, d) => ops.Merge.q92(s, d)),
     // the partitioned copy-on-write form: only delta-touched partitions
     // of a real parquet target are read (pruned) and rewritten (dynamic
-    // overwrite); 1992-95 partition files stay physically untouched
+    // overwrite); pre-1996 partition files stay physically untouched
     "q92b_merge_partitioned" -> ((s, d) => ops.Merge.q92b(s, d)),
     // MERGE schema evolution: batch 2 adds a column, old rows null-fill
     "q92c_merge_evolve" -> ((s, d) => ops.Merge.q92c(s, d)),
@@ -100,6 +100,8 @@ object SparkEntry {
     // schema evolution through the lake table: evolved merge + a read
     // that pins the newest generation's schema (old rows null-fill)
     "q92i_merge_gentable_evolve" -> ((s, d) => ops.Merge.q92i(s, d)),
+    // DESCRIBE HISTORY: the table's commit log as a query — literal oracle
+    "q92j_merge_history" -> ((s, d) => ops.Merge.q92j(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -476,6 +478,7 @@ object SparkEntry {
     "q92g_merge_skipping" -> ops.Merge.q92gSql,
     "q92h_merge_zorder" -> ops.Merge.q92hSql,
     "q92i_merge_gentable_evolve" -> ops.Merge.q92iSql,
+    "q92j_merge_history" -> ops.Merge.q92jSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -129,8 +129,8 @@ object Merge {
   /** The shared q92/q92b fixture: initial target (every key except
     * o_orderkey % 4 = 3) and the two delta batches exercising every
     * action path. q92b restricts the deltas to years ≥ 1996 so the
-    * 1992–95 partitions of its partitioned target are genuinely
-    * untouched — the property its gate exists to prove.
+    * pre-1996 partitions (the fixture spans order years 1995–2001)
+    * are genuinely untouched — the property its gate exists to prove.
     */
   private[graft] def mergeFixture(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -321,7 +321,7 @@ object Merge {
     * order years ≥ 1996, against a REAL parquet target partitioned by
     * order year — [[upsertPartitioned]]'s full path: partition-pruned
     * slice read, dynamic-overwrite rewrite of touched partitions only,
-    * 1992–95 files physically untouched (MergeSpec pins the file-level
+    * pre-1996 files physically untouched (MergeSpec pins the file-level
     * invariant and the pruning plan). Own oracle: q92's chained CTEs
     * with the year predicate on both deltas.
     */
@@ -412,7 +412,7 @@ object Merge {
   val q92Sql: String = mergeSqlCte("")
 
   /** [[q92b]] restated: the same template with both deltas restricted to
-    * years ≥ 1996 (the 1992–95 partitions stay untouched on disk).
+    * years ≥ 1996 (the pre-1996 partitions stay untouched on disk).
     */
   val q92bSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996")
 
@@ -477,7 +477,7 @@ object Merge {
   /** q92f_merge_rowdelete: q92d's GenTable flow plus a SCATTERED
     * row-level delete (VERDICT r15 #1) — the takedown keys
     * (`o_orderkey % 32 = 9`) span every year partition, including the
-    * 1992–95 ones no merge ever touched. [[graft.sources.GenTable
+    * pre-1996 ones no merge ever touched. [[graft.sources.GenTable
     * .deleteRows]] commits them as ONE tombstone generation (no
     * partition read or rewritten — MergeSpec pins the file-level bill
     * at zero data files), and the read masks by the later-generation
@@ -604,6 +604,44 @@ object Merge {
 
   val q92iSql: String =
     mergeSqlCte(" AND year(o_orderdate) >= 1996", evolve = true)
+
+  /** q92j_merge_history: the table's commit history as a query (the
+    * lake DESCRIBE HISTORY surface) — q92f's write sequence (init over
+    * the seven order-year partitions 1995–2001, two year-restricted
+    * merges touching the six ≥ 1996, one scattered row delete claiming
+    * none) read back
+    * through [[graft.sources.GenTable.history]]. The sequence is
+    * deterministic at every fixture SF (the orders table spans
+    * 1995–2001 regardless of scale), so the oracle is the expected
+    * rows as literals — gating the metadata surface itself: a wrong
+    * generation id, misclassified op, or miscounted claim set
+    * hash-mismatches.
+    */
+  def q92j(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92j_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.deleteRows(spark, tbl,
+      Tables.orders(spark, dir).select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 32 === 9))
+    graft.sources.GenTable.history(spark, tbl).orderBy("gen")
+  }
+
+  val q92jSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'init',   CAST(7 AS INTEGER)),
+      |  (CAST(1 AS BIGINT), 'merge',  CAST(6 AS INTEGER)),
+      |  (CAST(2 AS BIGINT), 'merge',  CAST(6 AS INTEGER)),
+      |  (CAST(3 AS BIGINT), 'delete', CAST(0 AS INTEGER))
+      |) AS h(gen, op, n_claimed) ORDER BY gen""".stripMargin
 
   /** q92c_merge_evolve: q92's two batches with batch 2 ADDING a column
     * (`o_review = 'rv-' || key`) absent from the target — the

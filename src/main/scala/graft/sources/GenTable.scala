@@ -671,6 +671,38 @@ object GenTable {
     }
   }
 
+  /** The table's commit HISTORY as a queryable frame (the lake formats'
+    * DESCRIBE HISTORY): one row per committed generation — its id, the
+    * operation kind (`init` for generation 0, `delete` for a tombstone
+    * generation, `merge` otherwise — compactions read as the fresh
+    * `init` of their reset history), and how many partition values its
+    * manifest claims. Driver-side metadata only (the same files
+    * [[read]]'s resolution walks); deterministic for a deterministic
+    * write sequence, which is what lets the driver gate it against a
+    * literal oracle.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fsOf(spark, dir)
+    val rows = GenCommit.committed(spark, dir).sorted.map { g =>
+      val claims = readManifest(spark, dir, g)
+      val kind =
+        if (f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/${GenCommit.TombsTable}/gen=$g"))) "delete"
+        else if (g == GenCommit.committed(spark, dir).min) "init"
+        else "merge"
+      org.apache.spark.sql.Row(g, kind, claims.size)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gen",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_claimed",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
   /** Release claims of merges that died before staging — the
     * metadata-cost unblock ([[GenCommit.recoverClaims]]'s contract and
     * safety window).
