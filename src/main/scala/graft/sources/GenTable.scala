@@ -307,6 +307,26 @@ object GenTable {
   private def readPinned(spark: SparkSession, dir: String,
       partCol: String, resolved: Seq[(Long, Seq[String])],
       paths: Seq[String]): DataFrame = {
+    val pinned = pinnedSchema(spark, dir, partCol, resolved)
+    val reader = spark.read
+    val withSchema = pinned.map(reader.schema).getOrElse(reader)
+    if (paths.isEmpty) withSchema.parquet(s"$dir/data")
+    else withSchema.option("basePath", s"$dir/data").parquet(paths: _*)
+  }
+
+  /** The read-side schema pin itself ([[readPinned]]'s rule, split out so
+    * [[readWhere]]'s type resolution and the SQL surface share it —
+    * ADVICE r16: deriving the stats column's type from an UNPINNED read
+    * of `dir/data` takes an arbitrary file's footer, which on a
+    * schema-evolved table may lack the column entirely): the newest
+    * resolved generation that holds parquet, its footer's fields
+    * reordered as (payload…, gen, partCol). `None` only when no resolved
+    * generation carries a file (the all-emptied view — callers fall back
+    * to the unpinned empty read).
+    */
+  private[sources] def pinnedSchema(spark: SparkSession, dir: String,
+      partCol: String, resolved: Seq[(Long, Seq[String])])
+      : Option[org.apache.spark.sql.types.StructType] = {
     val f = fsOf(spark, dir)
     def hasParquet(g: Long): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
@@ -317,7 +337,7 @@ object GenTable {
         found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
-    val pinned = resolved.map(_._1).sorted.reverse.find(hasParquet)
+    resolved.map(_._1).sorted.reverse.find(hasParquet)
       .map { g =>
         val base = spark.read.parquet(s"$dir/data/gen=$g").schema
         org.apache.spark.sql.types.StructType(
@@ -326,10 +346,6 @@ object GenTable {
               org.apache.spark.sql.types.LongType) :+
             base(partCol))
       }
-    val reader = spark.read
-    val withSchema = pinned.map(reader.schema).getOrElse(reader)
-    if (paths.isEmpty) withSchema.parquet(s"$dir/data")
-    else withSchema.option("basePath", s"$dir/data").parquet(paths: _*)
   }
 
   /** [[read]] plus FILE SKIPPING (VERDICT r15 #2): rows with `statsCol`
@@ -352,19 +368,27 @@ object GenTable {
       statsCol: String, lo: Any, hi: Any,
       asOfGen: Option[Long] = None): DataFrame = {
     val resolved = claims(spark, dir, asOfGen)
-    val full = spark.read.parquet(s"$dir/data")
-    val sdt = full.schema(statsCol).dataType
+    // column TYPES come from the pinned newest-generation schema, never
+    // an unpinned read of dir/data (ADVICE r16: on a schema-evolved
+    // table the arbitrary footer an unpinned read picks may lack the
+    // stats column — the exact hazard the pin exists to avoid)
+    val pinned = pinnedSchema(spark, dir, partCol, resolved)
+    def emptyView = (pinned match {
+      case Some(sch) => spark.read.schema(sch).parquet(s"$dir/data")
+      case None => spark.read.parquet(s"$dir/data")
+    }).filter(lit(false)).drop("gen")
+    if (resolved.isEmpty || pinned.isEmpty) return emptyView
+    val sdt = pinned.get(statsCol).dataType
     val range = col(statsCol) >= lit(lo).cast(sdt) &&
       col(statsCol) <= lit(hi).cast(sdt)
-    if (resolved.isEmpty) return full.filter(lit(false)).drop("gen")
     val f = fsOf(spark, dir)
     val files = resolved.flatMap { case (g, _) =>
       prunedPaths(spark, f, dir, g, statsCol, sdt, lo, hi)
     }
     // every file of every winning generation skipped: the empty view
-    if (files.isEmpty) return full.filter(lit(false)).drop("gen")
+    if (files.isEmpty) return emptyView
     val pruned = readPinned(spark, dir, partCol, resolved, files)
-    val cond = resolveCond(resolved, partCol, full.schema(partCol).dataType)
+    val cond = resolveCond(resolved, partCol, pinned.get(partCol).dataType)
     maskRowTombs(spark, dir, pruned.filter(cond && range), asOfGen)
       .drop("gen")
   }
@@ -540,6 +564,7 @@ object GenTable {
   private def claimDisjoint(spark: SparkSession, dir: String,
       declareEnc: Set[String], tk: String, verb: String,
       attempts: Int = 16): (Long, Long) = {
+    val f2 = fsOf(spark, dir)
     var tries = attempts
     while (tries > 0) {
       tries -= 1
@@ -578,10 +603,17 @@ object GenTable {
               "overlap — writers on overlapping partitions serialize: " +
               "retry once it commits, or recover()/compact a crashed one")
         }
-        // an id between snapshot and claim that is neither committed
-        // nor claimed (an orphan dir) is an unknowable crashed writer
+        // an id between snapshot and claim that is neither committed nor
+        // claimed is an unknowable crashed writer ONLY if table state
+        // actually exists for it (an orphan gen dir); a fully-released
+        // hole — recoverClaims freed a pre-stage claim while a later
+        // claim was still outstanding — has no state, affects no read,
+        // and is benign (ADVICE r16: erroring on it failed every new
+        // writer until the outstanding claim committed)
         ((base + 1) until gen)
           .filterNot(g => outstanding(g) || committed.contains(g))
+          .filter(g => AllTables.exists(t => f2.exists(
+            new org.apache.hadoop.fs.Path(s"$dir/$t/gen=$g"))))
           .foreach { g =>
             throw new IllegalArgumentException(
               s"GenTable.$verb: generation $g at $dir has table state " +
@@ -683,12 +715,16 @@ object GenTable {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val f = fsOf(spark, dir)
-    val rows = GenCommit.committed(spark, dir).sorted.map { g =>
+    // one commits-dir listing for the whole walk (ADVICE r16: re-listing
+    // inside the loop made this O(generations²) on a long history)
+    val committed = GenCommit.committed(spark, dir).sorted
+    val first = committed.headOption.getOrElse(-1L)
+    val rows = committed.map { g =>
       val claims = readManifest(spark, dir, g)
       val kind =
         if (f.exists(new org.apache.hadoop.fs.Path(
             s"$dir/${GenCommit.TombsTable}/gen=$g"))) "delete"
-        else if (g == GenCommit.committed(spark, dir).min) "init"
+        else if (g == first) "init"
         else "merge"
       org.apache.spark.sql.Row(g, kind, claims.size)
     }

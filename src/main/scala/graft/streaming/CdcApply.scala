@@ -81,13 +81,14 @@ object CdcApply {
       checkpointDir: String,
       opCol: String = "_op",
       seqCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): StreamingQuery = {
+      statsCols: Seq[String] = Nil,
+      zorder: Boolean = false): StreamingQuery = {
     graft.sources.GenTable.recover(cdc.sparkSession, tableDir)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyGenBatch(batch, tableDir, keys, partCol, opCol, seqCol,
-          statsCols)
+          statsCols, zorder)
       }
       .start()
   }
@@ -110,12 +111,18 @@ object CdcApply {
       partCol: String,
       opCol: String = "_op",
       seqCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      zorder: Boolean = false): Unit = {
     val spark = batch.sparkSession
+    // zorder threads into BOTH the merge and the self-maintenance
+    // compact (ADVICE r16: a z-ordered table maintained through this
+    // stream silently degraded to the lexicographic range layout at its
+    // first self-compaction)
     graft.sources.GenTable.merge(spark, tableDir, partCol, batch, keys,
-      opCol, seqCol, statsCols)
+      opCol, seqCol, statsCols, zorder)
     if (graft.sources.GenTable.shouldCompact(spark, tableDir))
-      graft.sources.GenTable.compact(spark, tableDir, partCol, statsCols)
+      graft.sources.GenTable.compact(spark, tableDir, partCol, statsCols,
+        zorder)
   }
 
   /** x26_stream_cdc_gentable: [[x24]]'s harness shape — q92b's deltas

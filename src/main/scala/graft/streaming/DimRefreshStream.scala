@@ -68,11 +68,17 @@ object DimRefreshStream {
     }
   }
 
-  /** One micro-batch's apply, split out for direct spec pinning: for
-    * each event day the batch carries (bounded — a trigger spans at
-    * most a few days), resolve THAT day's dim through the shared memo
-    * store and convert the slice. Output overwrites the batch's own
-    * path — replay-idempotent.
+  /** One micro-batch's apply, split out for direct spec pinning: each
+    * event day the batch carries resolves through the shared memo store
+    * (a memo hit for days already fetched, one provider fetch for a new
+    * day), then the per-day dims FOLD into ONE day-keyed dim and the
+    * batch converts under a SINGLE broadcast join on
+    * `(currency, event_day)` — not one join + union branch per day
+    * (ADVICE r16: the per-day plan-union chain was unbounded in the
+    * batch's day count; a wide backfill batch now costs one flat local
+    * dim of days × currencies rows — bounded index-metadata scale — and
+    * one join, whatever the day spread). Output overwrites the batch's
+    * own path — replay-idempotent.
     */
   private[graft] def applyBatch(
       batch: DataFrame,
@@ -86,25 +92,30 @@ object DimRefreshStream {
       spark, ratesStore, provider)
     val days = batch.select(col("event_day")).distinct()
       .collect().map(_.getDate(0).toLocalDate).sorted
-    val out = days.map { day =>
-      val rates = dims.broadcastable(day)
-        .select(col("currency"),
-          col("rate").cast("decimal(10,6)").as("eur_per_unit"))
-      val slice = batch
-        .filter(col("event_day") === java.sql.Date.valueOf(day))
-      val amount = col("amount").cast("decimal(18,2)")
-      slice.join(broadcast(rates), Seq("currency"), "left")
-        .select(
-          col("order_id"),
-          amount.cast("double").as("original_amount"),
-          col("currency").as("original_currency"),
-          graft.ops.Convert.convertDeclared(amount, col("currency"),
-            col("eur_per_unit")).cast("double").as("amount_eur"),
-          coalesce(col("eur_per_unit"),
-            lit("1.000000").cast("decimal(10,6)"))
-            .cast("double").as("exchange_rate"),
-          col("event_day"))
-    }.reduce(_ unionByName _)
+    // each day's memo read is currency-count-sized — collecting it to
+    // fold the days into one local dim is bounded metadata, the
+    // codebook/centroid precedent
+    val dimRows = days.toSeq.flatMap { day =>
+      dims.resolve(day).collect().toSeq.map(r =>
+        (java.sql.Date.valueOf(day), r.getString(0), r.getDouble(1)))
+    }
+    import spark.implicits._
+    val rates = dimRows.toDF("event_day", "currency", "rate")
+      .select(col("event_day"), col("currency"),
+        col("rate").cast("decimal(10,6)").as("eur_per_unit"))
+    val amount = col("amount").cast("decimal(18,2)")
+    val out = batch
+      .join(broadcast(rates), Seq("currency", "event_day"), "left")
+      .select(
+        col("order_id"),
+        amount.cast("double").as("original_amount"),
+        col("currency").as("original_currency"),
+        graft.ops.Convert.convertDeclared(amount, col("currency"),
+          col("eur_per_unit")).cast("double").as("amount_eur"),
+        coalesce(col("eur_per_unit"),
+          lit("1.000000").cast("decimal(10,6)"))
+          .cast("double").as("exchange_rate"),
+        col("event_day"))
     out.write.mode("overwrite").parquet(s"$sinkDir/batch=$batchId")
   }
 

@@ -305,6 +305,54 @@ class GenTableSpec extends SparkSuite {
     assert(old.count() == 5)
   }
 
+  test("readWhere on a schema-evolved table: the stats column's type " +
+      "resolves from the PINNED newest-generation schema, so a range " +
+      "read on a column a later merge added works even though older " +
+      "files lack it (ADVICE r16: the unpinned footer pick)") {
+    val dir = s"${TempRoots.create("graft_gt_rw_evolve_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    // the stats column 'score' EXISTS ONLY in generation 1's files
+    GenTable.merge(spark, dir, "p",
+      Seq((3L, "B", 31.0, 7.5, "upsert"), (6L, "B", 60.0, 2.0, "upsert"))
+        .toDF("k", "p", "v", "score", "_op"),
+      Seq("k"), evolveSchema = true, statsCols = Seq("score"))
+    val hits = GenTable.readWhere(spark, dir, "p", "score", 5.0, 10.0)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(3L), s"evolved-column range read wrong: $hits")
+    // gen-0 files (no 'score' column, no stats) are null-filled and the
+    // range filter drops them — semantics identical to the full read's
+    val full = GenTable.read(spark, dir, "p")
+      .filter(col("score") >= 5.0 && col("score") <= 10.0)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(full == hits)
+  }
+
+  test("a fully-released claim hole is benign: recoverClaims frees a " +
+      "pre-stage claim while a later (mid-publish) claim is still " +
+      "outstanding, and a disjoint new writer commits through the gap " +
+      "(ADVICE r16: the hole failed every new writer)") {
+    val dir = s"${TempRoots.create("graft_gt_hole_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    // claim 1: crashed PRE-STAGE (no gen dir) — recoverClaims frees it
+    require(GenCommit.tryClaim(spark, dir, 1L, "w1", declare = Seq("A")))
+    // claim 2: an in-flight writer mid-publish — data renamed in, no
+    // marker yet; declares partition B only
+    require(GenCommit.tryClaim(spark, dir, 2L, "w2", declare = Seq("B")))
+    Seq((3L, "B", 999.0)).toDF("k", "p", "v")
+      .write.partitionBy("p").parquet(s"$dir/data/gen=2")
+    assert(GenTable.recoverClaims(spark, dir) == Seq(1L),
+      "only the pre-stage claim may be freed — gen 2 began publishing")
+    // id 1 is now a hole: not committed, not claimed, NO table state.
+    // A new merge on partition C (disjoint from claim 2's declared B)
+    // must commit through it, not fail on 'unknowable crashed writer'
+    GenTable.merge(spark, dir, "p",
+      Seq((5L, "C", 55.0, "upsert")).toDF("k", "p", "v", "_op"),
+      Seq("k"))
+    assert(readSet(dir).contains((5L, "C", 55.0)))
+    // and the uncommitted mid-publish gen 2 stays invisible
+    assert(!readSet(dir).contains((3L, "B", 999.0)))
+  }
+
   test("zorder layout: a range read skips files on BOTH clustered " +
       "columns, where the lexicographic range layout skips only on the " +
       "first; answers identical to the filtered read either way") {
