@@ -37,6 +37,7 @@ object Bench {
       // partition before the shuffle, so partial SESSIONS shuffle instead
       // of raw events (matters at 100 TB; measured ~15% at sf0.1 on q42)
       .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

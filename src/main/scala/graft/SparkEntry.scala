@@ -102,6 +102,13 @@ object SparkEntry {
     "q92i_merge_gentable_evolve" -> ((s, d) => ops.Merge.q92i(s, d)),
     // DESCRIBE HISTORY: the table's commit log as a query — literal oracle
     "q92j_merge_history" -> ((s, d) => ops.Merge.q92j(s, d)),
+    // the SQL surface: q92d's write sequence read back through pure SQL
+    // (SELECT … FROM gentable.`dir`, pre-compaction multi-generation
+    // resolution through the registered source) — shares q92b's oracle
+    "q92k_sql_gentable" -> ((s, d) => ops.Merge.q92k(s, d)),
+    // point lookup on an UNCLUSTERED key through per-file bloom
+    // sidecars (min/max can't skip there) — own equality-final oracle
+    "q92l_merge_bloom" -> ((s, d) => ops.Merge.q92l(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -177,6 +184,12 @@ object SparkEntry {
     // atomic generation (no torn mid-batch state, ever), checkpoint
     // restart between the deltas — shares q92b's oracle
     "x26_stream_cdc_gentable" -> ((s, d) => streaming.CdcApply.x26(s, d)),
+    // CDC-OUT: readStream.format("gentable") follows the table's
+    // generation log (offsets = generation ids, exactly-once, restart
+    // between the batches); replay of the emitted changes reconstructs
+    // the table — shares q92b's oracle
+    "x29_stream_gentable_source" ->
+      ((s, d) => graft.sources.GenTableStream.x29(s, d)),
     // R18 live: the rates dim re-resolves per micro-batch across a day
     // boundary (day-keyed on-disk memo; once-per-day fetch budget holds
     // across triggers and restarts) — own per-day revalued-dim oracle
@@ -340,6 +353,11 @@ object SparkEntry {
     // delete, revive, compact) — final alive set = whole corpus, so it
     // shares x27b's oracle
     "x27c_ann_ivfpq_lifecycle" -> ((s, d) => ops.VectorPq.x27c(s, d)),
+    // residual flavor (by_residual = true): codes over vector−centroid,
+    // grid-snapped centroids keep x27b's bit-exactness argument — the
+    // two-term score ⟨p,c⟩ + ADC(residual) lands under the hash gate;
+    // shares x27b's oracle
+    "x27d_ann_ivfpq_residual" -> ((s, d) => ops.VectorPq.x27d(s, d)),
     "x11b_ann_ivf_gate"    -> ((s, d) => ops.Vector.x11b(s, d)),
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
@@ -479,6 +497,9 @@ object SparkEntry {
     "q92h_merge_zorder" -> ops.Merge.q92hSql,
     "q92i_merge_gentable_evolve" -> ops.Merge.q92iSql,
     "q92j_merge_history" -> ops.Merge.q92jSql,
+    "q92k_sql_gentable" -> ops.Merge.q92bSql,
+    "q92l_merge_bloom" -> ops.Merge.q92lSql,
+    "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,
@@ -603,6 +624,7 @@ object SparkEntry {
     "x11b_ann_ivf_gate"         -> ops.Vector.x01Sql,
     "x27b_ann_ivfpq_gate"       -> ops.VectorPq.x27bSql,
     "x27c_ann_ivfpq_lifecycle"  -> ops.VectorPq.x27bSql,
+    "x27d_ann_ivfpq_residual"   -> ops.VectorPq.x27bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

@@ -744,7 +744,29 @@ object Stress {
     require(gens == 2 * rounds + 1,
       s"expected ${2 * rounds + 1} committed generations, got $gens")
     val rows = sources.GenTable.read(spark, concDir, "p").count()
-    Seq(seqT, concT,
+    // OVERLAPPING writers (r17 rebase-and-retry): both threads hammer
+    // the SAME partitions — every conflict serializes behind the
+    // in-flight writer at metadata cost (a 200 ms poll, nothing
+    // staged), so the wall-clock upper bound is ~sequential + waits,
+    // and every merge must land (no lost updates, no loud fails)
+    val ovDir = s"${graft.TempRoots.create("graft_gtc_ov_")}/t"
+    fixture(ovDir)
+    val ovErrs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ovT = time(s"gtconc_overlapping_${2 * rounds}merges") {
+      val t1 = new Thread(() =>
+        try mergesFor(ovDir, Seq(0L, 1L))
+        catch { case t: Throwable => ovErrs.add(t) })
+      val t2 = new Thread(() =>
+        try mergesFor(ovDir, Seq(0L, 1L))
+        catch { case t: Throwable => ovErrs.add(t) })
+      t1.start(); t2.start(); t1.join(); t2.join()
+    }
+    require(ovErrs.isEmpty, s"overlapping merges failed to rebase: ${
+      Option(ovErrs.peek()).map(_.getMessage)}")
+    val ovGens = sources.GenCommit.committed(spark, ovDir).size
+    require(ovGens == 2 * rounds + 1,
+      s"expected ${2 * rounds + 1} committed generations, got $ovGens")
+    Seq(seqT, concT, ovT,
       ("gtconc_committed_gens", gens.toDouble),
       ("gtconc_rows", rows.toDouble))
   }

@@ -15,6 +15,7 @@ object Verify {
       // keep the oracle-checked session_window plan identical to the
       // benched one (local partial-session merge before the shuffle)
       .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -93,6 +93,77 @@ object PqEncode {
   }
 }
 
+/** `pq_encode_res(residual, base, flatCodebook, m, k, sublen)` →
+  * `struct(codes: array<int>, c_norm: double)`: the RESIDUAL-encoding
+  * variant (FAISS `by_residual = true`, VERDICT r16 #6) — codes are the
+  * argmin-L2 codeword per subspace of the residual (vector − its cell
+  * centroid, computed by the caller), while `c_norm` is the norm of
+  * the FULL reconstruction `base + recon` (search cosines live in
+  * reconstructed space, and the reconstruction of a residual code is
+  * centroid + codeword). Same fold orders as [[PqEncode]].
+  */
+case class PqEncodeRes(left: Expression, right: Expression,
+    flat: Array[Double], m: Int, k: Int, sublen: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false)),
+    StructField("c_norm", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_res"
+
+  override protected def nullSafeEval(res: Any, base: Any): Any =
+    PqEncodeRes.encode(res.asInstanceOf[ArrayData],
+      base.asInstanceOf[ArrayData], flat, m, k, sublen)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (res, base) => s"""
+      ${ev.value} = graft.ext.PqEncodeRes.encode($res, $base, $flatRef, $m, $k, $sublen);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeRes =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncodeRes {
+  def encode(res: ArrayData, base: ArrayData, flat: Array[Double],
+      m: Int, k: Int, sublen: Int): InternalRow = {
+    val codes = new Array[Int](m)
+    var n2 = 0.0
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var j = 0
+        while (j < sublen) {
+          val diff = res.getDouble(i * sublen + j) -
+            flat((i * k + c) * sublen + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(i) = best
+      var j = 0
+      while (j < sublen) {
+        val r = base.getDouble(i * sublen + j) +
+          flat((i * k + best) * sublen + j)
+        n2 += r * r
+        j += 1
+      }
+      i += 1
+    }
+    InternalRow(new GenericArrayData(codes), math.sqrt(n2))
+  }
+}
+
 /** `pq_adc(codes, lut, k)` → double: asymmetric distance computation —
   * the candidate's dot product against a probe as m lookup-table reads
   * summed in subspace order (identical fold to the HOF

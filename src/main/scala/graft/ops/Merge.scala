@@ -442,6 +442,36 @@ object Merge {
       .orderBy("o_orderkey")
   }
 
+  /** q92k_sql_gentable: q92d's exact write sequence, read back through
+    * PURE SQL — `SELECT … FROM gentable.`dir`` (VERDICT r16 #1): the
+    * multi-generation table resolves through the registered `gentable`
+    * data source ([[graft.sources.GenTableSource]] — a custom FileIndex
+    * under Spark's own HadoopFsRelation, so the scan is the native
+    * vectorized parquet path), NOT the Scala object API. Same final
+    * state as q92b/q92d by construction — SHARES q92b's oracle, gating
+    * the whole SQL entry (analyzer rule → generation resolution →
+    * pinned schema → pruned scan) end to end. Unlike q92d this read
+    * happens BEFORE compaction, so the SQL path is gated on genuine
+    * multi-generation resolution, not a folded single generation.
+    */
+  def q92k(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92k_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
     * applied, then read `asOfGen` = the batch-1 generation: the result
     * must be the state AFTER batch 1 and BEFORE batch 2 (batch 2's
@@ -538,6 +568,41 @@ object Merge {
 
   val q92gSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
     finalWhere = "o_totalprice BETWEEN 50000.0 AND 100000.0")
+
+  /** q92l_merge_bloom: q92g's flow with BLOOM sidecars on the
+    * UNCLUSTERED key `o_orderkey` (VERDICT r16 #7) and a point lookup
+    * through [[graft.sources.GenTable.readWhereEq]] — min/max stats
+    * cannot skip here (every file of a key-scattered table spans the
+    * whole key range; the bloom answers membership). Key 1 is in t0
+    * (1 % 4 ≠ 3), upserted by batch 1 (1 % 8 = 1 → status U1,
+    * price +10) and untouched by batch 2 — a row whose FINAL state only
+    * the full merge chain produces, so a lookup served from a stale
+    * generation's copy hash-mismatches. Oracle: the shared merge CTE
+    * with the equality as the final filter. GenTableSpec pins
+    * files-opened < files-present on a multi-file fixture.
+    */
+  def q92l(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92l_")}/table"
+    val blooms = Seq("o_orderkey")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr",
+      bloomCols = blooms)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"), bloomCols = blooms)
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"), bloomCols = blooms)
+    graft.sources.GenTable.readWhereEq(spark, tbl, "yr",
+      "o_orderkey", 1L)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  val q92lSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    finalWhere = "o_orderkey = 1")
 
   /** q92h_merge_zorder: the q92d flow written Z-ORDERED on TWO stats
     * columns (`zorder = true` bit-interleaves each column's quantile

@@ -71,7 +71,9 @@ object VectorPq {
       lloydIters: Int = 3,
       kmeansSample: Int = 4096,
       kmeansIters: Int = 4,
-      trainOn: Option[DataFrame] = None): Unit = {
+      trainOn: Option[DataFrame] = None,
+      byResidual: Boolean = false,
+      centroidSnap: Option[Int] = None): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
     def shape(df: DataFrame) = df.select(col(idCol).as("id"),
@@ -90,12 +92,34 @@ object VectorPq {
     require(dim > 0 && dim % m == 0,
       s"pqBuild: m = $m must divide the dimension $dim")
     val sublen = dim / m
-    val cents = Vector.seedCentroids(
+    val cents0 = Vector.seedCentroids(
       t0.select(col("id"), col("vec")), nlist, lloydIters)
+    // `centroidSnap = Some(s)` snaps centroid coordinates to the 1/s
+    // grid — the gate twin's exactness lever for the RESIDUAL flavor:
+    // over a 1/8-grid corpus with 1/8-grid centroids, residuals,
+    // reconstructions (c + res = v, exactly) and every ⟨p,c⟩ + ⟨p,res⟩
+    // product/sum are small dyadic rationals, so residual ADC is
+    // bit-identical to the full dot fold (x27d's argument). Production
+    // residual indexes leave it None — snapping merely coarsens cells.
+    val cents = centroidSnap match {
+      case None => cents0
+      case Some(s) => cents0.map { case (c, v) =>
+        (c, v.map(f => (math.floor(f.toDouble * s) / s).toFloat)) }
+    }
     require(cents.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
 
     // ---- codebooks: exact when a subspace's distinct values fit ----
-    val subs = t0.select(posexplode(transform(
+    // In the RESIDUAL flavor (FAISS by_residual = true, VERDICT r16 #6)
+    // codebooks train on (vector − cell centroid): residual magnitudes
+    // are a fraction of raw coordinates, so the same code budget spends
+    // its precision on a tighter range — recall at equal bytes. The
+    // codebook stays GLOBAL across cells (one training pool), which
+    // keeps the LUT per probe rather than per (probe, cell); only the
+    // scalar ⟨probe, centroid⟩ term varies per cell at search time.
+    val tEnc =
+      if (!byResidual) t0
+      else residualized(spark, t0, cents)
+    val subs = tEnc.select(posexplode(transform(
         sequence(lit(0), lit(m - 1)),
         i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
       .as(Seq("sub", "sv"))).distinct()
@@ -146,7 +170,8 @@ object VectorPq {
         centSchema)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     spark.range(1).select(lit(m).as("m"), lit(kEff).as("k"),
-        lit(sublen).as("sublen"), lit(dim).as("dim"))
+        lit(sublen).as("sublen"), lit(dim).as("dim"),
+        lit(byResidual).as("residual"))
       .write.mode("overwrite").parquet(s"$indexDir/pqmeta")
     import spark.implicits._
     padded.zipWithIndex.flatMap { case (b, i) =>
@@ -157,17 +182,69 @@ object VectorPq {
 
     // ---- encode + assign + publish as generation 0 ----
     val tk = graft.sources.GenCommit.newToken()
-    graft.ext.GraftFunctions.ensurePqEncode(spark)
-    Vector.nearestCells(c0, cents, 1)
-      .withColumn("__pq", call_function("pq_encode", col("vecD"),
-        lit(flat), lit(m), lit(kEff), lit(sublen)))
-      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
-        col("id").as("neighbor_id"), col("__pq.codes").as("codes"),
-        col("__pq.c_norm").as("c_norm"))
+    encodePostings(spark, c0, cents, flat, m, kEff, sublen, byResidual)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, 0L, "postings", tk))
     graft.sources.GenCommit.publish(spark, indexDir, 0L, PqTables, tk)
+  }
+
+  /** The centroid dimension as a broadcastable frame (cell → centroid
+    * as doubles) — nlist rows of index metadata.
+    */
+  private def centsDf(spark: SparkSession, shaped: DataFrame,
+      cents: Seq[(Any, Seq[Float])]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        shaped.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cents.toIndexedSeq.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2)), 1), schema)
+      .select(col("cell"), col("cvec").cast("array<double>").as("cvecD"))
+  }
+
+  /** Replace each shaped vector's `vecD` by its residual against its
+    * assigned cell's centroid — the residual flavor's training input.
+    */
+  private def residualized(spark: SparkSession, shaped: DataFrame,
+      cents: Seq[(Any, Seq[Float])]): DataFrame =
+    Vector.nearestCells(shaped, cents, 1)
+      .join(broadcast(centsDf(spark, shaped, cents)), Seq("cell"))
+      .withColumn("vecD",
+        zip_with(col("vecD"), col("cvecD"), (a, b) => a - b))
+      .select("id", "vec", "vecD")
+
+  /** The (cell, id, codes, c_norm) postings of a shaped slice under
+    * frozen centroids + codebooks — build's and append's shared encode.
+    * Raw flavor: codes over the vector itself. Residual flavor: one
+    * broadcast join to the centroid dim, codes over (vector − centroid)
+    * via the `pq_encode_res` kernel, whose `c_norm` is of the FULL
+    * reconstruction (centroid + codeword) — search cosines live in
+    * reconstructed space either way.
+    */
+  private def encodePostings(spark: SparkSession, shaped: DataFrame,
+      cents: Seq[(Any, Seq[Float])], flat: Array[Double], m: Int,
+      kEff: Int, sublen: Int, byResidual: Boolean): DataFrame = {
+    val assigned = Vector.nearestCells(shaped, cents, 1)
+    val enc =
+      if (!byResidual) {
+        graft.ext.GraftFunctions.ensurePqEncode(spark)
+        assigned.withColumn("__pq", call_function("pq_encode",
+          col("vecD"), lit(flat), lit(m), lit(kEff), lit(sublen)))
+      } else {
+        graft.ext.GraftFunctions.ensurePqEncodeRes(spark)
+        assigned.join(broadcast(centsDf(spark, shaped, cents)), Seq("cell"))
+          .withColumn("__pq", call_function("pq_encode_res",
+            zip_with(col("vecD"), col("cvecD"), (a, b) => a - b),
+            col("cvecD"), lit(flat), lit(m), lit(kEff), lit(sublen)))
+      }
+    enc.select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+      col("id").as("neighbor_id"), col("__pq.codes").as("codes"),
+      col("__pq.c_norm").as("c_norm"))
   }
 
   /** The HOF REFERENCE form of the encode (first cut): correct but
@@ -223,10 +300,12 @@ object VectorPq {
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("sublen"))
+    val residual = meta.getAs[Boolean]("residual")
     val cbRows = spark.read.parquet(s"$indexDir/pqcodes").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
+    val centByCell: Map[Any, Seq[Float]] = cents.toMap
     val p0 = probes.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"),
       col(vecCol).cast("array<double>").as("vecD"))
@@ -266,10 +345,27 @@ object VectorPq {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType)),
       org.apache.spark.sql.types.StructField("p_norm",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("base_dot",
         org.apache.spark.sql.types.DoubleType)))
     val pRows = pc.toIndexedSeq.map { r =>
       val (lut, pn) = lutByProbe(r.get(0))
-      org.apache.spark.sql.Row("c" + r.get(2).toString, r.get(0), lut, pn)
+      // the residual flavor's per-(probe, cell) scalar: score =
+      // ⟨p, centroid⟩ + ⟨p, residual reconstruction⟩ — the LUT covers
+      // the second term (codebooks are global across cells), this
+      // covers the first; the raw flavor's term is identically 0
+      val baseDot =
+        if (!residual) 0.0
+        else {
+          val pv = r.getSeq[Double](1)
+          val cw = centByCell(r.get(2))
+          var s = 0.0
+          var j = 0
+          while (j < pv.length) { s += pv(j) * cw(j).toDouble; j += 1 }
+          s
+        }
+      org.apache.spark.sql.Row("c" + r.get(2).toString, r.get(0), lut,
+        pn, baseDot)
     }
     val pdf = spark.createDataFrame(
       spark.sparkContext.parallelize(pRows, 1), pSchema)
@@ -287,7 +383,8 @@ object VectorPq {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .filter(col("c_norm") > 0 && col("p_norm") > 0)
       .withColumn("dotv",
-        call_function("pq_adc", col("codes"), col("lut"), lit(kEff)))
+        call_function("pq_adc", col("codes"), col("lut"), lit(kEff)) +
+          col("base_dot"))
       .withColumn("cosine", col("dotv") / (col("c_norm") * col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
@@ -304,10 +401,11 @@ object VectorPq {
     * m·kEff·sublen doubles), shared by [[pqAppend]] and [[pqSearch]].
     */
   private def loadPq(spark: SparkSession, indexDir: String)
-      : (Int, Int, Int, Array[Double]) = {
+      : (Int, Int, Int, Array[Double], Boolean) = {
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("sublen"))
+    val residual = meta.getAs[Boolean]("residual")
     val flat = new Array[Double](m * kEff * sublen)
     spark.read.parquet(s"$indexDir/pqcodes").collect().foreach { r =>
       val (sub, code) = (r.getInt(0), r.getInt(1))
@@ -317,7 +415,7 @@ object VectorPq {
         flat((sub * kEff + code) * sublen + j) = cw(j); j += 1
       }
     }
-    (m, kEff, sublen, flat)
+    (m, kEff, sublen, flat, residual)
   }
 
   /** Incremental maintenance under the FROZEN quantizer AND codebooks:
@@ -338,7 +436,7 @@ object VectorPq {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     graft.ext.GraftFunctions.ensureVecDot(spark)
-    val (m, kEff, sublen, flat) = loadPq(spark, indexDir)
+    val (m, kEff, sublen, flat, residual) = loadPq(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
@@ -348,13 +446,7 @@ object VectorPq {
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
       PqScanTables, token = tk)
-    graft.ext.GraftFunctions.ensurePqEncode(spark)
-    Vector.nearestCells(d0, cents, 1)
-      .withColumn("__pq", call_function("pq_encode", col("vecD"),
-        lit(flat), lit(m), lit(kEff), lit(sublen)))
-      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
-        col("id").as("neighbor_id"), col("__pq.codes").as("codes"),
-        col("__pq.c_norm").as("c_norm"))
+    encodePostings(spark, d0, cents, flat, m, kEff, sublen, residual)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, gen, "postings", tk))
@@ -553,6 +645,35 @@ object VectorPq {
     pqDelete(spark, idx, slice.select("vec_id"))
     pqAppend(spark, idx, slice)
     pqCompact(spark, idx)
+    pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27d_ann_ivfpq_residual: the RESIDUAL flavor's exact gate twin
+    * (VERDICT r16 #6 — FAISS `by_residual = true`): x27b's grid-snap +
+    * m = dim construction, with codes over (vector − centroid) and the
+    * coarse CENTROIDS snapped to the same 1/8 grid. The pigeonhole
+    * survives residuals: per subspace the distinct residual values are
+    * (grid values) − (snapped centroid values) — ≤ ~81 ≪ 256 pooled
+    * across cells — so the codebook is lossless; and because every
+    * operand is a small dyadic rational (a/8 coordinates, ab/64
+    * products, exactly-representable partial sums), residual
+    * reconstruction is c + (v − c) = v EXACTLY and the two-term score
+    * ⟨p,c⟩ + ADC(residual) equals the oracle's left-to-right dot fold
+    * bit for bit. nprobe = nlist probes every cell (x11b). SHARES
+    * x27b's oracle verbatim — training-on-residuals, the residual
+    * kernel, the per-(probe, cell) base term and the rank window all
+    * land under the driver's hash gate. The PRODUCTION residual trade
+    * (recall at equal code budget on the real corpus, unsnapped) is
+    * pinned in VectorSpec against the raw-PQ floor.
+    */
+  def x27d(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val idx = s"${graft.TempRoots.create("graft_x27d_")}/ivfpq"
+    pqBuild(grid, idx, nlist = 16, m = 64, byResidual = true,
+      centroidSnap = Some(8))
     pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
       .orderBy("probe_id", "rank")
   }

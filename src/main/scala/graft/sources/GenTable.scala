@@ -45,8 +45,12 @@ import org.apache.spark.sql.functions._
   * partitions only, so claims carry a partition DECLARATION and
   * disjointly-declared writers commit in parallel ([[merge]]'s
   * contract; row deletes and compactions declare all partitions and
-  * serialize against everything). An overlapping or undeclared
-  * in-flight writer fails the newcomer loudly with nothing staged. A
+  * serialize against everything). An OVERLAPPING in-flight writer
+  * serializes the newcomer behind it automatically — rebase-and-retry
+  * with nothing staged (r17: wait for its commit, re-read the fresh
+  * snapshot, claim again), bounded by a wait budget so a crashed
+  * overlapping writer turns into the loud recover()/compact error
+  * instead of a deadlock; an UNDECLARED claim still fails loudly. A
   * writer that died before staging frees via [[GenCommit
   * .recoverClaims]]; one that died mid-publish rolls back via
   * [[recover]] (single-writer window) or [[compact]].
@@ -67,7 +71,7 @@ object GenTable {
   // URLEncoder never emits (it encodes space as '+'), so no real value
   // can collide — and the source/manifests stay plain text (review r15:
   // a NUL-byte sentinel made git treat both as binary)
-  private val NullMark = " null"
+  private[sources] val NullMark = " null"
   // the all-partitions claim declaration (same no-collision argument):
   // what a row DELETE or a compaction declares — its effect spans every
   // partition, so it conflicts with every concurrent writer
@@ -84,7 +88,7 @@ object GenTable {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def decN(s: String): String =
+  private[sources] def decN(s: String): String =
     if (s == NullMark) null else dec(s)
 
   private def writeManifest(spark: SparkSession, dir: String, gen: Long,
@@ -119,7 +123,8 @@ object GenTable {
     * without stats reads correctly — just unskipped).
     */
   def init(df: DataFrame, dir: String, partCol: String,
-      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     fsOf(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
     val touched = df.select(col(partCol)).distinct()
@@ -130,9 +135,32 @@ object GenTable {
       s"GenTable.init: refusing to create an EMPTY table at $dir — " +
         "the schema lives in the data files; init with at least one row")
     val tk = GenCommit.newToken()
-    stageData(df, dir, 0L, partCol, tk, statsCols, zorder)
+    // self-describing: record the partition column so the SQL surface
+    // ([[GenTableSource]]) needs no options — `SELECT … FROM
+    // gentable.`dir`` resolves the layout from the table alone (the
+    // tombkeys precedent)
+    val f = fsOf(spark, dir)
+    val pcp = new org.apache.hadoop.fs.Path(s"$dir/partcol")
+    f.mkdirs(pcp.getParent)
+    val out = f.create(pcp, true)
+    try out.write(partCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    stageData(df, dir, 0L, partCol, tk, statsCols, zorder, bloomCols)
     writeManifest(spark, dir, 0L, touched)
     GenCommit.publish(spark, dir, 0L, DataTable, tk)
+  }
+
+  /** The partition column [[init]] recorded at `dir/partcol` — how the
+    * SQL surface resolves a table from its path alone. Fails loudly on
+    * a pre-record table (re-init, or pass the column explicitly).
+    */
+  def partColOf(spark: SparkSession, dir: String): String = {
+    val s = GenCommit.readSmallFile(fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/partcol"))
+    require(s.nonEmpty,
+      s"GenTable: no partcol record at $dir — the table predates the " +
+        "SQL surface; re-init it or pass option(\"partCol\", …)")
+    s
   }
 
   /** Stage a generation's data, optionally clustered on
@@ -160,7 +188,7 @@ object GenTable {
     */
   private def stageData(df: DataFrame, dir: String, gen: Long,
       partCol: String, tk: String, statsCols: Seq[String],
-      zorder: Boolean = false): Unit = {
+      zorder: Boolean = false, bloomCols: Seq[String] = Nil): Unit = {
     val out =
       if (statsCols.isEmpty) df
       else if (!zorder)
@@ -174,7 +202,66 @@ object GenTable {
     val staged = GenCommit.stagePath(dir, gen, "data", tk)
     out.write.mode("overwrite").partitionBy(partCol).parquet(staged)
     writeFileStats(df.sparkSession, dir, gen, staged, statsCols)
+    writeFileBlooms(df.sparkSession, dir, gen, staged, bloomCols)
   }
+
+  /** Per-file bloom sidecars (VERDICT r16 #7): `dir/blooms/<gen>` holds
+    * one line per (file, bloom column) — `relpath \t col \t base64
+    * (serialized bloom)` — so a POINT predicate on an UNCLUSTERED
+    * high-cardinality key prunes files min/max stats never can (every
+    * file of a key-scattered table spans the whole key range; a bloom
+    * answers membership, not range). The filter is Spark's OWN
+    * BloomFilterAggregate over xxhash64 of the column (the registered
+    * x12 machinery), one pass over the freshly-staged delta grouped by
+    * file — delta-proportional, like the stats sidecar; committed
+    * atomically with the generation (written before its marker).
+    * Sizing: [[BloomEstItems]] expected keys per file at
+    * [[BloomNumBits]] bits (~1% false-positive at capacity — a false
+    * positive costs one extra file open, never a wrong answer).
+    */
+  private def writeFileBlooms(spark: SparkSession, dir: String, gen: Long,
+      staged: String, bloomCols: Seq[String]): Unit = {
+    if (bloomCols.isEmpty) return
+    graft.ext.GraftFunctions.ensureBloom(spark)
+    val df = spark.read.parquet(staged)
+    bloomCols.foreach(c => require(df.columns.contains(c),
+      s"GenTable: bloom column $c is not in the table " +
+        s"(${df.columns.mkString(", ")})"))
+    // base64 happens DRIVER-side with the basic (no-wrap) encoder —
+    // Spark's base64() emits MIME-chunked output whose embedded
+    // newlines would tear the one-line-per-entry sidecar format
+    val aggs = bloomCols.map(c => call_function("graft_bloom_agg",
+      xxhash64(col(c)), lit(BloomEstItems), lit(BloomNumBits)))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.drop(1): _*).collect()
+    val leaf = new org.apache.hadoop.fs.Path(staged).getName + "/"
+    val lines = rows.flatMap { r =>
+      val uri = r.getString(0)
+      val i = uri.indexOf(leaf)
+      require(i >= 0, s"GenTable: cannot relativize $uri against $leaf")
+      val rel = uri.substring(i + leaf.length)
+      bloomCols.zipWithIndex.map { case (c, j) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(r.getAs[Array[Byte]](1 + j))
+        Seq(enc(rel), enc(c), b64).mkString("\t")
+      }
+    }
+    val f = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/blooms/$gen")
+    f.mkdirs(p.getParent)
+    val o = f.create(p, true)
+    try o.write(lines.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+  }
+
+  /** Bloom sizing: expected distinct keys per file / filter bits.
+    * 100k keys at 1M bits ≈ 1% false positives at capacity, ~125 KB of
+    * sidecar per (file, column) — metadata-sized against multi-hundred-
+    * MB data files at scale.
+    */
+  private val BloomEstItems = 100000L
+  private val BloomNumBits = 1000000L
 
   /** Bits of quantile rank interleaved per clustered column. 8 bits ×
     * up to 4 columns fits a 32-bit z-value comfortably.
@@ -254,13 +341,43 @@ object GenTable {
 
   /** Resolve which generation serves each partition — highest committed
     * claim wins — as (gen → claimed partition values), driver-side
-    * metadata only.
+    * metadata only. With a LOG CHECKPOINT present (VERDICT r16 #3), the
+    * walk is one checkpoint file + the manifests of the generations the
+    * checkpoint does not cover — resolution cost capped at the
+    * checkpoint interval, independent of the compaction cadence (the
+    * Delta-style log checkpoint; before it, a 1000-generation table
+    * paid 1000 manifest reads per read).
     */
-  private def claims(spark: SparkSession, dir: String,
+  private[sources] def claims(spark: SparkSession, dir: String,
       asOfGen: Option[Long]): Seq[(Long, Seq[String])] = {
     val gens = GenCommit.committedAsOf(spark, dir, asOfGen)
     require(gens.nonEmpty,
       s"no committed generations at $dir — init the table first")
+    loadLogCkpt(spark, dir, gens.toSet) match {
+      case None => resolveOver(spark, dir, gens)
+      case Some((covered, ckWinners)) =>
+        // merge rule: true winner(p) = max(checkpoint winner, highest
+        // TAIL generation claiming p) — a tail id may sit BELOW covered
+        // ids (a disjoint writer committing late), so neither side
+        // blindly outranks the other
+        val winners = scala.collection.mutable.Map[String, Long]()
+        ckWinners.foreach { case (g, v) => winners(v) = g }
+        gens.filterNot(covered).foreach { g =>
+          readManifest(spark, dir, g).foreach { v =>
+            if (winners.get(v).forall(_ < g)) winners(v) = g
+          }
+        }
+        winners.toSeq.groupBy(_._2).toSeq
+          .map { case (g, vs) => g -> vs.map(_._1).sorted }
+          .sortBy(-_._1)
+    }
+  }
+
+  /** The full manifest walk over exactly `gens` — [[claims]]' fallback
+    * and the checkpoint writer's ground truth.
+    */
+  private def resolveOver(spark: SparkSession, dir: String,
+      gens: Seq[Long]): Seq[(Long, Seq[String])] = {
     val seen = scala.collection.mutable.Set[String]()
     gens.sorted(Ordering[Long].reverse).map { g =>
       val mine = readManifest(spark, dir, g).filterNot(seen)
@@ -268,6 +385,87 @@ object GenTable {
       g -> mine
     }.filter(_._2.nonEmpty)
   }
+
+  /** Write a resolution checkpoint every [[LogCkptEvery]] commits —
+    * called after a successful publish; one commits listing + one
+    * small read decide, and the write itself is one full manifest walk
+    * (amortized: 1/interval extra manifest reads per commit) plus one
+    * partition-count-sized file, staged and RENAMED so readers never
+    * see a partial checkpoint. Named by the highest covered id; a
+    * concurrent writer racing to the same name loses the rename and
+    * skips (the committed state it would have recorded is the same).
+    *
+    * File format (plain text, the manifest conventions):
+    * line 1 = covered committed ids (CSV); lines 2+ = `gen\tencValue`
+    * winner pairs. A reader uses a checkpoint iff its covered set is a
+    * SUBSET of the read's committed set — an as-of pin older than the
+    * checkpoint, or a post-compaction reset, simply fails the subset
+    * test and falls back (never wrong, at worst unaccelerated).
+    */
+  private def writeLogCkptIfDue(spark: SparkSession, dir: String): Unit = {
+    val f = fsOf(spark, dir)
+    val committed = GenCommit.committed(spark, dir)
+    val ckDir = new org.apache.hadoop.fs.Path(s"$dir/logckpts")
+    val newest =
+      if (!f.exists(ckDir)) None
+      else f.listStatus(ckDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+        .maxOption
+    val coveredCount = newest.map { g =>
+      val s = GenCommit.readSmallFile(f,
+        new org.apache.hadoop.fs.Path(s"$dir/logckpts/$g"))
+      s.split("\n", -1).head.split(",").count(_.nonEmpty)
+    }.getOrElse(0)
+    if (committed.size - coveredCount < LogCkptEvery) return
+    val resolved = resolveOver(spark, dir, committed)
+    val body = (committed.sorted.mkString(",") +:
+      resolved.flatMap { case (g, vs) => vs.map(v => s"$g\t$v") })
+      .mkString("\n")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/logckpts/.tmp_${GenCommit.newToken()}")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(
+      s"$dir/logckpts/${committed.max}")
+    if (!f.rename(tmp, dst)) f.delete(tmp, false)
+  }
+
+  /** Newest usable checkpoint for a read over `target` committed ids:
+    * `(covered ids, (winnerGen, encValue) pairs)`, or None (no
+    * checkpoint covers a subset of the target — full walk). Malformed
+    * content (a torn legacy write) is skipped, never trusted.
+    */
+  private def loadLogCkpt(spark: SparkSession, dir: String,
+      target: Set[Long]): Option[(Set[Long], Seq[(Long, String)])] = {
+    val f = fsOf(spark, dir)
+    val ckDir = new org.apache.hadoop.fs.Path(s"$dir/logckpts")
+    if (!f.exists(ckDir)) return None
+    f.listStatus(ckDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .sorted(Ordering[Long].reverse)
+      .iterator.map { g =>
+        val s = GenCommit.readSmallFile(f,
+          new org.apache.hadoop.fs.Path(s"$dir/logckpts/$g"))
+        val lines = s.split("\n", -1).toSeq
+        val covered = lines.head.split(",").filter(_.nonEmpty)
+          .filter(_.forall(_.isDigit)).map(_.toLong).toSet
+        val entries = lines.tail.filter(_.contains("\t")).map { l =>
+          val Array(gg, v) = l.split("\t", 2)
+          (gg.toLong, v)
+        }
+        if (covered.nonEmpty && covered.subsetOf(target))
+          Some((covered, entries))
+        else None
+      }.collectFirst { case Some(x) => x }
+  }
+
+  /** Checkpoint cadence: commits between resolution checkpoints. 16
+    * caps any read's metadata walk at one checkpoint file + 15
+    * manifests, whatever the compaction policy does.
+    */
+  private val LogCkptEvery = 16
 
   /** The table's current state (or as of generation `asOfGen`): each
     * partition from the single generation that last claimed it — one
@@ -393,6 +591,83 @@ object GenTable {
       .drop("gen")
   }
 
+  /** POINT LOOKUP with bloom skipping (VERDICT r16 #7): rows with
+    * `keyCol = value`, opening only the files whose bloom sidecar might
+    * contain the key. Min/max stats cannot skip for an UNCLUSTERED
+    * high-cardinality key (every file spans the whole key range); the
+    * bloom answers membership — a needle lookup on a key-scattered
+    * 100 TB table opens ~the files that actually hold the key (plus the
+    * sized-in false positives) instead of every file of the winning
+    * generations. Generations without a bloom for `keyCol` contribute
+    * all their files (correct, just unskipped); semantics are exactly
+    * `read(...).filter(keyCol = value)` — skipping only changes which
+    * files open (spec-asserted via inputFiles).
+    */
+  def readWhereEq(spark: SparkSession, dir: String, partCol: String,
+      keyCol: String, value: Any,
+      asOfGen: Option[Long] = None): DataFrame = {
+    val resolved = claims(spark, dir, asOfGen)
+    val pinned = pinnedSchema(spark, dir, partCol, resolved)
+    def emptyView = (pinned match {
+      case Some(sch) => spark.read.schema(sch).parquet(s"$dir/data")
+      case None => spark.read.parquet(s"$dir/data")
+    }).filter(lit(false)).drop("gen")
+    if (resolved.isEmpty || pinned.isEmpty) return emptyView
+    val kdt = pinned.get(keyCol).dataType
+    val f = fsOf(spark, dir)
+    val files = resolved.flatMap { case (g, _) =>
+      bloomPrunedPaths(spark, f, dir, g, keyCol, kdt, value)
+    }
+    if (files.isEmpty) return emptyView
+    val pruned = readPinned(spark, dir, partCol, resolved, files)
+    val cond = resolveCond(resolved, partCol, pinned.get(partCol).dataType)
+    maskRowTombs(spark, dir,
+        pruned.filter(cond && col(keyCol) === lit(value).cast(kdt)),
+        asOfGen)
+      .drop("gen")
+  }
+
+  /** One generation's candidate paths for [[readWhereEq]]: bloom-pruned
+    * leaf files when the sidecar covers `keyCol`, the whole gen dir
+    * otherwise. The key HASHES through the same `xxhash64` expression
+    * the write side aggregated over (one 1-row evaluation — no
+    * hand-rolled hash to drift); the membership test deserializes each
+    * file's bloom driver-side (`BloomFilter.readFrom`, the public
+    * sketch API BloomFilterAggregate serializes with — Catalyst's
+    * might_contain demands a CONSTANT bloom, which a per-file column
+    * is not).
+    */
+  private def bloomPrunedPaths(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, dir: String, g: Long,
+      keyCol: String, kdt: org.apache.spark.sql.types.DataType,
+      value: Any): Seq[String] = {
+    val s = GenCommit.readSmallFile(f,
+      new org.apache.hadoop.fs.Path(s"$dir/blooms/$g"))
+    val entries = (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
+      .map(_.split("\t", -1))
+      .filter(a => a.length == 3 && dec(a(1)) == keyCol)
+    if (entries.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
+      if (f.exists(p)) Seq(p.toString) else Seq.empty
+    } else {
+      val h = keyHash(spark, value, kdt)
+      entries.filter { a =>
+        val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(a(2))))
+        bloom.mightContainLong(h)
+      }.map(a => s"$dir/data/gen=$g/${dec(a(0))}")
+    }
+  }
+
+  /** The lookup key under the write side's exact hash expression:
+    * `xxhash64(value :: keyCol's pinned type)`, evaluated once.
+    */
+  private[sources] def keyHash(spark: SparkSession, value: Any,
+      kdt: org.apache.spark.sql.types.DataType): Long =
+    spark.range(1).select(xxhash64(lit(value).cast(kdt)))
+      .head().getLong(0)
+
   /** One generation's candidate paths for [[readWhere]]: stats-pruned
     * leaf files when the sidecar covers `statsCol`, the whole gen dir
     * otherwise. A file whose min/max are BOTH the null sentinel holds
@@ -517,26 +792,31 @@ object GenTable {
       seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
       zorder: Boolean = false,
-      evolveSchema: Boolean = false): Unit = {
+      evolveSchema: Boolean = false,
+      overlapWaitMs: Long = OverlapWaitMs,
+      bloomCols: Seq[String] = Nil): Unit = {
     val touched = delta.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return
     val tk = GenCommit.newToken()
     val (snapshot, gen) =
-      claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "merge")
+      claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "merge",
+        overlapWaitMs = overlapWaitMs)
     try {
       val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
       val slice = graft.ops.Merge.guardedSlice(cur, delta, keys, partCol,
         touched)
       val merged = graft.ops.Merge.upsert(slice, delta, keys, opCol,
         seqCol, evolveSchema)
-      stageData(merged, dir, gen, partCol, tk, statsCols, zorder)
+      stageData(merged, dir, gen, partCol, tk, statsCols, zorder,
+        bloomCols)
       // the manifest claims EVERY touched value — also the ones the
       // merged output no longer contains: that claim with no data dir IS
       // the emptied partition (committed atomically with the data by the
       // marker below)
       writeManifest(spark, dir, gen, touched)
       GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
+      writeLogCkptIfDue(spark, dir)
     } catch {
       case t: Throwable =>
         val f = fsOf(spark, dir)
@@ -563,8 +843,10 @@ object GenTable {
     */
   private def claimDisjoint(spark: SparkSession, dir: String,
       declareEnc: Set[String], tk: String, verb: String,
-      attempts: Int = 16): (Long, Long) = {
+      attempts: Int = 16,
+      overlapWaitMs: Long = OverlapWaitMs): (Long, Long) = {
     val f2 = fsOf(spark, dir)
+    val deadline = System.nanoTime() + overlapWaitMs * 1000000L
     var tries = attempts
     while (tries > 0) {
       tries -= 1
@@ -596,13 +878,32 @@ object GenTable {
               "with NO partition declaration — an unknowable (legacy " +
               "or crashed) writer; recover() or compact in a " +
               "maintenance window")
-          require(!(dd.contains(AllMark) || declareEnc == Set(AllMark) ||
-              dd.exists(declareEnc)),
-            s"GenTable.$verb: generation $g at $dir is already claimed " +
-              "by an in-flight writer whose declared partitions " +
-              "overlap — writers on overlapping partitions serialize: " +
-              "retry once it commits, or recover()/compact a crashed one")
         }
+        // REBASE-AND-RETRY on overlap (VERDICT r16 #5): an in-flight
+        // writer whose declared partitions overlap serializes this one
+        // BEHIND it — wait for its commit and re-enumerate, so the
+        // fresh snapshot then covers its effect and this writer's
+        // read-modify-write rebases automatically. Nothing is staged
+        // before the claim, so every retry costs a directory listing,
+        // never a write job. Bounded by `overlapWaitMs` (a CRASHED
+        // overlapping writer never commits — the timeout turns into
+        // the loud serialize-or-recover error instead of a deadlock).
+        val overlap = decls.find { case (_, content) =>
+          val dd = content.split("\n", -1).toSeq.tail
+          dd.contains(AllMark) || declareEnc == Set(AllMark) ||
+            dd.exists(declareEnc)
+        }
+        if (overlap.isDefined) {
+          require(System.nanoTime() < deadline,
+            s"GenTable.$verb: generation ${overlap.get._1} at $dir has " +
+              "been claimed by an in-flight writer whose declared " +
+              s"partitions overlap for longer than $overlapWaitMs ms — " +
+              "writers on overlapping partitions serialize; a claim " +
+              "this old is a crashed writer: recover()/compact in a " +
+              "maintenance window")
+          tries = tries max 1 // overlap waits spend time, not attempts
+          Thread.sleep(200)
+        } else {
         // an id between snapshot and claim that is neither committed nor
         // claimed is an unknowable crashed writer ONLY if table state
         // actually exists for it (an orphan gen dir); a fully-released
@@ -623,6 +924,7 @@ object GenTable {
         if (GenCommit.tryClaim(spark, dir, gen, tk,
             declare = declareEnc.toSeq.sorted))
           return (base, gen)
+        }
       }
     }
     throw new IllegalStateException(
@@ -631,6 +933,13 @@ object GenTable {
         "declaration: a writer that died mid-claim-write; recover() " +
         "frees it), or ids claimed outside this protocol")
   }
+
+  /** How long an overlap-conflicted writer waits for the in-flight
+    * writer ahead of it before concluding it crashed (5 minutes — far
+    * past any healthy merge's stage+publish, far short of a stuck
+    * nightly's operator response).
+    */
+  private val OverlapWaitMs = 300000L
 
   /** ROW-LEVEL DELETE (VERDICT r15 #1 — the deletion-vector gap): remove
     * every row matching a key in `keys`, WITHOUT rewriting any
@@ -664,7 +973,7 @@ object GenTable {
     * partition rewrites the merge path would have billed up front.
     */
   def deleteRows(spark: SparkSession, dir: String,
-      keys: DataFrame): Unit = {
+      keys: DataFrame, overlapWaitMs: Long = OverlapWaitMs): Unit = {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteRows: at least one key column")
     val f = fsOf(spark, dir)
@@ -681,7 +990,8 @@ object GenTable {
     // generations), so it declares ALL and conflicts with any in-flight
     // writer — and any later writer conflicts with it until it commits
     val (_, gen) =
-      claimDisjoint(spark, dir, Set(AllMark), tk, "deleteRows")
+      claimDisjoint(spark, dir, Set(AllMark), tk, "deleteRows",
+        overlapWaitMs = overlapWaitMs)
     try {
       del.write.mode("overwrite")
         .parquet(GenCommit.stagePath(dir, gen, GenCommit.TombsTable, tk))
@@ -694,6 +1004,7 @@ object GenTable {
       writeManifest(spark, dir, gen, Seq.empty)
       GenCommit.publish(spark, dir, gen, Seq(GenCommit.TombsTable),
         tk, claimed = true)
+      writeLogCkptIfDue(spark, dir)
     } catch {
       case t: Throwable =>
         if (!f.exists(new org.apache.hadoop.fs.Path(
@@ -777,6 +1088,7 @@ object GenTable {
       }
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/manifests/$g"), false)
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"), false)
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/blooms/$g"), false)
       GenCommit.releaseClaim(spark, dir, g)
       g
     }
@@ -824,7 +1136,8 @@ object GenTable {
     * mid-publish merge crash.
     */
   def compact(spark: SparkSession, dir: String, partCol: String,
-      statsCols: Seq[String] = Nil, zorder: Boolean = false): Unit = {
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): Unit = {
     GenCommit.gcStages(spark, dir)
     val tk = GenCommit.newToken()
     // declared all-partitions so a concurrent disjoint merge fails
@@ -834,7 +1147,7 @@ object GenTable {
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
-    stageData(cur, dir, gen, partCol, tk, statsCols, zorder)
+    stageData(cur, dir, gen, partCol, tk, statsCols, zorder, bloomCols)
     writeManifest(spark, dir, gen, live)
     GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
     // committed set → {gen} FIRST: from here no reader dereferences any
@@ -859,10 +1172,15 @@ object GenTable {
     f.listStatus(manDir).toSeq
       .filter(_.getPath.getName != gen.toString)
       .foreach(s => f.delete(s.getPath, false))
-    val fsDir = new org.apache.hadoop.fs.Path(s"$dir/filestats")
-    if (f.exists(fsDir)) f.listStatus(fsDir).toSeq
-      .filter(_.getPath.getName != gen.toString)
-      .foreach(s => f.delete(s.getPath, false))
+    Seq("filestats", "blooms").foreach { side =>
+      val sDir = new org.apache.hadoop.fs.Path(s"$dir/$side")
+      if (f.exists(sDir)) f.listStatus(sDir).toSeq
+        .filter(_.getPath.getName != gen.toString)
+        .foreach(s => f.delete(s.getPath, false))
+    }
+    // log checkpoints cover the WIPED commit set — the subset test
+    // already rejects them (never wrong), dropping them is hygiene
+    f.delete(new org.apache.hadoop.fs.Path(s"$dir/logckpts"), true)
     // fold row tombstones away: the fresh generation was written from
     // the MASKED view, so every dead row is physically gone from it,
     // and after resetCommits the tomb generations are uncommitted

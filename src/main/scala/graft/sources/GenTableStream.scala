@@ -1,0 +1,297 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+/** [[GenTable]] as a STREAMING SOURCE — CDC-out (VERDICT r16 #2):
+  * `spark.readStream.format("gentable").load(dir)` delivers each
+  * committed generation exactly once, in generation order, restart-safe
+  * — the generation log IS the offset ledger (offsets = generation
+  * ids, checkpointed by Structured Streaming like any source's). The
+  * reference anchor is R1+R14's incremental pickup (read unprocessed,
+  * mark processed) made native to the lake table: downstream consumers
+  * follow the table without a ledger of their own, the way Delta's
+  * table-as-source works.
+  *
+  * CHANGE GRANULARITY is the table's own merge unit — the partition:
+  * for each committed generation the stream emits, tagged `_gen` (the
+  * generation id) and `_change`:
+  *  - `data`: the full new content of every partition the generation
+  *    claimed and wrote (a merge's copy-on-write rewrite — apply as a
+  *    partition overwrite downstream);
+  *  - `empty`: one all-null marker row per claimed partition with NO
+  *    data (an emptied partition — apply as a partition drop; without
+  *    the marker a row stream cannot express "this partition is now
+  *    empty");
+  *  - `delete`: a row-tombstone generation's key rows, key columns
+  *    populated and everything else null (apply as a row delete by the
+  *    table's recorded tombkeys).
+  * Within one micro-batch apply changes in `_gen` order (union output
+  * order is not meaningful; the column is).
+  *
+  * Offsets advance to the COMMIT FRONTIER: the largest committed id
+  * below the smallest uncommitted id that still has a claim or a
+  * generation dir. Disjoint writers may commit out of id order; the
+  * frontier never skips an in-flight id, so a generation is never lost
+  * to a late commit — the stream simply waits for the gap to close
+  * (an abandoned claim stalls it; [[GenTable.recoverClaims]] /
+  * [[GenTable.recover]] unblock, the documented maintenance remedy).
+  * Fully-released claim holes (no claim, no state) can never commit
+  * and do not block.
+  *
+  * COMPACTION COLLAPSES HISTORY (the lake VACUUM contract): a
+  * checkpointed offset naming a collapsed generation fails LOUDLY on
+  * restart ("restart the stream fresh") instead of silently
+  * re-snapshotting; a fresh stream on a compacted table starts from
+  * the compacted generation — the initial snapshot — then follows.
+  *
+  * The stream's SCHEMA pins at source creation (payload…, partCol,
+  * `_gen`, `_change`); a schema-evolving merge mid-stream delivers
+  * through the pinned projection (evolved columns appear after a
+  * stream restart — the fixed-schema rule every streaming source has).
+  *
+  * At 100 TB: getOffset is driver metadata (one commits listing + one
+  * claims listing); each batch reads exactly the generation dirs it
+  * delivers — delta-proportional, never table-sized. The exactly-once
+  * replay is free because generation dirs are immutable.
+  */
+class GenTableStream(spark: SparkSession, dir: String, partCol: String)
+    extends Source {
+
+  private val fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override val schema: StructType =
+    GenTableStream.streamSchema(spark, dir, partCol)
+
+  /** payload…, partCol — the table view's columns (no gen). */
+  private val tableFields: Seq[StructField] =
+    schema.fields.toIndexedSeq.dropRight(2)
+  private val partType = tableFields.last.dataType
+  require(tableFields.last.name == partCol)
+
+  private def off(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  /** Uncommitted ids that may STILL COMMIT: an outstanding claim, or a
+    * generation dir mid-publish. A hole with neither can never commit
+    * (ids are claimed before any write) and never blocks the frontier.
+    */
+  private def pending(committed: Set[Long]): Set[Long] = {
+    val claimed = GenCommit.claimedGens(spark, dir).toSet
+    val dirs = Seq("data", GenCommit.TombsTable).flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen=") &&
+          n.length > 4 && n.drop(4).forall(_.isDigit) => n.drop(4).toLong }
+    }
+    (claimed ++ dirs) -- committed
+  }
+
+  override def getOffset: Option[Offset] = {
+    val committed = GenCommit.committed(spark, dir)
+    if (committed.isEmpty) return None
+    val blockAt = pending(committed.toSet)
+      .filter(_ > committed.min).minOption.getOrElse(Long.MaxValue)
+    val front = committed.filter(_ < blockAt)
+    if (front.isEmpty) None else Some(LongOffset(front.max))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(off).getOrElse(-1L)
+    val hi = off(end)
+    val committed = GenCommit.committed(spark, dir)
+    require(lo == -1L || committed.contains(lo),
+      s"gentable stream at $dir: checkpointed offset $lo names a " +
+        "generation that no longer exists — a compaction collapsed the " +
+        "history this checkpoint was following; restart the stream " +
+        "with a fresh checkpoint (it will deliver the compacted " +
+        "snapshot as its initial batch)")
+    val gens = committed.filter(g => g > lo && g <= hi).sorted
+    val batch =
+      if (gens.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else gens.map(genFrame).reduce(_ unionByName _)
+    org.apache.spark.sql.graftshim.StreamingFrame.wrap(
+      spark, batch.queryExecution.toRdd, schema)
+  }
+
+  /** One generation's change rows, in the stream schema. */
+  private def genFrame(g: Long): DataFrame = {
+    val tombDir = new org.apache.hadoop.fs.Path(
+      s"$dir/${GenCommit.TombsTable}/gen=$g")
+    if (fs.exists(tombDir)) {
+      val tombs = spark.read.parquet(tombDir.toString)
+      val cols = tableFields.map { fl =>
+        (if (tombs.columns.contains(fl.name)) col(fl.name)
+         else lit(null)).cast(fl.dataType).as(fl.name)
+      }
+      tombs.select(cols: _*)
+        .withColumn("_gen", lit(g)).withColumn("_change", lit("delete"))
+    } else genData(g)
+  }
+
+  private def readClaims(g: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifests/$g")
+    val s = GenCommit.readSmallFile(fs, p)
+    if (s.isEmpty) Seq.empty else s.split("\n").toSeq
+  }
+
+  /** A data generation's changes: its own manifest's claims — NOT the
+    * resolution view (a generation delivers what it committed even if a
+    * later generation has since outranked it).
+    */
+  private def genData(g: Long): DataFrame = {
+    val claimedVals = readClaims(g).map(GenTable.decN)
+    val genDir = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
+    def hasParquet: Boolean = {
+      if (!fs.exists(genDir)) return false
+      val it = fs.listFiles(genDir, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    // which claimed partition values actually have data dirs — the
+    // rest are EMPTIED partitions and emit markers
+    val present: Set[String] =
+      if (!fs.exists(genDir)) Set.empty
+      else fs.listStatus(genDir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol="))
+        .map { st =>
+          val raw = st.getPath.getName.drop(partCol.length + 1)
+          if (raw == org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+          else org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw)
+        }.toSet
+    val dataPart: Option[DataFrame] =
+      if (!hasParquet) None
+      else Some(spark.read.schema(StructType(tableFields))
+        .parquet(genDir.toString)
+        .withColumn("_gen", lit(g)).withColumn("_change", lit("data")))
+    val missing = claimedVals.filterNot(present.contains)
+    val markerPart: Option[DataFrame] =
+      if (missing.isEmpty) None
+      else {
+        import spark.implicits._
+        val cols = tableFields.map { fl =>
+          (if (fl.name == partCol) col("__pv").cast(partType)
+           else lit(null).cast(fl.dataType)).as(fl.name)
+        }
+        Some(missing.toDF("__pv").select(cols: _*)
+          .withColumn("_gen", lit(g)).withColumn("_change", lit("empty")))
+      }
+    (dataPart, markerPart) match {
+      case (Some(d), Some(m)) => d.unionByName(m)
+      case (Some(d), None) => d
+      case (None, Some(m)) => m
+      case (None, None) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+object GenTableStream {
+
+  /** Reconstruct the table's CURRENT STATE from a drained change log —
+    * the downstream consumer's apply rule, as a plan: per partition the
+    * winning (highest-`_gen`) data/empty change serves (`data` rows
+    * survive, an `empty` winner leaves the partition gone), then
+    * later-generation `delete` keys mask (strictly later — the table's
+    * own revival rule). `keyCols` names the delete-key columns (the
+    * table's tombkeys); empty = the log carries no delete generations.
+    * One aggregation + one join, both partition/delete-proportional —
+    * the consumer-side mirror of [[GenTable.read]]'s resolution.
+    */
+  def replay(changes: DataFrame, partCol: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val data = changes.filter(col("_change") =!= "delete")
+    val w = data.groupBy(col(partCol).as("__p"))
+      .agg(max(col("_gen")).as("__wg"))
+    val current = data
+      .join(w, data(partCol) <=> w("__p") && data("_gen") === w("__wg"))
+      .filter(col("_change") === "data")
+      .drop("__p", "__wg", "_change")
+    val dels = changes.filter(col("_change") === "delete")
+    val masked =
+      if (keyCols.isEmpty) current
+      else {
+        val dmax = dels.groupBy(keyCols.map(col): _*)
+          .agg(max(col("_gen")).as("__dg"))
+        current.join(dmax, keyCols, "left")
+          .filter(col("__dg").isNull || col("_gen") > col("__dg"))
+          .drop("__dg")
+      }
+    masked.drop("_gen")
+  }
+
+  /** x29_stream_gentable_source: the driver gate for CDC-OUT — q92b's
+    * two delta batches merge into a GenTable (x26's ingest), and a
+    * `readStream.format("gentable")` CONSUMER follows the table's
+    * generation log into a parquet sink, with a checkpoint restart
+    * between the batches (x24's harness shape): the restarted stream
+    * resumes at its checkpointed generation offset and delivers only
+    * the new generations. [[replay]] over the drained change log
+    * reconstructs the table's current state — SHARES q92b's oracle, so
+    * source → offsets → exactly-once delivery → consumer apply is
+    * oracle-gated end to end. (Delete generations and emptied-partition
+    * markers are spec-gated in GenTableSqlSpec — they change final
+    * state, so they cannot share this oracle.)
+    */
+  def x29(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = graft.ops.Merge.mergeFixture(spark, dir)
+    val root = graft.TempRoots.create("graft_x29_")
+    val (tbl, ckpt, sink) = (s"$root/table", s"$root/ckpt", s"$root/sink")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    def drain(): Unit = {
+      val q = spark.readStream.format("gentable").load(tbl)
+        .writeStream.option("checkpointLocation", ckpt)
+        .format("parquet").option("path", sink).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    drain()
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    drain()
+    replay(spark.read.parquet(sink), "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** The stream's fixed schema: the table view's pinned columns
+    * (payload…, partCol) + `_gen` + `_change`.
+    */
+  def streamSchema(spark: SparkSession, dir: String,
+      partCol: String): StructType = {
+    val resolved = GenTable.claims(spark, dir, None)
+    val pinned = GenTable.pinnedSchema(spark, dir, partCol, resolved)
+      .getOrElse(throw new IllegalStateException(
+        s"gentable stream at $dir: the table has no readable " +
+          "generation to pin a schema from"))
+    StructType(
+      pinned.fields.filterNot(_.name == "gen").toIndexedSeq :+
+        StructField("_gen", LongType, nullable = false) :+
+        StructField("_change", StringType, nullable = false))
+  }
+}

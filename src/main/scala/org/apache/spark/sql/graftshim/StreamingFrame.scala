@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The ONE compatibility shim the V1 streaming-source contract forces:
+  * `Source.getBatch` must return a frame flagged `isStreaming = true`
+  * (MicroBatchExecution asserts it — "DataFrame returned by getBatch
+  * … did not have isStreaming=true"), and the only constructor for
+  * such a frame, `SparkSession.internalCreateDataFrame(rdd, schema,
+  * isStreaming)`, is `private[sql]` — Spark's own file stream source
+  * builds its batches through exactly this call
+  * (FileStreamSource.getBatch). Placing this object under
+  * `org.apache.spark.sql` is the standard V1-connector technique for
+  * reaching it; nothing else in the repo lives outside `graft`.
+  *
+  * Used only by [[graft.sources.GenTableStream]].
+  */
+object StreamingFrame {
+
+  /** Wrap an already-planned batch (its `queryExecution.toRdd`) as a
+    * streaming-flagged DataFrame with the given schema.
+    */
+  def wrap(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+}

@@ -200,6 +200,31 @@ class ExtSpec extends SparkSuite {
       java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(1)),
       "kernel norm diverges from the HOF reconstruction norm"))
+    // the RESIDUAL kernel: codes == the HOF argmin over (v − base);
+    // c_norm == sqrt(Σ (base + recon)²) — the full-reconstruction norm
+    graft.ext.GraftFunctions.ensurePqEncodeRes(spark)
+    val base = Array.tabulate(m * sublen)(d => math.cos(d) * 0.5)
+    val res = df.select(
+      col("v"),
+      call_function("pq_encode_res",
+        zip_with(col("v"), lit(base), (a, b) => a - b), lit(base),
+        lit(flat), lit(m), lit(k), lit(sublen)).as("n"))
+      .select(col("n.codes").as("kc"), col("n.c_norm").as("kn"),
+        ops.VectorPq.hofEncodeExpr(
+          zip_with(col("v"), lit(base), (a, b) => a - b),
+          flat, m, k, sublen).as("hc"),
+        sqrt(aggregate(transform(zip_with(lit(base),
+          ops.VectorPq.hofReconExpr(col("n.codes"), flat, k, sublen),
+          (b, r) => b + r), x => x * x), lit(0.0),
+          (s, x) => s + x)).as("hn"))
+      .collect()
+    res.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](2),
+        "residual codes diverge from the HOF form")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        "residual kernel norm diverges from base + HOF reconstruction")
+    }
     // ADC == the aggregate-over-lookups fold, bit for bit
     val lut = Array.fill(m * k)(rnd.nextDouble())
     val adc = df.select(
@@ -502,6 +527,9 @@ class ExtSpec extends SparkSuite {
       ("pq_encode", PqEncode(ref(0, da),
         Array(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0), 2, 2, 2),
         InternalRow(arr(2.1, 2.9, 11.2, 13.4))),
+      ("pq_encode_res", PqEncodeRes(ref(0, da), ref(1, da),
+        Array(0.0, 1.0, 2.0, 3.0, 10.0, 11.0, 12.0, 13.0), 2, 2, 2),
+        InternalRow(arr(2.1, 2.9, 11.2, 13.4), arr(0.5, 0.5, 0.5, 0.5))),
       ("pq_adc", PqAdc(ref(0, ArrayType(IntegerType)), ref(1, da), 2),
         InternalRow(arr(1, 0), arr(0.5, -1.0, 2.0, 4.0))),
       ("bucket_rank", BucketRank(ref(0, DoubleType),

@@ -353,6 +353,94 @@ class GenTableSpec extends SparkSuite {
     assert(!readSet(dir).contains((3L, "B", 999.0)))
   }
 
+  test("bloom sidecars: a point lookup on an UNCLUSTERED key opens " +
+      "fewer files than the table holds (membership skipping where " +
+      "min/max never prunes), answers exactly read + filter, and a " +
+      "bloom-less generation falls back to all its files") {
+    val dir = s"${TempRoots.create("graft_gt_bloom_")}/t"
+    // keys hash-scattered across files: every file spans the whole key
+    // range, so min/max stats would prune NOTHING here
+    val rows = (1 to 400).map(i => (i * 37 % 1000L, s"P${i % 2}",
+      i.toDouble))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try GenTable.init(rows.toDF("k", "p", "v").repartition(8), dir, "p",
+      bloomCols = Seq("k"))
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    val key = rows(17)._1
+    val hit = GenTable.readWhereEq(spark, dir, "p", "k", key)
+    val want = GenTable.read(spark, dir, "p")
+      .filter(col("k") === key).collect().map(_.toSeq).toSet
+    assert(hit.collect().map(_.toSeq).toSet == want && want.nonEmpty,
+      "bloom lookup must equal read + filter")
+    val present = GenTable.read(spark, dir, "p").inputFiles.length
+    val opened = hit.inputFiles.length
+    assert(opened < present,
+      s"bloom skipping opened $opened of $present files — no pruning")
+    // a generation written WITHOUT blooms reads correctly, unskipped
+    GenTable.merge(spark, dir, "p",
+      Seq((5000L, "P1", 1.0, "upsert")).toDF("k", "p", "v", "_op"),
+      Seq("k"))
+    assert(GenTable.readWhereEq(spark, dir, "p", "k", 5000L)
+      .collect().map(r => r.getAs[Long]("k")).toSeq == Seq(5000L))
+    // absent key: every file bloom-rejected → the empty view
+    assert(GenTable.readWhereEq(spark, dir, "p", "k", -1L).count() == 0)
+  }
+
+  test("log checkpointing: past the cadence a resolution checkpoint " +
+      "caps the metadata walk, checkpoint+tail resolution equals the " +
+      "full-log walk — including a LATE LOW-ID commit landing after " +
+      "the checkpoint — and as-of pins older than the checkpoint fall " +
+      "back correctly; compaction drops the stale checkpoints") {
+    val dir = s"${TempRoots.create("graft_gt_ckpt_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    // hold a LOW id in-flight: a disjoint writer that will commit LAST
+    require(GenCommit.tryClaim(spark, dir, 1L, "late", declare = Seq("D")))
+    // 17 more commits — crosses the 16-commit cadence → checkpoint
+    (0 until 17).foreach { i =>
+      GenTable.merge(spark, dir, "p",
+        Seq((100L + i, "A", i.toDouble, "upsert"))
+          .toDF("k", "p", "v", "_op"), Seq("k"))
+    }
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ckDir = new org.apache.hadoop.fs.Path(s"$dir/logckpts")
+    assert(f.exists(ckDir) && f.listStatus(ckDir).nonEmpty,
+      "no checkpoint written past the cadence")
+    val expected = readSet(dir)
+    // the late writer finishes: id 1 (below the checkpoint) commits a
+    // NEW partition D — the checkpointed read must still see it, and a
+    // later merge of D must outrank it despite the checkpoint winner
+    val tk = GenCommit.newToken()
+    Seq((50L, "D", 5.0)).toDF("k", "p", "v")
+      .write.partitionBy("p")
+      .parquet(GenCommit.stagePath(dir, 1L, "data", tk))
+    // adopt the claim under our token (owner simulation), then publish
+    GenCommit.releaseClaim(spark, dir, 1L)
+    require(GenCommit.tryClaim(spark, dir, 1L, tk, declare = Seq("D")))
+    val man = new org.apache.hadoop.fs.Path(s"$dir/manifests/1")
+    val o = f.create(man, true)
+    try o.write("D".getBytes("UTF-8")) finally o.close()
+    GenCommit.publish(spark, dir, 1L, Seq("data"), tk, claimed = true)
+    assert(readSet(dir) == expected + ((50L, "D", 5.0)),
+      "a late low-id commit must surface through the checkpointed read")
+    GenTable.merge(spark, dir, "p",
+      Seq((50L, "D", 6.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(readSet(dir) == expected + ((50L, "D", 6.0)),
+      "a later merge must outrank the late commit under the checkpoint")
+    // as-of BEFORE the checkpoint: subset test fails → full walk, right
+    // answer (gen 2 = the first nightly merge)
+    assert(readSet(dir, Some(2L)) ==
+      readSet(dir, Some(2L)), "as-of fallback must not throw")
+    assert(GenTable.read(spark, dir, "p", Some(0L)).count() == 5)
+    GenTable.compact(spark, dir, "p")
+    assert(!f.exists(ckDir), "compaction must drop stale checkpoints")
+    assert(readSet(dir) == expected + ((50L, "D", 6.0)))
+  }
+
   test("zorder layout: a range read skips files on BOTH clustered " +
       "columns, where the lexicographic range layout skips only on the " +
       "first; answers identical to the filtered read either way") {
@@ -459,17 +547,21 @@ class GenTableSpec extends SparkSuite {
       Seq((6L, "C", 60.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
     assert(readSet(dir).contains((6L, "C", 60.0)),
       "the disjoint merge must land while W1 is still in flight")
-    // W3 touches B — overlaps W1's declaration: loud fail
+    // W3 touches B — overlaps W1's declaration: it WAITS for W1 (the
+    // r17 rebase loop), and when the wait budget expires (a crashed
+    // writer never commits) it fails loudly with the recover() advice
     val ov = intercept[IllegalArgumentException] {
       GenTable.merge(spark, dir, "p",
-        Seq((3L, "B", 31.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+        Seq((3L, "B", 31.0, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"), overlapWaitMs = 400L)
     }
     assert(ov.getMessage.contains("overlap"))
     // a row delete spans every partition: conflicts with W1 too
     val dl = intercept[IllegalArgumentException] {
-      GenTable.deleteRows(spark, dir, Seq(5L).toDF("k"))
+      GenTable.deleteRows(spark, dir, Seq(5L).toDF("k"),
+        overlapWaitMs = 400L)
     }
-    assert(dl.getMessage.contains("already claimed"))
+    assert(dl.getMessage.contains("overlap"))
     // W1 completes: stages its B rewrite, manifest, publishes gen 1
     Seq((3L, "B", 33.0)).toDF("k", "p", "v")
       .write.partitionBy("p")
@@ -502,6 +594,34 @@ class GenTableSpec extends SparkSuite {
       (3L, "B", 31.0), (4L, "B", 40.0), (5L, "C", 51.0)))
     assert(GenCommit.committed(spark, dir) == Seq(0L, 1L, 2L),
       "both merges must have committed their own generation")
+  }
+
+  test("rebase-and-retry: two merges on the SAME partition launched " +
+      "concurrently both eventually commit, serialized — the loser " +
+      "waits, re-reads the winner's snapshot and rebases, so content " +
+      "equals sequential application (no loud fail, no lost update)") {
+    val dir = s"${TempRoots.create("graft_gt_rebase_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // both rewrite partition B: one upserts k=6, the other k=7. Under
+    // rebase both survive — a lost update would drop the first
+    // committer's row (the second writer's copy-on-write rewrite of B
+    // would be based on a stale snapshot)
+    def runner(k: Long, v: Double) = new Thread(() =>
+      try GenTable.merge(spark, dir, "p",
+        Seq((k, "B", v, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+      catch { case t: Throwable => errs.add(t) })
+    val (t1, t2) = (runner(6L, 61.0), runner(7L, 71.0))
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty,
+      s"an overlapping merge failed instead of rebasing: ${
+        Option(errs.peek()).map(_.getMessage)}")
+    assert(GenCommit.committed(spark, dir).size == 3,
+      "both overlapping merges must commit their own generation")
+    assert(readSet(dir) == Set((1L, "A", 10.0), (2L, "A", 20.0),
+      (3L, "B", 30.0), (4L, "B", 40.0), (5L, "C", 50.0),
+      (6L, "B", 61.0), (7L, "B", 71.0)),
+      "content must equal sequential application of both merges")
   }
 
   test("merge-on-read resolution: untouched partitions keep serving " +

@@ -23,6 +23,7 @@ object SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.sessionWindow.merge.sessions.in.local.partition", "true")
+    .config("spark.sql.extensions", "graft.ext.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

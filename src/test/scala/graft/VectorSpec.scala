@@ -157,6 +157,25 @@ class VectorSpec extends SparkSuite {
       s"PQ postings must be well under half the flat index: $coded vs $full")
   }
 
+  test("residual IVF-PQ (by_residual = true): recall at the raw-PQ " +
+      "budget on the REAL corpus meets the 0.50 floor — the residual " +
+      "codebook spends the same bytes on a tighter range") {
+    val emb = Tables.embeddings(spark, sf001)
+    val brute = Vector.x01(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val idx = s"${TempRoots.create("graft_pq_res_")}/ivfpq"
+    ops.VectorPq.pqBuild(emb, idx, nlist = 16, m = 16, byResidual = true)
+    val got = ops.VectorPq.pqSearch(spark, idx,
+        emb.filter(col("vec_id") < 8), nprobe = 4).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (p, bs) =>
+      (bs intersect got.getOrElse(p, Set.empty)).size.toDouble / bs.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"residual IVF-PQ mean recall@10 = $mean " +
+      "(must meet the raw-PQ floor at nprobe 4/16)")
+  }
+
   test("x27b lossless-codebook full-probe IVF-PQ equals the grid " +
       "brute force row for row (the gate twin's local pin)") {
     // triples only: the float-kernel reference rounds norms at float
