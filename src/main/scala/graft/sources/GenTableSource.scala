@@ -56,7 +56,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * closes the same gap for the warehouse table here.
   */
 class GenTableSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider {
 
   override def shortName(): String = "gentable"
 
@@ -79,7 +79,50 @@ class GenTableSource extends RelationProvider with DataSourceRegister
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     new GenTableStream(sqlContext.sparkSession,
       GenTableSource.pathOf(parameters),
-      GenTableSource.partColOpt(sqlContext.sparkSession, parameters))
+      GenTableSource.partColOpt(sqlContext.sparkSession, parameters),
+      parameters.get("startingGen").map(_.toLong))
+
+  // ——— CTAS: CREATE TABLE … USING gentable OPTIONS (path, partCol)
+  // AS SELECT …, and df.write.format("gentable") — both land on
+  // [[GenTable.init]]'s atomic generation-0 commit. Overwrite replaces
+  // (init's contract); Append is refused loudly — an append without
+  // merge keys has no upsert semantics on this table, the write path
+  // for deltas is GenTable.merge / the CDC stream.
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = GenTableSource.pathOf(parameters)
+    val partCol = parameters.getOrElse("partCol",
+      throw new IllegalArgumentException(
+        "gentable CTAS: option partCol is required — the table's " +
+          "partition column is its merge unit"))
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = f.exists(new org.apache.hadoop.fs.Path(s"$dir/commits"))
+    mode match {
+      case org.apache.spark.sql.SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"gentable: a table already exists at $dir — use mode " +
+            "Overwrite to replace it, or GenTable.merge for deltas")
+      case org.apache.spark.sql.SaveMode.Ignore if exists => ()
+      case org.apache.spark.sql.SaveMode.Append =>
+        throw new UnsupportedOperationException(
+          "gentable: Append has no keyed-upsert semantics — write " +
+            "deltas through GenTable.merge (or the CDC stream), which " +
+            "commits them as atomic generations")
+      case _ =>
+        GenTable.init(data, dir, partCol,
+          statsCols = parameters.get("statsCols")
+            .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+          zorder = parameters.get("zorder").exists(_.toBoolean),
+          bloomCols = parameters.get("bloomCols")
+            .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+    }
+    GenTableSource.relation(spark, parameters)
+  }
 }
 
 object GenTableSource {

@@ -59,8 +59,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField,
   * delivers — delta-proportional, never table-sized. The exactly-once
   * replay is free because generation dirs are immutable.
   */
-class GenTableStream(spark: SparkSession, dir: String, partCol: String)
-    extends Source {
+class GenTableStream(spark: SparkSession, dir: String, partCol: String,
+    startingGen: Option[Long] = None) extends Source {
 
   private val fs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,15 +105,21 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(off).getOrElse(-1L)
+    // `startingGen` (Delta's startingVersion): a fresh stream skips the
+    // initial snapshot and follows from AFTER the named generation —
+    // only the very first batch (no checkpointed offset) honors it; a
+    // checkpointed stream is already past it
+    val lo = start.map(off)
+      .orElse(startingGen.map(g => g max -1L)).getOrElse(-1L)
     val hi = off(end)
     val committed = GenCommit.committed(spark, dir)
     require(lo == -1L || committed.contains(lo),
-      s"gentable stream at $dir: checkpointed offset $lo names a " +
-        "generation that no longer exists — a compaction collapsed the " +
-        "history this checkpoint was following; restart the stream " +
-        "with a fresh checkpoint (it will deliver the compacted " +
-        "snapshot as its initial batch)")
+      s"gentable stream at $dir: offset $lo (checkpoint or " +
+        "startingGen) names a generation that is not committed — " +
+        "either a compaction collapsed the history this checkpoint was " +
+        "following, or startingGen is wrong; restart the stream with a " +
+        "fresh checkpoint (it will deliver the compacted snapshot as " +
+        "its initial batch)")
     val gens = committed.filter(g => g > lo && g <= hi).sorted
     val batch =
       if (gens.isEmpty)

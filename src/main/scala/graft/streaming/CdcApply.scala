@@ -82,13 +82,14 @@ object CdcApply {
       opCol: String = "_op",
       seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      zorder: Boolean = false): StreamingQuery = {
+      zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): StreamingQuery = {
     graft.sources.GenTable.recover(cdc.sparkSession, tableDir)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyGenBatch(batch, tableDir, keys, partCol, opCol, seqCol,
-          statsCols, zorder)
+          statsCols, zorder, bloomCols)
       }
       .start()
   }
@@ -112,17 +113,18 @@ object CdcApply {
       opCol: String = "_op",
       seqCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      zorder: Boolean = false): Unit = {
+      zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    // zorder threads into BOTH the merge and the self-maintenance
-    // compact (ADVICE r16: a z-ordered table maintained through this
-    // stream silently degraded to the lexicographic range layout at its
-    // first self-compaction)
+    // zorder AND bloomCols thread into BOTH the merge and the
+    // self-maintenance compact (ADVICE r16's lesson: a layout/sidecar
+    // choice that maintenance does not preserve silently degrades at
+    // the first self-compaction)
     graft.sources.GenTable.merge(spark, tableDir, partCol, batch, keys,
-      opCol, seqCol, statsCols, zorder)
+      opCol, seqCol, statsCols, zorder, bloomCols = bloomCols)
     if (graft.sources.GenTable.shouldCompact(spark, tableDir))
       graft.sources.GenTable.compact(spark, tableDir, partCol, statsCols,
-        zorder)
+        zorder, bloomCols)
   }
 
   /** x26_stream_cdc_gentable: [[x24]]'s harness shape — q92b's deltas

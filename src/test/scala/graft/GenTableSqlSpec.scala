@@ -217,6 +217,47 @@ class GenTableSqlSpec extends SparkSuite {
       s"wanted the history-collapsed error, got: ${e.getMessage}")
   }
 
+  test("CTAS and df.write.format(gentable): the write path lands on " +
+      "init's atomic generation-0 commit; Append refuses loudly " +
+      "(deltas go through merge); startingGen skips the initial " +
+      "snapshot on a fresh stream") {
+    val root = TempRoots.create("graft_sql_ctas_")
+    val dir = s"$root/t"
+    fixture().createOrReplaceTempView("ctas_src")
+    spark.sql(
+      s"""CREATE TABLE ctas_t USING gentable
+         |OPTIONS (path '$dir', partCol 'p')
+         |AS SELECT * FROM ctas_src""".stripMargin)
+    try {
+      assert(toSet(spark.sql("SELECT k, p, v FROM ctas_t")) ==
+        toSet(GenTable.read(spark, dir, "p")))
+      // the created table is a REAL GenTable: merge + read compose
+      GenTable.merge(spark, dir, "p",
+        Seq((9L, "C", 90.0, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"))
+      assert(toSet(spark.read.format("gentable").load(dir))
+        .contains((9L, "C", 90.0)))
+    } finally spark.sql("DROP TABLE ctas_t")
+    // Append has no keyed-upsert semantics on this table: loud refusal
+    val e = intercept[Exception] {
+      fixture().write.format("gentable").mode("append")
+        .option("partCol", "p").save(dir)
+    }
+    assert(e.getMessage.contains("merge"),
+      s"append must point at the merge path, got: ${e.getMessage}")
+    // startingGen: a fresh stream from AFTER gen 0 delivers only gen 1
+    val sink = s"$root/sink"
+    val q = spark.readStream.format("gentable")
+      .option("startingGen", "0").load(dir)
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .format("parquet").option("path", sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val gens = spark.read.parquet(sink).collect()
+      .map(_.getAs[Long]("_gen")).toSet
+    assert(gens == Set(1L),
+      s"startingGen=0 must deliver only generation 1, got $gens")
+  }
+
   test("the stream frontier never skips an in-flight lower id: an " +
       "outstanding claim below a committed generation holds the offset " +
       "back until it commits") {
