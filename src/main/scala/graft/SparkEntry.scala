@@ -109,6 +109,10 @@ object SparkEntry {
     // point lookup on an UNCLUSTERED key through per-file bloom
     // sidecars (min/max can't skip there) — own equality-final oracle
     "q92l_merge_bloom" -> ((s, d) => ops.Merge.q92l(s, d)),
+    // SQL MERGE INTO: the CDC-canonical statement translated onto the
+    // atomic generation commit, matched-ness computed exactly — shares
+    // q92b's oracle
+    "q92m_merge_sql" -> ((s, d) => ops.Merge.q92m(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -499,6 +503,7 @@ object SparkEntry {
     "q92j_merge_history" -> ops.Merge.q92jSql,
     "q92k_sql_gentable" -> ops.Merge.q92bSql,
     "q92l_merge_bloom" -> ops.Merge.q92lSql,
+    "q92m_merge_sql" -> ops.Merge.q92bSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,

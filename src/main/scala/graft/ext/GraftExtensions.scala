@@ -559,7 +559,17 @@ object GraftFunctions {
 case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
     extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    // top-DOWN: the MERGE case must see its target while it is still
+    // the raw two-part identifier — bottom-up would rewrite the
+    // UnresolvedRelation out from under it first
+    plan.resolveOperatorsDown {
+      // MERGE INTO gentable.`dir` FIRST: Spark has no V1 MERGE
+      // execution, so the statement must become the gentable command
+      // before either the V2 rejection or the path-relation rewrite
+      // below can touch its target (graft.sources.GenTableMerge)
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if graft.sources.GenTableMerge.translate(m).isDefined =>
+        graft.sources.GenTableMerge.translate(m).get
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("gentable") =>

@@ -472,6 +472,42 @@ object Merge {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q92m_merge_sql: q92b's two batches issued as SQL `MERGE INTO
+    * gentable.`dir`` statements — the warehouse WRITE statement
+    * (reads entered through q92k): the CDC-canonical shape (WHEN
+    * MATCHED AND s._op = 'delete' THEN DELETE / WHEN MATCHED THEN
+    * UPDATE SET * / WHEN NOT MATCHED AND s._op <> 'delete' THEN
+    * INSERT *) translates through [[graft.sources.GenTableMerge]] into
+    * [[graft.sources.GenTable.merge]]'s atomic generation commit, with
+    * per-row MATCHED-ness computed exactly (one semi/anti key join —
+    * the join MERGE semantics require). Same final state as q92b —
+    * SHARES its oracle, read back through the SQL surface too.
+    */
+  def q92m(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92m_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    recent(d1).createOrReplaceTempView("gt_merge_sql_d1")
+    recent(d2).createOrReplaceTempView("gt_merge_sql_d2")
+    Seq("gt_merge_sql_d1", "gt_merge_sql_d2").foreach { v =>
+      spark.sql(
+        s"""MERGE INTO gentable.`$tbl` t USING $v s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s._op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s._op <> 'delete' THEN INSERT *
+           |""".stripMargin)
+    }
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
     * applied, then read `asOfGen` = the batch-1 generation: the result
     * must be the state AFTER batch 1 and BEFORE batch 2 (batch 2's

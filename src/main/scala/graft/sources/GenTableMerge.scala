@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
+  UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable,
+  SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+
+/** SQL `MERGE INTO gentable.`dir`` — the warehouse write statement
+  * routed onto [[GenTable.merge]]'s atomic generation commit (the
+  * capstone of the r17 SQL surface: reads arrived through q92k, this
+  * is how a real warehouse WRITES). Spark has no V1 MERGE execution
+  * path (the analyzer rejects MergeIntoTable for non-V2 targets), so
+  * [[graft.ext.ResolveGenTablePath]] rewrites the statement in the
+  * hint batch — before the rejection can fire — into this command.
+  *
+  * SUPPORTED SHAPE (the CDC statements a feed actually issues —
+  * Delta's canonical merge):
+  *  - ON: a conjunction of `t.k = s.k` column equalities → the merge
+  *    KEYS;
+  *  - WHEN MATCHED: `UPDATE SET *` and/or `THEN DELETE`, each with an
+  *    optional SOURCE-side condition, evaluated in statement order;
+  *  - WHEN NOT MATCHED: `INSERT *` (optional source-side condition);
+  *  - anything else — column-level SET/INSERT lists, NOT MATCHED BY
+  *    SOURCE, target-side conditions — fails loudly at analysis with
+  *    the unsupported construct named (the translation must never
+  *    silently approximate MERGE semantics).
+  *
+  * EXACTNESS: `_op`-style flags cannot express per-row MATCHED-ness,
+  * so the command computes it — source splits against the CURRENT view
+  * by one semi/anti join pair on the keys (the join every real MERGE
+  * executes anyway), matched rows take the first matched action whose
+  * condition holds (UPDATE → upsert, DELETE → delete, none → no-op
+  * drop), unmatched rows insert iff the insert condition holds. The
+  * resulting delta projects to the TARGET's columns (star semantics —
+  * source-only columns like a CDC `_op` flag are condition fuel, never
+  * payload) and commits through [[GenTable.merge]]: one atomic
+  * generation, the rebase-and-retry concurrency contract, sidecars per
+  * the table's maintenance calls.
+  *
+  * Conditions are re-resolved at run time against the aliased source
+  * frame via their SQL text (`expr(cond.sql)`) — a condition that
+  * references target columns fails resolution loudly there.
+  */
+case class GenTableMergeCommand(
+    dir: String,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(String, Option[String])], // (op, cond SQL) in order
+    insertCond: Option[String],
+    evolveSchema: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.StreamingFrame
+      .ofRows(spark, source)
+    val partCol = GenTable.partColOf(spark, dir)
+    val target = GenTable.read(spark, dir, partCol)
+    val targetCols = target.columns.toSeq
+    keys.foreach(k => require(src.columns.contains(k) &&
+      targetCols.contains(k),
+      s"MERGE INTO gentable: key column $k must exist on both sides"))
+    val keyRows = target.select(keys.map(col): _*).distinct()
+    // matched-ness: one semi/anti pair on the keys — the join MERGE
+    // semantics require; broadcast-sized key sets broadcast via AQE
+    val m = src.join(keyRows, keys, "left_semi")
+    val u = src.join(keyRows, keys, "left_anti")
+    // first matching action wins (statement order); no action → no-op
+    val mOp = matched.foldLeft(lit(null).cast("string")) {
+      case (acc, (op, cond)) =>
+        coalesce(acc, when(cond.map(expr).getOrElse(lit(true)), lit(op)))
+    }
+    val mDelta = m.withColumn("__mergeop", mOp)
+      .filter(col("__mergeop").isNotNull)
+    val uDelta = u
+      .filter(insertCond.map(expr).getOrElse(lit(true)))
+      .withColumn("__mergeop", lit("upsert"))
+    // star semantics: the delta carries exactly the TARGET's columns;
+    // under WITH SCHEMA EVOLUTION it carries ALL source columns (new
+    // ones evolve in — Delta's star-evolution behavior, GenTable
+    // .merge's add-only evolveSchema contract)
+    val payload =
+      if (evolveSchema) src.columns.toSeq
+      else {
+        targetCols.foreach(c => require(src.columns.contains(c),
+          s"MERGE INTO gentable: INSERT */UPDATE SET * needs source " +
+            s"column $c (target schema: ${targetCols.mkString(", ")})"))
+        targetCols
+      }
+    val delta = mDelta.unionByName(uDelta)
+      .select((payload.map(col) :+ col("__mergeop")): _*)
+    GenTable.merge(spark, dir, partCol, delta, keys,
+      opCol = "__mergeop", evolveSchema = evolveSchema)
+    Seq.empty
+  }
+}
+
+object GenTableMerge {
+
+  /** Match a MERGE target that is (an alias over) a gentable path. */
+  private def genTarget(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => genTarget(child)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("gentable") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
+  /** Translate a parsed MergeIntoTable over a gentable target, or None
+    * (not ours). Unsupported constructs fail LOUDLY here — never a
+    * silent approximation.
+    */
+  def translate(m: MergeIntoTable): Option[GenTableMergeCommand] =
+    genTarget(m.targetTable).map { dir =>
+      def unsupported(what: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"MERGE INTO gentable: $what is not supported — the " +
+            "translated shape is ON key equalities, WHEN MATCHED " +
+            "[AND <source cond>] THEN UPDATE SET * | DELETE, WHEN NOT " +
+            "MATCHED [AND <source cond>] THEN INSERT * (use " +
+            "GenTable.merge directly for anything else)")
+      if (m.notMatchedBySourceActions.nonEmpty)
+        unsupported("WHEN NOT MATCHED BY SOURCE")
+      val keys = conjuncts(m.mergeCondition).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if a.nameParts.last == b.nameParts.last =>
+          a.nameParts.last
+        case other => unsupported(s"ON clause term ${other.sql}")
+      }
+      if (keys.isEmpty) unsupported("an empty ON clause")
+      val matched = m.matchedActions.map {
+        case UpdateStarAction(c) => ("upsert", c.map(_.sql))
+        case DeleteAction(c) => ("delete", c.map(_.sql))
+        case other: MergeAction =>
+          unsupported(s"matched action ${other.getClass.getSimpleName}")
+      }
+      val insertCond = m.notMatchedActions match {
+        case Seq() => Some("false") // no INSERT clause: unmatched drop
+        case Seq(InsertStarAction(c)) => c.map(_.sql)
+        case other =>
+          unsupported(s"not-matched actions ${other.mkString(", ")}")
+      }
+      GenTableMergeCommand(dir, m.sourceTable, keys, matched,
+        insertCond, m.withSchemaEvolution)
+    }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+}

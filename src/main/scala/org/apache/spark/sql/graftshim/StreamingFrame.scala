@@ -27,4 +27,15 @@ object StreamingFrame {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** A DataFrame over a logical plan — `Dataset.ofRows`, which is
+    * likewise `private[sql]`. Used only by the gentable MERGE INTO
+    * command to resolve its (deferred, still-unanalyzed) source plan at
+    * execution time.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

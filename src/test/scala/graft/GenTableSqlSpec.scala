@@ -258,6 +258,48 @@ class GenTableSqlSpec extends SparkSuite {
       s"startingGen=0 must deliver only generation 1, got $gens")
   }
 
+  test("SQL MERGE INTO: the CDC statement lands as one atomic " +
+      "generation with exact matched-ness; unsupported constructs " +
+      "fail loudly naming the construct") {
+    val dir = s"${TempRoots.create("graft_sql_merge_")}/t"
+    GenTable.init(fixture(), dir, "p")
+    Seq((3L, "B", 33.0, "upsert"), (6L, "C", 60.0, "upsert"),
+      (2L, "A", 0.0, "delete"), (99L, "Z", 9.0, "delete"))
+      .toDF("k", "p", "v", "_op").createOrReplaceTempView("m_src")
+    spark.sql(
+      s"""MERGE INTO gentable.`$dir` t USING m_src s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s._op = 'delete' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s._op <> 'delete' THEN INSERT *
+         |""".stripMargin)
+    assert(toSet(spark.sql(s"SELECT k, p, v FROM gentable.`$dir`")) ==
+      Set((1L, "A", 10.0), (3L, "B", 33.0), (4L, "B", 40.0),
+        (5L, "C", 50.0), (6L, "C", 60.0)),
+      "update + delete + insert + unmatched-delete-drop must all land")
+    // one atomic generation for the whole statement
+    assert(GenCommit.committed(spark, dir) == Seq(0L, 1L))
+    // unsupported: a column-level SET list — loud, named
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO gentable.`$dir` t USING m_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+    }
+    assert(e1.getMessage.contains("matched action"))
+    // unsupported: NOT MATCHED BY SOURCE — loud, named
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO gentable.`$dir` t USING m_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // unsupported: a non-equality ON term — loud
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO gentable.`$dir` t USING m_src s " +
+        "ON t.k = s.k AND t.v < s.v WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e3.getMessage.contains("ON clause"))
+  }
+
   test("the stream frontier never skips an in-flight lower id: an " +
       "outstanding claim below a committed generation holds the offset " +
       "back until it commits") {
