@@ -536,8 +536,9 @@ class GenTableSpec extends SparkSuite {
 
   test("disjoint-writer concurrency: a merge commits while another " +
       "writer's claim is OUTSTANDING on disjoint partitions; an " +
-      "overlapping or undeclared writer still fails loudly; the " +
-      "in-flight writer then completes and both effects compose") {
+      "overlapping writer waits its budget then fails loudly (the " +
+      "crashed-writer path — a live one rebases, pinned separately); " +
+      "the in-flight writer then completes and both effects compose") {
     val dir = s"${TempRoots.create("graft_gt_disj_")}/t"
     GenTable.init(fixture(), dir, "p")
     // W1 in flight: claimed gen 1 declaring partition B, nothing staged
