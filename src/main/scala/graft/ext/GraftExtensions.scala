@@ -568,7 +568,7 @@ case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
       // before either the V2 rejection or the path-relation rewrite
       // below can touch its target (graft.sources.GenTableMerge)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
-          if graft.sources.GenTableMerge.translate(m).isDefined =>
+          if graft.sources.GenTableMerge.isGenTarget(m) =>
         graft.sources.GenTableMerge.translate(m).get
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&

@@ -300,7 +300,7 @@ object VectorPq {
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("sublen"))
-    val residual = meta.getAs[Boolean]("residual")
+    val residual = residualOf(meta)
     val cbRows = spark.read.parquet(s"$indexDir/pqcodes").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
     val cents = spark.read.parquet(s"$indexDir/centroids")
@@ -397,6 +397,15 @@ object VectorPq {
   private val PqScanTables =
     PqTables :+ graft.sources.GenCommit.TombsTable
 
+  /** The meta row's `residual` flag, defaulting FALSE when the pqmeta
+    * schema predates the residual flavor (ADVICE r17 low: an
+    * unconditional getAs threw on `fieldIndex` for pre-r17 indexes,
+    * making them unreadable — every such index was written raw).
+    */
+  private def residualOf(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("residual") &&
+      meta.getAs[Boolean]("residual")
+
   /** Load the index's PQ parameters and flat codebook (index metadata —
     * m·kEff·sublen doubles), shared by [[pqAppend]] and [[pqSearch]].
     */
@@ -405,7 +414,7 @@ object VectorPq {
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
     val (m, kEff, sublen) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
       meta.getAs[Int]("sublen"))
-    val residual = meta.getAs[Boolean]("residual")
+    val residual = residualOf(meta)
     val flat = new Array[Double](m * kEff * sublen)
     spark.read.parquet(s"$indexDir/pqcodes").collect().foreach { r =>
       val (sub, code) = (r.getInt(0), r.getInt(1))

@@ -687,16 +687,34 @@ object GenTable {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
       if (f.exists(p)) Seq(p.toString) else Seq.empty
     } else {
-      // the intersect test runs IN CATALYST over the (tiny, driver-
-      // local) stats rows so min/max compare under the column's real
-      // type, not lexically
-      import spark.implicits._
-      entries.map(a => (dec(a(0)), decN(a(2)), decN(a(3))))
-        .toDF("rel", "mn", "mx")
-        .filter(col("mx").cast(sdt) >= lit(lo).cast(sdt) &&
-          col("mn").cast(sdt) <= lit(hi).cast(sdt))
-        .select("rel").collect().map(_.getString(0))
-        .map(rel => s"$dir/data/gen=$g/$rel").toSeq
+      // the intersect test runs as INTERPRETED Catalyst comparisons
+      // over the (tiny, driver-local) stats rows so min/max compare
+      // under the column's real type, not lexically — and with zero
+      // Spark jobs (ADVICE r17: the old toDF/filter/collect paid one
+      // local job of scheduling latency per winning generation)
+      val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      def castStr(s: String): Any =
+        if (s == null) null
+        else org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType), sdt, tz).eval(null)
+      def castVal(v: Any): Any =
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(v), sdt, tz)
+          .eval(null)
+      val (loC, hiC) = (castVal(lo), castVal(hi))
+      entries.filter { a =>
+        val (mn, mx) = (castStr(decN(a(2))), castStr(decN(a(3))))
+        org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          org.apache.spark.sql.catalyst.expressions.Literal(mx, sdt),
+          org.apache.spark.sql.catalyst.expressions.Literal(loC, sdt))
+          .eval(null) == true &&
+        org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+          org.apache.spark.sql.catalyst.expressions.Literal(mn, sdt),
+          org.apache.spark.sql.catalyst.expressions.Literal(hiC, sdt))
+          .eval(null) == true
+      }.map(a => s"$dir/data/gen=$g/${dec(a(0))}")
     }
   }
 

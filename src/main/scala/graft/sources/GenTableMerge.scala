@@ -102,6 +102,16 @@ case class GenTableMergeCommand(
 
 object GenTableMerge {
 
+  /** Whether the MERGE targets a gentable path — the analyzer rule's
+    * cheap guard (ADVICE r17: guarding on translate(m).isDefined ran
+    * the full translation twice per match, and the analyzer may fire
+    * the rule repeatedly; the target test alone is enough to commit to
+    * the rewrite, and unsupported shapes then fail loudly exactly once,
+    * in the body).
+    */
+  def isGenTarget(m: MergeIntoTable): Boolean =
+    genTarget(m.targetTable).isDefined
+
   /** Match a MERGE target that is (an alias over) a gentable path. */
   private def genTarget(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => genTarget(child)

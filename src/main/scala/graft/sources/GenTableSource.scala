@@ -327,60 +327,111 @@ private[sources] class GenFileIndex(
     }
   }
 
+  /** Parsed sidecars, one read+parse per generation per kind for the
+    * index's lifetime (ADVICE r17 medium: re-reading and spinning up a
+    * driver Spark job per (generation × predicate bound) inside
+    * listFiles — which the planner may invoke several times per query —
+    * billed G × C planning-time jobs on a many-generation table).
+    * Driver-local metadata, file-count-sized.
+    */
+  private val statsCache =
+    scala.collection.mutable.Map[Long, Seq[(String, String, String, String)]]()
+  private val bloomCache =
+    scala.collection.mutable.Map[Long, Seq[(String, String,
+      org.apache.spark.util.sketch.BloomFilter)]]()
+
   /** One generation's allowed files for a bound — the [[GenTable
     * .readWhere]] sidecar rule: a file passes iff its recorded
-    * [min, max] intersects the bound (typed compare via Catalyst over
-    * the tiny driver-local stats rows; all-null files never match a
-    * comparison and are skipped).
+    * [min, max] intersects the bound. The typed compare runs as an
+    * INTERPRETED Catalyst comparison over driver-local literals (the
+    * same Cast + ordering semantics the old DataFrame filter had, with
+    * zero Spark jobs — this is planning-time metadata work); all-null
+    * files never match a comparison and are skipped.
     */
   private def statsAllowed(g: Long, colName: String,
       lo: Option[Any], hi: Option[Any]): Option[Set[String]] = {
-    val s = GenCommit.readSmallFile(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"))
-    val dt = dataSchema(colName).dataType
-    val entries = (if (s.isEmpty) Seq.empty[String]
-      else s.split("\n").toSeq)
-      .map(_.split("\t", -1))
-      .filter(a => a.length == 4 &&
-        java.net.URLDecoder.decode(a(1), "UTF-8") == colName)
+    val entries = statsCache.getOrElseUpdate(g, {
+      val s = GenCommit.readSmallFile(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"))
+      (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
+        .map(_.split("\t", -1))
+        .collect { case a if a.length == 4 =>
+          (java.net.URLDecoder.decode(a(0), "UTF-8"),
+            java.net.URLDecoder.decode(a(1), "UTF-8"),
+            GenTable.decN(a(2)), GenTable.decN(a(3))) }
+    }).filter(_._2 == colName)
     if (entries.isEmpty) None
     else {
-      import spark.implicits._
-      var df = entries.map(a => (
-          java.net.URLDecoder.decode(a(0), "UTF-8"),
-          GenTable.decN(a(2)), GenTable.decN(a(3))))
-        .toDF("rel", "mn", "mx")
-      lo.foreach(v => df = df.filter(col("mx").cast(dt) >= lit(v).cast(dt)))
-      hi.foreach(v => df = df.filter(col("mn").cast(dt) <= lit(v).cast(dt)))
-      Some(df.select("rel").collect().map(_.getString(0)).toSet)
+      val dt = dataSchema(colName).dataType
+      val loC = lo.map(castScala(_, dt))
+      val hiC = hi.map(castScala(_, dt))
+      Some(entries.filter { case (_, _, mn, mx) =>
+        loC.forall(v => cmpTrue(ce.GreaterThanOrEqual(
+          ce.Literal(castStr(mx, dt), dt), ce.Literal(v, dt)))) &&
+        hiC.forall(v => cmpTrue(ce.LessThanOrEqual(
+          ce.Literal(castStr(mn, dt), dt), ce.Literal(v, dt))))
+      }.map(_._1).toSet)
     }
   }
 
+  /** A recorded min/max string cast to the column's type (Catalyst's
+    * cast, interpreted over one literal — [[castPart]]'s rule).
+    */
+  private def castStr(s: String, dt: DataType): Any =
+    if (s == null) null
+    else ce.Cast(
+      ce.Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType), dt,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+
+  /** A pushed Scala-side bound value cast to the column's type (the
+    * `lit(v).cast(dt)` the DataFrame filter evaluated, interpreted).
+    */
+  private def castScala(v: Any, dt: DataType): Any =
+    ce.Cast(ce.Literal(v), dt,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+
+  /** Interpreted comparison over two literals — null-rejecting like the
+    * DataFrame filter it replaces (a null min/max or uncastable bound
+    * never matches).
+    */
+  private def cmpTrue(e: ce.Expression): Boolean =
+    e.eval(null) == true
+
   /** One generation's bloom-allowed files for an equality bound —
     * [[GenTable.readWhereEq]]'s sidecar rule through the same Catalyst
-    * might-contain path (no hand-rolled hash to drift).
+    * might-contain path (no hand-rolled hash to drift). Blooms
+    * deserialize once per generation into [[bloomCache]].
     */
   private def bloomAllowed(g: Long, colName: String,
       value: Any): Option[Set[String]] = {
-    val s = GenCommit.readSmallFile(fs,
-      new org.apache.hadoop.fs.Path(s"$dir/blooms/$g"))
-    val dt = dataSchema(colName).dataType
-    val entries = (if (s.isEmpty) Seq.empty[String]
-      else s.split("\n").toSeq)
-      .map(_.split("\t", -1))
-      .filter(a => a.length == 3 &&
-        java.net.URLDecoder.decode(a(1), "UTF-8") == colName)
+    val entries = bloomCache.getOrElseUpdate(g, {
+      val s = GenCommit.readSmallFile(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/blooms/$g"))
+      (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
+        .map(_.split("\t", -1))
+        .collect { case a if a.length == 3 =>
+          (java.net.URLDecoder.decode(a(0), "UTF-8"),
+            java.net.URLDecoder.decode(a(1), "UTF-8"),
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(a(2))))) }
+    }).filter(_._2 == colName)
     if (entries.isEmpty) None
     else {
-      val h = GenTable.keyHash(spark, value, dt)
-      Some(entries.filter { a =>
-        val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(a(2))))
-        bloom.mightContainLong(h)
-      }.map(a => java.net.URLDecoder.decode(a(0), "UTF-8")).toSet)
+      val dt = dataSchema(colName).dataType
+      val h = keyHashCache.getOrElseUpdate((colName, value),
+        GenTable.keyHash(spark, value, dt))
+      Some(entries.filter(_._3.mightContainLong(h)).map(_._1).toSet)
     }
   }
+
+  /** xxhash64 of a lookup key is generation-independent — one 1-row
+    * evaluation per (column, value) for the index's lifetime, not one
+    * per generation.
+    */
+  private val keyHashCache =
+    scala.collection.mutable.Map[(String, Any), Long]()
 
   override def inputFiles: Array[String] =
     entries.flatMap(_._3.map(_.getPath.toString)).toArray
@@ -419,34 +470,50 @@ private[sources] class GenTableMaskedRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pushed = filters.flatMap(toColumn).reduceOption(_ && _)
+    val pushed = filters.flatMap(f => toColumn(f).map(_._1))
+      .reduceOption(_ && _)
     val base = pushed.map(view.filter).getOrElse(view)
     base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 
-  /** V1 filter → Column, best-effort (None = not pushed; Spark still
-    * applies it above the scan).
+  /** V1 filter → (Column, exact), best-effort (None = not pushed; Spark
+    * still applies every filter above the scan — unhandledFilters
+    * returns all — so pushing a WEAKER predicate is always safe, a
+    * stronger one never is). The Boolean tracks whether the translation
+    * is EXACT: an And that pushed one conjunct alone is weaker-than-
+    * original (safe under re-application, exact = false), but Not of a
+    * weakened child is STRONGER than the original — e.g.
+    * NOT(a=1 AND b<=>2) with EqualNullSafe untranslated would push
+    * NOT(a=1), dropping rows with a=1 AND NOT(b<=>2) that the
+    * re-applied filter cannot restore (ADVICE r17 high). Not therefore
+    * pushes only over an exactly-translated child; Or of weaker sides
+    * stays weaker (l⇒l' ∧ r⇒r' gives l∨r ⇒ l'∨r') and keeps its
+    * children's exactness conjunction.
     */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isInCollection(vs.toIndexedSeq.map(lit)))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
+  private def toColumn(f: Filter): Option[(Column, Boolean)] = f match {
+    case EqualTo(a, v) => Some((col(a) === lit(v), true))
+    case GreaterThan(a, v) => Some((col(a) > lit(v), true))
+    case GreaterThanOrEqual(a, v) => Some((col(a) >= lit(v), true))
+    case LessThan(a, v) => Some((col(a) < lit(v), true))
+    case LessThanOrEqual(a, v) => Some((col(a) <= lit(v), true))
+    case In(a, vs) =>
+      Some((col(a).isInCollection(vs.toIndexedSeq.map(lit)), true))
+    case IsNull(a) => Some((col(a).isNull, true))
+    case IsNotNull(a) => Some((col(a).isNotNull, true))
+    case StringStartsWith(a, v) => Some((col(a).startsWith(v), true))
+    case StringEndsWith(a, v) => Some((col(a).endsWith(v), true))
+    case StringContains(a, v) => Some((col(a).contains(v), true))
     case And(l, r) =>
       (toColumn(l), toColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b) => a.orElse(b) // AND may push either side alone
+        case (Some((a, ea)), Some((b, eb))) => Some((a && b, ea && eb))
+        // AND may push either side alone — weaker, never exact
+        case (a, b) => a.orElse(b).map { case (c, _) => (c, false) }
       }
     case Or(l, r) =>
-      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
-    case Not(c) => toColumn(c).map(!_)
+      for ((a, ea) <- toColumn(l); (b, eb) <- toColumn(r))
+        yield (a || b, ea && eb)
+    case Not(c) =>
+      toColumn(c).collect { case (cc, true) => (!cc, true) }
     case _ => None
   }
 }

@@ -143,6 +143,27 @@ class GenTableSqlSpec extends SparkSuite {
       "compaction should restore the native path")
   }
 
+  test("masked-relation pushdown: NOT over a partially-translatable AND " +
+      "is not pushed (ADVICE r17 — pushing NOT of a weakened conjunct " +
+      "is STRONGER than the original predicate and silently drops rows)") {
+    val dir = buildTable("notand_")
+    // force the masked (PrunedFilteredScan) path
+    GenTable.deleteRows(spark, dir, Seq(Tuple1(1L)).toDF("k"))
+    // v <=> 40.0 reaches the V1 API as EqualNullSafe, which toColumn
+    // does not translate; the buggy push was NOT(p = 'B') alone, which
+    // wrongly dropped (3, B, 31.0) — a row the real predicate keeps
+    val got = spark.sql(
+      s"SELECT k FROM gentable.`$dir` WHERE NOT (p = 'B' AND v <=> 40.0)")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 5L, 6L),
+      s"NOT(partial AND) pushdown dropped rows: got $got")
+    // the weaker single-conjunct push of a bare AND stays correct
+    val and = spark.sql(
+      s"SELECT k FROM gentable.`$dir` WHERE p = 'B' AND v <=> 31.0")
+      .collect().map(_.getLong(0)).toSet
+    assert(and == Set(3L), s"AND pushdown wrong: got $and")
+  }
+
   test("gentable stream: every committed generation delivered exactly " +
       "once in id order — data, emptied-partition markers and delete " +
       "keys — restart-safe across a checkpoint, and a post-compaction " +
