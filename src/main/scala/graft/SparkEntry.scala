@@ -113,6 +113,14 @@ object SparkEntry {
     // atomic generation commit, matched-ness computed exactly — shares
     // q92b's oracle
     "q92m_merge_sql" -> ((s, d) => ops.Merge.q92m(s, d)),
+    // SQL DELETE FROM: the scattered takedown as a statement, routed
+    // onto the tombstone generation — shares q92f's oracle
+    "q92n_delete_sql" -> ((s, d) => ops.Merge.q92n(s, d)),
+    // SQL UPDATE … SET … WHERE: copy-on-write rewrite of exactly the
+    // matching partitions, RHS against the pre-update row — own oracle
+    "q92o_update_sql" -> ((s, d) => ops.Merge.q92o(s, d)),
+    // SQL INSERT INTO … SELECT: keyless positional append — own oracle
+    "q92p_insert_sql" -> ((s, d) => ops.Merge.q92p(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -504,6 +512,9 @@ object SparkEntry {
     "q92k_sql_gentable" -> ops.Merge.q92bSql,
     "q92l_merge_bloom" -> ops.Merge.q92lSql,
     "q92m_merge_sql" -> ops.Merge.q92bSql,
+    "q92n_delete_sql" -> ops.Merge.q92fSql,
+    "q92o_update_sql" -> ops.Merge.q92oSql,
+    "q92p_insert_sql" -> ops.Merge.q92pSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,

@@ -570,6 +570,18 @@ case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
           if graft.sources.GenTableMerge.isGenTarget(m) =>
         graft.sources.GenTableMerge.translate(m).get
+      // the other DML verbs (VERDICT r17 #1) — like MERGE, each must
+      // become its gentable command while the target is still the raw
+      // two-part identifier (graft.sources.GenTableDml)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+          if graft.sources.GenTableDml.isDelete(d) =>
+        graft.sources.GenTableDml.translateDelete(d)
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+          if graft.sources.GenTableDml.isUpdate(u) =>
+        graft.sources.GenTableDml.translateUpdate(u)
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if graft.sources.GenTableDml.isInsert(i) =>
+        graft.sources.GenTableDml.translateInsert(i)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("gentable") =>

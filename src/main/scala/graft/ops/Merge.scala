@@ -348,10 +348,11 @@ object Merge {
     */
   private def mergeSqlCte(pred: String, evolve: Boolean = false,
       batches: Int = 2, rowDeletePred: String = "",
-      finalWhere: String = ""): String = {
+      finalWhere: String = "", updatePred: String = "",
+      insertPred: String = ""): String = {
     require(batches == 1 || batches == 2, s"batches: $batches")
-    require(rowDeletePred.isEmpty || finalWhere.isEmpty,
-      "one final CTE flavor at a time")
+    require(Seq(rowDeletePred, finalWhere, updatePred, insertPred)
+      .count(_.nonEmpty) <= 1, "one final CTE flavor at a time")
     val rvD2 = if (evolve) ", 'rv-' || o_orderkey AS o_review" else ""
     val rvNull = if (evolve) ", NULL AS o_review" else ""
     val rvSel = if (evolve) ", o_review" else ""
@@ -363,6 +364,29 @@ object Merge {
         s",\nm3 AS (\n  SELECT * FROM m2 WHERE NOT ($rowDeletePred))"
       else if (finalWhere.nonEmpty)
         s",\nm3 AS (\n  SELECT * FROM m2 WHERE $finalWhere)"
+      else if (updatePred.nonEmpty)
+        // the SQL UPDATE's semantics (q92o): fixed assignments under the
+        // predicate, every RHS against the pre-update row — scalar double
+        // arithmetic, identical operand order both engines
+        s""",
+          |m3 AS (
+          |  SELECT o_orderkey,
+          |         CASE WHEN $updatePred THEN 'X9'
+          |              ELSE o_orderstatus END AS o_orderstatus,
+          |         CASE WHEN $updatePred THEN o_totalprice + 2.0
+          |              ELSE o_totalprice END AS o_totalprice,
+          |         o_orderdate
+          |  FROM m2)""".stripMargin
+      else if (insertPred.nonEmpty)
+        // the SQL INSERT's semantics (q92p): plain bag append of rows
+        // whose keys the merge chain never produced
+        s""",
+          |m3 AS (
+          |  SELECT * FROM m2
+          |  UNION ALL
+          |  SELECT o_orderkey, 'N3' AS o_orderstatus, o_totalprice,
+          |         o_orderdate
+          |  FROM orders WHERE $insertPred)""".stripMargin
       else ""
     val finalCte =
       if (del.nonEmpty) "m3" else if (batches == 1) "m1" else "m2"
@@ -507,6 +531,106 @@ object Merge {
          |FROM gentable.`$tbl`
          |ORDER BY o_orderkey""".stripMargin)
   }
+
+  /** q92n_delete_sql: q92f's scattered GDPR takedown issued as SQL
+    * `DELETE FROM gentable.`dir` WHERE o_orderkey % 32 = 9` (VERDICT
+    * r17 #1 — the single most common warehouse write after append,
+    * previously Scala-only). [[graft.sources.GenTableDml]] routes the
+    * statement onto [[graft.sources.GenTable.deleteRows]]: the WHERE
+    * clause's referenced column (o_orderkey) becomes the tombstone key
+    * shape and the distinct matching keys the tombstone generation — no
+    * partition read or rewritten, exactly q92f's bill. Same final state
+    * as q92f — SHARES its oracle, read back through SQL too.
+    */
+  def q92n(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92n_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    spark.sql(s"DELETE FROM gentable.`$tbl` WHERE o_orderkey % 32 = 9")
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q92o_update_sql: a predicate UPDATE issued as SQL — `UPDATE
+    * gentable.`dir` SET o_orderstatus = 'X9', o_totalprice =
+    * o_totalprice + 2.0 WHERE o_totalprice > 200000.0` (VERDICT r17
+    * #1), routed onto [[graft.sources.GenTable.updateWhere]]: exactly
+    * the partitions holding matches rewrite copy-on-write as one atomic
+    * generation, all assignment RHS against the pre-update row. Own
+    * oracle: the shared template with the CASE projection as the final
+    * CTE (scalar double arithmetic, identical operand order both
+    * engines).
+    */
+  def q92o(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92o_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    spark.sql(
+      s"""UPDATE gentable.`$tbl`
+         |SET o_orderstatus = 'X9', o_totalprice = o_totalprice + 2.0
+         |WHERE o_totalprice > 200000.0""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q92oSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    updatePred = "o_totalprice > 200000.0")
+
+  /** q92p_insert_sql: a keyless row APPEND issued as SQL — `INSERT INTO
+    * gentable.`dir` SELECT …` (VERDICT r17 #1), routed onto
+    * [[graft.sources.GenTable.insertRows]]: positional column matching,
+    * each touched partition rewrites copy-on-write as content ∪ new
+    * rows, one atomic generation. The inserted keys (o_orderkey % 8 =
+    * 7) never appear in t0 (7 % 4 = 3) or either delta, so the final
+    * state is exactly the merge chain's plus the appended rows. Own
+    * oracle: the shared template with the UNION ALL as the final CTE.
+    */
+  def q92p(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92p_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    Tables.orders(spark, dir).createOrReplaceTempView("gt_insert_src")
+    spark.sql(
+      s"""INSERT INTO gentable.`$tbl`
+         |SELECT o_orderkey, 'N3', o_totalprice, o_orderdate,
+         |       year(o_orderdate)
+         |FROM gt_insert_src WHERE o_orderkey % 8 = 7""".stripMargin)
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q92pSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
+    insertPred = "o_orderkey % 8 = 7")
 
   /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
     * applied, then read `asOfGen` = the batch-1 generation: the result

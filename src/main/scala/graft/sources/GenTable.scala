@@ -1032,6 +1032,155 @@ object GenTable {
     }
   }
 
+  /** A partition-column membership predicate over COLLECTED partition
+    * values (null-aware — the same shape [[resolveCond]] compiles from
+    * manifest strings, here from in-hand Scala values): the touched-
+    * partition slice filter [[updateWhere]] and [[insertRows]] share.
+    */
+  private def valuesPred(partCol: String, vals: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    val nonNull = vals.filterNot(_ == null).map(v => lit(v).cast(dt))
+    val base =
+      if (nonNull.isEmpty) lit(false)
+      else col(partCol).isInCollection(nonNull)
+    if (vals.contains(null)) base || col(partCol).isNull else base
+  }
+
+  /** Predicate UPDATE (the SQL `UPDATE … SET … WHERE …` kernel —
+    * VERDICT r17 #1): rewrite every partition holding a matching row,
+    * with each assignment applied under the predicate and every RHS
+    * evaluated against the OLD row (one projection applies all
+    * assignments at once — SQL's simultaneous-assignment semantics;
+    * chained withColumn would leak earlier assignments into later RHS).
+    * Commits as ONE atomic generation claiming exactly the touched
+    * partitions — copy-on-write at the table's merge unit, Delta's
+    * UPDATE shape.
+    *
+    * Concurrency: the predicate reads ARBITRARY partitions to find its
+    * matches, so (like [[deleteRows]]) the claim declares ALL partitions
+    * and serializes against every in-flight writer — a concurrent merge
+    * could otherwise commit matching rows this update never saw (write
+    * skew). The touched set is computed AFTER the claim, from the
+    * claimed snapshot, so it is exact by construction. `cond` and the
+    * assignment RHS must be name-resolvable against the table's columns.
+    * Assigning the partition column is refused: rows would MOVE
+    * partitions mid-claim, turning the rewrite into an unbounded
+    * cross-partition shuffle of claims — express a partition move as a
+    * merge (delete + insert).
+    *
+    * At 100 TB: cost is proportional to the partitions holding matches
+    * (a status-flip over one day rewrites that day), never the table;
+    * a predicate matching nothing costs two metadata files and a
+    * released claim.
+    */
+  def updateWhere(spark: SparkSession, dir: String, partCol: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      overlapWaitMs: Long = OverlapWaitMs): Unit = {
+    require(sets.nonEmpty, "updateWhere: at least one SET assignment")
+    require(!sets.exists(_._1 == partCol),
+      s"updateWhere: assigning the partition column $partCol would move " +
+        "rows between partitions mid-claim — express a partition move " +
+        "as a merge (delete + insert)")
+    val tk = GenCommit.newToken()
+    val (snapshot, gen) =
+      claimDisjoint(spark, dir, Set(AllMark), tk, "updateWhere",
+        overlapWaitMs = overlapWaitMs)
+    try {
+      val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
+      sets.foreach { case (c, _) => require(cur.columns.contains(c),
+        s"updateWhere: SET names column $c, not in the table " +
+          s"(${cur.columns.mkString(", ")})") }
+      val touched = cur.filter(cond).select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) {
+        GenCommit.releaseClaim(spark, dir, gen) // nothing staged
+        return
+      }
+      val slice = cur.filter(
+        valuesPred(partCol, touched, cur.schema(partCol).dataType))
+      val setMap = sets.toMap
+      val out = slice.select(cur.columns.toIndexedSeq.map { c =>
+        setMap.get(c) match {
+          case Some(v) =>
+            // the assigned value casts to the COLUMN's type (SQL UPDATE
+            // semantics — the table schema never changes under UPDATE)
+            when(cond, v.cast(cur.schema(c).dataType))
+              .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      stageData(out, dir, gen, partCol, tk, statsCols, zorder, bloomCols)
+      writeManifest(spark, dir, gen, touched)
+      GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
+      writeLogCkptIfDue(spark, dir)
+    } catch {
+      case t: Throwable =>
+        val f = fsOf(spark, dir)
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/data/gen=$gen")))
+          GenCommit.releaseClaim(spark, dir, gen)
+        throw t
+    }
+  }
+
+  /** Keyless row APPEND (the SQL `INSERT INTO` kernel — VERDICT r17
+    * #1): add `rows` to the table with no upsert semantics (duplicates
+    * allowed, exactly SQL INSERT). The partition is still the merge
+    * unit, so each touched partition rewrites copy-on-write as its
+    * current content ∪ the new rows, committed as ONE atomic
+    * generation — which is why the format's Append SaveMode stays a
+    * loud refusal (a writer-API append LOOKS like a cheap file drop; a
+    * statement named INSERT INTO carries these rewrite semantics on its
+    * face).
+    *
+    * Concurrency: like [[merge]], the claim declares exactly the
+    * touched partitions — inserts into disjoint partitions commit in
+    * parallel. `rows` must carry exactly the table's columns (any
+    * order; values cast to the pinned types). Inserted rows outrank
+    * every existing tombstone (revival — the table's standard rule).
+    */
+  def insertRows(spark: SparkSession, dir: String, partCol: String,
+      rows: DataFrame,
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      overlapWaitMs: Long = OverlapWaitMs): Unit = {
+    val touched = rows.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val tk = GenCommit.newToken()
+    val (snapshot, gen) =
+      claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "insertRows",
+        overlapWaitMs = overlapWaitMs)
+    try {
+      val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
+      val targetCols = cur.columns.toSeq
+      require(targetCols.toSet == rows.columns.toSet,
+        s"insertRows: the rows must carry exactly the table's columns " +
+          s"(${targetCols.mkString(", ")}); got " +
+          s"(${rows.columns.mkString(", ")})")
+      val aligned = rows.select(targetCols.map(c =>
+        col(c).cast(cur.schema(c).dataType).as(c)): _*)
+      val slice = cur.filter(
+        valuesPred(partCol, touched, cur.schema(partCol).dataType))
+      stageData(slice.unionByName(aligned), dir, gen, partCol, tk,
+        statsCols, zorder, bloomCols)
+      writeManifest(spark, dir, gen, touched)
+      GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
+      writeLogCkptIfDue(spark, dir)
+    } catch {
+      case t: Throwable =>
+        val f = fsOf(spark, dir)
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/data/gen=$gen")))
+          GenCommit.releaseClaim(spark, dir, gen)
+        throw t
+    }
+  }
+
   /** The table's commit HISTORY as a queryable frame (the lake formats'
     * DESCRIBE HISTORY): one row per committed generation — its id, the
     * operation kind (`init` for generation 0, `delete` for a tombstone

@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+
+/** SQL DML verbs for the lake table beyond MERGE (VERDICT r17 #1):
+  * `DELETE FROM gentable.`dir` WHERE …`, `UPDATE gentable.`dir` SET …
+  * WHERE …` and `INSERT INTO gentable.`dir` SELECT …/VALUES …` routed
+  * onto the table's atomic-generation write kernels. Spark's analyzer
+  * rejects all three for non-V2 targets, so (like MERGE)
+  * [[graft.ext.ResolveGenTablePath]] rewrites each statement in the
+  * hint batch into one of these commands. Reference anchor: the
+  * conversion DAG's own writeback is a plain SQL UPDATE
+  * (`dags/order_currency_conversion_dag.py:145-150`) against the
+  * target schema DDL (`init/postgres-2/init.sql:1-11`) — the verbs a
+  * warehouse user actually issues.
+  *
+  * Routing (each verb onto the cheapest kernel with its exact
+  * semantics):
+  *  - DELETE → [[GenTable.deleteRows]]: the takedown keys are the
+  *    WHERE clause's REFERENCED COLUMNS — the predicate depends on
+  *    them alone, so a row matches iff its key tuple does, and the
+  *    distinct matching tuples ARE the tombstone keys. One
+  *    key-count-sized tombstone generation, no partition rewritten
+  *    (the GDPR-takedown shape). A WHERE with no column reference has
+  *    no key shape and fails loudly.
+  *  - UPDATE → [[GenTable.updateWhere]]: copy-on-write rewrite of
+  *    exactly the partitions holding matches, simultaneous-assignment
+  *    semantics, one atomic generation.
+  *  - INSERT INTO → [[GenTable.insertRows]]: keyless append with SQL's
+  *    positional column matching (BY NAME matches by name); INSERT
+  *    OVERWRITE TABLE replaces the table via [[GenTable.init]] (fresh
+  *    history — the overwrite contract).
+  * Conditions and assignment values re-resolve at run time against the
+  * table's frame via their SQL text (`expr(_.sql)`) — the
+  * [[GenTableMergeCommand]] seam, so resolution failures are loud.
+  */
+case class GenTableDeleteCommand(dir: String, condSql: String)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partCol = GenTable.partColOf(spark, dir)
+    val view = GenTable.read(spark, dir, partCol)
+    val cond = expr(condSql)
+    // the delete keys: the predicate's referenced columns, in table
+    // column order (resolution through the analyzed filter, so a bad
+    // name fails loudly here)
+    val refs = view.filter(cond).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }.headOption.getOrElse(Set.empty[String])
+    val keyCols = view.columns.toSeq.filter(refs)
+    require(keyCols.nonEmpty,
+      "DELETE FROM gentable: the WHERE clause must reference at least " +
+        "one table column — the tombstone keys are its referenced " +
+        "columns (a constant predicate has no key shape; to empty the " +
+        "table, INSERT OVERWRITE or re-init it)")
+    GenTable.deleteRows(spark, dir,
+      view.filter(cond).select(keyCols.map(col): _*).distinct())
+    Seq.empty
+  }
+}
+
+case class GenTableUpdateCommand(dir: String,
+    sets: Seq[(String, String)], // (column, value SQL) in statement order
+    condSql: Option[String]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partCol = GenTable.partColOf(spark, dir)
+    GenTable.updateWhere(spark, dir, partCol,
+      condSql.map(expr).getOrElse(lit(true)),
+      sets.map { case (c, v) => (c, expr(v)) })
+    Seq.empty
+  }
+}
+
+case class GenTableInsertCommand(dir: String, query: LogicalPlan,
+    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.StreamingFrame
+      .ofRows(spark, query)
+    val partCol = GenTable.partColOf(spark, dir)
+    val target = GenTable.read(spark, dir, partCol)
+    val aligned =
+      if (byName) src
+      else {
+        // SQL positional matching: the query's columns map to the
+        // table's, left to right
+        require(src.columns.length == target.columns.length,
+          s"INSERT INTO gentable: the query produces " +
+            s"${src.columns.length} columns, the table has " +
+            s"${target.columns.length} (${target.columns.mkString(", ")})")
+        src.toDF(target.columns.toIndexedSeq: _*)
+      }
+    if (overwrite)
+      GenTable.init(aligned.select(target.columns.toIndexedSeq.map(c =>
+        col(c).cast(target.schema(c).dataType).as(c)): _*), dir, partCol)
+    else
+      GenTable.insertRows(spark, dir, partCol, aligned)
+    Seq.empty
+  }
+}
+
+object GenTableDml {
+
+  def isDelete(d: DeleteFromTable): Boolean =
+    GenTableMerge.genTarget(d.table).isDefined
+
+  def translateDelete(d: DeleteFromTable): GenTableDeleteCommand =
+    GenTableDeleteCommand(GenTableMerge.genTarget(d.table).get,
+      d.condition.sql)
+
+  def isUpdate(u: UpdateTable): Boolean =
+    GenTableMerge.genTarget(u.table).isDefined
+
+  def translateUpdate(u: UpdateTable): GenTableUpdateCommand = {
+    val dir = GenTableMerge.genTarget(u.table).get
+    val sets = u.assignments.map {
+      case Assignment(a: UnresolvedAttribute, v) => (a.nameParts.last, v.sql)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"UPDATE gentable: SET target ${other.key.sql} is not a plain " +
+            "column — nested-field assignment is not supported")
+    }
+    GenTableUpdateCommand(dir, sets, u.condition.map(_.sql))
+  }
+
+  def isInsert(i: InsertIntoStatement): Boolean =
+    GenTableMerge.genTarget(i.table).isDefined
+
+  def translateInsert(i: InsertIntoStatement): GenTableInsertCommand = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"INSERT INTO gentable: $what is not supported — the supported " +
+          "shapes are INSERT INTO/OVERWRITE [BY NAME] <query> (the " +
+          "table's partitions are resolved from the rows; use " +
+          "GenTable.merge for keyed upserts)")
+    if (i.partitionSpec.nonEmpty) unsupported("a PARTITION spec")
+    if (i.userSpecifiedCols.nonEmpty) unsupported("a column list")
+    if (i.ifPartitionNotExists) unsupported("IF NOT EXISTS")
+    GenTableInsertCommand(GenTableMerge.genTarget(i.table).get,
+      i.query, i.overwrite, i.byName)
+  }
+}

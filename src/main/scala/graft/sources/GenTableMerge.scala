@@ -112,8 +112,10 @@ object GenTableMerge {
   def isGenTarget(m: MergeIntoTable): Boolean =
     genTarget(m.targetTable).isDefined
 
-  /** Match a MERGE target that is (an alias over) a gentable path. */
-  private def genTarget(plan: LogicalPlan): Option[String] = plan match {
+  /** Match a statement target that is (an alias over) a gentable path —
+    * shared with the DML translations ([[GenTableDml]]).
+    */
+  private[sources] def genTarget(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(_, child) => genTarget(child)
     case u: UnresolvedRelation
         if u.multipartIdentifier.length == 2 &&

@@ -164,6 +164,94 @@ class GenTableSqlSpec extends SparkSuite {
     assert(and == Set(3L), s"AND pushdown wrong: got $and")
   }
 
+  test("SQL DML: UPDATE applies all assignments against the OLD row " +
+      "(simultaneous assignment), matches nothing as a released no-op, " +
+      "and refuses a partition-column assignment loudly") {
+    val dir = s"${TempRoots.create("graft_dml_upd_")}/t"
+    GenTable.init(Seq((1L, "A", 10.0, 1.0), (2L, "A", 20.0, 2.0),
+      (3L, "B", 30.0, 3.0)).toDF("k", "p", "v", "w"), dir, "p")
+    // swap v and w where k <= 2: with chained (non-simultaneous)
+    // assignment w would get the NEW v and the swap would be lost
+    spark.sql(s"UPDATE gentable.`$dir` SET v = w, w = v WHERE k <= 2")
+    val got = spark.sql(s"SELECT k, v, w FROM gentable.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 30.0, 3.0)),
+      s"simultaneous-assignment semantics violated: $got")
+    // a no-match UPDATE commits nothing and releases its claim — the
+    // next writer is not blocked and history is unchanged
+    val gensBefore = GenCommit.committed(spark, dir)
+    spark.sql(s"UPDATE gentable.`$dir` SET v = 0.0 WHERE k = 99")
+    assert(GenCommit.committed(spark, dir) == gensBefore,
+      "a no-match UPDATE must not commit a generation")
+    GenTable.merge(spark, dir, "p",
+      Seq((4L, "B", 40.0, 4.0, "upsert")).toDF("k", "p", "v", "w", "_op"),
+      Seq("k")) // would dead-lock on a leaked all-partitions claim
+    // partition-column assignment is a partition MOVE — refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE gentable.`$dir` SET p = 'C' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
+  test("SQL DML: DELETE keys are the WHERE clause's referenced columns " +
+      "(tombstone generation, zero partitions rewritten); a constant " +
+      "predicate has no key shape and fails loudly") {
+    val dir = buildTable("dml_del_")
+    val dataGens = GenCommit.committed(spark, dir).size
+    spark.sql(s"DELETE FROM gentable.`$dir` WHERE k % 2 = 1")
+    // rows 1, 3, 5 die (k odd); 4 and 6 survive; 2 was merge-deleted
+    val got = spark.sql(s"SELECT k FROM gentable.`$dir`")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L, 6L), s"DELETE mask wrong: $got")
+    // one tombstone generation, no data generation added
+    assert(GenCommit.committed(spark, dir).size == dataGens + 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombs")),
+      "SQL DELETE must route through the tombstone table")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM gentable.`$dir` WHERE 1 = 1")
+    }
+    assert(e.getMessage.contains("reference at least one"), e.getMessage)
+  }
+
+  test("SQL DML: INSERT INTO appends positionally with duplicates " +
+      "allowed; BY NAME matches by name; OVERWRITE replaces the table; " +
+      "a column list or PARTITION spec fails loudly") {
+    val dir = s"${TempRoots.create("graft_dml_ins_")}/t"
+    GenTable.init(Seq((1L, "A", 10.0)).toDF("k", "p", "v"), dir, "p")
+    // positional = the table's SELECT * order, which serves the
+    // partition column LAST: (k, v, p)
+    spark.sql(s"INSERT INTO gentable.`$dir` VALUES (1, 99.0, 'A')")
+    val got = spark.sql(s"SELECT k, v FROM gentable.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (1L, 99.0)),
+      s"INSERT must append without key semantics: $got")
+    // BY NAME: source columns in a different order
+    Seq((9.0, "B", 3L)).toDF("v", "p", "k")
+      .createOrReplaceTempView("dml_ins_byname")
+    spark.sql(
+      s"INSERT INTO gentable.`$dir` BY NAME SELECT * FROM dml_ins_byname")
+    assert(spark.sql(s"SELECT k, v FROM gentable.`$dir` WHERE p = 'B'")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      == Set((3L, 9.0)), "BY NAME insert misrouted")
+    // OVERWRITE replaces content (fresh history — the init contract)
+    spark.sql(s"INSERT OVERWRITE gentable.`$dir` VALUES (7, 70.0, 'C')")
+    assert(spark.sql(s"SELECT k FROM gentable.`$dir`")
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO gentable.`$dir` (k, v, p) " +
+        "VALUES (8, 80.0, 'C')")
+    }
+    assert(e1.getMessage.contains("column list"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO gentable.`$dir` PARTITION (p = 'C') " +
+        "VALUES (8, 80.0)")
+    }
+    assert(e2.getMessage.contains("PARTITION spec"), e2.getMessage)
+  }
+
   test("gentable stream: every committed generation delivered exactly " +
       "once in id order — data, emptied-partition markers and delete " +
       "keys — restart-safe across a checkpoint, and a post-compaction " +
