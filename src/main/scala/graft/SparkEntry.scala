@@ -121,6 +121,9 @@ object SparkEntry {
     "q92o_update_sql" -> ((s, d) => ops.Merge.q92o(s, d)),
     // SQL INSERT INTO … SELECT: keyless positional append — own oracle
     "q92p_insert_sql" -> ((s, d) => ops.Merge.q92p(s, d)),
+    // TIMESTAMP AS OF: deterministic commit stamps via the clock seam,
+    // SQL asOfTs pin between the batches — shares q92e's oracle
+    "q92q_asof_ts" -> ((s, d) => ops.Merge.q92q(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -515,6 +518,7 @@ object SparkEntry {
     "q92n_delete_sql" -> ops.Merge.q92fSql,
     "q92o_update_sql" -> ops.Merge.q92oSql,
     "q92p_insert_sql" -> ops.Merge.q92pSql,
+    "q92q_asof_ts" -> ops.Merge.q92eSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,

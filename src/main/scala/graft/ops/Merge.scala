@@ -664,6 +664,40 @@ object Merge {
   val q92eSql: String =
     mergeSqlCte(" AND year(o_orderdate) >= 1996", batches = 1)
 
+  /** q92q_asof_ts: TIMESTAMP time travel (VERDICT r17 #2 — Delta's
+    * `TIMESTAMP AS OF`, the form auditors ask in) — q92e's write
+    * sequence with DETERMINISTIC commit stamps injected through the
+    * clock seam (D4 bans wall-clock reads in declared queries; the
+    * stamps are literals so the oracle stays q92e's), then the state
+    * read back through the SQL surface's `asOfTs` option pinned BETWEEN
+    * batch 1's and batch 2's stamps: resolution must land on the
+    * batch-1 generation — after batch 1, before batch 2, exactly
+    * q92e's oracle. The monotonized-stamp rule, pre-history and
+    * post-compaction loud failures are pinned in GenTableSqlSpec.
+    */
+  def q92q(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92q_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    val saved = graft.sources.GenCommit.clockMs
+    try {
+      graft.sources.GenCommit.clockMs = () => 1000L
+      graft.sources.GenTable.init(
+        t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+      graft.sources.GenCommit.clockMs = () => 2000L
+      graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+        Seq("o_orderkey"))                                   // ts 2000
+      graft.sources.GenCommit.clockMs = () => 3000L
+      graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+        Seq("o_orderkey"))                                   // ts 3000
+    } finally graft.sources.GenCommit.clockMs = saved
+    spark.read.format("gentable").option("asOfTs", "2500").load(tbl)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
   /** q92f_merge_rowdelete: q92d's GenTable flow plus a SCATTERED
     * row-level delete (VERDICT r15 #1) — the takedown keys
     * (`o_orderkey % 32 = 9`) span every year partition, including the
@@ -857,7 +891,10 @@ object Merge {
     graft.sources.GenTable.deleteRows(spark, tbl,
       Tables.orders(spark, dir).select(col("o_orderkey"))
         .filter(col("o_orderkey") % 32 === 9))
-    graft.sources.GenTable.history(spark, tbl).orderBy("gen")
+    // explicit projection: history() also carries the commit stamp
+    // column (ts — wall-clock, D4-banned from declared output)
+    graft.sources.GenTable.history(spark, tbl)
+      .select("gen", "op", "n_claimed").orderBy("gen")
   }
 
   val q92jSql: String =

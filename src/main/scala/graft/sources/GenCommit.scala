@@ -448,6 +448,33 @@ object GenCommit {
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")
     require(createExclusive(f, marker),
       s"publish: could not create commit marker $marker")
+    // the marker records its WALL-CLOCK stamp (VERDICT r17 #2 — Delta's
+    // commit timestamp): written after the atomic create, into a file
+    // this writer owns. A crash in the window leaves an empty marker —
+    // committed, timestamp unknown (the pre-r18 state), which the
+    // timestamp resolution treats as inheriting its predecessor's stamp.
+    val out = f.create(marker, true)
+    try out.write(clockMs().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The wall clock commit markers stamp with — a SEAM so gates and
+    * tests inject deterministic stamps (the driver's oracle compare
+    * needs literal timestamps; D4 bans wall-clock reads in declared
+    * queries). Production default is the system clock. Set-and-restore
+    * in try/finally when overriding.
+    */
+  @volatile var clockMs: () => Long = () => System.currentTimeMillis()
+
+  /** Generation `gen`'s recorded commit stamp (epoch millis), `None`
+    * for a pre-r18 (empty or absent) marker.
+    */
+  def commitTs(spark: SparkSession, indexDir: String,
+      gen: Long): Option[Long] = {
+    val s = readSmallFile(fsOf(spark, indexDir),
+      new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")).trim
+    if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
   }
 
   /** Claim-file prefix inside commits/ — the atomic per-generation fence
@@ -630,7 +657,16 @@ object GenCommit {
       SwapDir.stagePath(indexDir, "commits"))
     f.delete(st, true)
     f.mkdirs(st)
-    require(f.createNewFile(new org.apache.hadoop.fs.Path(st, gen.toString)))
+    // the reset marker is stamped like any publish: after a compaction
+    // the fresh generation's stamp is the compaction time, so an as-of
+    // TIMESTAMP pin from before it finds no generation and fails loudly
+    // (the VACUUM contract) instead of silently resolving to collapsed
+    // content
+    val marker = new org.apache.hadoop.fs.Path(st, gen.toString)
+    val out = f.create(marker, true)
+    try out.write(clockMs().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     require(f.createNewFile(new org.apache.hadoop.fs.Path(st, "_SUCCESS")))
     SwapDir.swap(spark, indexDir, "commits")
   }

@@ -475,8 +475,12 @@ object GenTable {
     * the cost argument).
     */
   def read(spark: SparkSession, dir: String, partCol: String,
-      asOfGen: Option[Long] = None): DataFrame = {
-    val resolved = claims(spark, dir, asOfGen)
+      asOfGen: Option[Long] = None,
+      asOfTs: Option[Long] = None): DataFrame = {
+    require(asOfGen.isEmpty || asOfTs.isEmpty,
+      "read: pin by asOfGen OR asOfTs, not both")
+    val pin = asOfTs.map(t => genAtTs(spark, dir, t)).orElse(asOfGen)
+    val resolved = claims(spark, dir, pin)
     // an EMPTY view (every row deleted, manifests claim nothing) is a
     // legitimate state and must read as an empty frame, not crash on
     // empty.reduce (review r15); compact keeps older generation dirs
@@ -486,7 +490,49 @@ object GenTable {
         .filter(lit(false)).drop("gen")
     val df = readPinned(spark, dir, partCol, resolved, Nil)
     val cond = resolveCond(resolved, partCol, df.schema(partCol).dataType)
-    maskRowTombs(spark, dir, df.filter(cond), asOfGen).drop("gen")
+    maskRowTombs(spark, dir, df.filter(cond), pin).drop("gen")
+  }
+
+  /** TIMESTAMP time travel's resolution (VERDICT r17 #2 — Delta's
+    * `TIMESTAMP AS OF`): the newest committed generation whose
+    * EFFECTIVE commit stamp is ≤ the pin. Effective = the running max
+    * of recorded stamps in generation order (Delta's monotonized-
+    * timestamp rule: wall clocks of different writers need not be
+    * monotone across commits, and a pre-stamp marker — an empty legacy
+    * one, or a crash in publish's stamp window — inherits its
+    * predecessor's stamp; a table whose stamps ARE monotone is
+    * unaffected). A pin from before the first effective stamp is
+    * PRE-HISTORY and fails loudly — which after a compaction (whose
+    * reset marker stamps the compaction time) is exactly the VACUUM
+    * contract: a stale timestamp names collapsed history and errors
+    * instead of silently resolving to different content. Driver
+    * metadata: one commits listing + one small read per committed
+    * generation.
+    */
+  def genAtTs(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val gens = GenCommit.committed(spark, dir)
+    require(gens.nonEmpty,
+      s"no committed generations at $dir — init the table first")
+    var eff = Long.MinValue
+    var sawStamp = false
+    var pick = Option.empty[Long]
+    gens.sorted.foreach { g =>
+      GenCommit.commitTs(spark, dir, g).foreach { t =>
+        eff = eff max t; sawStamp = true
+      }
+      if (eff <= tsMs) pick = Some(g)
+    }
+    require(sawStamp,
+      s"asOfTs: no commit at $dir carries a timestamp — the table " +
+        "predates stamped markers entirely; pin by generation id " +
+        "(asOfGen) instead")
+    pick.getOrElse(throw new IllegalArgumentException(
+      s"asOfTs $tsMs predates the table's history at $dir (earliest " +
+        s"effective commit stamp ${GenCommit.commitTs(spark, dir,
+          gens.min).getOrElse("unknown")}) — either the pin is " +
+        "pre-history, or a compaction collapsed the generations it " +
+        "named (history is retained only until compaction; pin a " +
+        "committed generation id to address surviving history)"))
   }
 
   /** Open the data tree under the NEWEST resolved generation's schema —
@@ -1204,7 +1250,10 @@ object GenTable {
             s"$dir/${GenCommit.TombsTable}/gen=$g"))) "delete"
         else if (g == first) "init"
         else "merge"
-      org.apache.spark.sql.Row(g, kind, claims.size)
+      // ts: the recorded commit stamp (epoch millis; null for a
+      // pre-stamp marker) — the column a TIMESTAMP AS OF user consults
+      org.apache.spark.sql.Row(g, kind, claims.size,
+        GenCommit.commitTs(spark, dir, g).map(Long.box).orNull)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
@@ -1214,7 +1263,9 @@ object GenTable {
         org.apache.spark.sql.types.StructField("op",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("n_claimed",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType, nullable = true))))
   }
 
   /** Release claims of merges that died before staging — the

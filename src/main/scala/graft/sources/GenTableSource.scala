@@ -146,7 +146,15 @@ object GenTableSource {
       parameters: Map[String, String]): BaseRelation = {
     val dir = pathOf(parameters)
     val partCol = partColOpt(spark, parameters)
-    val asOf = parameters.get("asOfGen").map(_.toLong)
+    require(!(parameters.contains("asOfGen") &&
+        parameters.contains("asOfTs")),
+      "gentable: pin by asOfGen OR asOfTs, not both")
+    // TIMESTAMP AS OF (VERDICT r17 #2): the option resolves to a
+    // generation pin through the monotonized-stamp rule, then the read
+    // is an ordinary as-of read
+    val asOf = parameters.get("asOfTs")
+      .map(t => GenTable.genAtTs(spark, dir, t.toLong))
+      .orElse(parameters.get("asOfGen").map(_.toLong))
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasTombs = f.exists(new org.apache.hadoop.fs.Path(

@@ -252,6 +252,58 @@ class GenTableSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("PARTITION spec"), e2.getMessage)
   }
 
+  test("timestamp time travel: asOfTs resolves by the monotonized-stamp " +
+      "rule; a pre-history pin and a post-compaction stale pin fail " +
+      "loudly; history carries the stamp column") {
+    val dir = s"${TempRoots.create("graft_ts_travel_")}/t"
+    val saved = GenCommit.clockMs
+    try {
+      GenCommit.clockMs = () => 1000L
+      GenTable.init(Seq((1L, "A", 10.0)).toDF("k", "p", "v"), dir, "p")
+      // a NON-MONOTONE wall clock: gen 1 stamps EARLIER than gen 0 —
+      // its effective stamp inherits gen 0's 1000 (Delta's rule)
+      GenCommit.clockMs = () => 500L
+      GenTable.merge(spark, dir, "p",
+        Seq((2L, "A", 20.0, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"))
+      GenCommit.clockMs = () => 3000L
+      GenTable.merge(spark, dir, "p",
+        Seq((3L, "B", 30.0, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"))
+      // pin between: effective stamps are 1000, 1000, 3000 → ts 2000
+      // resolves to gen 1 (k = 1, 2), NOT gen 0 (raw-stamp order would
+      // wrongly exclude gen 1's 500)
+      val got = GenTable.read(spark, dir, "p", asOfTs = Some(2000L))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), s"monotonized resolution wrong: $got")
+      // exactly at a stamp is inclusive; SQL option path agrees
+      assert(spark.read.format("gentable").option("asOfTs", "3000")
+        .load(dir).count() == 3)
+      // history exposes the stamps
+      val hist = GenTable.history(spark, dir)
+        .select("gen", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(hist == Map(0L -> 1000L, 1L -> 500L, 2L -> 3000L),
+        s"history ts column wrong: $hist")
+      // pre-history pin: loud
+      val e1 = intercept[Exception] {
+        GenTable.read(spark, dir, "p", asOfTs = Some(999L)).collect()
+      }
+      assert(e1.getMessage.contains("predates"), e1.getMessage)
+      // post-compaction: the reset marker stamps compaction time, so
+      // yesterday's pin names collapsed history and fails loudly
+      GenCommit.clockMs = () => 9000L
+      GenTable.compact(spark, dir, "p")
+      val e2 = intercept[Exception] {
+        spark.read.format("gentable").option("asOfTs", "3000").load(dir)
+      }
+      assert(e2.getMessage.contains("predates"), e2.getMessage)
+      // the surviving state still reads at/after the compaction stamp
+      assert(GenTable.read(spark, dir, "p", asOfTs = Some(9000L))
+        .count() == 3)
+    } finally GenCommit.clockMs = saved
+  }
+
   test("gentable stream: every committed generation delivered exactly " +
       "once in id order — data, emptied-partition markers and delete " +
       "keys — restart-safe across a checkpoint, and a post-compaction " +
