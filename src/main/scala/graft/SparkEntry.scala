@@ -205,6 +205,11 @@ object SparkEntry {
     // the table — shares q92b's oracle
     "x29_stream_gentable_source" ->
       ((s, d) => graft.sources.GenTableStream.x29(s, d)),
+    // CDC-OUT at ROW granularity: pre/post-image rows per generation
+    // (update = delete+insert pair), bag-replay reconstructs the
+    // table — shares q92b's oracle
+    "x29b_stream_gentable_rows" ->
+      ((s, d) => graft.sources.GenTableStream.x29b(s, d)),
     // R18 live: the rates dim re-resolves per micro-batch across a day
     // boundary (day-keyed on-disk memo; once-per-day fetch budget holds
     // across triggers and restarts) — own per-day revalued-dim oracle
@@ -520,6 +525,7 @@ object SparkEntry {
     "q92p_insert_sql" -> ops.Merge.q92pSql,
     "q92q_asof_ts" -> ops.Merge.q92eSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
+    "x29b_stream_gentable_rows" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -1083,7 +1083,7 @@ object GenTable {
     * manifest strings, here from in-hand Scala values): the touched-
     * partition slice filter [[updateWhere]] and [[insertRows]] share.
     */
-  private def valuesPred(partCol: String, vals: Seq[Any],
+  private[sources] def valuesPred(partCol: String, vals: Seq[Any],
       dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
     val nonNull = vals.filterNot(_ == null).map(v => lit(v).cast(dt))

@@ -80,7 +80,14 @@ class GenTableSource extends RelationProvider with DataSourceRegister
     new GenTableStream(sqlContext.sparkSession,
       GenTableSource.pathOf(parameters),
       GenTableSource.partColOpt(sqlContext.sparkSession, parameters),
-      parameters.get("startingGen").map(_.toLong))
+      parameters.get("startingGen").map(_.toLong),
+      rowGranularity = parameters.get("changeGranularity") match {
+        case None | Some("partition") => false
+        case Some("row") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"gentable stream: changeGranularity must be 'partition' " +
+            s"(default) or 'row', got '$other'")
+      })
 
   // ——— CTAS: CREATE TABLE … USING gentable OPTIONS (path, partCol)
   // AS SELECT …, and df.write.format("gentable") — both land on
