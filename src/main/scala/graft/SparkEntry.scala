@@ -210,6 +210,9 @@ object SparkEntry {
     // table — shares q92b's oracle
     "x29b_stream_gentable_rows" ->
       ((s, d) => graft.sources.GenTableStream.x29b(s, d)),
+    // CDC-IN one-liner: writeStream.format("gentable") — each batch one
+    // atomic generation, auto-init, self-compaction — q92b's oracle
+    "x30_stream_gentable_sink" -> ((s, d) => streaming.CdcApply.x30(s, d)),
     // R18 live: the rates dim re-resolves per micro-batch across a day
     // boundary (day-keyed on-disk memo; once-per-day fetch budget holds
     // across triggers and restarts) — own per-day revalued-dim oracle
@@ -526,6 +529,7 @@ object SparkEntry {
     "q92q_asof_ts" -> ops.Merge.q92eSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "x29b_stream_gentable_rows" -> ops.Merge.q92bSql,
+    "x30_stream_gentable_sink" -> ops.Merge.q92bSql,
     "q82_attribution"      -> ops.Analytics.q82Sql,
     "q20_sessionize"       -> ops.Aggregates.q20Sql,
     "q20b_sessionize_salted" -> ops.Aggregates.q20Sql,

@@ -56,9 +56,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * closes the same gap for the warehouse table here.
   */
 class GenTableSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider with CreatableRelationProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "gentable"
+
+  // ——— streaming sink (CDC-in) — see GenTableSink ———
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    def csv(k: String): Seq[String] = parameters.get(k)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val keys = csv("keys")
+    require(keys.nonEmpty,
+      "gentable sink: option keys (CSV merge keys) is required — the " +
+        "sink applies each micro-batch as a keyed MERGE")
+    new GenTableSink(sqlContext.sparkSession,
+      GenTableSource.pathOf(parameters), keys,
+      parameters.get("partCol"), parameters.getOrElse("opCol", "_op"),
+      parameters.get("seqCol"), csv("statsCols"),
+      parameters.get("zorder").exists(_.toBoolean), csv("bloomCols"))
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation =

@@ -160,6 +160,49 @@ object CdcApply {
       .orderBy("o_orderkey")
   }
 
+  /** x30_stream_gentable_sink: the NATIVE SINK gate (VERDICT r17 #5) —
+    * x26's exact harness (q92b's deltas as CDC files, checkpoint
+    * restart between them) with the apply loop as the one-liner
+    * `writeStream.format("gentable").option("keys", …)` instead of the
+    * hand-composed foreachBatch: [[graft.sources.GenTableSink]] merges
+    * each micro-batch as one atomic generation, auto-inits the table
+    * from the FIRST batch (no out-of-band init — t0 arrives as batch
+    * 0), self-compacts past the measured crossover, and recovers
+    * single-writer crashes on start. Final view SHARES q92b's oracle.
+    */
+  def x30(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = graft.ops.Merge.mergeFixture(spark, dir)
+    val root = graft.TempRoots.create("graft_x30_")
+    val (cdcDir, tbl, ckpt) = (s"$root/cdc", s"$root/table", s"$root/ckpt")
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    // t0 itself is the first CDC batch (all upserts) — the sink's
+    // auto-init path creates the table from it
+    val b0 = t0.withColumn("yr", year(col("o_orderdate")))
+      .withColumn("_op", lit("upsert"))
+    val sch = b0.schema
+    def startApply(): StreamingQuery =
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(cdcDir)
+        .writeStream.format("gentable")
+        .option("path", tbl)
+        .option("keys", "o_orderkey")
+        .option("partCol", "yr")
+        .option("checkpointLocation", ckpt)
+        .start()
+    b0.coalesce(1).write.mode("append").parquet(cdcDir)
+    recent(d1).coalesce(1).write.mode("append").parquet(cdcDir)
+    val q1 = startApply()
+    try q1.processAllAvailable() finally q1.stop()
+    recent(d2).coalesce(1).write.mode("append").parquet(cdcDir)
+    val q2 = startApply()
+    try q2.processAllAvailable() finally q2.stop()
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
   /** x24_stream_cdc_apply: the driver gate — q92b's two delta batches
     * arrive as CDC FILES over time (one parquet file each, a file
     * source with `maxFilesPerTrigger = 1`), applied to the same

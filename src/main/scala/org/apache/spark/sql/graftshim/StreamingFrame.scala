@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.StructType
   * `org.apache.spark.sql` is the standard V1-connector technique for
   * reaching it; nothing else in the repo lives outside `graft`.
   *
-  * Used only by [[graft.sources.GenTableStream]].
+  * Used only by the gentable connector ([[graft.sources.GenTableStream]],
+  * [[graft.sources.GenTableSink]], and the SQL command translations).
   */
 object StreamingFrame {
 
@@ -27,6 +28,18 @@ object StreamingFrame {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Re-plan a micro-batch handed to `Sink.addBatch` as a PLAIN batch
+    * frame: the incoming frame is flagged streaming (batch-only
+    * operators — joins, aggregates outside watermarks — reject it), so
+    * the sink re-wraps its computed rows batch-side, exactly as Spark's
+    * own ForeachBatchSink/console sink do before handing user code the
+    * frame. Used only by [[graft.sources.GenTableSink]].
+    */
+  def unwrap(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        df.queryExecution.toRdd, df.schema, isStreaming = false)
 
   /** A DataFrame over a logical plan — `Dataset.ofRows`, which is
     * likewise `private[sql]`. Used only by the gentable MERGE INTO

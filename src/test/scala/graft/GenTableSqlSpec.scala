@@ -347,6 +347,56 @@ class GenTableSqlSpec extends SparkSuite {
       s"bag replay wrong: $state")
   }
 
+  test("gentable sink: an op-less stream is append-only (every row " +
+      "upserts), keys is required loudly, and deletes flow through the " +
+      "merge") {
+    val root = TempRoots.create("graft_sink_")
+    val (src, dir, ck1, ck2) =
+      (s"$root/src", s"$root/t", s"$root/ck1", s"$root/ck2")
+    // op-less stream: auto-init from batch 0, plain upserts after
+    Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "p", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val sch = spark.read.parquet(src).schema
+    def drain(ck: String, extra: (String, String)*): Unit = {
+      var w = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.format("gentable").option("path", dir)
+        .option("keys", "k").option("partCol", "p")
+        .option("checkpointLocation", ck)
+      extra.foreach { case (k, v) => w = w.option(k, v) }
+      val q = w.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain(ck1)
+    Seq((1L, "A", 11.0)).toDF("k", "p", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    drain(ck1)
+    val got = GenTable.read(spark, dir, "p").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 11.0), (2L, 20.0)),
+      s"op-less sink stream must upsert: $got")
+    // deletes flow through when the stream carries _op
+    val src2 = s"$root/src2"
+    Seq((2L, "B", 20.0, "delete")).toDF("k", "p", "v", "_op")
+      .coalesce(1).write.mode("append").parquet(src2)
+    val q2 = spark.readStream.schema(spark.read.parquet(src2).schema)
+      .parquet(src2)
+      .writeStream.format("gentable").option("path", dir)
+      .option("keys", "k").option("checkpointLocation", ck2).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(GenTable.read(spark, dir, "p").select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L), "sink delete lost")
+    // keys option is required, loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(sch).parquet(src)
+        .writeStream.format("gentable").option("path", s"$root/t2")
+        .option("partCol", "p")
+        .option("checkpointLocation", s"$root/ck3").start()
+        .processAllAvailable()
+    }
+    assert(e.getMessage.contains("keys"), e.getMessage)
+  }
+
   test("gentable stream: every committed generation delivered exactly " +
       "once in id order — data, emptied-partition markers and delete " +
       "keys — restart-safe across a checkpoint, and a post-compaction " +
