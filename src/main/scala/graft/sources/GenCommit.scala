@@ -49,32 +49,26 @@ object GenCommit {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The storage adapter every fence and promotion routes through
+    * (VERDICT r17 #3 — the Delta LogStore seam): [[HdfsCommitStore]]
+    * by default (native atomic create + rename on HDFS-semantics
+    * stores); deployments on raw S3-style stores swap in a
+    * [[LockingCommitStore]] wired to their conditional-put/lock
+    * service. Process-wide, like the Hadoop configuration itself;
+    * set-and-restore in try/finally when overriding in tests.
+    */
+  @volatile var store: CommitStore = HdfsCommitStore
+
   /** The fence's primitive: ATOMIC create-exclusive, true iff this call
-    * created the file. Hadoop's `FileSystem.createNewFile` default is
-    * CHECK-THEN-ACT (`if (exists) false else create`), and so is the
-    * local filesystem's `create(overwrite = false)` — two genuinely
-    * concurrent claimants could both "win" (caught by GenTableSpec's
-    * threaded disjoint-merge test). On the local FS this goes through
-    * `java.io.File.createNewFile` (POSIX O_CREAT|O_EXCL — atomic);
-    * elsewhere `create(overwrite = false)` is NameNode-atomic (HDFS and
-    * HDFS-semantics stores — ABFS, GCS). Raw S3 remains out, as the
-    * class doc requires a committer/lock layer there.
+    * created the file — delegated to the configured [[CommitStore]]
+    * (Hadoop's own `createNewFile` default is CHECK-THEN-ACT, and so is
+    * the local FS's `create(overwrite = false)`; see HdfsCommitStore
+    * for the per-store rule, LockingCommitStore for stores with no
+    * atomic create at all).
     */
   private[sources] def createExclusive(f: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Boolean = f match {
-    case _: org.apache.hadoop.fs.LocalFileSystem |
-         _: org.apache.hadoop.fs.RawLocalFileSystem =>
-      val file = new java.io.File(p.toUri.getPath)
-      val parent = file.getParentFile
-      if (parent != null) parent.mkdirs()
-      file.createNewFile()
-    case other =>
-      try { other.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if other.exists(p) => false
-      }
-  }
+      p: org.apache.hadoop.fs.Path): Boolean =
+    store.createExclusive(f, p)
 
   /** Where a writer stages table `table`'s content for generation `gen`
     * before [[publish]] — outside every table tree, so a crashed staged
@@ -443,7 +437,8 @@ object GenCommit {
       f.mkdirs(dst.getParent)
       require(!f.exists(dst), s"publish: generation dir $dst already " +
         "exists — generation ids must come from nextGen")
-      require(f.rename(src, dst), s"publish: could not promote $src")
+      require(store.promote(f, src, dst),
+        s"publish: could not promote $src")
     }
     val marker = new org.apache.hadoop.fs.Path(s"$indexDir/commits/$gen")
     require(createExclusive(f, marker),
