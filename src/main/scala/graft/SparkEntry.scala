@@ -381,6 +381,9 @@ object SparkEntry {
     // two-term score ⟨p,c⟩ + ADC(residual) lands under the hash gate;
     // shares x27b's oracle
     "x27d_ann_ivfpq_residual" -> ((s, d) => ops.VectorPq.x27d(s, d)),
+    // OPQ: learned variance-balanced permutation rotation before the
+    // subspace split — exactness survives bit-for-bit (x27b's oracle)
+    "x27e_ann_ivfpq_opq" -> ((s, d) => ops.VectorPq.x27e(s, d)),
     "x11b_ann_ivf_gate"    -> ((s, d) => ops.Vector.x11b(s, d)),
     // Misra-Gries heavy hitters: rows-only (sketch — candidate set is
     // partitioning-dependent beyond the guarantee); bounds pinned in
@@ -655,6 +658,7 @@ object SparkEntry {
     "x27b_ann_ivfpq_gate"       -> ops.VectorPq.x27bSql,
     "x27c_ann_ivfpq_lifecycle"  -> ops.VectorPq.x27bSql,
     "x27d_ann_ivfpq_residual"   -> ops.VectorPq.x27bSql,
+    "x27e_ann_ivfpq_opq"        -> ops.VectorPq.x27bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

@@ -73,25 +73,42 @@ object VectorPq {
       kmeansIters: Int = 4,
       trainOn: Option[DataFrame] = None,
       byResidual: Boolean = false,
-      centroidSnap: Option[Int] = None): Unit = {
+      centroidSnap: Option[Int] = None,
+      opq: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
     def shape(df: DataFrame) = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"),
       col(vecCol).cast("array<double>").as("vecD"))
-    val c0 = shape(corpus)
+    val c0raw = shape(corpus)
     // `trainOn` decouples quantizer/codebook TRAINING from the initial
     // load: a table built from one shard but trained on a representative
     // sample of the whole stream encodes later pqAppend deltas without
     // the coverage gaps a shard-trained codebook would have (x27c's gate
     // relies on exactly this — codes must be lossless for vectors the
     // initial load never saw)
-    val t0 = trainOn.map(shape).getOrElse(c0)
-    val dimRow = c0.select(size(col("vecD"))).head()
+    val t0raw = trainOn.map(shape).getOrElse(c0raw)
+    val dimRow = c0raw.select(size(col("vecD"))).head()
     val dim = dimRow.getInt(0)
     require(dim > 0 && dim % m == 0,
       s"pqBuild: m = $m must divide the dimension $dim")
     val sublen = dim / m
+    // OPQ (VERDICT r17 #6): a LEARNED orthogonal rotation before the
+    // subspace split — here the variance-balanced dimension PERMUTATION
+    // (the OPQ paper's initialization, FAISS's OPQ pre-step): dims sort
+    // by variance and snake-deal across the m subspaces, so no subspace
+    // is all high-variance (starving its k codewords) or all
+    // low-variance (wasting them) — recall at equal bytes. A
+    // permutation is orthogonal, so rotated-space cosines ARE original
+    // cosines, and (the gate's lever) exactness survives bit-for-bit:
+    // over the grid fixture every product/partial-sum is an exactly-
+    // representable dyadic rational, so reordering the summation
+    // changes nothing. Everything downstream — coarse quantizer,
+    // residuals, codebooks, encode, probes — lives in rotated space.
+    val perm: Option[Array[Int]] =
+      if (!opq) None else Some(learnPerm(t0raw, dim, m))
+    val c0 = perm.map(applyPerm(c0raw, _)).getOrElse(c0raw)
+    val t0 = perm.map(applyPerm(t0raw, _)).getOrElse(t0raw)
     val cents0 = Vector.seedCentroids(
       t0.select(col("id"), col("vec")), nlist, lloydIters)
     // `centroidSnap = Some(s)` snaps centroid coordinates to the 1/s
@@ -171,7 +188,8 @@ object VectorPq {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     spark.range(1).select(lit(m).as("m"), lit(kEff).as("k"),
         lit(sublen).as("sublen"), lit(dim).as("dim"),
-        lit(byResidual).as("residual"))
+        lit(byResidual).as("residual"),
+        lit(perm.map(_.toSeq).orNull).cast("array<int>").as("perm"))
       .write.mode("overwrite").parquet(s"$indexDir/pqmeta")
     import spark.implicits._
     padded.zipWithIndex.flatMap { case (b, i) =>
@@ -306,9 +324,12 @@ object VectorPq {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
     val centByCell: Map[Any, Seq[Float]] = cents.toMap
-    val p0 = probes.select(col(idCol).as("id"),
+    val p0raw = probes.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"),
       col(vecCol).cast("array<double>").as("vecD"))
+    // probes enter the index's rotated space (OPQ) — centroids, codes
+    // and LUTs all live there; cosines are rotation-invariant
+    val p0 = permOf(meta).map(applyPerm(p0raw, _)).getOrElse(p0raw)
     val pc = Vector.nearestCells(p0, cents, nprobe)
       .select(col("id"), col("vecD"), col("cell")).collect()
     // one LUT per distinct probe (probes are the small, collected side —
@@ -406,6 +427,46 @@ object VectorPq {
     meta.schema.fieldNames.contains("residual") &&
       meta.getAs[Boolean]("residual")
 
+  /** The meta row's OPQ permutation, `None` for unrotated or pre-r18
+    * indexes (the residualOf backward-compat rule).
+    */
+  private def permOf(meta: org.apache.spark.sql.Row): Option[Array[Int]] =
+    if (!meta.schema.fieldNames.contains("perm") ||
+        meta.isNullAt(meta.fieldIndex("perm"))) None
+    else Some(meta.getSeq[Int](meta.fieldIndex("perm")).toArray)
+
+  /** Learn the variance-balanced dimension permutation: per-dimension
+    * variance in one aggregate over the training frame (dim `var_pop`
+    * columns — a single pass, training-side only), dims sorted by
+    * variance descending, snake-dealt across the m subspaces (round r
+    * deals left-to-right when even, right-to-left when odd), so each
+    * subspace's total variance is near-equal. Returned as
+    * perm(newPos) = oldDim; deterministic (ties break by dim index).
+    */
+  private def learnPerm(shaped: DataFrame, dim: Int, m: Int): Array[Int] = {
+    val aggs = (0 until dim).map(i =>
+      var_pop(element_at(col("vecD"), i + 1)).as(s"v$i"))
+    val row = shaped.agg(aggs.head, aggs.drop(1): _*).head()
+    val byVar = (0 until dim)
+      .sortBy(i => (-row.getDouble(i), i))
+    val buckets = Array.fill(m)(List.newBuilder[Int])
+    byVar.grouped(m).zipWithIndex.foreach { case (round, r) =>
+      val slots = if (r % 2 == 0) 0 until m else (m - 1) to 0 by -1
+      round.zip(slots).foreach { case (d, b) => buckets(b) += d }
+    }
+    buckets.flatMap(_.result()).toArray
+  }
+
+  /** Apply a dimension permutation to a shaped frame's vec/vecD — a
+    * plain array constructor of literal-index lookups (codegen'd; no
+    * HOF fallback), dim GetArrayItem expressions per column.
+    */
+  private def applyPerm(shaped: DataFrame, perm: Array[Int]): DataFrame = {
+    def p(c: String) = array(perm.toIndexedSeq.map(i =>
+      col(c).getItem(i)): _*).as(c)
+    shaped.select(col("id"), p("vec"), p("vecD"))
+  }
+
   /** Load the index's PQ parameters and flat codebook (index metadata —
     * m·kEff·sublen doubles), shared by [[pqAppend]] and [[pqSearch]].
     */
@@ -449,9 +510,12 @@ object VectorPq {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().toSeq.map(r => (r.get(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, s"no centroids at $indexDir — build first")
-    val d0 = delta.select(col(idCol).as("id"),
+    val d0raw = delta.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("vec"),
       col(vecCol).cast("array<double>").as("vecD"))
+    // appended vectors enter the index's rotated space (OPQ)
+    val d0 = permOf(spark.read.parquet(s"$indexDir/pqmeta").head())
+      .map(applyPerm(d0raw, _)).getOrElse(d0raw)
     val tk = graft.sources.GenCommit.newToken()
     val gen = graft.sources.GenCommit.claimNextGen(spark, indexDir,
       PqScanTables, token = tk)
@@ -683,6 +747,31 @@ object VectorPq {
     val idx = s"${graft.TempRoots.create("graft_x27d_")}/ivfpq"
     pqBuild(grid, idx, nlist = 16, m = 64, byResidual = true,
       centroidSnap = Some(8))
+    pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27e_ann_ivfpq_opq: the OPQ rotation's exact gate twin (VERDICT
+    * r17 #6): x27b's grid-snap + m = dim construction built with
+    * `opq = true` — the LEARNED variance-balanced permutation rotates
+    * corpus, coarse quantizer, codebooks and probes into one space.
+    * Exactness survives the rotation bit for bit: a permutation is
+    * orthogonal (rotated cosines ARE original cosines), the pigeonhole
+    * still holds per permuted subspace (the same ≤ 9 grid values land
+    * there), and over the grid fixture every product and partial sum is
+    * an exactly-representable dyadic rational, so the PERMUTED
+    * summation order changes nothing — the ADC score equals the
+    * oracle's left-to-right fold exactly. SHARES x27b's oracle
+    * verbatim. The PRODUCTION claim (recall at the raw floor with
+    * sublen > 1, where the permutation genuinely remixes dimensions
+    * within subspaces) is pinned in VectorSpec.
+    */
+  def x27e(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val idx = s"${graft.TempRoots.create("graft_x27e_")}/ivfpq"
+    pqBuild(grid, idx, nlist = 16, m = 64, opq = true)
     pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
       .orderBy("probe_id", "rank")
   }

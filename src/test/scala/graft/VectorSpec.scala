@@ -176,6 +176,43 @@ class VectorSpec extends SparkSuite {
       "(must meet the raw-PQ floor at nprobe 4/16)")
   }
 
+  test("OPQ IVF-PQ (opq = true): the learned variance-balanced " +
+      "permutation meets the raw/residual recall floor at the same " +
+      "byte budget on the REAL corpus, and rotated cosines equal " +
+      "unrotated ones (orthogonal invariance)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val brute = Vector.x01(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val idx = s"${TempRoots.create("graft_pq_opq_")}/ivfpq"
+    // m = 16 over dim 64: sublen 4, so the permutation genuinely
+    // remixes dimensions WITHIN subspaces (at sublen 1 it only
+    // relabels them)
+    ops.VectorPq.pqBuild(emb, idx, nlist = 16, m = 16, opq = true)
+    val rows = ops.VectorPq.pqSearch(spark, idx,
+      emb.filter(col("vec_id") < 8), nprobe = 4).collect()
+    val got = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (p, bs) =>
+      (bs intersect got.getOrElse(p, Set.empty)).size.toDouble / bs.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"OPQ IVF-PQ mean recall@10 = $mean " +
+      "(must meet the raw-PQ floor at nprobe 4/16)")
+    // orthogonal invariance: an exact-scoring OPQ index (m = 64,
+    // lossless grid codebook) reproduces the unrotated index's scores
+    val grid = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val (iA, iB) = (s"${TempRoots.create("graft_opq_inv_")}/a",
+      s"${TempRoots.create("graft_opq_inv_")}/b")
+    ops.VectorPq.pqBuild(grid, iA, nlist = 16, m = 64)
+    ops.VectorPq.pqBuild(grid, iB, nlist = 16, m = 64, opq = true)
+    def res(i: String) = ops.VectorPq.pqSearch(spark, i,
+      grid.filter(col("vec_id") < 4), nprobe = 16)
+      .orderBy("probe_id", "rank").collect().map(_.toString).toSeq
+    assert(res(iA) == res(iB),
+      "rotation must not change exact-space scores or ranks")
+  }
+
   test("x27b lossless-codebook full-probe IVF-PQ equals the grid " +
       "brute force row for row (the gate twin's local pin)") {
     // triples only: the float-kernel reference rounds norms at float
