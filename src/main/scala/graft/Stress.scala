@@ -796,7 +796,11 @@ object Stress {
       pmod(col("id"), lit(parts)).as("p"),
       (col("id") * lit(1.0)).as("v"))
     val t0 = System.nanoTime()
-    sources.GenTable.init(base, tbl, "p")
+    // statsCols on init AND the nightly merges (r18): every generation
+    // carries a filestats sidecar, so the filtered-SQL-read probe below
+    // exercises the per-generation stats path the ADVICE r17 fix
+    // de-jobbed (sidecar-less generations short-circuit it)
+    sources.GenTable.init(base, tbl, "p", statsCols = Seq("v"))
     val initSec = (System.nanoTime() - t0) / 1e9
     val nights = 50
     val tm = System.nanoTime()
@@ -805,7 +809,7 @@ object Stress {
       sources.GenTable.merge(spark, tbl, "p",
         Seq((p0, p0, -1.0, "upsert"), (p0 + parts, p0, -2.0, "upsert"))
           .toDF("k", "p", "v", "_op"),
-        Seq("k"))
+        Seq("k"), statsCols = Seq("v"))
     }
     val mergeSec = (System.nanoTime() - tm) / 1e9
     def resolveOnly(label: String) = time(label) {
@@ -815,6 +819,15 @@ object Stress {
     val res51 = resolveOnly(s"gt_resolve_${nights + 1}gens")
     val read51 = time(s"gt_read_${nights + 1}gens") {
       noop(sources.GenTable.read(spark, tbl, "p"))
+    }
+    // filtered SQL read over the full 51-generation history: the file
+    // index consults every generation's stats sidecar at PLANNING time
+    // — pre-r18 this spun up one driver Spark job per (generation ×
+    // bound) per listFiles call (ADVICE r17); now it is a cached parse
+    // + interpreted compares, zero jobs
+    val sqlWhere51 = time(s"gt_sqlwhere_${nights + 1}gens") {
+      noop(spark.read.format("gentable").load(tbl)
+        .filter(col("v") >= m * 0.4995 && col("v") <= m * 0.5005))
     }
     // a scattered takedown: 1 every 1000 keys, spanning all partitions
     sources.GenTable.deleteRows(spark, tbl,
@@ -866,7 +879,7 @@ object Stress {
     Seq(
       (s"gt_init_${m}x$parts", initSec),
       (s"gt_merge_${nights}x2rows", mergeSec),
-      res51, read51, readMasked,
+      res51, read51, sqlWhere51, readMasked,
       ("gt_should_at_52gens", shouldPiled),
       compactT, res1, read1,
       ("gt_should_at_1gen", shouldFlat),
