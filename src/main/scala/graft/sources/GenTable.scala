@@ -355,7 +355,7 @@ object GenTable {
       s"no committed generations at $dir — init the table first")
     loadLogCkpt(spark, dir, gens.toSet) match {
       case None => resolveOver(spark, dir, gens)
-      case Some((covered, ckWinners)) =>
+      case Some((covered, ckWinners, _)) =>
         // merge rule: true winner(p) = max(checkpoint winner, highest
         // TAIL generation claiming p) — a tail id may sit BELOW covered
         // ids (a disjoint writer committing late), so neither side
@@ -418,8 +418,17 @@ object GenTable {
     }.getOrElse(0)
     if (committed.size - coveredCount < LogCkptEvery) return
     val resolved = resolveOver(spark, dir, committed)
-    val body = (committed.sorted.mkString(",") +:
-      resolved.flatMap { case (g, vs) => vs.map(v => s"$g\t$v") })
+    // commit STAMPS ride in the checkpoint too (r18 — the q92q
+    // timestamp resolution would otherwise re-walk one marker per
+    // committed generation per asOfTs read, the same metadata linearity
+    // this checkpoint exists to cap for manifests); one `@ts` line per
+    // covered generation with a recorded stamp, skipped by the winners
+    // parse
+    val stamps = committed.sorted.flatMap(g =>
+      GenCommit.commitTs(spark, dir, g).map(t => s"@ts\t$g\t$t"))
+    val body = ((committed.sorted.mkString(",") +:
+      resolved.flatMap { case (g, vs) => vs.map(v => s"$g\t$v") }) ++
+      stamps)
       .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/logckpts/.tmp_${GenCommit.newToken()}")
@@ -438,7 +447,8 @@ object GenTable {
     * content (a torn legacy write) is skipped, never trusted.
     */
   private def loadLogCkpt(spark: SparkSession, dir: String,
-      target: Set[Long]): Option[(Set[Long], Seq[(Long, String)])] = {
+      target: Set[Long])
+      : Option[(Set[Long], Seq[(Long, String)], Map[Long, Long])] = {
     val f = fsOf(spark, dir)
     val ckDir = new org.apache.hadoop.fs.Path(s"$dir/logckpts")
     if (!f.exists(ckDir)) return None
@@ -451,12 +461,20 @@ object GenTable {
         val lines = s.split("\n", -1).toSeq
         val covered = lines.head.split(",").filter(_.nonEmpty)
           .filter(_.forall(_.isDigit)).map(_.toLong).toSet
-        val entries = lines.tail.filter(_.contains("\t")).map { l =>
-          val Array(gg, v) = l.split("\t", 2)
-          (gg.toLong, v)
-        }
+        val entries = lines.tail
+          .filter(l => l.contains("\t") && !l.startsWith("@ts\t"))
+          .map { l =>
+            val Array(gg, v) = l.split("\t", 2)
+            (gg.toLong, v)
+          }
+        // `@ts gen millis` stamp lines (r18); absent in pre-r18
+        // checkpoints — readers fall back to per-marker reads there
+        val stamps = lines.tail.filter(_.startsWith("@ts\t")).map { l =>
+          val Array(_, gg, t) = l.split("\t", 3)
+          gg.toLong -> t.toLong
+        }.toMap
         if (covered.nonEmpty && covered.subsetOf(target))
-          Some((covered, entries))
+          Some((covered, entries, stamps))
         else None
       }.collectFirst { case Some(x) => x }
   }
@@ -513,11 +531,26 @@ object GenTable {
     val gens = GenCommit.committed(spark, dir)
     require(gens.nonEmpty,
       s"no committed generations at $dir — init the table first")
+    // stamps come from the log checkpoint when one covers this read
+    // (r18): one checkpoint file + per-marker reads only for the tail
+    // generations (and any legacy gens the checkpoint lacks stamps
+    // for) — the claims() cost cap, applied to timestamp resolution
+    val ck = loadLogCkpt(spark, dir, gens.toSet)
+    val covered = ck.map(_._1).getOrElse(Set.empty[Long])
+    val ckStamps = ck.map(_._3).getOrElse(Map.empty[Long, Long])
+    def stampOf(g: Long): Option[Long] =
+      ckStamps.get(g).orElse {
+        // covered-but-absent in a STAMP-BEARING checkpoint = the marker
+        // had no stamp at checkpoint time (legacy) — don't re-read it
+        // per call; a stamp-less (pre-r18) checkpoint falls back whole
+        if (covered.contains(g) && ckStamps.nonEmpty) None
+        else GenCommit.commitTs(spark, dir, g)
+      }
     var eff = Long.MinValue
     var sawStamp = false
     var pick = Option.empty[Long]
     gens.sorted.foreach { g =>
-      GenCommit.commitTs(spark, dir, g).foreach { t =>
+      stampOf(g).foreach { t =>
         eff = eff max t; sawStamp = true
       }
       if (eff <= tsMs) pick = Some(g)

@@ -170,19 +170,38 @@ object GenTableSource {
     * row tombstones (or an all-emptied view, which has no pinnable
     * file) make it more than one.
     */
+  /** Time-travel PATH SUFFIX (Delta's `table@v0` idiom, plus a
+    * timestamp form): `dir@v<gen>` pins a generation, `dir@ts<millis>`
+    * a wall-clock instant — so pure SQL (`FROM gentable.`dir@v1``)
+    * time-travels with no options clause. Returns (bare dir, asOfGen?,
+    * asOfTs?).
+    */
+  private[sources] def splitTravelSuffix(path: String)
+      : (String, Option[Long], Option[Long]) = {
+    val v = "^(.*)@v(\\d+)$".r
+    val t = "^(.*)@ts(\\d+)$".r
+    path match {
+      case v(d, g) => (d, Some(g.toLong), None)
+      case t(d, ms) => (d, None, Some(ms.toLong))
+      case _ => (path, None, None)
+    }
+  }
+
   def relation(spark: SparkSession,
       parameters: Map[String, String]): BaseRelation = {
-    val dir = pathOf(parameters)
-    val partCol = partColOpt(spark, parameters)
-    require(!(parameters.contains("asOfGen") &&
-        parameters.contains("asOfTs")),
-      "gentable: pin by asOfGen OR asOfTs, not both")
-    // TIMESTAMP AS OF (VERDICT r17 #2): the option resolves to a
-    // generation pin through the monotonized-stamp rule, then the read
-    // is an ordinary as-of read
-    val asOf = parameters.get("asOfTs")
-      .map(t => GenTable.genAtTs(spark, dir, t.toLong))
-      .orElse(parameters.get("asOfGen").map(_.toLong))
+    val (dir, sufGen, sufTs) = splitTravelSuffix(pathOf(parameters))
+    val partCol = partColOpt(spark,
+      parameters.updated("path", dir))
+    val pins = Seq(parameters.get("asOfGen"), parameters.get("asOfTs"),
+      sufGen, sufTs).count(_.isDefined)
+    require(pins <= 1,
+      "gentable: pin by ONE of asOfGen, asOfTs, @v<gen>, @ts<millis>")
+    // TIMESTAMP AS OF (VERDICT r17 #2): a timestamp pin resolves to a
+    // generation through the monotonized-stamp rule, then the read is
+    // an ordinary as-of read
+    val asOf = parameters.get("asOfTs").map(_.toLong).orElse(sufTs)
+      .map(t => GenTable.genAtTs(spark, dir, t))
+      .orElse(parameters.get("asOfGen").map(_.toLong)).orElse(sufGen)
     val f = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasTombs = f.exists(new org.apache.hadoop.fs.Path(

@@ -436,6 +436,22 @@ class GenTableSpec extends SparkSuite {
     assert(readSet(dir, Some(2L)) ==
       readSet(dir, Some(2L)), "as-of fallback must not throw")
     assert(GenTable.read(spark, dir, "p", Some(0L)).count() == 5)
+    // r18: timestamp resolution through the checkpoint's @ts stamp
+    // lines equals the brute per-marker walk at every stamp boundary
+    val committedGens = GenCommit.committed(spark, dir)
+    def bruteAtTs(ts: Long): Long = {
+      var eff = Long.MinValue; var pick = -1L
+      committedGens.sorted.foreach { g =>
+        GenCommit.commitTs(spark, dir, g).foreach(t => eff = eff max t)
+        if (eff <= ts) pick = g
+      }
+      pick
+    }
+    committedGens.flatMap(GenCommit.commitTs(spark, dir, _))
+      .flatMap(t => Seq(t, t + 1)).distinct.foreach { ts =>
+        assert(GenTable.genAtTs(spark, dir, ts) == bruteAtTs(ts),
+          s"checkpointed ts resolution diverged from marker walk at $ts")
+      }
     GenTable.compact(spark, dir, "p")
     assert(!f.exists(ckDir), "compaction must drop stale checkpoints")
     assert(readSet(dir) == expected + ((50L, "D", 6.0)))

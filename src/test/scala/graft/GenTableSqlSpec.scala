@@ -279,6 +279,17 @@ class GenTableSqlSpec extends SparkSuite {
       // exactly at a stamp is inclusive; SQL option path agrees
       assert(spark.read.format("gentable").option("asOfTs", "3000")
         .load(dir).count() == 3)
+      // the Delta-style PATH SUFFIX forms: pure-SQL time travel with no
+      // options clause
+      assert(spark.sql(s"SELECT k FROM gentable.`$dir@v1`")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(spark.sql(s"SELECT k FROM gentable.`$dir@ts2000`")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      val eSuf = intercept[Exception] {
+        spark.read.format("gentable").option("asOfGen", "1")
+          .load(s"$dir@v1")
+      }
+      assert(eSuf.getMessage.contains("ONE of"), eSuf.getMessage)
       // history exposes the stamps
       val hist = GenTable.history(spark, dir)
         .select("gen", "ts").collect()
