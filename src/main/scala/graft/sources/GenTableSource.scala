@@ -510,7 +510,7 @@ private[sources] class GenFileIndex(
   * not). One row-conversion boundary of cost; compaction folds the
   * tombstones and restores the native [[GenFileIndex]] path.
   */
-private[sources] class GenTableMaskedRelation(
+private[graft] class GenTableMaskedRelation(
     spark: SparkSession, dir: String, partCol: String,
     asOf: Option[Long]) extends BaseRelation with PrunedFilteredScan {
 
@@ -523,11 +523,55 @@ private[sources] class GenTableMaskedRelation(
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
 
+  /** FILE SKIPPING through the masked path (r18): tombstones force this
+    * V1 relation, but they must not also forfeit sidecar pruning — a
+    * point lookup on a 100 TB table would open every winning file until
+    * the next compaction. One pushed predicate elects the sidecar-
+    * pruned ENTRY VIEW instead of the plain read: an equality routes
+    * through [[GenTable.readWhereEq]] (bloom sidecars), a two-sided
+    * range on one column through [[GenTable.readWhere]] (min/max
+    * stats). Both are semantically `read().filter(pred)` by their
+    * contract (mask included; sidecar-less generations contribute all
+    * files — never wrong, at worst unskipped), so the elected filter
+    * is consumed and everything else pushes on top as before.
+    */
+  private[graft] def skippingView(filters: Seq[Filter])
+      : Option[(org.apache.spark.sql.DataFrame, Seq[Filter])] = {
+    val cols = schema.fieldNames.toSet
+    filters.collectFirst {
+      case f @ EqualTo(a, v) if v != null && cols.contains(a) =>
+        (GenTable.readWhereEq(spark, dir, partCol, a, v, asOf),
+          filters.filterNot(_ eq f))
+    }.orElse {
+      // a two-sided range: lo ≤ a ≤ hi from any >=/<= (or >/<,
+      // conservative as bounds) pair on one column
+      val lo = filters.collectFirst {
+        case f @ GreaterThanOrEqual(a, v) if v != null && cols(a) =>
+          (f: Filter, a, v)
+        case f @ GreaterThan(a, v) if v != null && cols(a) =>
+          (f: Filter, a, v)
+      }
+      lo.flatMap { case (lf, a, lv) =>
+        filters.collectFirst {
+          case f @ LessThanOrEqual(b, v) if b == a && v != null =>
+            (f: Filter, v)
+          case f @ LessThan(b, v) if b == a && v != null =>
+            (f: Filter, v)
+        }.map { case (hf, hv) =>
+          (GenTable.readWhere(spark, dir, partCol, a, lv, hv, asOf),
+            filters.filterNot(x => (x eq lf) || (x eq hf)))
+        }
+      }
+    }
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pushed = filters.flatMap(f => toColumn(f).map(_._1))
+    val (entry, rest) = skippingView(filters.toIndexedSeq)
+      .getOrElse((view, filters.toIndexedSeq))
+    val pushed = rest.flatMap(f => toColumn(f).map(_._1))
       .reduceOption(_ && _)
-    val base = pushed.map(view.filter).getOrElse(view)
+    val base = pushed.map(entry.filter).getOrElse(entry)
     base.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
   }
 

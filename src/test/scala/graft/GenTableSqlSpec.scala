@@ -358,6 +358,48 @@ class GenTableSqlSpec extends SparkSuite {
       s"bag replay wrong: $state")
   }
 
+  test("masked-path file skipping: tombstones do not forfeit sidecar " +
+      "pruning — a pushed equality elects the bloom-pruned entry view, " +
+      "a two-sided range the stats-pruned one, and SQL answers stay " +
+      "exact") {
+    import org.apache.spark.sql.sources.{EqualTo => VEq,
+      GreaterThanOrEqual => VGe, LessThanOrEqual => VLe}
+    val dir = s"${TempRoots.create("graft_mask_skip_")}/t"
+    val rows = (1 to 400).map(i => (i * 37 % 1000L, s"P${i % 2}",
+      i.toDouble))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try GenTable.init(rows.toDF("k", "p", "v").repartition(8), dir, "p",
+      statsCols = Nil, bloomCols = Seq("k"))
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    val victim = rows(3)._1
+    GenTable.deleteRows(spark, dir, Seq(Tuple1(victim)).toDF("k"))
+    val rel = new graft.sources.GenTableMaskedRelation(spark, dir, "p",
+      None)
+    val total = GenTable.read(spark, dir, "p").inputFiles.length
+    val key = rows(17)._1
+    val Some((eqView, rest)) =
+      rel.skippingView(Seq(VEq("k", key), VGe("v", 1.0)))
+    assert(rest == Seq(VGe("v", 1.0)), "equality must be consumed")
+    assert(eqView.inputFiles.length < total,
+      s"bloom skipping lost on the masked path: " +
+        s"${eqView.inputFiles.length} of $total")
+    val Some((rgView, _)) =
+      rel.skippingView(Seq(VGe("v", 10.0), VLe("v", 20.0)))
+    assert(rgView.inputFiles.length <= total)
+    // end-to-end SQL over the masked table stays exact, victim masked
+    val got = spark.sql(s"SELECT k, v FROM gentable.`$dir` WHERE k = $key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = rows.filter(t => t._1 == key && t._1 != victim)
+      .map(t => (t._1, t._3)).toSet
+    assert(got == want, s"masked point lookup wrong: $got vs $want")
+    assert(spark.sql(s"SELECT k FROM gentable.`$dir` WHERE k = $victim")
+      .count() == 0, "tombstoned key must stay masked through skipping")
+  }
+
   test("gentable sink: an op-less stream is append-only (every row " +
       "upserts), keys is required loudly, and deletes flow through the " +
       "merge") {
