@@ -145,9 +145,40 @@ object GenTable {
     val out = f.create(pcp, true)
     try out.write(partCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // persist the LAYOUT choices (r18): statements arriving through the
+    // SQL surface (UPDATE/INSERT, the sink) have no statsCols parameter
+    // to pass — without a record, a stats-maintained table would write
+    // stats-less (correct but unskipped) generations on every SQL DML.
+    // Three lines: statsCols CSV, zorder flag, bloomCols CSV.
+    if (statsCols.nonEmpty || zorder || bloomCols.nonEmpty) {
+      val lp = new org.apache.hadoop.fs.Path(s"$dir/layout")
+      val out2 = f.create(lp, true)
+      try out2.write(Seq(statsCols.mkString(","), zorder.toString,
+        bloomCols.mkString(",")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out2.close()
+    }
     stageData(df, dir, 0L, partCol, tk, statsCols, zorder, bloomCols)
     writeManifest(spark, dir, 0L, touched)
     GenCommit.publish(spark, dir, 0L, DataTable, tk)
+  }
+
+  /** The layout [[init]] recorded — (statsCols, zorder, bloomCols);
+    * all-empty for a table with no record. What the SQL DML commands
+    * and the streaming sink inherit so statement-written generations
+    * keep the table's skipping effective.
+    */
+  def layoutOf(spark: SparkSession, dir: String)
+      : (Seq[String], Boolean, Seq[String]) = {
+    val s = GenCommit.readSmallFile(fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/layout"))
+    if (s.isEmpty) (Nil, false, Nil)
+    else {
+      val lines = s.split("\n", -1)
+      def csv(i: Int) = if (i >= lines.length) Seq.empty[String]
+        else lines(i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      (csv(0), lines.length > 1 && lines(1).trim == "true", csv(2))
+    }
   }
 
   /** The partition column [[init]] recorded at `dir/partcol` — how the

@@ -71,9 +71,14 @@ case class GenTableUpdateCommand(dir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val partCol = GenTable.partColOf(spark, dir)
+    // statement-written generations inherit the table's recorded layout
+    // (r18) — an UPDATE on a stats-maintained table must not silently
+    // write unskippable partitions
+    val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
     GenTable.updateWhere(spark, dir, partCol,
       condSql.map(expr).getOrElse(lit(true)),
-      sets.map { case (c, v) => (c, expr(v)) })
+      sets.map { case (c, v) => (c, expr(v)) },
+      statsCols = stats, zorder = zo, bloomCols = blooms)
     Seq.empty
   }
 }
@@ -99,11 +104,14 @@ case class GenTableInsertCommand(dir: String, query: LogicalPlan,
             s"${target.columns.length} (${target.columns.mkString(", ")})")
         src.toDF(target.columns.toIndexedSeq: _*)
       }
+    val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
     if (overwrite)
       GenTable.init(aligned.select(target.columns.toIndexedSeq.map(c =>
-        col(c).cast(target.schema(c).dataType).as(c)): _*), dir, partCol)
+        col(c).cast(target.schema(c).dataType).as(c)): _*), dir, partCol,
+        statsCols = stats, zorder = zo, bloomCols = blooms)
     else
-      GenTable.insertRows(spark, dir, partCol, aligned)
+      GenTable.insertRows(spark, dir, partCol, aligned,
+        statsCols = stats, zorder = zo, bloomCols = blooms)
     Seq.empty
   }
 }

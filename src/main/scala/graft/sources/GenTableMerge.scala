@@ -94,8 +94,12 @@ case class GenTableMergeCommand(
       }
     val delta = mDelta.unionByName(uDelta)
       .select((payload.map(col) :+ col("__mergeop")): _*)
+    // statement-written generations inherit the recorded layout (r18 —
+    // the q92o rule: SQL writes must not degrade the table's skipping)
+    val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
     GenTable.merge(spark, dir, partCol, delta, keys,
-      opCol = "__mergeop", evolveSchema = evolveSchema)
+      opCol = "__mergeop", evolveSchema = evolveSchema,
+      statsCols = stats, zorder = zo, bloomCols = blooms)
     Seq.empty
   }
 }

@@ -358,6 +358,37 @@ class GenTableSqlSpec extends SparkSuite {
       s"bag replay wrong: $state")
   }
 
+  test("layout inheritance: statement-written generations (UPDATE, " +
+      "INSERT, MERGE) carry the table's recorded sidecars — SQL DML " +
+      "does not degrade skipping") {
+    val dir = s"${TempRoots.create("graft_layout_")}/t"
+    GenTable.init(Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "p", "v"),
+      dir, "p", statsCols = Seq("v"), bloomCols = Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sidecars(gen: Long): (Boolean, Boolean) = (
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/filestats/$gen")),
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/blooms/$gen")))
+    assert(sidecars(0L) == ((true, true)))
+    spark.sql(s"UPDATE gentable.`$dir` SET v = v + 1.0 WHERE k = 1")
+    assert(sidecars(1L) == ((true, true)),
+      "SQL UPDATE must inherit the recorded layout")
+    spark.sql(s"INSERT INTO gentable.`$dir` VALUES (3, 30.0, 'B')")
+    assert(sidecars(2L) == ((true, true)),
+      "SQL INSERT must inherit the recorded layout")
+    Seq((2L, "B", 21.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("layout_m_src")
+    spark.sql(
+      s"""MERGE INTO gentable.`$dir` t USING layout_m_src s
+         |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(sidecars(3L) == ((true, true)),
+      "SQL MERGE must inherit the recorded layout")
+    // content stayed exact through all three inherited-layout writes
+    assert(GenTable.read(spark, dir, "p").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 11.0), (2L, 21.0), (3L, 30.0)))
+  }
+
   test("masked-path file skipping: tombstones do not forfeit sidecar " +
       "pruning — a pushed equality elects the bloom-pruned entry view, " +
       "a two-sided range the stats-pruned one, and SQL answers stay " +
