@@ -829,6 +829,12 @@ object Stress {
       noop(spark.read.format("gentable").load(tbl)
         .filter(col("v") >= m * 0.4995 && col("v") <= m * 0.5005))
     }
+    // timestamp resolution over the same history: bounded by the log
+    // checkpoint's @ts lines (r18) — one checkpoint + tail markers
+    val tsResolve51 = time(s"gt_tsresolve_${nights + 1}gens") {
+      sources.GenTable.genAtTs(spark, tbl, Long.MaxValue - 1)
+      ()
+    }
     // a scattered takedown: 1 every 1000 keys, spanning all partitions
     sources.GenTable.deleteRows(spark, tbl,
       spark.range(0, m, 1000).select(col("id").as("k")))
@@ -879,7 +885,7 @@ object Stress {
     Seq(
       (s"gt_init_${m}x$parts", initSec),
       (s"gt_merge_${nights}x2rows", mergeSec),
-      res51, read51, sqlWhere51, readMasked,
+      res51, read51, sqlWhere51, tsResolve51, readMasked,
       ("gt_should_at_52gens", shouldPiled),
       compactT, res1, read1,
       ("gt_should_at_1gen", shouldFlat),
