@@ -582,6 +582,12 @@ case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
           if graft.sources.GenTableDml.isInsert(i) =>
         graft.sources.GenTableDml.translateInsert(i)
+      // native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF —
+      // must resolve before the bare-relation rewrite below strips the
+      // travel clause's target
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+          if graft.sources.GenTableDml.isTimeTravel(tt) =>
+        graft.sources.GenTableDml.translateTimeTravel(spark, tt)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("gentable") =>

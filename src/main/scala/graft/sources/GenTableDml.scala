@@ -118,6 +118,46 @@ case class GenTableInsertCommand(dir: String, query: LogicalPlan,
 
 object GenTableDml {
 
+  /** The ANSI-ish time-travel clause (`FROM t VERSION AS OF n` /
+    * `FOR TIMESTAMP AS OF ts` — Spark's RelationTimeTravel, the form
+    * auditors actually type) on a gentable target: VERSION pins a
+    * generation id, TIMESTAMP evaluates the (foldable) expression to
+    * epoch millis and resolves through the monotonized-stamp rule —
+    * exactly the `asOfGen`/`asOfTs` options, as SQL syntax.
+    */
+  def isTimeTravel(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Boolean =
+    GenTableMerge.genTarget(tt.relation).isDefined
+
+  def translateTimeTravel(spark: SparkSession,
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : LogicalPlan = {
+    val dir = GenTableMerge.genTarget(tt.relation).get
+    val opts: Map[String, String] = (tt.version, tt.timestamp) match {
+      case (Some(v), None) =>
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"gentable VERSION AS OF: '$v' is not a generation id")
+        Map("asOfGen" -> v)
+      case (None, Some(ts)) =>
+        require(ts.foldable,
+          "gentable TIMESTAMP AS OF: the timestamp must be a constant")
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          ts, org.apache.spark.sql.types.TimestampType,
+          Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        require(micros != null,
+          s"gentable TIMESTAMP AS OF: ${ts.sql} does not parse as a " +
+            "timestamp")
+        Map("asOfTs" -> (micros.asInstanceOf[Long] / 1000L).toString)
+      case _ => throw new UnsupportedOperationException(
+        "gentable time travel: exactly one of VERSION AS OF / " +
+          "TIMESTAMP AS OF")
+    }
+    org.apache.spark.sql.execution.datasources.LogicalRelation(
+      GenTableSource.relation(spark, Map("path" -> dir) ++ opts),
+      isStreaming = false)
+  }
+
   def isDelete(d: DeleteFromTable): Boolean =
     GenTableMerge.genTarget(d.table).isDefined
 

@@ -285,6 +285,14 @@ class GenTableSqlSpec extends SparkSuite {
         .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
       assert(spark.sql(s"SELECT k FROM gentable.`$dir@ts2000`")
         .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // the NATIVE travel clauses (RelationTimeTravel): VERSION AS OF
+      // and TIMESTAMP AS OF (UTC session; stamps are 1000/500/3000 ms —
+      // 2.5 s pins the monotonized gen 1)
+      assert(spark.sql(s"SELECT k FROM gentable.`$dir` VERSION AS OF 1")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(spark.sql(s"SELECT k FROM gentable.`$dir` " +
+          "TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
       val eSuf = intercept[Exception] {
         spark.read.format("gentable").option("asOfGen", "1")
           .load(s"$dir@v1")
