@@ -116,6 +116,9 @@ object SparkEntry {
     // SQL DELETE FROM: the scattered takedown as a statement, routed
     // onto the tombstone generation — shares q92f's oracle
     "q92n_delete_sql" -> ((s, d) => ops.Merge.q92n(s, d)),
+    // SQL DELETE with a NULL tombstone key: the null-safe mask rule
+    // (a NULL-keyed tombstone must mask NULL-keyed rows) — own oracle
+    "q92r_delete_null_sql" -> ((s, d) => ops.Merge.q92r(s, d)),
     // SQL UPDATE … SET … WHERE: copy-on-write rewrite of exactly the
     // matching partitions, RHS against the pre-update row — own oracle
     "q92o_update_sql" -> ((s, d) => ops.Merge.q92o(s, d)),
@@ -527,6 +530,7 @@ object SparkEntry {
     "q92l_merge_bloom" -> ops.Merge.q92lSql,
     "q92m_merge_sql" -> ops.Merge.q92bSql,
     "q92n_delete_sql" -> ops.Merge.q92fSql,
+    "q92r_delete_null_sql" -> ops.Merge.q92rSql,
     "q92o_update_sql" -> ops.Merge.q92oSql,
     "q92p_insert_sql" -> ops.Merge.q92pSql,
     "q92q_asof_ts" -> ops.Merge.q92eSql,

@@ -561,6 +561,47 @@ object Merge {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q92r_delete_null_sql: the NULL-keyed takedown (VERDICT r18's one
+    * correctness edge, now oracle-gated): a table whose `o_orderstatus`
+    * is NULL for keys ≡ 1 (mod 8), then `DELETE FROM gentable.`dir`
+    * WHERE o_orderstatus IS NULL OR o_orderstatus = 'P'` — the derived
+    * tombstone keys are the distinct matching status values, which
+    * include the (NULL) tuple. Under the old EqualTo mask the NULL-keyed
+    * tombstone matched nothing and every NULL-status row kept being
+    * served (a silently ineffective GDPR delete); the null-safe `<=>`
+    * mask removes both the NULL-keyed and the 'P'-keyed rows in the one
+    * tombstone generation. Own oracle: DuckDB's DELETE handles IS NULL
+    * natively, restated as the complement filter.
+    */
+  def q92r(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = s"${graft.TempRoots.create("graft_q92r_")}/table"
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 8 === 1, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"))
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(t, tbl, "yr")
+    spark.sql(s"DELETE FROM gentable.`$tbl` " +
+      "WHERE o_orderstatus IS NULL OR o_orderstatus = 'P'")
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q92rSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 8 = 1 THEN NULL
+      |              ELSE o_orderstatus END AS o_orderstatus,
+      |         o_totalprice, o_orderdate
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM t
+      |WHERE NOT (o_orderstatus IS NULL OR o_orderstatus = 'P')
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q92o_update_sql: a predicate UPDATE issued as SQL — `UPDATE
     * gentable.`dir` SET o_orderstatus = 'X9', o_totalprice =
     * o_totalprice + 2.0 WHERE o_totalprice > 200000.0` (VERDICT r17

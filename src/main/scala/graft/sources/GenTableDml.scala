@@ -49,10 +49,24 @@ case class GenTableDeleteCommand(dir: String, condSql: String)
     // the delete keys: the predicate's referenced columns, in table
     // column order (resolution through the analyzed filter, so a bad
     // name fails loudly here)
-    val refs = view.filter(cond).queryExecution.analyzed.collect {
+    val analyzedCond = view.filter(cond).queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.references.map(_.name).toSet
-    }.headOption.getOrElse(Set.empty[String])
+        f.condition
+    }.headOption
+    // the key derivation assumes the predicate is a DETERMINISTIC
+    // function of its referenced columns — a nondeterministic one
+    // (`WHERE k = 1 AND rand() < 0.5`) would tombstone EVERY row of any
+    // sampled key, silently over-deleting (VERDICT r18 #2): refuse
+    // loudly. Checked on the ANALYZED condition (an unresolved rand()
+    // still reports deterministic).
+    require(analyzedCond.forall(_.deterministic),
+      s"DELETE FROM gentable: the WHERE clause ($condSql) is " +
+        "nondeterministic — the tombstone keys are derived from the " +
+        "matching rows' key tuples, which would delete every row of any " +
+        "sampled key; materialize the sample and delete by its keys")
+    val refs = analyzedCond
+      .map(_.references.map(_.name).toSet)
+      .getOrElse(Set.empty[String])
     val keyCols = view.columns.toSeq.filter(refs)
     require(keyCols.nonEmpty,
       "DELETE FROM gentable: the WHERE clause must reference at least " +

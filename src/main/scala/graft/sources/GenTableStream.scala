@@ -189,8 +189,13 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String,
     val tombDir = new org.apache.hadoop.fs.Path(
       s"$dir/${GenCommit.TombsTable}/gen=$g")
     if (fs.exists(tombDir)) {
+      // NULL-SAFE semi-join (VERDICT r18): the pre-images of a
+      // NULL-keyed tombstone are the NULL-keyed rows, which an EqualTo
+      // semi-join misses — downstream consumers would never see those
+      // deletes (consistently wrong with the read mask's old bug)
       val tombs = spark.read.parquet(tombDir.toString)
-      tag(preState.join(tombs, tombs.columns.toSeq, "left_semi"), "delete")
+      tag(GenTable.nullSafeKeyJoin(preState, tombs,
+        tombs.columns.toSeq, "left_semi"), "delete")
     } else {
       val claimedVals = readClaims(g).map(GenTable.decN)
       val genDir = new org.apache.hadoop.fs.Path(s"$dir/data/gen=$g")
@@ -305,9 +310,12 @@ object GenTableStream {
     val masked =
       if (keyCols.isEmpty) current
       else {
+        // null-safe key join — the consumer-side mirror of the table's
+        // own tombstone mask (a NULL-keyed delete must mask NULL-keyed
+        // rows here too, VERDICT r18)
         val dmax = dels.groupBy(keyCols.map(col): _*)
           .agg(max(col("_gen")).as("__dg"))
-        current.join(dmax, keyCols, "left")
+        GenTable.nullSafeKeyJoin(current, dmax, keyCols, "left")
           .filter(col("__dg").isNull || col("_gen") > col("__dg"))
           .drop("__dg")
       }

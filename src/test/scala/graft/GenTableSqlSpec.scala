@@ -366,6 +366,62 @@ class GenTableSqlSpec extends SparkSuite {
       s"bag replay wrong: $state")
   }
 
+  test("NULL-keyed tombstones mask (VERDICT r18): DELETE ... WHERE c IS " +
+      "NULL removes the NULL-keyed rows end to end — read-back, the " +
+      "row-CDC pre-images, and the consumer replay all see the delete; " +
+      "a nondeterministic DELETE predicate refuses loudly") {
+    val root = TempRoots.create("graft_null_tomb_")
+    val (dir, ckpt, sink) = (s"$root/t", s"$root/ckpt", s"$root/sink")
+    GenTable.init(Seq((1L, "A", Some(10.0)), (2L, "A", None),
+      (3L, "B", Some(30.0)), (4L, "B", None)).toDF("k", "p", "v"),
+      dir, "p")
+    spark.sql(s"DELETE FROM gentable.`$dir` WHERE v IS NULL")
+    // the read mask: the NULL-keyed tombstone must match NULL-keyed rows
+    // (the old EqualTo join matched nothing — a silent no-op DELETE)
+    val got = spark.sql(s"SELECT k FROM gentable.`$dir`")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"NULL-keyed DELETE did not mask: $got")
+    // Scala read path agrees
+    assert(GenTable.read(spark, dir, "p").select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the row-CDC stream delivers the NULL-keyed pre-images (the old
+    // left_semi missed them — downstream consumers never saw the delete)
+    val q = spark.readStream.format("gentable")
+      .option("changeGranularity", "row").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val log = spark.read.parquet(sink)
+    val dels = log.filter(col("_change") === "delete")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(dels == Set(2L, 4L),
+      s"row-CDC tombstone pre-images missed NULL-keyed rows: $dels")
+    val replayed = graft.sources.GenTableStream
+      .replayRows(log, "p").select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(replayed == Set(1L, 3L), s"bag replay wrong: $replayed")
+    // partition-granular replay masks NULL keys too (the consumer-side
+    // mirror of the table's own mask): gen-0 snapshot rows as `data`
+    // changes, plus a gen-1 NULL-keyed delete on the v column
+    val nullDels = Seq((2L, "A"), (4L, "B")).toDF("k", "p")
+      .withColumn("v", lit(null).cast("double"))
+      .withColumn("_gen", lit(1L)).withColumn("_change", lit("delete"))
+    val pk = graft.sources.GenTableStream.replay(
+      log.filter(col("_change") === "insert")
+        .withColumn("_change", lit("data"))
+        .unionByName(nullDels),
+      "p", keyCols = Seq("v"))
+    // delete keys here are the v column (all-NULL): only NULL-v rows die
+    assert(pk.select("k").collect().map(_.getLong(0)).toSet == Set(1L, 3L),
+      "replay's delete mask must be null-safe")
+    // a nondeterministic predicate would tombstone every row of any
+    // sampled key — refused loudly (VERDICT r18 #2)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM gentable.`$dir` WHERE k = 1 AND rand() < 0.5")
+    }
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+  }
+
   test("layout inheritance: statement-written generations (UPDATE, " +
       "INSERT, MERGE) carry the table's recorded sidecars — SQL DML " +
       "does not degrade skipping") {
