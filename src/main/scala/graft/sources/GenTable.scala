@@ -163,6 +163,79 @@ object GenTable {
     GenCommit.publish(spark, dir, 0L, DataTable, tk)
   }
 
+  /** TRANSACTIONAL whole-table replacement (ADVICE r18 high: INSERT
+    * OVERWRITE routed straight to [[init]], which deletes the live tree
+    * BEFORE validating or staging — an empty source destroyed the table
+    * then threw, a self-referencing overwrite read the deleted table,
+    * and any mid-write failure lost the old state). Here the new
+    * content stages as a COMPLETE sibling table
+    * (`<parent>/<name>_compacting` — [[SwapDir]]'s protocol) while the
+    * live tree keeps serving reads (a self-referencing
+    * `INSERT OVERWRITE t SELECT … FROM t` therefore reads its intact
+    * pre-state: the staged init fully consumes the source before any
+    * rename), then promotes by SwapDir's rename-aside swap. Every
+    * failure point leaves a complete table: a crash while staging
+    * leaves the live tree untouched (plus stray stage garbage the next
+    * replace sweeps); a crash inside the swap heals on the next
+    * [[replace]] (or [[SwapDir.recover]]) — roll forward if the staged
+    * set is complete, back otherwise. Validation (init's non-empty
+    * refusal, schema problems, write failures) all hit BEFORE the live
+    * tree is touched.
+    *
+    * Concurrency: a replacement spans every partition, so it takes an
+    * all-partitions claim on the LIVE table first — an in-flight
+    * overlapping writer serializes it (rebase-and-retry's wait), and a
+    * writer arriving mid-replace conflicts loudly. The claim is never
+    * released on success: the whole tree it lives in is swapped away.
+    * On failure before the swap it is released, leaving the table as it
+    * was. History is FRESH after a replace (generation 0 — the
+    * INSERT OVERWRITE contract, like [[compact]]'s): stale as-of pins
+    * fail loudly.
+    */
+  def replace(df: DataFrame, dir: String, partCol: String,
+      statsCols: Seq[String] = Nil, zorder: Boolean = false,
+      bloomCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, dir)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val (parent, name) = (path.getParent.toString, path.getName)
+    // heal a previous replace that crashed inside its swap window (live
+    // missing): roll the complete staged set forward, or the set-aside
+    // old table back — never both gone unless the table never existed
+    val stagedPath = new org.apache.hadoop.fs.Path(
+      SwapDir.stagePath(parent, name))
+    if (!f.exists(path) &&
+        (f.exists(new org.apache.hadoop.fs.Path(stagedPath, "_SUCCESS")) ||
+          f.exists(new org.apache.hadoop.fs.Path(s"$parent/${name}_old"))))
+      SwapDir.recover(spark, parent, name,
+        s"replace: no table, staged set or set-aside copy at $dir")
+    if (!f.exists(new org.apache.hadoop.fs.Path(s"$dir/commits"))) {
+      // nothing to replace — a plain create
+      init(df, dir, partCol, statsCols, zorder, bloomCols)
+      return
+    }
+    // serialize against in-flight writers: the replacement conflicts
+    // with everything (the deleteRows/compact rule)
+    val tk = GenCommit.newToken()
+    val (_, gen) = claimDisjoint(spark, dir, Set(AllMark), tk, "replace")
+    try {
+      f.delete(stagedPath, true) // stray garbage from a crashed attempt
+      init(df, stagedPath.toString, partCol, statsCols, zorder, bloomCols)
+      // the swap-level completeness marker (SwapDir refuses without it)
+      require(f.createNewFile(
+        new org.apache.hadoop.fs.Path(stagedPath, "_SUCCESS")),
+        s"replace: could not mark the staged table complete at $stagedPath")
+    } catch {
+      case t: Throwable =>
+        // live tree untouched — free the claim so the table stays
+        // writable, and drop the partial stage
+        GenCommit.releaseClaim(spark, dir, gen)
+        f.delete(stagedPath, true)
+        throw t
+    }
+    SwapDir.swap(spark, parent, name)
+  }
+
   /** The layout [[init]] recorded — (statsCols, zorder, bloomCols);
     * all-empty for a table with no record. What the SQL DML commands
     * and the streaming sink inherit so statement-written generations

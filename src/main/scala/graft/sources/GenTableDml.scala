@@ -120,7 +120,10 @@ case class GenTableInsertCommand(dir: String, query: LogicalPlan,
       }
     val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
     if (overwrite)
-      GenTable.init(aligned.select(target.columns.toIndexedSeq.map(c =>
+      // TRANSACTIONAL replace (ADVICE r18 high): stage the new table
+      // complete, then swap — an empty/failing source never touches the
+      // live tree, and a self-referencing overwrite reads its pre-state
+      GenTable.replace(aligned.select(target.columns.toIndexedSeq.map(c =>
         col(c).cast(target.schema(c).dataType).as(c)): _*), dir, partCol,
         statsCols = stats, zorder = zo, bloomCols = blooms)
     else

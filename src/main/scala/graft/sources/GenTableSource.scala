@@ -142,7 +142,10 @@ class GenTableSource extends RelationProvider with DataSourceRegister
             "deltas through GenTable.merge (or the CDC stream), which " +
             "commits them as atomic generations")
       case _ =>
-        GenTable.init(data, dir, partCol,
+        // Overwrite of an EXISTING table goes through the staged swap
+        // (ADVICE r18 high — a failing write must not destroy the live
+        // tree); a fresh create is a plain init (replace delegates)
+        GenTable.replace(data, dir, partCol,
           statsCols = parameters.get("statsCols")
             .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
           zorder = parameters.get("zorder").exists(_.toBoolean),

@@ -252,6 +252,53 @@ class GenTableSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("PARTITION spec"), e2.getMessage)
   }
 
+  test("INSERT OVERWRITE is transactional (ADVICE r18): an empty source " +
+      "fails BEFORE touching the table (which stays writable), a " +
+      "self-referencing overwrite reads its pre-state, history is " +
+      "fresh, and a crash inside the swap window heals on the next " +
+      "replace") {
+    val root = TempRoots.create("graft_ow_")
+    val dir = s"$root/t"
+    GenTable.init(Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "p", "v"),
+      dir, "p")
+    // empty source: init's non-empty refusal fires against the STAGED
+    // tree — the live table is untouched (the old path deleted it first,
+    // then threw)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE gentable.`$dir` " +
+        s"SELECT k, v, p FROM gentable.`$dir` WHERE k < 0")
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+    assert(spark.sql(s"SELECT k FROM gentable.`$dir`").count() == 2,
+      "a failed OVERWRITE must leave the table intact")
+    // and WRITABLE: the failure released its all-partitions claim
+    GenTable.merge(spark, dir, "p",
+      Seq((3L, "B", 30.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    // self-referencing overwrite: the staged write fully consumes the
+    // live pre-state before the swap promotes the replacement
+    spark.sql(s"INSERT OVERWRITE gentable.`$dir` " +
+      s"SELECT k, v * 2, p FROM gentable.`$dir`")
+    val got = spark.sql(s"SELECT k, v FROM gentable.`$dir`")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 20.0), (2L, 40.0), (3L, 60.0)),
+      s"self-referencing OVERWRITE wrong: $got")
+    // fresh history — the overwrite contract (like compaction's)
+    assert(GenCommit.committed(spark, dir) == Seq(0L),
+      "OVERWRITE must reset history to generation 0")
+    // crash INSIDE the swap (live renamed aside, staged set complete):
+    // the next replace heals by rolling the complete stage forward
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(
+      graft.sources.SwapDir.stagePath(root, "t"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), staged))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+    GenTable.replace(Seq((9L, "C", 90.0)).toDF("k", "p", "v"), dir, "p")
+    assert(spark.sql(s"SELECT k FROM gentable.`$dir`")
+      .collect().map(_.getLong(0)).toSet == Set(9L),
+      "replace after a crashed swap must heal then apply")
+  }
+
   test("timestamp time travel: asOfTs resolves by the monotonized-stamp " +
       "rule; a pre-history pin and a post-compaction stale pin fail " +
       "loudly; history carries the stamp column") {
