@@ -127,6 +127,12 @@ object SparkEntry {
     // TIMESTAMP AS OF: deterministic commit stamps via the clock seam,
     // SQL asOfTs pin between the batches — shares q92e's oracle
     "q92q_asof_ts" -> ((s, d) => ops.Merge.q92q(s, d)),
+    // catalog-NAMED table surface (r19): MERGE INTO name / DELETE FROM
+    // name / VERSION AS OF on name resolve through the session catalog
+    // to the table's gentable path — shares q92b/q92f/q92e's oracles
+    "q92s_merge_named" -> ((s, d) => ops.Merge.q92s(s, d)),
+    "q92t_delete_named" -> ((s, d) => ops.Merge.q92t(s, d)),
+    "q92u_asof_named" -> ((s, d) => ops.Merge.q92u(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -534,6 +540,9 @@ object SparkEntry {
     "q92o_update_sql" -> ops.Merge.q92oSql,
     "q92p_insert_sql" -> ops.Merge.q92pSql,
     "q92q_asof_ts" -> ops.Merge.q92eSql,
+    "q92s_merge_named" -> ops.Merge.q92bSql,
+    "q92t_delete_named" -> ops.Merge.q92fSql,
+    "q92u_asof_named" -> ops.Merge.q92eSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "x29b_stream_gentable_rows" -> ops.Merge.q92bSql,
     "x30_stream_gentable_sink" -> ops.Merge.q92bSql,

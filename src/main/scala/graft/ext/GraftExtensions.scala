@@ -568,25 +568,27 @@ case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
       // before either the V2 rejection or the path-relation rewrite
       // below can touch its target (graft.sources.GenTableMerge)
       case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
-          if graft.sources.GenTableMerge.isGenTarget(m) =>
-        graft.sources.GenTableMerge.translate(m).get
+          if graft.sources.GenTableMerge.isGenTarget(spark, m) =>
+        graft.sources.GenTableMerge.translate(spark, m).get
       // the other DML verbs (VERDICT r17 #1) — like MERGE, each must
       // become its gentable command while the target is still the raw
-      // two-part identifier (graft.sources.GenTableDml)
+      // identifier; since r19 the target may also be a one-/two-part
+      // name resolving through the session catalog to a table whose
+      // provider is gentable (graft.sources.GenTableMerge.genTarget)
       case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
-          if graft.sources.GenTableDml.isDelete(d) =>
-        graft.sources.GenTableDml.translateDelete(d)
+          if graft.sources.GenTableDml.isDelete(spark, d) =>
+        graft.sources.GenTableDml.translateDelete(spark, d)
       case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
-          if graft.sources.GenTableDml.isUpdate(u) =>
-        graft.sources.GenTableDml.translateUpdate(u)
+          if graft.sources.GenTableDml.isUpdate(spark, u) =>
+        graft.sources.GenTableDml.translateUpdate(spark, u)
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
-          if graft.sources.GenTableDml.isInsert(i) =>
-        graft.sources.GenTableDml.translateInsert(i)
+          if graft.sources.GenTableDml.isInsert(spark, i) =>
+        graft.sources.GenTableDml.translateInsert(spark, i)
       // native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF —
       // must resolve before the bare-relation rewrite below strips the
-      // travel clause's target
+      // travel clause's target; catalog names resolve here too (r19)
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-          if graft.sources.GenTableDml.isTimeTravel(tt) =>
+          if graft.sources.GenTableDml.isTimeTravel(spark, tt) =>
         graft.sources.GenTableDml.translateTimeTravel(spark, tt)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&

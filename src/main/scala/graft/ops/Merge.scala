@@ -673,6 +673,102 @@ object Merge {
   val q92pSql: String = mergeSqlCte(" AND year(o_orderdate) >= 1996",
     insertPred = "o_orderkey % 8 = 7")
 
+  /** q92s_merge_named: q92m's SQL MERGE batches issued against a
+    * CATALOG-NAMED table (r19 — VERDICT r18 #2): `CREATE TABLE …
+    * USING gentable OPTIONS (path, partCol) AS SELECT …` creates the
+    * name, and `MERGE INTO gt_named_s` (no `gentable.` path qualifier)
+    * resolves through the session catalog — `genTarget` recovers the
+    * path from the CatalogTable's storage options. The reference's own
+    * writeback targets a NAMED table
+    * (`dags/order_currency_conversion_dag.py:145`); until r19 every
+    * write verb worked only on the path form. Read back through the
+    * NAME too. Same final state as q92b — SHARES its oracle.
+    */
+  def q92s(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92s_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    t0.withColumn("yr", year(col("o_orderdate")))
+      .createOrReplaceTempView("gt_named_s_t0")
+    spark.sql("DROP TABLE IF EXISTS gt_named_s")
+    spark.sql(
+      s"""CREATE TABLE gt_named_s USING gentable
+         |OPTIONS (path '$tbl', partCol 'yr')
+         |AS SELECT * FROM gt_named_s_t0""".stripMargin)
+    recent(d1).createOrReplaceTempView("gt_named_s_d1")
+    recent(d2).createOrReplaceTempView("gt_named_s_d2")
+    Seq("gt_named_s_d1", "gt_named_s_d2").foreach { v =>
+      spark.sql(
+        s"""MERGE INTO gt_named_s t USING $v s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s._op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s._op <> 'delete' THEN INSERT *
+           |""".stripMargin)
+    }
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM gt_named_s
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q92t_delete_named: q92n's SQL DELETE against the catalog NAME —
+    * the GDPR takedown on `DELETE FROM gt_named_t WHERE …`, tombstone
+    * routing and all, plus the named read-back (which serves the
+    * MASKED view through the catalog's stored schema). Same final
+    * state as q92f — SHARES its oracle.
+    */
+  def q92t(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92t_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    spark.sql("DROP TABLE IF EXISTS gt_named_t")
+    spark.sql(
+      s"CREATE TABLE gt_named_t USING gentable OPTIONS (path '$tbl')")
+    spark.sql("DELETE FROM gt_named_t WHERE o_orderkey % 32 = 9")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM gt_named_t
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** q92u_asof_named: VERSION AS OF time travel on the catalog NAME —
+    * q92e's write sequence, then `FROM gt_named_u VERSION AS OF 1`:
+    * the travel clause's target resolves through the catalog to the
+    * table's path and pins the batch-1 generation. SHARES q92e's
+    * oracle (after batch 1, before batch 2).
+    */
+  def q92u(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92u_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))                                     // gen 1
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))                                     // gen 2
+    spark.sql("DROP TABLE IF EXISTS gt_named_u")
+    spark.sql(
+      s"CREATE TABLE gt_named_u USING gentable OPTIONS (path '$tbl')")
+    spark.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM gt_named_u VERSION AS OF 1
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
     * applied, then read `asOfGen` = the batch-1 generation: the result
     * must be the state AFTER batch 1 and BEFORE batch 2 (batch 2's

@@ -142,15 +142,15 @@ object GenTableDml {
     * epoch millis and resolves through the monotonized-stamp rule —
     * exactly the `asOfGen`/`asOfTs` options, as SQL syntax.
     */
-  def isTimeTravel(
+  def isTimeTravel(spark: SparkSession,
       tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
       : Boolean =
-    GenTableMerge.genTarget(tt.relation).isDefined
+    GenTableMerge.genTarget(spark, tt.relation).isDefined
 
   def translateTimeTravel(spark: SparkSession,
       tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
       : LogicalPlan = {
-    val dir = GenTableMerge.genTarget(tt.relation).get
+    val dir = GenTableMerge.genTarget(spark, tt.relation).get.dir
     val opts: Map[String, String] = (tt.version, tt.timestamp) match {
       case (Some(v), None) =>
         require(v.nonEmpty && v.forall(_.isDigit),
@@ -175,18 +175,20 @@ object GenTableDml {
       isStreaming = false)
   }
 
-  def isDelete(d: DeleteFromTable): Boolean =
-    GenTableMerge.genTarget(d.table).isDefined
+  def isDelete(spark: SparkSession, d: DeleteFromTable): Boolean =
+    GenTableMerge.genTarget(spark, d.table).isDefined
 
-  def translateDelete(d: DeleteFromTable): GenTableDeleteCommand =
-    GenTableDeleteCommand(GenTableMerge.genTarget(d.table).get,
+  def translateDelete(spark: SparkSession,
+      d: DeleteFromTable): GenTableDeleteCommand =
+    GenTableDeleteCommand(GenTableMerge.genTarget(spark, d.table).get.dir,
       d.condition.sql)
 
-  def isUpdate(u: UpdateTable): Boolean =
-    GenTableMerge.genTarget(u.table).isDefined
+  def isUpdate(spark: SparkSession, u: UpdateTable): Boolean =
+    GenTableMerge.genTarget(spark, u.table).isDefined
 
-  def translateUpdate(u: UpdateTable): GenTableUpdateCommand = {
-    val dir = GenTableMerge.genTarget(u.table).get
+  def translateUpdate(spark: SparkSession,
+      u: UpdateTable): GenTableUpdateCommand = {
+    val dir = GenTableMerge.genTarget(spark, u.table).get.dir
     val sets = u.assignments.map {
       case Assignment(a: UnresolvedAttribute, v) => (a.nameParts.last, v.sql)
       case other =>
@@ -197,10 +199,11 @@ object GenTableDml {
     GenTableUpdateCommand(dir, sets, u.condition.map(_.sql))
   }
 
-  def isInsert(i: InsertIntoStatement): Boolean =
-    GenTableMerge.genTarget(i.table).isDefined
+  def isInsert(spark: SparkSession, i: InsertIntoStatement): Boolean =
+    GenTableMerge.genTarget(spark, i.table).isDefined
 
-  def translateInsert(i: InsertIntoStatement): GenTableInsertCommand = {
+  def translateInsert(spark: SparkSession,
+      i: InsertIntoStatement): GenTableInsertCommand = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"INSERT INTO gentable: $what is not supported — the supported " +
@@ -210,7 +213,7 @@ object GenTableDml {
     if (i.partitionSpec.nonEmpty) unsupported("a PARTITION spec")
     if (i.userSpecifiedCols.nonEmpty) unsupported("a column list")
     if (i.ifPartitionNotExists) unsupported("IF NOT EXISTS")
-    GenTableInsertCommand(GenTableMerge.genTarget(i.table).get,
+    GenTableInsertCommand(GenTableMerge.genTarget(spark, i.table).get.dir,
       i.query, i.overwrite, i.byName)
   }
 }

@@ -252,6 +252,61 @@ class GenTableSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("PARTITION spec"), e2.getMessage)
   }
 
+  test("catalog-named tables (r19): UPDATE/INSERT/DELETE/MERGE and " +
+      "readStream.table all resolve the name through the session " +
+      "catalog; a temp view with a gentable-ish name is NOT intercepted; " +
+      "an evolving MERGE keeps the stored catalog schema in sync") {
+    val root = TempRoots.create("graft_named_")
+    val dir = s"$root/t"
+    Seq((1L, "A", 10.0), (2L, "B", 20.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("named_src")
+    spark.sql("DROP TABLE IF EXISTS named_t")
+    spark.sql(s"CREATE TABLE named_t USING gentable " +
+      s"OPTIONS (path '$dir', partCol 'p') AS SELECT * FROM named_src")
+    // named UPDATE
+    spark.sql("UPDATE named_t SET v = v + 1.0 WHERE k = 1")
+    // named INSERT
+    spark.sql("INSERT INTO named_t VALUES (3, 30.0, 'B')")
+    // named DELETE
+    spark.sql("DELETE FROM named_t WHERE k = 2")
+    // named MERGE (evolving: adds column w — catalog schema must follow)
+    Seq((1L, "A", 100.0, "x1")).toDF("k", "p", "v", "w")
+      .createOrReplaceTempView("named_delta")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO named_t t USING named_delta s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the named read serves the merged+masked state under the SYNCED
+    // catalog schema (without the sync this SELECT fails the
+    // stored-vs-actual schema check)
+    val got = spark.sql("SELECT k, v, w FROM named_t").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set((1L, 100.0, Some("x1")), (3L, 30.0, None)),
+      s"named DML chain wrong: $got")
+    // named time travel
+    assert(spark.sql("SELECT k FROM named_t VERSION AS OF 0")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // readStream.table follows the name (catalog → V1 streaming source)
+    val sink = s"$root/sink"
+    val q = spark.readStream.table("named_t")
+      .writeStream.option("checkpointLocation", s"$root/ckpt")
+      .format("parquet").option("path", sink).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(sink).count() > 0,
+      "readStream.table must follow the named gentable")
+    // a TEMP VIEW whose name would resolve is NOT ours: Spark's own
+    // error fires (the view is not a table), never a silent gentable hit
+    Seq((1L, "A", 1.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("named_view")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM named_view WHERE k = 1")
+    }
+    assert(!e.getMessage.contains("gentable"), e.getMessage)
+    spark.sql("DROP TABLE named_t")
+  }
+
   test("INSERT OVERWRITE is transactional (ADVICE r18): an empty source " +
       "fails BEFORE touching the table (which stays writable), a " +
       "self-referencing overwrite reads its pre-state, history is " +
