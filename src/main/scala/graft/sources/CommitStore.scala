@@ -81,19 +81,29 @@ object HdfsCommitStore extends CommitStore {
   * outlive the call.
   */
 class LockingCommitStore(tryLock: String => Boolean,
-    unlock: String => Unit) extends CommitStore {
+    unlock: String => Unit,
+    waitBudgetMs: Long = 30000L) extends CommitStore {
 
   override def createExclusive(f: FileSystem, p: Path): Boolean = {
     val key = p.toString
-    // bounded spin on the mutex: losing the LOCK race is not losing the
-    // CREATE race — the loser must still observe the winner's outcome
-    var attempts = 1000
+    // TIME-bounded wait on the mutex with exponential backoff + jitter
+    // (ADVICE r18 low: a fixed 1000 × 2 ms spin gave up after ~2 s and
+    // blamed a dead lock-holder — legitimate contention on a slow
+    // external lock service exceeds that and failed commits spuriously;
+    // the budget is a constructor choice, default 30 s). Losing the
+    // LOCK race is not losing the CREATE race — the loser must still
+    // observe the winner's outcome.
+    val deadline = System.nanoTime() + waitBudgetMs * 1000000L
+    var delayMs = 2L
     while (!tryLock(key)) {
-      attempts -= 1
-      if (attempts <= 0) throw new IllegalStateException(
+      if (System.nanoTime() >= deadline) throw new IllegalStateException(
         s"LockingCommitStore: could not acquire the commit mutex for " +
-          s"$key — a dead lock-holder; clear the lock service entry")
-      Thread.sleep(2)
+          s"$key within $waitBudgetMs ms — a dead lock-holder (clear " +
+          "the lock service entry) or a wait budget too small for this " +
+          "lock service's latency (raise waitBudgetMs)")
+      Thread.sleep(delayMs + java.util.concurrent.ThreadLocalRandom
+        .current().nextLong(delayMs))
+      delayMs = math.min(delayMs * 2, 200L)
     }
     try {
       if (f.exists(p)) false

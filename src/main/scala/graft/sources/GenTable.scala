@@ -657,7 +657,11 @@ object GenTable {
       stampOf(g).foreach { t =>
         eff = eff max t; sawStamp = true
       }
-      if (eff <= tsMs) pick = Some(g)
+      // an UNSTAMPED-PREFIX generation (no stamp seen yet) is never
+      // pickable (ADVICE r18 low: eff = MinValue made any pin below the
+      // first recorded stamp silently resolve to those generations
+      // instead of the documented loud pre-history failure)
+      if (sawStamp && eff <= tsMs) pick = Some(g)
     }
     require(sawStamp,
       s"asOfTs: no commit at $dir carries a timestamp — the table " +

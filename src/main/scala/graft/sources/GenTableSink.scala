@@ -67,7 +67,16 @@ class GenTableSink(spark: SparkSession, dir: String,
       val pc = partColOpt.getOrElse(throw new IllegalArgumentException(
         "gentable sink: option partCol is required when the sink " +
           "creates the table (no partcol record exists yet)"))
-      val first = withOp.filter(col(opCol) =!= "delete").drop(opCol)
+      // the first batch reduces EXACTLY like every later one (ADVICE
+      // r18 medium: the old filter-out-deletes init resurrected an
+      // upsert-then-delete key and kept duplicate upserts per key):
+      // Merge.upsert against an EMPTY target applies the per-key
+      // seqCol latest-wins resolution, the loud ambiguity checks, and
+      // drops keys whose final op is delete — the merge path's
+      // semantics, shared instead of approximated
+      val payload = withOp.drop((opCol +: seqCol.toList): _*)
+      val first = graft.ops.Merge.upsert(
+        payload.filter(lit(false)), withOp, keys, opCol, seqCol)
       // an all-delete first batch has nothing to create the table from —
       // commit nothing and let a later batch init (init refuses empty)
       if (!first.isEmpty)

@@ -392,10 +392,15 @@ private[sources] class GenFileIndex(
     * billed G × C planning-time jobs on a many-generation table).
     * Driver-local metadata, file-count-sized.
     */
-  private val statsCache =
-    scala.collection.mutable.Map[Long, Seq[(String, String, String, String)]]()
-  private val bloomCache =
-    scala.collection.mutable.Map[Long, Seq[(String, String,
+  // ConcurrentHashMap.computeIfAbsent, not a scala mutable.Map (ADVICE
+  // r18 medium: listFiles runs at PLANNING time, and concurrent queries
+  // sharing a cached relation — a cached named table, a reused
+  // DataFrame — plan in parallel; racing getOrElseUpdate on an
+  // unsynchronized map can corrupt it)
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, Seq[(String, String, String, String)]]()
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    Long, Seq[(String, String,
       org.apache.spark.util.sketch.BloomFilter)]]()
 
   /** One generation's allowed files for a bound — the [[GenTable
@@ -408,7 +413,7 @@ private[sources] class GenFileIndex(
     */
   private def statsAllowed(g: Long, colName: String,
       lo: Option[Any], hi: Option[Any]): Option[Set[String]] = {
-    val entries = statsCache.getOrElseUpdate(g, {
+    val entries = statsCache.computeIfAbsent(g, _ => {
       val s = GenCommit.readSmallFile(fs,
         new org.apache.hadoop.fs.Path(s"$dir/filestats/$g"))
       (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
@@ -463,7 +468,7 @@ private[sources] class GenFileIndex(
     */
   private def bloomAllowed(g: Long, colName: String,
       value: Any): Option[Set[String]] = {
-    val entries = bloomCache.getOrElseUpdate(g, {
+    val entries = bloomCache.computeIfAbsent(g, _ => {
       val s = GenCommit.readSmallFile(fs,
         new org.apache.hadoop.fs.Path(s"$dir/blooms/$g"))
       (if (s.isEmpty) Seq.empty[String] else s.split("\n").toSeq)
@@ -478,8 +483,8 @@ private[sources] class GenFileIndex(
     if (entries.isEmpty) None
     else {
       val dt = dataSchema(colName).dataType
-      val h = keyHashCache.getOrElseUpdate((colName, value),
-        GenTable.keyHash(spark, value, dt))
+      val h = keyHashCache.computeIfAbsent((colName, value),
+        _ => GenTable.keyHash(spark, value, dt))
       Some(entries.filter(_._3.mightContainLong(h)).map(_._1).toSet)
     }
   }
@@ -489,7 +494,7 @@ private[sources] class GenFileIndex(
     * per generation.
     */
   private val keyHashCache =
-    scala.collection.mutable.Map[(String, Any), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Any), Long]()
 
   override def inputFiles: Array[String] =
     entries.flatMap(_._3.map(_.getPath.toString)).toArray

@@ -185,6 +185,33 @@ class GenCommitSpec extends SparkSuite {
       s"got ${wins.get()}")
   }
 
+  test("LockingCommitStore: the mutex wait is TIME-budgeted with " +
+      "backoff (ADVICE r18) — a held lock outlasting the budget fails " +
+      "naming the budget; contention shorter than the budget succeeds") {
+    val dir = TempRoots.create("graft_lockwait_")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // a lock nobody ever releases: the budget, not a spin count, decides
+    val stuck = new graft.sources.LockingCommitStore(
+      _ => false, _ => (), waitBudgetMs = 120L)
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException] {
+      stuck.createExclusive(f, new org.apache.hadoop.fs.Path(s"$dir/a"))
+    }
+    assert(e.getMessage.contains("120 ms"), e.getMessage)
+    assert((System.nanoTime() - t0) / 1000000L >= 100L,
+      "must wait out the budget before giving up")
+    // slow-but-live contention WITHIN the budget succeeds (the old 2 s
+    // spin cap failed this shape spuriously)
+    val free = System.currentTimeMillis() + 300L
+    val slow = new graft.sources.LockingCommitStore(
+      _ => System.currentTimeMillis() >= free, _ => (),
+      waitBudgetMs = 10000L)
+    assert(slow.createExclusive(f, new org.apache.hadoop.fs.Path(s"$dir/b")),
+      "contention within the budget must win eventually")
+  }
+
   test("crash matrix: both kill points (pre-promote, post-promote/" +
       "pre-marker) x both adapters leave the table readable at the last " +
       "committed state, and the documented recovery heals each") {

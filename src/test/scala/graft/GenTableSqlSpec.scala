@@ -422,6 +422,30 @@ class GenTableSqlSpec extends SparkSuite {
       // the surviving state still reads at/after the compaction stamp
       assert(GenTable.read(spark, dir, "p", asOfTs = Some(9000L))
         .count() == 3)
+      // UNSTAMPED-PREFIX table (ADVICE r18 low): blank out the first
+      // generation's marker (a legacy/crash-window empty marker) — a
+      // pin below the first RECORDED stamp must fail loudly instead of
+      // silently resolving to the unstamped generations
+      val dir2 = s"${TempRoots.create("graft_ts_legacy_")}/t"
+      GenCommit.clockMs = () => 5000L
+      GenTable.init(Seq((1L, "A", 1.0)).toDF("k", "p", "v"), dir2, "p")
+      GenCommit.clockMs = () => 6000L
+      GenTable.merge(spark, dir2, "p",
+        Seq((2L, "B", 2.0, "upsert")).toDF("k", "p", "v", "_op"),
+        Seq("k"))
+      val fs2 = new org.apache.hadoop.fs.Path(dir2)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs2.create(new org.apache.hadoop.fs.Path(s"$dir2/commits/0"), true)
+        .close() // empty = pre-stamp legacy marker
+      val e3 = intercept[Exception] {
+        GenTable.read(spark, dir2, "p", asOfTs = Some(5500L)).collect()
+      }
+      assert(e3.getMessage.contains("predates"),
+        s"a pin below the first recorded stamp must be pre-history: " +
+          s"${e3.getMessage}")
+      // at/after the first recorded stamp still resolves
+      assert(GenTable.read(spark, dir2, "p", asOfTs = Some(6000L))
+        .count() == 2)
     } finally GenCommit.clockMs = saved
   }
 
@@ -645,6 +669,35 @@ class GenTableSqlSpec extends SparkSuite {
         .processAllAvailable()
     }
     assert(e.getMessage.contains("keys"), e.getMessage)
+  }
+
+  test("gentable sink auto-init reduces batch 0 like every later batch " +
+      "(ADVICE r18): upsert-then-delete of a key in the first batch " +
+      "does not resurrect it, and duplicate upserts resolve seqCol " +
+      "latest-wins") {
+    val root = TempRoots.create("graft_sink_b0_")
+    val (src, dir, ck) = (s"$root/src", s"$root/t", s"$root/ck")
+    // ONE file → one micro-batch → the auto-init path sees the whole
+    // mixed batch: k=1 upserted twice (seq 1 then 2 — latest wins),
+    // k=2 upserted then deleted (must NOT survive), k=3 plain
+    Seq(
+      (1L, "A", 10.0, 1L, "upsert"),
+      (1L, "A", 11.0, 2L, "upsert"),
+      (2L, "B", 20.0, 1L, "upsert"),
+      (2L, "B", 20.0, 2L, "delete"),
+      (3L, "B", 30.0, 1L, "upsert"))
+      .toDF("k", "p", "v", "seq", "_op")
+      .coalesce(1).write.parquet(src)
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .parquet(src)
+      .writeStream.format("gentable").option("path", dir)
+      .option("keys", "k").option("partCol", "p").option("seqCol", "seq")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = GenTable.read(spark, dir, "p").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 11.0), (3L, 30.0)),
+      s"auto-init must apply the merge path's batch reduction: $got")
   }
 
   test("gentable stream: every committed generation delivered exactly " +
