@@ -133,6 +133,9 @@ object SparkEntry {
     "q92s_merge_named" -> ((s, d) => ops.Merge.q92s(s, d)),
     "q92t_delete_named" -> ((s, d) => ops.Merge.q92t(s, d)),
     "q92u_asof_named" -> ((s, d) => ops.Merge.q92u(s, d)),
+    // SQL OPTIMIZE (r19): the maintenance verb compacts mid-sequence,
+    // a later merge lands on the fresh history — shares q92b's oracle
+    "q92v_optimize_sql" -> ((s, d) => ops.Merge.q92v(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -543,6 +546,7 @@ object SparkEntry {
     "q92s_merge_named" -> ops.Merge.q92bSql,
     "q92t_delete_named" -> ops.Merge.q92fSql,
     "q92u_asof_named" -> ops.Merge.q92eSql,
+    "q92v_optimize_sql" -> ops.Merge.q92bSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "x29b_stream_gentable_rows" -> ops.Merge.q92bSql,
     "x30_stream_gentable_sink" -> ops.Merge.q92bSql,

@@ -682,5 +682,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.bucketRankBuilder _))
     ext.injectOptimizerRule(_ => EliminateIdentityConvert)
     ext.injectHintResolutionRule(ResolveGenTablePath)
+    // OPTIMIZE / VACUUM maintenance verbs (r19) — everything else
+    // delegates to Spark's parser verbatim
+    ext.injectParser((session, delegate) => GraftSqlParser(session, delegate))
   }
 }

@@ -769,6 +769,38 @@ object Merge {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q92v_optimize_sql: the SQL MAINTENANCE verb (r19 — VERDICT r18
+    * #3): q92d's write sequence with the compaction issued MID-SEQUENCE
+    * as `OPTIMIZE gentable.`dir`` (the statement Delta users type;
+    * parsed by the injected [[graft.ext.GraftSqlParser]], routed onto
+    * [[graft.sources.GenTable.compact]] with the table's recorded
+    * layout) — then a FURTHER merge lands on the compacted table and
+    * the final read goes through SQL. Gates that the statement
+    * compacts (history folds to one generation), that the fresh
+    * history accepts later writers, and that content is untouched —
+    * same final state as q92b: SHARES its oracle. IF NEEDED gating,
+    * the VACUUM alias, named targets and the non-gentable refusal are
+    * spec-pinned.
+    */
+  def q92v(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92v_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    spark.sql(s"OPTIMIZE gentable.`$tbl`")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2),
+      Seq("o_orderkey"))
+    spark.sql(
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         |FROM gentable.`$tbl`
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** q92e_merge_asof: TIME TRAVEL on the merged table — both batches
     * applied, then read `asOfGen` = the batch-1 generation: the result
     * must be the state AFTER batch 1 and BEFORE batch 2 (batch 2's

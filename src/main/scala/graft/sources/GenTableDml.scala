@@ -133,6 +133,43 @@ case class GenTableInsertCommand(dir: String, query: LogicalPlan,
   }
 }
 
+/** The SQL MAINTENANCE verb (r19 — VERDICT r18 #3): `OPTIMIZE <t>` /
+  * `VACUUM <t>` (Delta's verbs; this format's [[GenTable.compact]] is
+  * BOTH — it folds history, collapses each partition to one fresh
+  * generation, drops tombstones and sweeps unreachable state, which is
+  * exactly what the two verbs split between them elsewhere), optionally
+  * gated `IF NEEDED` on the measured [[GenTable.shouldCompact]] policy.
+  * Parsed by [[graft.ext.GraftSqlParser]] (Spark's parser has no
+  * maintenance verbs — the Delta-connector parser-injection shape);
+  * the target resolves like every DML target: `gentable.`dir`` or a
+  * catalog name whose provider is gentable. Returns one row
+  * (`compacted` boolean — false only for a declined IF NEEDED).
+  * Single-writer maintenance window, as with every compactor.
+  */
+case class GenTableOptimizeCommand(parts: Seq[String], ifNeeded: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "compacted", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GenTableMerge.genTargetParts(spark, parts)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"OPTIMIZE/VACUUM: ${parts.mkString(".")} is not a gentable " +
+          "target — use gentable.`dir` or a catalog table created " +
+          "USING gentable")).dir
+    val partCol = GenTable.partColOf(spark, dir)
+    // maintenance preserves the table's recorded layout (the SQL DML
+    // inheritance rule — a compaction must not un-cluster the table)
+    val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
+    val doIt = !ifNeeded || GenTable.shouldCompact(spark, dir)
+    if (doIt) GenTable.compact(spark, dir, partCol, stats, zo, blooms)
+    Seq(Row(doIt))
+  }
+}
+
 object GenTableDml {
 
   /** The ANSI-ish time-travel clause (`FROM t VERSION AS OF n` /

@@ -152,13 +152,19 @@ object GenTableMerge {
   private[sources] def genTarget(spark: SparkSession,
       plan: LogicalPlan): Option[GenTarget] = plan match {
     case SubqueryAlias(_, child) => genTarget(spark, child)
-    case u: UnresolvedRelation
-        if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("gentable") =>
-      Some(GenTarget(u.multipartIdentifier(1), None))
-    case u: UnresolvedRelation => catalogGenTable(spark, u.multipartIdentifier)
+    case u: UnresolvedRelation => genTargetParts(spark, u.multipartIdentifier)
     case _ => None
   }
+
+  /** [[genTarget]] over raw identifier PARTS — shared with statements
+    * that never carry a relation node (the OPTIMIZE/VACUUM maintenance
+    * verbs parse their target as a bare multipart identifier).
+    */
+  private[sources] def genTargetParts(spark: SparkSession,
+      parts: Seq[String]): Option[GenTarget] =
+    if (parts.length == 2 && parts.head.equalsIgnoreCase("gentable"))
+      Some(GenTarget(parts(1), None))
+    else catalogGenTable(spark, parts)
 
   /** The catalog half of [[genTarget]]: resolve `parts` through the
     * SESSION catalog; Some iff it names an existing (non-temp-view)

@@ -307,6 +307,51 @@ class GenTableSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE named_t")
   }
 
+  test("SQL OPTIMIZE/VACUUM (r19): the maintenance verbs compact with " +
+      "the recorded layout, IF NEEDED gates on the measured policy, " +
+      "named targets resolve, non-gentable targets refuse loudly, and " +
+      "every other statement still parses through the delegate") {
+    val dir = buildTable("opt_")
+    val pre = GenTable.read(spark, dir, "p").collect().toSet
+    assert(GenCommit.committed(spark, dir).size == 2)
+    // IF NEEDED declines on a tiny 2-generation table (the measured
+    // fixed-cost floor) and says so
+    val declined = spark.sql(s"OPTIMIZE gentable.`$dir` IF NEEDED")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(declined == Seq(false) &&
+      GenCommit.committed(spark, dir).size == 2,
+      "IF NEEDED must decline below the measured crossover")
+    // unconditional OPTIMIZE folds history to ONE fresh generation,
+    // content untouched
+    val did = spark.sql(s"OPTIMIZE gentable.`$dir`")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(did == Seq(true))
+    assert(GenCommit.committed(spark, dir).size == 1,
+      "OPTIMIZE must fold history to the one fresh generation")
+    assert(GenTable.read(spark, dir, "p").collect().toSet == pre,
+      "OPTIMIZE must not change content")
+    // VACUUM is the same maintenance op on this format; named targets
+    // resolve through the catalog
+    spark.sql("DROP TABLE IF EXISTS opt_named")
+    spark.sql(s"CREATE TABLE opt_named USING gentable OPTIONS (path '$dir')")
+    GenTable.merge(spark, dir, "p",
+      Seq((9L, "C", 90.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(spark.sql("VACUUM opt_named").collect().head.getBoolean(0))
+    assert(GenCommit.committed(spark, dir).size == 1)
+    assert(GenTable.read(spark, dir, "p").collect().toSet.size ==
+      pre.size + 1)
+    spark.sql("DROP TABLE opt_named")
+    // a non-gentable target refuses loudly at run
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE not_a_table").collect()
+    }
+    assert(e.getMessage.contains("not a gentable"), e.getMessage)
+    // the delegate still owns everything else — incl. statements that
+    // merely START with the keyword-ish text
+    assert(spark.sql("SELECT 'OPTIMIZE t' AS s").collect()
+      .head.getString(0) == "OPTIMIZE t")
+  }
+
   test("INSERT OVERWRITE is transactional (ADVICE r18): an empty source " +
       "fails BEFORE touching the table (which stays writable), a " +
       "self-referencing overwrite reads its pre-state, history is " +
