@@ -136,6 +136,9 @@ object SparkEntry {
     // SQL OPTIMIZE (r19): the maintenance verb compacts mid-sequence,
     // a later merge lands on the fresh history — shares q92b's oracle
     "q92v_optimize_sql" -> ((s, d) => ops.Merge.q92v(s, d)),
+    // SQL ALTER TABLE ADD COLUMNS (r19): footer widening as a statement,
+    // batch 2 then carries the column plainly — shares q92i's oracle
+    "q92w_alter_add_sql" -> ((s, d) => ops.Merge.q92w(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -547,6 +550,7 @@ object SparkEntry {
     "q92t_delete_named" -> ops.Merge.q92fSql,
     "q92u_asof_named" -> ops.Merge.q92eSql,
     "q92v_optimize_sql" -> ops.Merge.q92bSql,
+    "q92w_alter_add_sql" -> ops.Merge.q92iSql,
     "x29_stream_gentable_source" -> ops.Merge.q92bSql,
     "x29b_stream_gentable_rows" -> ops.Merge.q92bSql,
     "x30_stream_gentable_sink" -> ops.Merge.q92bSql,

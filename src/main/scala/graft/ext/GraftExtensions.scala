@@ -584,6 +584,12 @@ case class ResolveGenTablePath(spark: org.apache.spark.sql.SparkSession)
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
           if graft.sources.GenTableDml.isInsert(spark, i) =>
         graft.sources.GenTableDml.translateInsert(spark, i)
+      // ALTER TABLE … ADD COLUMN(S) (r19): schema widening as a
+      // statement — one minimal-partition rewrite carries the widened
+      // footer (the q92i evolve-read path without crafting a merge)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns
+          if graft.sources.GenTableDml.isAddColumns(spark, a) =>
+        graft.sources.GenTableDml.translateAddColumns(spark, a)
       // native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF —
       // must resolve before the bare-relation rewrite below strips the
       // travel clause's target; catalog names resolve here too (r19)

@@ -1033,6 +1033,38 @@ object Merge {
   val q92iSql: String =
     mergeSqlCte(" AND year(o_orderdate) >= 1996", evolve = true)
 
+  /** q92w_alter_add_sql: SQL schema evolution (r19 — VERDICT r18 #4):
+    * q92i's final state reached through `ALTER TABLE gentable.`dir`
+    * ADD COLUMNS (o_review STRING)` — the statement widens the footer
+    * (one minimal-partition rewrite, [[graft.sources.GenTable
+    * .addColumns]]), after which batch 2 carries `o_review` as a PLAIN
+    * column of the target (no `WITH SCHEMA EVOLUTION` needed): rows the
+    * batch doesn't upsert null-fill the new column at read, upserts
+    * carry their values — exactly the merge-evolution semantics, via
+    * the statement a SQL user types. SHARES q92i's oracle.
+    */
+  def q92w(spark: SparkSession, dir: String): DataFrame = {
+    val (t0, d1, d2) = mergeFixture(spark, dir)
+    val tbl = s"${graft.TempRoots.create("graft_q92w_")}/table"
+    def recent(d: DataFrame) = d
+      .filter(year(col("o_orderdate")) >= 1996)
+      .withColumn("yr", year(col("o_orderdate")))
+    graft.sources.GenTable.init(
+      t0.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d1),
+      Seq("o_orderkey"))
+    spark.sql(
+      s"ALTER TABLE gentable.`$tbl` ADD COLUMNS (o_review STRING)")
+    val d2e = d2.withColumn("o_review",
+      concat(lit("rv-"), col("o_orderkey")))
+    graft.sources.GenTable.merge(spark, tbl, "yr", recent(d2e),
+      Seq("o_orderkey")) // no evolveSchema: the ALTER already widened
+    graft.sources.GenTable.read(spark, tbl, "yr")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_review")
+      .orderBy("o_orderkey")
+  }
+
   /** q92j_merge_history: the table's commit history as a query (the
     * lake DESCRIBE HISTORY surface) — q92f's write sequence (init over
     * the seven order-year partitions 1995–2001, two year-restricted

@@ -1397,6 +1397,94 @@ object GenTable {
     }
   }
 
+  /** SCHEMA WIDENING without a merge (r19 — VERDICT r18 #4, the
+    * `ALTER TABLE ADD COLUMNS` kernel): append nullable columns to the
+    * table's schema. This format keeps no schema file — the read-side
+    * pin takes the NEWEST resolved generation's parquet footer
+    * ([[pinnedSchema]]) and parquet null-fills pinned columns absent
+    * from older files — so "widen the schema" means "commit a
+    * generation whose footer carries the new columns": the SMALLEST
+    * winning partition rewrites copy-on-write with the new columns
+    * null-filled, one atomic generation claiming just it. Cost: one
+    * minimal partition rewrite (driver metadata picks it by recorded
+    * bytes), not the table; every other partition's rows null-fill at
+    * read exactly like the q92i merge-evolution path.
+    *
+    * Rules: names must be new (case-insensitively — the resolver is
+    * case-insensitive even though footers are not), the table must hold
+    * at least one row (an all-emptied table has no footer to widen —
+    * insert first), and the claim declares ALL partitions (a schema
+    * change must not race a concurrent writer still staging the old
+    * shape).
+    */
+  def addColumns(spark: SparkSession, dir: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      overlapWaitMs: Long = OverlapWaitMs): Unit = {
+    require(cols.nonEmpty, "addColumns: at least one column")
+    val partCol = partColOf(spark, dir)
+    val (stats, zo, blooms) = layoutOf(spark, dir)
+    val tk = GenCommit.newToken()
+    val (snapshot, gen) =
+      claimDisjoint(spark, dir, Set(AllMark), tk, "addColumns",
+        overlapWaitMs = overlapWaitMs)
+    try {
+      val resolved = claims(spark, dir, Some(snapshot))
+      val pinned = pinnedSchema(spark, dir, partCol, resolved)
+      require(pinned.isDefined,
+        s"addColumns: the table at $dir holds no rows — there is no " +
+          "parquet footer to carry the widened schema; insert first")
+      val existing = pinned.get.fieldNames.map(_.toLowerCase).toSet
+      cols.foreach { case (n, _) => require(!existing(n.toLowerCase),
+        s"addColumns: column $n already exists " +
+          s"(${pinned.get.fieldNames.mkString(", ")})") }
+      // the cheapest winning partition by recorded bytes — the minimal
+      // footer carrier (driver-side metadata: one listing per winner)
+      val f = fsOf(spark, dir)
+      val sized = resolved.flatMap { case (g, vals) =>
+        vals.map { v =>
+          val leaf =
+            if (v == NullMark) org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.escapePathName(dec(v))
+          val p = new org.apache.hadoop.fs.Path(
+            s"$dir/data/gen=$g/$partCol=$leaf")
+          val bytes =
+            if (!f.exists(p)) -1L // an emptied partition — no carrier
+            else f.getContentSummary(p).getLength
+          (v, bytes)
+        }
+      }.filter(_._2 >= 0L)
+      require(sized.nonEmpty,
+        s"addColumns: every claimed partition at $dir is emptied — " +
+          "no footer to widen; insert first")
+      val victim = sized.minBy(_._2)._1
+      val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
+      val dt = cur.schema(partCol).dataType
+      val pred =
+        if (victim == NullMark) col(partCol).isNull
+        else col(partCol) === lit(dec(victim)).cast(dt)
+      val widened = cols.foldLeft(cur.filter(pred)) { case (d, (n, t)) =>
+        d.withColumn(n, lit(null).cast(t))
+      }
+      // footer column order = frame order minus the partition level, so
+      // the new columns land AFTER the old payload — exactly where the
+      // merge-evolution path puts them
+      stageData(widened, dir, gen, partCol, tk, stats, zo, blooms)
+      writeManifest(spark, dir, gen,
+        Seq(if (victim == NullMark) null else dec(victim)))
+      GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
+      writeLogCkptIfDue(spark, dir)
+    } catch {
+      case t: Throwable =>
+        val f = fsOf(spark, dir)
+        if (!f.exists(new org.apache.hadoop.fs.Path(
+            s"$dir/data/gen=$gen")))
+          GenCommit.releaseClaim(spark, dir, gen)
+        throw t
+    }
+  }
+
   /** The table's commit HISTORY as a queryable frame (the lake formats'
     * DESCRIBE HISTORY): one row per committed generation — its id, the
     * operation kind (`init` for generation 0, `delete` for a tombstone

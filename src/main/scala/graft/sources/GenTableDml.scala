@@ -133,6 +133,29 @@ case class GenTableInsertCommand(dir: String, query: LogicalPlan,
   }
 }
 
+/** SQL `ALTER TABLE <t> ADD COLUMN(S)` (r19 — VERDICT r18 #4): schema
+  * evolution as the statement a SQL user types, routed onto
+  * [[GenTable.addColumns]] (one minimal-partition rewrite carries the
+  * widened footer; every other row null-fills at read — the q92i
+  * evolve-read path, reached without crafting a merge). Supported
+  * shape: plain nullable top-level columns — NOT NULL (old rows cannot
+  * satisfy it), FIRST/AFTER positions (footer order is append-only
+  * here) and nested fields refuse loudly. A catalog-named target also
+  * pushes the widened schema into the catalog (the merge-evolution
+  * sync rule).
+  */
+case class GenTableAddColumnsCommand(dir: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GenTable.addColumns(spark, dir, cols)
+    catalogIdent.foreach(GenTableDml.syncCatalogSchema(spark, _, dir))
+    Seq.empty
+  }
+}
+
 /** The SQL MAINTENANCE verb (r19 — VERDICT r18 #3): `OPTIMIZE <t>` /
   * `VACUUM <t>` (Delta's verbs; this format's [[GenTable.compact]] is
   * BOTH — it folds history, collapses each partition to one fresh
@@ -172,6 +195,27 @@ case class GenTableOptimizeCommand(parts: Seq[String], ifNeeded: Boolean)
 
 object GenTableDml {
 
+  /** Push the table's CURRENT on-disk schema back into the catalog
+    * after a widening write through a NAMED target (r19): the stored
+    * catalog schema otherwise fails the stored-vs-actual check on the
+    * next named read. The catalog splits schema into data + partition
+    * columns (a table created WITHOUT CTAS records the partition column
+    * from the resolved relation), so the new DATA schema is the full
+    * schema minus the recorded partition columns — passing the full
+    * schema would duplicate them.
+    */
+  private[sources] def syncCatalogSchema(spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.TableIdentifier,
+      dir: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val partNames = cat.getTableMetadata(ident).partitionColumnNames
+      .map(_.toLowerCase).toSet
+    val full = GenTable.read(spark, dir, GenTable.partColOf(spark, dir))
+      .schema
+    cat.alterTableDataSchema(ident, org.apache.spark.sql.types.StructType(
+      full.filterNot(f => partNames(f.name.toLowerCase))))
+  }
+
   /** The ANSI-ish time-travel clause (`FROM t VERSION AS OF n` /
     * `FOR TIMESTAMP AS OF ts` — Spark's RelationTimeTravel, the form
     * auditors actually type) on a gentable target: VERSION pins a
@@ -210,6 +254,40 @@ object GenTableDml {
     org.apache.spark.sql.execution.datasources.LogicalRelation(
       GenTableSource.relation(spark, Map("path" -> dir) ++ opts),
       isStreaming = false)
+  }
+
+  /** `ALTER TABLE … ADD COLUMN(S)` over a gentable target (r19). The
+    * target arrives as an UnresolvedTable (not a relation), so the
+    * match goes through [[GenTableMerge.genTargetParts]].
+    */
+  def isAddColumns(spark: SparkSession,
+      a: org.apache.spark.sql.catalyst.plans.logical.AddColumns): Boolean =
+    a.table match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        GenTableMerge.genTargetParts(spark, t.multipartIdentifier).isDefined
+      case _ => false
+    }
+
+  def translateAddColumns(spark: SparkSession,
+      a: org.apache.spark.sql.catalyst.plans.logical.AddColumns)
+      : GenTableAddColumnsCommand = {
+    val target = GenTableMerge.genTargetParts(spark,
+      a.table.asInstanceOf[
+        org.apache.spark.sql.catalyst.analysis.UnresolvedTable]
+        .multipartIdentifier).get
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE gentable ADD COLUMNS: $what is not supported — " +
+          "the supported shape is plain nullable top-level columns " +
+          "(old rows null-fill; footer order is append-only)")
+    val cols = a.columnsToAdd.map { c =>
+      if (c.path.isDefined) unsupported(s"nested field ${c.name.mkString(".")}")
+      if (!c.nullable) unsupported(s"NOT NULL column ${c.colName}")
+      if (c.position.isDefined) unsupported("a FIRST/AFTER position")
+      if (c.default.isDefined) unsupported(s"a DEFAULT for ${c.colName}")
+      (c.colName, c.dataType)
+    }
+    GenTableAddColumnsCommand(target.dir, cols, target.catalogIdent)
   }
 
   def isDelete(spark: SparkSession, d: DeleteFromTable): Boolean =

@@ -110,10 +110,8 @@ case class GenTableMergeCommand(
     // table widened the on-disk schema — update the stored catalog
     // schema to match, or the next `SELECT … FROM name` fails the
     // stored-vs-actual check (non-evolving DML never changes schema)
-    if (evolveSchema) catalogIdent.foreach { ident =>
-      spark.sessionState.catalog.alterTableDataSchema(ident,
-        GenTable.read(spark, dir, partCol).schema)
-    }
+    if (evolveSchema)
+      catalogIdent.foreach(GenTableDml.syncCatalogSchema(spark, _, dir))
     Seq.empty
   }
 }

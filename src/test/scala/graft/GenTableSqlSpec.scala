@@ -307,6 +307,53 @@ class GenTableSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE named_t")
   }
 
+  test("SQL ALTER TABLE ADD COLUMNS (r19): widens the footer by " +
+      "rewriting exactly ONE (the smallest) partition, old rows " +
+      "null-fill, duplicate/NOT NULL refuse loudly, and a named target " +
+      "syncs the catalog schema") {
+    val dir = s"${TempRoots.create("graft_alter_")}/t"
+    // partition A: 2 rows, B: 1 row (the smaller carrier)
+    GenTable.init(Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("k", "p", "v"), dir, "p")
+    spark.sql(s"ALTER TABLE gentable.`$dir` ADD COLUMNS (tag STRING, n INT)")
+    // the widened generation claims exactly one partition
+    val claims1 = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(claims1)
+    val m1 = GenCommit.readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/manifests/1"))
+    assert(m1.split("\n").length == 1,
+      s"ALTER must rewrite exactly one partition, claimed: $m1")
+    // every row serves the widened schema, null-filled
+    val got = spark.sql(s"SELECT k, tag, n FROM gentable.`$dir`")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+      .toSet
+    assert(got == Set((1L, true, true), (2L, true, true), (3L, true, true)),
+      s"widened null-fill wrong: $got")
+    // a later merge carries the new column plainly — no evolve flag
+    GenTable.merge(spark, dir, "p",
+      Seq((1L, "A", 11.0, "t1", 7, "upsert"))
+        .toDF("k", "p", "v", "tag", "n", "_op"), Seq("k"))
+    assert(spark.sql(s"SELECT tag FROM gentable.`$dir` WHERE k = 1")
+      .collect().head.getString(0) == "t1")
+    // refusals
+    val eDup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gentable.`$dir` ADD COLUMNS (TAG STRING)")
+    }
+    assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+    val eNn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE gentable.`$dir` ADD COLUMNS (x INT NOT NULL)")
+    }
+    assert(eNn.getMessage.contains("NOT NULL"), eNn.getMessage)
+    // named target: catalog schema follows the widening
+    spark.sql("DROP TABLE IF EXISTS alter_named")
+    spark.sql(s"CREATE TABLE alter_named USING gentable OPTIONS (path '$dir')")
+    spark.sql("ALTER TABLE alter_named ADD COLUMNS (w DOUBLE)")
+    assert(spark.sql("SELECT k, w FROM alter_named WHERE k = 3")
+      .collect().head.isNullAt(1),
+      "named ALTER must sync the catalog schema for named reads")
+    spark.sql("DROP TABLE alter_named")
+  }
+
   test("SQL OPTIMIZE/VACUUM (r19): the maintenance verbs compact with " +
       "the recorded layout, IF NEEDED gates on the measured policy, " +
       "named targets resolve, non-gentable targets refuse loudly, and " +
