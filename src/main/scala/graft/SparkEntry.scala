@@ -139,6 +139,10 @@ object SparkEntry {
     // SQL ALTER TABLE ADD COLUMNS (r19): footer widening as a statement,
     // batch 2 then carries the column plainly — shares q92i's oracle
     "q92w_alter_add_sql" -> ((s, d) => ops.Merge.q92w(s, d)),
+    // PQ refine (r19): ADC selects, stored flat vectors decide — a
+    // full-budget refine over a LOSSY codebook equals brute force
+    // exactly (shares x27b's oracle)
+    "x27f_ann_ivfpq_refine" -> ((s, d) => ops.VectorPq.x27f(s, d)),
     // last-touch attribution: purchase -> latest same-user click within 1h
     "q82_attribution"      -> ((s, d) => ops.Analytics.q82(s, d)),
     "q20_sessionize"       -> ((s, d) => ops.Aggregates.q20(s, d)),
@@ -680,6 +684,7 @@ object SparkEntry {
     "x27c_ann_ivfpq_lifecycle"  -> ops.VectorPq.x27bSql,
     "x27d_ann_ivfpq_residual"   -> ops.VectorPq.x27bSql,
     "x27e_ann_ivfpq_opq"        -> ops.VectorPq.x27bSql,
+    "x27f_ann_ivfpq_refine"     -> ops.VectorPq.x27bSql,
     "x20b_embed_decontaminate_bucketed" -> ops.Vector.x20Sql
   ) ++
     // TPC-H composition oracles: the IDENTICAL SQL body each Spark query

@@ -52,6 +52,18 @@ object VectorPq {
 
   private val PqTables = Seq("postings")
 
+  /** The generation tables of a REFINABLE index (r19 — VERDICT r18 #5,
+    * FAISS's IndexRefineFlat shape): alongside the cache-resident codes
+    * the index keeps the exact (rotated-space) vectors in a second
+    * cell-partitioned table, committed in the SAME generation — touched
+    * only by [[pqSearch]]'s refine stage, which reads the probed cells'
+    * partitions alone (probe-proportional, the x21b lesson). The
+    * scoring path's storage claim is unchanged: ADC still runs over
+    * codes; the flat table is the cold re-rank side.
+    */
+  private def pqTables(refinable: Boolean): Seq[String] =
+    if (refinable) Seq("postings", "vectors") else PqTables
+
   /** Build the IVF-PQ index at `indexDir` (replacing anything there):
     * coarse quantizer (`nlist` cells, shared training path with
     * [[Vector.ivfBuild]]), per-subspace codebooks, and cell-partitioned
@@ -74,7 +86,8 @@ object VectorPq {
       trainOn: Option[DataFrame] = None,
       byResidual: Boolean = false,
       centroidSnap: Option[Int] = None,
-      opq: Boolean = false): Unit = {
+      opq: Boolean = false,
+      refinable: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     graft.ext.GraftFunctions.ensureVecDot(spark)
     def shape(df: DataFrame) = df.select(col(idCol).as("id"),
@@ -204,7 +217,29 @@ object VectorPq {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, 0L, "postings", tk))
-    graft.sources.GenCommit.publish(spark, indexDir, 0L, PqTables, tk)
+    if (refinable)
+      exactVectors(spark, c0, cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, 0L, "vectors", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, 0L,
+      pqTables(refinable), tk)
+  }
+
+  /** The refine table's content for a shaped slice: the exact
+    * (rotated-space) vector and its norm, cell-partitioned like the
+    * codes so refine reads only probed cells. The norm goes through the
+    * same in-order fold every exact scorer uses (`vec_dot_d`), so a
+    * refined cosine is bit-identical to the brute-force one.
+    */
+  private def exactVectors(spark: SparkSession, shaped: DataFrame,
+      cents: Seq[(Any, Seq[Float])]): DataFrame = {
+    graft.ext.GraftFunctions.ensureVecDotD(spark)
+    Vector.nearestCells(shaped, cents, 1)
+      .select(concat(lit("c"), col("cell").cast("string")).as("cell"),
+        col("id").as("neighbor_id"), col("vecD").as("evec"),
+        sqrt(call_function("vec_dot_d", col("vecD"), col("vecD")))
+          .as("v_norm"))
   }
 
   /** The centroid dimension as a broadcastable frame (cell → centroid
@@ -303,6 +338,17 @@ object VectorPq {
     * probe by (cosine desc, id asc). The scan touches only the probed
     * cells' partitions; the only per-candidate work is m table lookups
     * and one divide.
+    *
+    * `refine > 0` (r19 — VERDICT r18 #5, FAISS's refine stage): the ADC
+    * ranking selects the top-`refine` candidates per probe, which then
+    * RE-SCORE exactly against the index's stored flat vectors (the
+    * `vectors` table a `refinable = true` build keeps, cell-partitioned
+    * — the read stays probe-proportional) and the final top-`topK`
+    * ranks by the EXACT cosine. Quantization error then costs recall
+    * only when a true neighbor falls outside the ADC top-R, not
+    * whenever its code collides near the boundary — the standard recall
+    * lever at fixed nprobe. Requires a refinable index (loud
+    * otherwise); `refine = 0` is the unchanged ADC-only path.
     */
   def pqSearch(
       spark: SparkSession,
@@ -312,7 +358,8 @@ object VectorPq {
       vecCol: String = "embedding",
       nprobe: Int = 4,
       topK: Int = 10,
-      asOfGen: Option[Long] = None): DataFrame = {
+      asOfGen: Option[Long] = None,
+      refine: Int = 0): DataFrame = {
     graft.ext.GraftFunctions.ensureVecDot(spark)
     graft.ext.GraftFunctions.ensurePqAdc(spark)
     val meta = spark.read.parquet(s"$indexDir/pqmeta").head()
@@ -400,7 +447,7 @@ object VectorPq {
       "neighbor_id", asOfGen)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
-    posts.join(broadcast(pdf), Seq("cell"))
+    val adc = posts.join(broadcast(pdf), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .filter(col("c_norm") > 0 && col("p_norm") > 0)
       .withColumn("dotv",
@@ -409,14 +456,63 @@ object VectorPq {
       .withColumn("cosine", col("dotv") / (col("c_norm") * col("p_norm")))
       .select(col("probe_id"), col("neighbor_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    if (refine <= 0) adc.filter(col("rank") <= topK)
+    else {
+      require(isRefinable(spark, indexDir),
+        s"pqSearch: refine = $refine needs the exact-vector table — " +
+          "build the index with refinable = true (pqBuild keeps the " +
+          "flat vectors cell-partitioned beside the codes)")
+      graft.ext.GraftFunctions.ensureVecDotD(spark)
+      // ADC selects; the stored flat vectors decide. The probe's exact
+      // vector broadcasts (probes are the small side by contract) and
+      // the vectors read is the SAME probed-cells slice as the codes —
+      // refine never widens the scan
+      val cand = adc.filter(col("rank") <= refine)
+        .select(col("probe_id"), col("neighbor_id"))
+      val vecs = graft.sources.GenCommit.maskTombstones(spark, indexDir,
+        graft.sources.GenCommit
+          .committedTable(spark, indexDir, "vectors", asOfGen)
+          .filter(col("cell").isin(probed: _*)),
+        "neighbor_id", asOfGen)
+        .select(col("neighbor_id"), col("evec"), col("v_norm"))
+      val pvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id", idDt),
+        org.apache.spark.sql.types.StructField("pvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("p_norm",
+          org.apache.spark.sql.types.DoubleType)))
+      val pvRows = pc.toIndexedSeq
+        .map(r => (r.get(0), r.getSeq[Double](1))).distinct
+        .map { case (pid, pv) =>
+          org.apache.spark.sql.Row(pid, pv, lutByProbe(pid)._2)
+        }
+      val pvDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+      cand.join(vecs, Seq("neighbor_id"))
+        .join(broadcast(pvDf), Seq("probe_id"))
+        .filter(col("v_norm") > 0 && col("p_norm") > 0)
+        .withColumn("cosine",
+          call_function("vec_dot_d", col("evec"), col("pvec")) /
+            (col("v_norm") * col("p_norm")))
+        .select(col("probe_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+    }
   }
 
   /** Claim-scan table set: includes the tombstone table so a delete
-    * generation can never collide with an append's id.
+    * generation can never collide with an append's id, and the refine
+    * vectors table (absent dirs scan as empty) for the same reason.
     */
   private val PqScanTables =
-    PqTables :+ graft.sources.GenCommit.TombsTable
+    pqTables(refinable = true) :+ graft.sources.GenCommit.TombsTable
+
+  /** Whether this index keeps the exact-vector refine table. */
+  private def isRefinable(spark: SparkSession, indexDir: String): Boolean =
+    new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
 
   /** The meta row's `residual` flag, defaulting FALSE when the pqmeta
     * schema predates the residual flavor (ADVICE r17 low: an
@@ -523,8 +619,17 @@ object VectorPq {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(graft.sources.GenCommit
         .stagePath(indexDir, gen, "postings", tk))
-    graft.sources.GenCommit.publish(spark, indexDir, gen, PqTables, tk,
-      claimed = true)
+    // a refinable index appends its flat vectors in the SAME generation
+    // (codes without refine vectors would silently break re-ranking for
+    // exactly the appended rows)
+    val refinable = isRefinable(spark, indexDir)
+    if (refinable)
+      exactVectors(spark, d0, cents)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(graft.sources.GenCommit
+          .stagePath(indexDir, gen, "vectors", tk))
+    graft.sources.GenCommit.publish(spark, indexDir, gen,
+      pqTables(refinable), tk, claimed = true)
   }
 
   /** Tombstone delete — [[Vector.ivfDelete]] verbatim: one committed
@@ -557,15 +662,21 @@ object VectorPq {
     pqRecover(spark, indexDir)
     graft.sources.GenCommit.gcStages(spark, indexDir)
     val keepGen = graft.sources.GenCommit.lastCommitted(spark, indexDir)
-    graft.sources.GenCommit.maskTombstones(spark, indexDir,
-        graft.sources.GenCommit.committedTable(spark, indexDir,
-          "postings"), "neighbor_id")
-      .drop("gen")
-      .repartition(col("cell"))
-      .withColumn("gen", lit(keepGen))
-      .write.mode("overwrite").partitionBy("gen", "cell")
-      .parquet(graft.sources.SwapDir.stagePath(indexDir, "postings"))
-    graft.sources.SwapDir.swap(spark, indexDir, "postings")
+    def foldTable(table: String): Unit = {
+      graft.sources.GenCommit.maskTombstones(spark, indexDir,
+          graft.sources.GenCommit.committedTable(spark, indexDir,
+            table), "neighbor_id")
+        .drop("gen")
+        .repartition(col("cell"))
+        .withColumn("gen", lit(keepGen))
+        .write.mode("overwrite").partitionBy("gen", "cell")
+        .parquet(graft.sources.SwapDir.stagePath(indexDir, table))
+      graft.sources.SwapDir.swap(spark, indexDir, table)
+    }
+    foldTable("postings")
+    // the refine vectors fold under the same mask — alive sets must
+    // agree or a refined search re-scores rows the codes no longer hold
+    if (isRefinable(spark, indexDir)) foldTable("vectors")
     graft.sources.GenCommit.dropTombs(spark, indexDir)
     graft.sources.GenCommit.resetCommits(spark, indexDir, keepGen)
   }
@@ -585,6 +696,18 @@ object VectorPq {
     graft.sources.SwapDir.recover(spark, indexDir, "postings",
       s"pqRecover: no postings at $indexDir in any generation — " +
         "the index is gone, rebuild with pqBuild")
+    // the refine table recovers only when it participates (any of its
+    // three swap states on disk) — a non-refinable index has none
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vStates = Seq("vectors", "vectors_old",
+      graft.sources.SwapDir.stagePath(indexDir, "vectors")
+        .split('/').last)
+    if (vStates.exists(n => f.exists(
+        new org.apache.hadoop.fs.Path(s"$indexDir/$n"))))
+      graft.sources.SwapDir.recover(spark, indexDir, "vectors",
+        s"pqRecover: refine vectors at $indexDir lost in every swap " +
+          "state — rebuild with pqBuild(refinable = true)")
     graft.sources.SwapDir.recover(spark, indexDir, "commits",
       s"pqRecover: no commit set at $indexDir in any generation — " +
         "the index is gone, rebuild with pqBuild")
@@ -773,6 +896,31 @@ object VectorPq {
     val idx = s"${graft.TempRoots.create("graft_x27e_")}/ivfpq"
     pqBuild(grid, idx, nlist = 16, m = 64, opq = true)
     pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** x27f_ann_ivfpq_refine: the refine stage's EXACT gate (r19 —
+    * VERDICT r18 #5). Unlike the other twins this one runs a genuinely
+    * LOSSY codebook (m = 16 → 4-dim subquantizers over the grid corpus:
+    * up to ~9⁴ distinct subvectors ≫ 256 codewords, sampled k-means),
+    * so the ADC ranking is approximate — and the refine stage must
+    * repair it: with nprobe = nlist (every cell probed) and a refine
+    * budget covering every candidate, the final top-k re-scores
+    * entirely against the stored flat vectors and equals brute force
+    * EXACTLY, whatever the quantization error did to the ADC order.
+    * The exact scorer folds dot and norm in dimension order on both
+    * sides, so the gate is hash-exact — SHARES x27b's oracle. The
+    * production claim (refine ≥ no-refine recall at equal nprobe on
+    * the real corpus, candidates-only re-read) is pinned in VectorSpec.
+    */
+  def x27f(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 8) / 8).as("embedding"))
+    val idx = s"${graft.TempRoots.create("graft_x27f_")}/ivfpq"
+    pqBuild(grid, idx, nlist = 16, m = 16, refinable = true)
+    pqSearch(spark, idx, grid.filter(col("vec_id") < 8), nprobe = 16,
+      refine = Int.MaxValue)
       .orderBy("probe_id", "rank")
   }
 

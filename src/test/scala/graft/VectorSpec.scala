@@ -176,6 +176,58 @@ class VectorSpec extends SparkSuite {
       "(must meet the raw-PQ floor at nprobe 4/16)")
   }
 
+  test("PQ refine (r19): exact re-rank of the ADC top-R meets or beats " +
+      "the no-refine recall at equal nprobe on the real corpus; a " +
+      "non-refinable index refuses refine loudly") {
+    val emb = Tables.embeddings(spark, sf001)
+    val probes = emb.filter(col("vec_id") < 8)
+    val brute = Vector.x01(spark, sf001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val idx = s"${TempRoots.create("graft_pq_refine_")}/ivfpq"
+    ops.VectorPq.pqBuild(emb, idx, nlist = 16, m = 16, refinable = true)
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val sets = rows.groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (p, bs) =>
+        (bs intersect sets.getOrElse(p, Set.empty)).size.toDouble / bs.size }
+      rs.sum / rs.size
+    }
+    val plain = recallOf(
+      ops.VectorPq.pqSearch(spark, idx, probes, nprobe = 4).collect())
+    val refined = recallOf(ops.VectorPq.pqSearch(spark, idx, probes,
+      nprobe = 4, refine = 50).collect())
+    assert(refined >= plain,
+      s"refine must not lose recall: refined=$refined plain=$plain")
+    assert(refined >= 0.5, s"refined recall@10 = $refined")
+    info(f"recall@10 nprobe=4: plain=$plain%.3f refined(R=50)=$refined%.3f")
+    // a non-refinable index refuses refine loudly
+    val bare = s"${TempRoots.create("graft_pq_norefine_")}/ivfpq"
+    ops.VectorPq.pqBuild(emb, bare, nlist = 16, m = 16)
+    val e = intercept[Exception] {
+      ops.VectorPq.pqSearch(spark, bare, probes, nprobe = 4, refine = 50)
+        .collect()
+    }
+    assert(e.getMessage.contains("refinable"), e.getMessage)
+    // lifecycle: append + delete + compact keep codes and refine
+    // vectors in step — a refined search over the compacted index
+    // serves only alive rows
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val lc = s"${TempRoots.create("graft_pq_refine_lc_")}/ivfpq"
+    ops.VectorPq.pqBuild(half, lc, nlist = 16, m = 16, refinable = true,
+      trainOn = Some(emb))
+    ops.VectorPq.pqAppend(spark, lc, rest)
+    ops.VectorPq.pqDelete(spark, lc,
+      emb.filter(col("vec_id") % 10 === 3).select("vec_id"))
+    ops.VectorPq.pqCompact(spark, lc)
+    val alive = ops.VectorPq.pqSearch(spark, lc, probes, nprobe = 16,
+      refine = 50, topK = 1000000).collect().map(_.getLong(1)).toSet
+    assert(!alive.exists(_ % 10 == 3),
+      "refined search must not serve deleted rows after compaction")
+    assert(alive.exists(_ % 2 == 1),
+      "refined search must serve appended rows")
+  }
+
   test("OPQ IVF-PQ (opq = true): the learned variance-balanced " +
       "permutation meets the raw/residual recall floor at the same " +
       "byte budget on the REAL corpus, and rotated cosines equal " +
