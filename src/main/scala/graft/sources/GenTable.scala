@@ -138,12 +138,19 @@ object GenTable {
     // self-describing: record the partition column so the SQL surface
     // ([[GenTableSource]]) needs no options — `SELECT … FROM
     // gentable.`dir`` resolves the layout from the table alone (the
-    // tombkeys precedent)
+    // tombkeys precedent). Line 2 (r19) records the column's TYPE:
+    // without it the type is re-INFERRED from directory names per
+    // pinned generation, which narrows a bigint key whose current
+    // values happen to fit int — and could even flip across commits as
+    // the value range grows. Readers without the line (pre-r19 tables)
+    // keep the inference.
     val f = fsOf(spark, dir)
     val pcp = new org.apache.hadoop.fs.Path(s"$dir/partcol")
     f.mkdirs(pcp.getParent)
     val out = f.create(pcp, true)
-    try out.write(partCol.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(Seq(partCol, df.schema(partCol).dataType.catalogString)
+      .mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // persist the LAYOUT choices (r18): statements arriving through the
     // SQL surface (UPDATE/INSERT, the sink) have no statsCols parameter
@@ -236,6 +243,42 @@ object GenTable {
     SwapDir.swap(spark, parent, name)
   }
 
+  /** PARTITION-SPEC EVOLUTION (r19 — VERDICT r18 #6): rebuild the table
+    * under a NEW partition column, as one maintenance statement. The
+    * partition column is the table's merge unit and fixed at [[init]] —
+    * evolving it necessarily rewrites every row into the new layout, so
+    * this is [[replace]] of the current view re-keyed: staged complete
+    * beside the live tree (reads keep serving throughout), promoted by
+    * the swap, serialized against in-flight writers by the
+    * all-partitions claim. HISTORY IS FRESH afterwards (generation 0 —
+    * compaction's explicit contract, spec-pinned): stale as-of pins
+    * fail loudly; the old history cannot be expressed in the new
+    * partition grain. Layout (stats/zorder/bloom sidecars) is inherited
+    * from the table's record unless overridden — a re-partition must
+    * not silently un-cluster a stats-maintained table.
+    *
+    * At 100 TB this is the one whole-table-rewrite operation the format
+    * has, and it is priced on its face: a nightly that discovers its
+    * partition grain wrong pays one full rewrite, atomically, instead
+    * of an init with a manual outage window.
+    */
+  def repartitionTable(spark: SparkSession, dir: String,
+      newPartCol: String,
+      statsCols: Option[Seq[String]] = None,
+      zorder: Option[Boolean] = None,
+      bloomCols: Option[Seq[String]] = None): Unit = {
+    val oldPartCol = partColOf(spark, dir)
+    val cur = read(spark, dir, oldPartCol)
+    require(cur.columns.contains(newPartCol),
+      s"repartitionTable: $newPartCol is not a column of the table " +
+        s"(${cur.columns.mkString(", ")})")
+    val (ls, lz, lb) = layoutOf(spark, dir)
+    replace(cur, dir, newPartCol,
+      statsCols = statsCols.getOrElse(ls),
+      zorder = zorder.getOrElse(lz),
+      bloomCols = bloomCols.getOrElse(lb))
+  }
+
   /** The layout [[init]] recorded — (statsCols, zorder, bloomCols);
     * all-empty for a table with no record. What the SQL DML commands
     * and the streaming sink inherit so statement-written generations
@@ -264,7 +307,19 @@ object GenTable {
     require(s.nonEmpty,
       s"GenTable: no partcol record at $dir — the table predates the " +
         "SQL surface; re-init it or pass option(\"partCol\", …)")
-    s
+    s.split("\n").head
+  }
+
+  /** The partition column's RECORDED type (r19 — the partcol file's
+    * second line), None for a pre-r19 record: readers then fall back to
+    * directory-name inference, today's behavior.
+    */
+  private def partColTypeOf(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    val s = GenCommit.readSmallFile(fsOf(spark, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/partcol"))
+    s.split("\n").drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+      .map(org.apache.spark.sql.types.DataType.fromDDL)
   }
 
   /** Stage a generation's data, optionally clustered on
@@ -725,11 +780,19 @@ object GenTable {
     resolved.map(_._1).sorted.reverse.find(hasParquet)
       .map { g =>
         val base = spark.read.parquet(s"$dir/data/gen=$g").schema
+        // the partition column's type comes from the RECORD when one
+        // exists (r19): directory-name inference narrows a bigint key
+        // whose current values fit int, and could flip across commits
+        val pf = partColTypeOf(spark, dir) match {
+          case Some(dt) =>
+            org.apache.spark.sql.types.StructField(partCol, dt)
+          case None => base(partCol)
+        }
         org.apache.spark.sql.types.StructType(
           base.fields.filterNot(_.name == partCol).toIndexedSeq :+
             org.apache.spark.sql.types.StructField("gen",
               org.apache.spark.sql.types.LongType) :+
-            base(partCol))
+            pf)
       }
   }
 

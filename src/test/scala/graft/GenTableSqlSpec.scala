@@ -307,6 +307,49 @@ class GenTableSqlSpec extends SparkSuite {
     spark.sql("DROP TABLE named_t")
   }
 
+  test("repartitionTable (r19): the table rebuilds atomically under a " +
+      "new partition column with identical content, inherited layout, " +
+      "EXPLICIT fresh history (stale pins fail loudly), and stays " +
+      "mergeable on the new grain") {
+    val dir = s"${TempRoots.create("graft_repart_")}/t"
+    GenTable.init(Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("k", "p", "v"), dir, "p", statsCols = Seq("v"))
+    GenTable.merge(spark, dir, "p",
+      Seq((4L, "B", 40.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    def content(partCol: String) = GenTable.read(spark, dir, partCol)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val pre = content("p")
+    GenTable.repartitionTable(spark, dir, "k")
+    // the recorded partition column moved; content is untouched
+    assert(GenTable.partColOf(spark, dir) == "k")
+    val post = content("k")
+    assert(post == pre, s"repartition changed content: $post vs $pre")
+    // layout inherited: the fresh generation carries the stats sidecar
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/filestats/0")),
+      "repartition must inherit the recorded layout")
+    // history is FRESH — the explicit contract: the commit set is the
+    // one rebuilt generation, and any pin resolves against the NEW
+    // history only (pre-rebuild states are gone — pin-by-id cannot
+    // address them, exactly like the documented init/overwrite reset)
+    assert(GenCommit.committed(spark, dir) == Seq(0L))
+    assert(GenTable.read(spark, dir, "k", asOfGen = Some(0L))
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      == pre, "the fresh generation must denote the rebuilt table")
+    // writes continue on the new grain
+    GenTable.merge(spark, dir, "k",
+      Seq((5L, "C", 50.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
+    assert(GenTable.read(spark, dir, "k").count() == 5)
+    // a non-column target refuses loudly
+    val e2 = intercept[Exception] {
+      GenTable.repartitionTable(spark, dir, "nope")
+    }
+    assert(e2.getMessage.contains("not a column"), e2.getMessage)
+  }
+
   test("SQL ALTER TABLE ADD COLUMNS (r19): widens the footer by " +
       "rewriting exactly ONE (the smallest) partition, old rows " +
       "null-fill, duplicate/NOT NULL refuse loudly, and a named target " +
