@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   *    silently approximate MERGE semantics).
   *
   * EXACTNESS: `_op`-style flags cannot express per-row MATCHED-ness,
-  * so the command computes it — source splits against the CURRENT view
-  * by one semi/anti join pair on the keys (the join every real MERGE
-  * executes anyway), matched rows take the first matched action whose
-  * condition holds (UPDATE → upsert, DELETE → delete, none → no-op
-  * drop), unmatched rows insert iff the insert condition holds. The
+  * so the command computes it — the current view's keys (column-pruned,
+  * semi-joined down to the source's key set, so delta-proportional)
+  * left-join onto the source with a presence flag; matched rows take
+  * the first matched action whose condition holds (UPDATE → upsert,
+  * DELETE → delete, none → no-op drop), unmatched rows insert iff the
+  * insert condition holds — one scan of the target, one join. The
   * resulting delta projects to the TARGET's columns (star semantics —
   * source-only columns like a CDC `_op` flag are condition fuel, never
   * payload) and commits through [[GenTable.merge]]: one atomic
@@ -71,21 +72,32 @@ case class GenTableMergeCommand(
     keys.foreach(k => require(src.columns.contains(k) &&
       targetCols.contains(k),
       s"MERGE INTO gentable: key column $k must exist on both sides"))
-    val keyRows = target.select(keys.map(col): _*).distinct()
-    // matched-ness: one semi/anti pair on the keys — the join MERGE
-    // semantics require; broadcast-sized key sets broadcast via AQE
-    val m = src.join(keyRows, keys, "left_semi")
-    val u = src.join(keyRows, keys, "left_anti")
+    // Matched-ness in ONE pass over a DELTA-PROPORTIONAL key set
+    // (optimization r19, guide §2.3/§2.4/§3.2). The first cut computed
+    // `target.select(keys).distinct()` — a TABLE-sized distinct — and
+    // split the source by a semi/anti join PAIR against it, then
+    // union'd the halves: the target's key scan sat under BOTH joins
+    // and under every downstream evaluation of the delta (the commit
+    // path consumes it more than once), multiplying full-table work
+    // 4-6×. Now: (1) the target is scanned ONCE, column-pruned to the
+    // keys and semi-joined to the source's distinct keys — the
+    // surviving key set is ≤ |source keys| (delta-proportional, so it
+    // broadcasts at any table size) — and (2) the source takes a single
+    // LEFT join against that key set with a presence flag; matched and
+    // unmatched rows resolve their action in one CaseWhen, no union, no
+    // second join. EqualTo key semantics are unchanged (SQL MERGE ON:
+    // NULL keys never match — a NULL-keyed source row lands unmatched,
+    // exactly as the old left_anti put it).
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val keyRows = target.select(keys.map(col): _*)
+      .join(srcKeys, keys, "left_semi").distinct()
+      .withColumn("__merge_matched", lit(true))
     // first matching action wins (statement order); no action → no-op
     val mOp = matched.foldLeft(lit(null).cast("string")) {
       case (acc, (op, cond)) =>
         coalesce(acc, when(cond.map(expr).getOrElse(lit(true)), lit(op)))
     }
-    val mDelta = m.withColumn("__mergeop", mOp)
-      .filter(col("__mergeop").isNotNull)
-    val uDelta = u
-      .filter(insertCond.map(expr).getOrElse(lit(true)))
-      .withColumn("__mergeop", lit("upsert"))
+    val insExpr = insertCond.map(expr).getOrElse(lit(true))
     // star semantics: the delta carries exactly the TARGET's columns;
     // under WITH SCHEMA EVOLUTION it carries ALL source columns (new
     // ones evolve in — Delta's star-evolution behavior, GenTable
@@ -98,8 +110,20 @@ case class GenTableMergeCommand(
             s"column $c (target schema: ${targetCols.mkString(", ")})"))
         targetCols
       }
-    val delta = mDelta.unionByName(uDelta)
+    // localCheckpoint: the commit path evaluates the delta repeatedly
+    // (touched-partition enumeration, then the staged write — and the
+    // staged write's plan carries the target's untouched-slice scan on
+    // top); materializing the delta-sized result once caps the whole
+    // statement at ONE matched-ness evaluation. Within-statement only —
+    // recomputed from the table on every run, nothing persists across
+    // bench runs.
+    val delta = src.join(keyRows, keys, "left")
+      .withColumn("__mergeop",
+        when(col("__merge_matched").isNotNull, mOp)
+          .otherwise(when(insExpr, lit("upsert"))))
+      .filter(col("__mergeop").isNotNull)
       .select((payload.map(col) :+ col("__mergeop")): _*)
+      .localCheckpoint()
     // statement-written generations inherit the recorded layout (r18 —
     // the q92o rule: SQL writes must not degrade the table's skipping)
     val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
