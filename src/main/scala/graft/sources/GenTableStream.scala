@@ -213,8 +213,27 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String,
           .parquet(genDir.toString))
       val oldC = preState.filter(GenTable.valuesPred(partCol,
         claimedVals, partType))
-      tag(newC.exceptAll(oldC), "insert")
-        .unionByName(tag(oldC.exceptAll(newC), "delete"))
+      // ONE-PASS bag diff (optimization r19, guide §2.3/§2.4): the
+      // first cut ran two exceptAll's — `new ∖bag old` and `old ∖bag
+      // new` — whose union scanned BOTH sides twice (the old side is a
+      // multi-generation resolution read) and shuffled four times. The
+      // multiset difference is one signed count: union the sides with
+      // weight ±1, aggregate by ALL columns (hash aggregation groups
+      // NULLs together, exactly exceptAll's null-safe matching), and a
+      // positive sum is that many inserts, a negative one that many
+      // deletes — one scan per side, ONE shuffle, and the insert/delete
+      // branches share the aggregate's exchange (ReuseExchange).
+      val allCols = tableFields.map(f => col(f.name))
+      val diff = newC.withColumn("__w", lit(1L))
+        .unionByName(oldC.withColumn("__w", lit(-1L)))
+        .groupBy(allCols: _*).agg(sum(col("__w")).as("__d"))
+      def replicate(side: DataFrame, n: org.apache.spark.sql.Column) =
+        side.withColumn("__i", explode(sequence(lit(1L), n)))
+          .drop("__d", "__i")
+      tag(replicate(diff.filter(col("__d") > 0), col("__d")), "insert")
+        .unionByName(
+          tag(replicate(diff.filter(col("__d") < 0), -col("__d")),
+            "delete"))
     }
   }
 
