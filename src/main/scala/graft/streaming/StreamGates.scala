@@ -83,7 +83,25 @@ object StreamGates {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
-    try f finally spark.conf.set(key, prev)
+    // No-data micro-batches OFF for the gate window (optimization r19,
+    // guide §1.2 "per-task work" applied to per-BATCH fixed cost): with
+    // them on, every processAllAvailable after a data chunk runs a
+    // second, empty micro-batch to re-evaluate state under the advanced
+    // watermark — a full state-store commit round across every operator
+    // and partition, DOUBLING the number of stateful batches per gate.
+    // The gates never rely on them: emission-after-watermark is driven
+    // by the explicit sentinel flush batches (eventRows) or the next
+    // data chunk, and every gate stays oracle-identical (re-gated at
+    // sf0.01). Production streams keep the default (timeliness between
+    // sparse events); a bounded replay harness is exactly the case the
+    // knob exists for.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try f finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(ndKey, ndPrev)
+    }
   }
 
   /** Feed `rows` through a MemoryStream in `Chunks` order-preserving
