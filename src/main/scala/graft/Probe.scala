@@ -108,6 +108,161 @@ object Probe {
             "yr", recent(d1), Seq("o_orderkey")) }
           step("scala-merge2") { graft.sources.GenTable.merge(spark, tbl2,
             "yr", recent(d2), Seq("o_orderkey")) }
+        case "cc" =>
+          val docs = Tables.documents(spark, sfDir)
+          val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4)
+          val delta = docs.filter(pmod(col("doc_id"), lit(5L)) === 4)
+          val pairs = step("minhashPairs-noop") {
+            val p = ops.Text.minhashPairs(corpus)
+            p.write.format("noop").mode("overwrite").save(); p }
+          val standing = step("star-standing") {
+            ops.Text.dupComponentsStar(pairs) }
+          step("standing-noop") {
+            standing.write.format("noop").mode("overwrite").save() }
+          val dp = step("deltaPairList-noop") {
+            val p = ops.Text.deltaPairList(corpus, delta)
+            p.write.format("noop").mode("overwrite").save(); p }
+          val merged = step("ccMerge") { ops.Text.ccMerge(standing, dp) }
+          step("ccMerge-noop") {
+            merged.write.format("noop").mode("overwrite").save() }
+          step("window+sort-noop") {
+            merged.withColumn("cluster_size",
+              count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                .partitionBy(col("comp"))).cast("long"))
+              .orderBy("id")
+              .write.format("noop").mode("overwrite").save() }
+        case "x27b_steps" =>
+          val grid = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 8) / 8).as("embedding"))
+          val idx = s"${TempRoots.create("graft_probe_pq_")}/ivfpq"
+          step("pqBuild") {
+            ops.VectorPq.pqBuild(grid, idx, nlist = 16, m = 64) }
+          val s = step("pqSearch-plan") {
+            ops.VectorPq.pqSearch(spark, idx,
+              grid.filter(col("vec_id") < 8), nprobe = 16)
+              .orderBy("probe_id", "rank") }
+          step("pqSearch-noop") {
+            s.write.format("noop").mode("overwrite").save() }
+        case "plans" if round == 1 =>
+          import java.nio.file.{Files, Paths}
+          Files.createDirectories(Paths.get("plans/r19"))
+          def dump(name: String, header: String,
+              df: DataFrame): Unit = {
+            val s = "-- " + header + "\n" + df.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode)
+            Files.write(Paths.get(s"plans/r19/$name.txt"),
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            println(s"[probe] wrote plans/r19/$name.txt")
+          }
+          // ---- q92m/q92s: the SQL MERGE delta subtree, r18 vs r19 ----
+          val (t0d, d1, _) = ops.Merge.mergeFixture(spark, sfDir)
+          val tbl = s"${TempRoots.create("graft_probe_plans_")}/table"
+          def recent(d: DataFrame) = d
+            .filter(year(col("o_orderdate")) >= 1996)
+            .withColumn("yr", year(col("o_orderdate")))
+          graft.sources.GenTable.init(
+            t0d.withColumn("yr", year(col("o_orderdate"))), tbl, "yr")
+          val src = recent(d1)
+          val target = graft.sources.GenTable.read(spark, tbl, "yr")
+          val keys = Seq("o_orderkey")
+          val targetCols = target.columns.toSeq
+          val mOp = coalesce(
+            when(expr("_op = 'delete'"), lit("delete")),
+            when(lit(true), lit("upsert")))
+          val keyRowsOld = target.select(keys.map(col): _*).distinct()
+          val mD = src.join(keyRowsOld, keys, "left_semi")
+            .withColumn("__mergeop", mOp)
+            .filter(col("__mergeop").isNotNull)
+          val uD = src.join(keyRowsOld, keys, "left_anti")
+            .filter(expr("_op <> 'delete'"))
+            .withColumn("__mergeop", lit("upsert"))
+          dump("q92m_merge_sql_before",
+            "r18 delta shape inside GenTableMergeCommand: TABLE-wide key " +
+              "distinct under BOTH a semi and an anti join, union of the " +
+              "halves; this whole subtree was then re-evaluated by every " +
+              "downstream consumer of the delta (touched-partition " +
+              "enumeration + staged write).",
+            mD.unionByName(uD)
+              .select((targetCols.map(col) :+ col("__mergeop")): _*))
+          val srcKeys = src.select(keys.map(col): _*).distinct()
+          val keyRows = target.select(keys.map(col): _*)
+            .join(srcKeys, keys, "left_semi").distinct()
+            .withColumn("__merge_matched", lit(true))
+          val deltaNew = src.join(keyRows, keys, "left")
+            .withColumn("__mergeop",
+              when(col("__merge_matched").isNotNull, mOp)
+                .otherwise(when(expr("_op <> 'delete'"), lit("upsert"))))
+            .filter(col("__mergeop").isNotNull)
+            .select((targetCols.map(col) :+ col("__mergeop")): _*)
+          dump("q92m_merge_sql_after",
+            "r19 delta shape (GenTableMerge.scala run()): target scanned " +
+              "ONCE, key-pruned and semi-joined to the source's distinct " +
+              "keys (delta-proportional, broadcastable), one LEFT join " +
+              "with a presence flag, one CaseWhen - no union, no second " +
+              "table scan. In the command the result is additionally " +
+              "localCheckpoint'ed, so downstream consumers plan against " +
+              "a LogicalRDD instead of re-evaluating this subtree.",
+            deltaNew)
+          // ---- x29b: the per-generation row diff, r18 vs r19 ----
+          graft.sources.GenTable.merge(spark, tbl, "yr", src,
+            Seq("o_orderkey"))
+          val pre = graft.sources.GenTable.read(spark, tbl, "yr",
+            asOfGen = Some(0L))
+          val post = graft.sources.GenTable.read(spark, tbl, "yr",
+            asOfGen = Some(1L))
+          dump("x29b_stream_gentable_rows_before",
+            "r18 per-generation row diff (GenTableStream.rowFrame): " +
+              "two exceptAll's unioned - each side (the old side is a " +
+              "multi-generation resolution read) scanned TWICE, four " +
+              "shuffles per generation.",
+            post.exceptAll(pre).withColumn("_change", lit("insert"))
+              .unionByName(pre.exceptAll(post)
+                .withColumn("_change", lit("delete"))))
+          val allCols = post.columns.toIndexedSeq.map(col)
+          val diff = post.withColumn("__w", lit(1L))
+            .unionByName(pre.withColumn("__w", lit(-1L)))
+            .groupBy(allCols: _*).agg(sum(col("__w")).as("__d"))
+          def repl(side: DataFrame, n: org.apache.spark.sql.Column) =
+            side.withColumn("__i", explode(sequence(lit(1L), n)))
+              .drop("__d", "__i")
+          dump("x29b_stream_gentable_rows_after",
+            "r19 per-generation row diff: ONE signed-count aggregation " +
+              "(union with weight +/-1, groupBy all columns), inserts = " +
+              "positive sums replicated, deletes = negative; one scan " +
+              "per side, one shuffle, branches share the aggregate " +
+              "exchange (ReusedExchange below).",
+            repl(diff.filter(col("__d") > 0), col("__d"))
+              .withColumn("_change", lit("insert"))
+              .unionByName(repl(diff.filter(col("__d") < 0), -col("__d"))
+                .withColumn("_change", lit("delete"))))
+          // ---- x27 family: the codebook passes over `subs` ----
+          val grid = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 8) / 8).as("embedding"))
+          val m27 = 64
+          val sublen27 = 1
+          val shaped = grid.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vecD"))
+          val subsPlain = shaped.select(posexplode(transform(
+              sequence(lit(0), lit(m27 - 1)),
+              i => slice(col("vecD"), i * sublen27 + 1, lit(sublen27))))
+            .as(Seq("sub", "sv"))).distinct()
+          dump("x27b_ann_ivfpq_gate_before",
+            "r18 pqBuild codebook: the corpus-x-m exploded+distinct'ed " +
+              "subvector frame was recomputed for EACH of its two driver " +
+              "passes (per-subspace counts, then the lossless ordered " +
+              "collect) - this full subtree ran twice per build.",
+            subsPlain.orderBy(col("sub"), col("sv")))
+          val subsP = subsPlain.persist()
+          subsP.count()
+          dump("x27b_ann_ivfpq_gate_after",
+            "r19 pqBuild codebook: `subs` persisted across the two " +
+              "passes (unpersisted before pqBuild returns) - the second " +
+              "pass scans the cache (InMemoryTableScan below) instead of " +
+              "re-running the corpus-x-m explode + distinct.",
+            subsP.orderBy(col("sub"), col("sv")))
+          subsP.unpersist()
         case "q92w" =>
           step("q92w-all") {
             ops.Merge.q92w(spark, sfDir)

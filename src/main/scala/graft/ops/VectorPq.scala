@@ -149,10 +149,15 @@ object VectorPq {
     val tEnc =
       if (!byResidual) t0
       else residualized(spark, t0, cents)
+    // persisted across its two driver passes (optimization r19, guide
+    // §5 caching rule: reused AND expensive to recompute — the explode
+    // is corpus×m rows and the distinct shuffles them on array keys;
+    // without the cache the lossless-collect pass below re-ran both).
+    // Within-statement only: unpersisted before pqBuild returns.
     val subs = tEnc.select(posexplode(transform(
         sequence(lit(0), lit(m - 1)),
         i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
-      .as(Seq("sub", "sv"))).distinct()
+      .as(Seq("sub", "sv"))).distinct().persist()
     val perSub: Map[Int, Long] = subs.groupBy(col("sub")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cb: IndexedSeq[IndexedSeq[Array[Double]]] =
@@ -175,6 +180,7 @@ object VectorPq {
           sample.filter(_._1 == i).map(_._2).toIndexedSeq,
           kCodes, kmeansIters))
       }
+    subs.unpersist(blocking = false)
     val kEff = cb.map(_.size).max
     // pad ragged codebooks with their first entry: a duplicate codeword
     // can never WIN an argmin (array_position takes the first minimum),
