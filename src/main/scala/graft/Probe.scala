@@ -144,7 +144,8 @@ object Probe {
               .orderBy("probe_id", "rank") }
           step("pqSearch-noop") {
             s.write.format("noop").mode("overwrite").save() }
-        case "plans" if round == 1 =>
+        case "plans" if round != 1 => () // plan capture is single-shot
+        case "plans" =>
           import java.nio.file.{Files, Paths}
           Files.createDirectories(Paths.get("plans/r19"))
           def dump(name: String, header: String,
