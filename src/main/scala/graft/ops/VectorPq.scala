@@ -149,38 +149,47 @@ object VectorPq {
     val tEnc =
       if (!byResidual) t0
       else residualized(spark, t0, cents)
-    // persisted across its two driver passes (optimization r19, guide
-    // §5 caching rule: reused AND expensive to recompute — the explode
-    // is corpus×m rows and the distinct shuffles them on array keys;
-    // without the cache the lossless-collect pass below re-ran both).
-    // Within-statement only: unpersisted before pqBuild returns.
-    val subs = tEnc.select(posexplode(transform(
+    // ONE pass over the corpus×m subvector frame (optimization r20,
+    // guide §1.2 step 1 — fewer passes beats caching a pass). The r19
+    // cut persisted the exploded+distinct frame across TWO driver
+    // passes (a per-subspace count deciding lossless-vs-sampled, then
+    // either the lossless ordered collect or the hash-ordered sample);
+    // the materialization cost exceeded the recompute at bench scale
+    // (VERDICT r19 #1: x27b/c/e +17–26%), and even cache-served, two
+    // passes stay two. This single pruned collect carries everything
+    // both passes needed: `row_number` in per-subspace hash order caps
+    // the pull at `cap` rows per subspace, and because cap > kCodes,
+    // every subspace is lossless-eligible iff the max captured rank is
+    // ≤ kCodes (a rank of kCodes+1 survives the cap exactly when a
+    // (kCodes+1)-th distinct value exists) — the count pass is
+    // subsumed. The lossless order is Spark's own (sub, sv) orderBy,
+    // unchanged; the sampled path restores hash order from the rank.
+    val cap = math.max(kmeansSample, kCodes + 1)
+    val w = Window.partitionBy(col("sub"))
+      .orderBy(xxhash64(col("sv").cast("string")))
+    val pruned = tEnc.select(posexplode(transform(
         sequence(lit(0), lit(m - 1)),
         i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
-      .as(Seq("sub", "sv"))).distinct().persist()
-    val perSub: Map[Int, Long] = subs.groupBy(col("sub")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .as(Seq("sub", "sv"))).distinct()
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .orderBy(col("sub"), col("sv"))
+      .collect().toIndexedSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
     val cb: IndexedSeq[IndexedSeq[Array[Double]]] =
-      if (perSub.values.max <= kCodes) {
+      if (pruned.map(_._3).max <= kCodes) {
         // LOSSLESS: the codebook IS the subspace's distinct values
         // (deterministic order), every subvector encodes to itself
-        val all = subs.orderBy(col("sub"), col("sv")).collect()
-          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         (0 until m).map(i =>
-          all.filter(_._1 == i).map(_._2).toIndexedSeq)
+          pruned.filter(_._1 == i).map(_._2))
       } else {
         // bounded hash-ordered sample per subspace → driver k-means
-        val w = Window.partitionBy(col("sub"))
-          .orderBy(xxhash64(col("sv").cast("string")))
-        val sample = subs
-          .withColumn("__r", row_number().over(w))
-          .filter(col("__r") <= kmeansSample).drop("__r")
-          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        val sample = pruned.filter(_._3 <= kmeansSample)
+          .sortBy(t => (t._1, t._3))
         (0 until m).map(i => kmeansL2(
-          sample.filter(_._1 == i).map(_._2).toIndexedSeq,
+          sample.filter(_._1 == i).map(_._2),
           kCodes, kmeansIters))
       }
-    subs.unpersist(blocking = false)
     val kEff = cb.map(_.size).max
     // pad ragged codebooks with their first entry: a duplicate codeword
     // can never WIN an argmin (array_position takes the first minimum),
