@@ -1610,6 +1610,54 @@ object Text {
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
+  /** Fused convergence signature for the CC loops (optimization r20,
+    * guide §5 — keep the driver out of the data path): each round used
+    * to pay a dedicated convergence-probe JOB over the two checkpointed
+    * iterates (star loop: exceptAll both ways + union + isEmpty — two
+    * wide shuffles; plain loop: a join + isEmpty), i.e. one driver
+    * round-trip per round on top of the checkpoint itself. The
+    * signature — (exact decimal sum of xxhash64(row), bit_xor of
+    * xxhash64(row), count) — instead RIDES the checkpoint job via
+    * `Dataset.observe` (a pass-through CollectMetrics node: rows,
+    * partitioning and the checkpointed bytes are untouched), so
+    * non-final rounds pay NO probe at all.
+    *
+    * Exactness: both iterates are row SETS (a `.distinct()` output in
+    * the star loop, a one-row-per-id aggregate in the plain one), and equal sets
+    * always produce equal signatures, so a DIFFERING signature proves
+    * the round changed something — the probe is skipped. An EQUAL (or
+    * undelivered) signature is only ever a hint: the original exact
+    * probe then runs and remains the SOLE arbiter of convergence. A
+    * hash collision therefore costs one wasted probe, never a wrong
+    * label. The sum is over decimal(38,0) — sum(LongType) would
+    * overflow-throw under ANSI on uniformly distributed hashes.
+    */
+  private final class LoopSignature(cols: Seq[String]) {
+    private def h = xxhash64(cols.map(col): _*)
+    def attach(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, sum(h.cast("decimal(38,0)")).as("__sig_sum"),
+        bit_xor(h).as("__sig_xor"), count(lit(1)).as("__sig_n")), obs)
+    }
+    /** The delivered signature, or None if the metrics listener has not
+      * fired within the bounded wait (the checkpoint action has already
+      * completed when this is called, so delivery is normally
+      * immediate; None merely falls back to the exact probe).
+      */
+    def get(obs: org.apache.spark.sql.Observation): Option[IndexedSeq[Any]] =
+      scala.util.Try(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(1, "s")))
+        .toOption
+        .map(r => IndexedSeq(r.getAs[Any]("__sig_sum"),
+          r.getAs[Any]("__sig_xor"), r.getAs[Any]("__sig_n")))
+    /** Whether two signed iterates might be equal sets — false PROVES
+      * they differ; true (including unknown) defers to the exact probe.
+      */
+    def maybeEqual(a: Option[IndexedSeq[Any]],
+        b: Option[IndexedSeq[Any]]): Boolean =
+      a.isEmpty || b.isEmpty || a == b
+  }
+
   def dupComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
@@ -1632,22 +1680,32 @@ object Text {
     // comp₀ = min(self, neighbors). Near-dup components are near-cliques,
     // so most nodes already see the component minimum here and the loop
     // usually needs only the single confirming iteration.
-    var (labels, labelIds) = tracker.checkpoint(
+    val sig = new LoopSignature(Seq("id", "comp"))
+    val (seed, seedObs) = sig.attach(
       und.groupBy(col("src").as("id"))
         .agg(least(min(col("dst")), first(col("src"))).as("comp")))
+    var (labels, labelIds) = tracker.checkpoint(seed)
+    var labelSig = sig.get(seedObs)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = und.join(labels, und("dst") === labels("id"))
         .select(und("src").as("id"), col("comp"))
-      val (next, nextIds) = tracker.checkpoint(
+      val (iter, iterObs) = sig.attach(
         labels.union(prop)
           .groupBy("id").agg(min(col("comp")).as("comp")))
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty // no label moved
+      val (next, nextIds) = tracker.checkpoint(iter)
+      val nextSig = sig.get(iterObs)
+      // the signature rode the checkpoint job (see LoopSignature): a
+      // differing one proves a label moved and skips the probe job; the
+      // exact join probe stays the sole arbiter of convergence
+      converged = sig.maybeEqual(nextSig, labelSig) &&
+        next.join(labels.withColumnRenamed("comp", "prev"), "id")
+          .filter(col("comp") =!= col("prev")).isEmpty // no label moved
       tracker.free(labelIds) // superseded iteration's blocks, freed post-probe
       labels = next
       labelIds = nextIds
+      labelSig = nextSig
       i += 1
     }
     und.unpersist()
@@ -1695,11 +1753,14 @@ object Text {
     val tracker = new CheckpointTracker(pairs.sparkSession.sparkContext)
     def nbrMin(sym: DataFrame) =
       sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-    var (edges, edgeIds) = tracker.checkpoint(
+    val sig = new LoopSignature(Seq("u", "v"))
+    val (seed, seedObs) = sig.attach(
       pairs.select(
           greatest(col(aCol), col(bCol)).as("u"),
           least(col(aCol), col(bCol)).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    var (edges, edgeIds) = tracker.checkpoint(seed)
+    var edgeSig = sig.get(seedObs)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -1721,13 +1782,20 @@ object Text {
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")) // v > m: canonical
       val part2 = mins.select(col("u"), col("m").as("v"))
-      val (next, nextIds) = tracker.checkpoint(part1.union(part2).distinct())
-      // one symmetric-difference job, not two separate anti-join probes
-      converged = next.exceptAll(edges)
-        .union(edges.exceptAll(next)).isEmpty
+      val (iter, iterObs) = sig.attach(part1.union(part2).distinct())
+      val (next, nextIds) = tracker.checkpoint(iter)
+      val nextSig = sig.get(iterObs)
+      // the signature rode the checkpoint job (see LoopSignature): a
+      // differing one proves the edge set changed and skips the probe
+      // job entirely; when it matches, the exact symmetric-difference
+      // probe below still decides — the signature can only ever skip
+      // work, never declare convergence
+      converged = sig.maybeEqual(nextSig, edgeSig) &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       tracker.free(edgeIds)
       edges = next
       edgeIds = nextIds
+      edgeSig = nextSig
       i += 1
       roundSecs += (System.nanoTime() - t0) / 1e9
     }
