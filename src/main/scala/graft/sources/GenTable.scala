@@ -353,7 +353,8 @@ object GenTable {
       else if (!zorder)
         df.repartitionByRange((partCol +: statsCols).map(col): _*)
       else {
-        val z = zorderColumn(df, statsCols)
+        val z = zorderColumn(df, statsCols,
+          zorderBounds(df, dir, statsCols))
         df.withColumn("__z", z)
           .repartitionByRange(col(partCol), col("__z"))
           .drop("__z")
@@ -427,23 +428,71 @@ object GenTable {
     */
   private val ZBits = 8
 
-  /** The z-value: each column's 256-bucket quantile rank (boundaries
-    * from one `approxQuantile` pass, shipped as literals), bit-
-    * interleaved column-major — plain integer arithmetic, whole-stage
-    * codegen, no UDF. NULLs rank in bucket 0 (they sort first, as in
-    * the range layout).
+  /** The per-column 256-bucket quantile boundaries the z-layout
+    * bit-interleaves — ONE `approxQuantile` pass per TABLE lifetime
+    * (optimization r20, VERDICT r19 #3: q92h paid a full extra pass
+    * over its staged bytes PER STATEMENT — at 100 TB an extra corpus
+    * read per MERGE). The first z-ordered write (normally [[init]])
+    * computes the boundaries over its frame and records `dir/zbounds`;
+    * every later z-ordered statement reads the record instead.
+    * Boundaries are a clustering HEURISTIC — they steer file placement
+    * and the skipping tightness GenTableSpec pins, never row content —
+    * so reusing init-time ones costs a little z-locality under heavy
+    * distribution drift and nothing else; re-init/[[repartitionTable]]
+    * re-records them (the drift remedy, noted in SCALE.md). A record
+    * whose column list no longer matches the requested layout is
+    * recomputed and overwritten; the file is table metadata like
+    * `layout`/`tombkeys` (within-table, rebuilt from inputs on every
+    * run — nothing persists across bench runs).
     */
-  private def zorderColumn(df: DataFrame,
-      statsCols: Seq[String]): org.apache.spark.sql.Column = {
-    require(statsCols.size * ZBits <= 31,
-      s"zorder: at most ${31 / ZBits} clustered columns")
+  private def zorderBounds(df: DataFrame, dir: String,
+      statsCols: Seq[String]): IndexedSeq[Array[Double]] = {
+    val spark = df.sparkSession
+    val f = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/zbounds")
     val nb = 1 << ZBits
+    val recorded = GenCommit.readSmallFile(f, p)
+    if (recorded.nonEmpty) {
+      val byCol = recorded.split("\n").toIndexedSeq.map { line =>
+        val parts = line.split("\t", -1)
+        decN(parts(0)) -> parts(1).split(",").filter(_.nonEmpty)
+          .map(java.lang.Double.parseDouble)
+      }
+      // an empty boundary list is legitimate (an all-null column); any
+      // other length mismatch means a foreign/corrupt record — recompute
+      if (byCol.map(_._1) == statsCols.toIndexedSeq &&
+          byCol.forall(t => t._2.isEmpty || t._2.length == nb - 1))
+        return byCol.map(_._2)
+    }
     val qs = (1 until nb).map(_.toDouble / nb).toArray
     // numeric columns only (approxQuantile's domain) — the range layout
     // remains the clustering for date/string stats columns
     val bounds = df.stat.approxQuantile(statsCols.toArray, qs, 0.001)
+      .toIndexedSeq
+    // Double.toString round-trips exactly through parseDouble, and both
+    // are locale-independent — the record is bit-faithful
+    val lines = statsCols.zip(bounds).map { case (c, bs) =>
+      enc(c) + "\t" + bs.map(java.lang.Double.toString).mkString(",")
+    }
+    val o = f.create(p, true)
+    try o.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    bounds
+  }
+
+  /** The z-value: each column's 256-bucket quantile rank (boundaries
+    * recorded once per table — [[zorderBounds]] — and shipped as
+    * literals), bit-interleaved column-major — plain integer
+    * arithmetic, whole-stage codegen, no UDF. NULLs rank in bucket 0
+    * (they sort first, as in the range layout).
+    */
+  private def zorderColumn(df: DataFrame, statsCols: Seq[String],
+      bounds: IndexedSeq[Array[Double]]): org.apache.spark.sql.Column = {
+    require(statsCols.size * ZBits <= 31,
+      s"zorder: at most ${31 / ZBits} clustered columns")
     graft.ext.GraftFunctions.ensureBucketRank(df.sparkSession)
-    val ranks = statsCols.zip(bounds.toIndexedSeq).map { case (c, bs) =>
+    val ranks = statsCols.zip(bounds).map { case (c, bs) =>
       // rank = number of boundaries strictly below the value — one
       // binary search per row in the native kernel (the HOF
       // aggregate-over-255-literals form is CodegenFallback: 255
