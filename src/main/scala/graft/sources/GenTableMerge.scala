@@ -88,7 +88,14 @@ case class GenTableMergeCommand(
     // second join. EqualTo key semantics are unchanged (SQL MERGE ON:
     // NULL keys never match — a NULL-keyed source row lands unmatched,
     // exactly as the old left_anti put it).
-    val srcKeys = src.select(keys.map(col): _*).distinct()
+    // the semi join's right side needs no distinct (optimization r20,
+    // VERDICT r19 #6, guide §2.4): LEFT SEMI already emits each left row
+    // at most once regardless of right-side duplicates, so the r19
+    // `srcKeys.distinct()` was a redundant exchange+aggregate on every
+    // statement. The distinct on keyRows BELOW is semantically required
+    // (duplicate target keys would fan out the LEFT join) and is now the
+    // sole dedup in the matched-ness pass.
+    val srcKeys = src.select(keys.map(col): _*)
     val keyRows = target.select(keys.map(col): _*)
       .join(srcKeys, keys, "left_semi").distinct()
       .withColumn("__merge_matched", lit(true))
@@ -110,13 +117,24 @@ case class GenTableMergeCommand(
             s"column $c (target schema: ${targetCols.mkString(", ")})"))
         targetCols
       }
+    // the command's scratch columns must not shadow payload (ADVICE r19
+    // low: withColumn silently replaces a same-named source column,
+    // silently corrupting matched-ness)
+    Seq("__merge_matched", "__mergeop").foreach(n =>
+      require(!src.columns.contains(n) && !targetCols.contains(n),
+        s"MERGE INTO gentable: column name $n is reserved by the MERGE " +
+          "translation — rename it on the source/target"))
     // localCheckpoint: the commit path evaluates the delta repeatedly
     // (touched-partition enumeration, then the staged write — and the
     // staged write's plan carries the target's untouched-slice scan on
     // top); materializing the delta-sized result once caps the whole
     // statement at ONE matched-ness evaluation. Within-statement only —
     // recomputed from the table on every run, nothing persists across
-    // bench runs.
+    // bench runs, and the checkpointed blocks are freed in the finally
+    // below (ADVICE r19 low: a long-lived CDC session issuing many
+    // merges would otherwise accumulate cached RDDs until a driver GC).
+    val sc = spark.sparkContext
+    val ckptBefore = sc.getPersistentRDDs.keySet.toSet
     val delta = src.join(keyRows, keys, "left")
       .withColumn("__mergeop",
         when(col("__merge_matched").isNotNull, mOp)
@@ -124,18 +142,22 @@ case class GenTableMergeCommand(
       .filter(col("__mergeop").isNotNull)
       .select((payload.map(col) :+ col("__mergeop")): _*)
       .localCheckpoint()
-    // statement-written generations inherit the recorded layout (r18 —
-    // the q92o rule: SQL writes must not degrade the table's skipping)
-    val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
-    GenTable.merge(spark, dir, partCol, delta, keys,
-      opCol = "__mergeop", evolveSchema = evolveSchema,
-      statsCols = stats, zorder = zo, bloomCols = blooms)
-    // catalog-schema sync (r19): an evolving merge through a NAMED
-    // table widened the on-disk schema — update the stored catalog
-    // schema to match, or the next `SELECT … FROM name` fails the
-    // stored-vs-actual check (non-evolving DML never changes schema)
-    if (evolveSchema)
-      catalogIdent.foreach(GenTableDml.syncCatalogSchema(spark, _, dir))
+    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- ckptBefore
+    try {
+      // statement-written generations inherit the recorded layout (r18 —
+      // the q92o rule: SQL writes must not degrade the table's skipping)
+      val (stats, zo, blooms) = GenTable.layoutOf(spark, dir)
+      GenTable.merge(spark, dir, partCol, delta, keys,
+        opCol = "__mergeop", evolveSchema = evolveSchema,
+        statsCols = stats, zorder = zo, bloomCols = blooms)
+      // catalog-schema sync (r19): an evolving merge through a NAMED
+      // table widened the on-disk schema — update the stored catalog
+      // schema to match, or the next `SELECT … FROM name` fails the
+      // stored-vs-actual check (non-evolving DML never changes schema)
+      if (evolveSchema)
+        catalogIdent.foreach(GenTableDml.syncCatalogSchema(spark, _, dir))
+    } finally ckptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     Seq.empty
   }
 }
