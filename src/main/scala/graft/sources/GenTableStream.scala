@@ -74,6 +74,15 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String,
     schema.fields.toIndexedSeq.dropRight(2)
   private val partType = tableFields.last.dataType
   require(tableFields.last.name == partCol)
+  // the row-granular diff reserves its scratch columns (ADVICE r19 low:
+  // withColumn silently REPLACES a same-named payload column, which
+  // would corrupt the diff for such a table — fail loudly instead)
+  if (rowGranularity)
+    require(!tableFields.exists(f =>
+        GenTableStream.DiffScratchCols.contains(f.name)),
+      s"gentable stream at $dir: changeGranularity=row reserves " +
+        s"columns ${GenTableStream.DiffScratchCols.mkString(", ")}; " +
+        "the table schema collides")
 
   private def off(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -227,9 +236,22 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String,
       val diff = newC.withColumn("__w", lit(1L))
         .unionByName(oldC.withColumn("__w", lit(-1L)))
         .groupBy(allCols: _*).agg(sum(col("__w")).as("__d"))
+      // bounded-BLOCK replication (ADVICE r19 medium): a bare
+      // explode(sequence(1, n)) materializes an n-element array per
+      // duplicated row group, so a keyless table holding millions of
+      // identical full rows would OOM or hit the array-length cap where
+      // the old two-exceptAll code streamed. Two nested explodes emit
+      // exactly n rows while bounding every materialized array at 2^16
+      // elements; block arithmetic is shift-based (exact on longs —
+      // Column./ is double division).
       def replicate(side: DataFrame, n: org.apache.spark.sql.Column) =
-        side.withColumn("__i", explode(sequence(lit(1L), n)))
-          .drop("__d", "__i")
+        side
+          .withColumn("__b", explode(sequence(lit(0L),
+            shiftright(n - 1, GenTableStream.RepBlockBits))))
+          .withColumn("__i", explode(sequence(lit(1L),
+            least(lit(1L << GenTableStream.RepBlockBits),
+              n - shiftleft(col("__b"), GenTableStream.RepBlockBits)))))
+          .drop("__d", "__b", "__i")
       tag(replicate(diff.filter(col("__d") > 0), col("__d")), "insert")
         .unionByName(
           tag(replicate(diff.filter(col("__d") < 0), -col("__d")),
@@ -305,6 +327,16 @@ class GenTableStream(spark: SparkSession, dir: String, partCol: String,
 }
 
 object GenTableStream {
+
+  /** Replication block width (bits) for the row-diff's bounded-block
+    * explode: 2^16-row blocks — large enough that one block covers any
+    * sane duplicate multiplicity in one array, small enough that a
+    * pathological one streams in bounded memory.
+    */
+  private[sources] val RepBlockBits = 16
+
+  /** Scratch columns the row-granular diff claims on the stream schema. */
+  private[sources] val DiffScratchCols = Set("__w", "__d", "__b", "__i")
 
   /** Reconstruct the table's CURRENT STATE from a drained change log —
     * the downstream consumer's apply rule, as a plan: per partition the
