@@ -264,6 +264,246 @@ object Probe {
               "re-running the corpus-x-m explode + distinct.",
             subsP.orderBy(col("sub"), col("sv")))
           subsP.unpersist()
+        case "q92h_steps" =>
+          val (t0d, d1, d2) = ops.Merge.mergeFixture(spark, sfDir)
+          val tbl = s"${TempRoots.create("graft_probe_h_")}/table"
+          val stats = Seq("o_totalprice", "o_orderkey")
+          def recent(d: DataFrame) = d
+            .filter(year(col("o_orderdate")) >= 1996)
+            .withColumn("yr", year(col("o_orderdate")))
+          step("init-zorder") { graft.sources.GenTable.init(
+            t0d.withColumn("yr", year(col("o_orderdate"))), tbl, "yr",
+            statsCols = stats, zorder = true) }
+          step("merge1-zorder") { graft.sources.GenTable.merge(spark, tbl,
+            "yr", recent(d1), Seq("o_orderkey"),
+            statsCols = stats, zorder = true) }
+          step("merge2-zorder") { graft.sources.GenTable.merge(spark, tbl,
+            "yr", recent(d2), Seq("o_orderkey"),
+            statsCols = stats, zorder = true) }
+          step("readWhere-noop") {
+            graft.sources.GenTable.readWhere(spark, tbl, "yr",
+              "o_orderkey", 10000L, 20000L)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate").orderBy("o_orderkey")
+              .write.format("noop").mode("overwrite").save() }
+        case "q92p_steps" =>
+          val (t0d, d1, _) = ops.Merge.mergeFixture(spark, sfDir)
+          val tbl = s"${TempRoots.create("graft_probe_p_")}/table"
+          def recent(d: DataFrame) = d
+            .filter(year(col("o_orderdate")) >= 1996)
+            .withColumn("yr", year(col("o_orderdate")))
+          step("init") { graft.sources.GenTable.init(
+            t0d.withColumn("yr", year(col("o_orderdate"))), tbl, "yr") }
+          step("insertRows") { graft.sources.GenTable.insertRows(spark,
+            tbl, "yr", recent(d1).drop("_op")) }
+          recent(d1).drop("_op").createOrReplaceTempView("probe_p_src")
+          step("sql-insert") { spark.sql(
+            s"INSERT INTO gentable.`$tbl` BY NAME SELECT * FROM probe_p_src") }
+        case "x29b_steps" =>
+          val (t0d, d1, d2) = ops.Merge.mergeFixture(spark, sfDir)
+          val root = TempRoots.create("graft_probe_x29b_")
+          val (tbl, ckpt, sink) = (s"$root/table", s"$root/ckpt",
+            s"$root/sink")
+          def recent(d: DataFrame) = d
+            .filter(year(col("o_orderdate")) >= 1996)
+            .withColumn("yr", year(col("o_orderdate")))
+          def drain(tag: String): Unit = step(s"drain-$tag") {
+            val q = spark.readStream.format("gentable")
+              .option("changeGranularity", "row").load(tbl)
+              .writeStream.option("checkpointLocation", ckpt)
+              .format("parquet").option("path", sink).start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          step("init") { graft.sources.GenTable.init(
+            t0d.withColumn("yr", year(col("o_orderdate"))), tbl, "yr") }
+          step("merge1") { graft.sources.GenTable.merge(spark, tbl, "yr",
+            recent(d1), Seq("o_orderkey")) }
+          drain("1")
+          step("merge2") { graft.sources.GenTable.merge(spark, tbl, "yr",
+            recent(d2), Seq("o_orderkey")) }
+          drain("2")
+          step("replay-noop") {
+            graft.sources.GenTableStream.replayRows(
+                spark.read.parquet(sink), "yr")
+              .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate").orderBy("o_orderkey")
+              .write.format("noop").mode("overwrite").save() }
+        case "plans20" if round != 1 => ()
+        case "plans20" =>
+          import java.nio.file.{Files, Paths}
+          Files.createDirectories(Paths.get("plans/r20"))
+          def dump(name: String, header: String,
+              df: DataFrame): Unit = {
+            val s = "-- " + header + "\n" + df.queryExecution
+              .explainString(org.apache.spark.sql.execution.FormattedMode)
+            Files.write(Paths.get(s"plans/r20/$name.txt"),
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            println(s"[probe] wrote plans/r20/$name.txt")
+          }
+          // ---- x27 family: the codebook phase, r19 vs r20 ----
+          val grid = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 8) / 8).as("embedding"))
+          val m27 = 64
+          val sublen27 = 1
+          val shaped = grid.select(col("vec_id").as("id"),
+            col("embedding").cast("array<double>").as("vecD"))
+          val subsPlain = shaped.select(posexplode(transform(
+              sequence(lit(0), lit(m27 - 1)),
+              i => slice(col("vecD"), i * sublen27 + 1, lit(sublen27))))
+            .as(Seq("sub", "sv"))).distinct()
+          val subsP = subsPlain.persist()
+          subsP.count()
+          dump("x27b_ann_ivfpq_gate_before",
+            "r19 pqBuild codebook: the exploded+distinct subvector frame " +
+              "persisted across TWO driver passes - pass 1 the " +
+              "per-subspace counts (groupBy(sub).count), pass 2 this " +
+              "lossless ordered collect over the cache " +
+              "(InMemoryTableScan). The persist cost exceeded the " +
+              "recompute at bench scale (VERDICT r19 #1: x27b/c/e " +
+              "+17-26%), and two passes stay two passes.",
+            subsP.orderBy(col("sub"), col("sv")))
+          subsP.unpersist()
+          val wRank = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("sub"))
+            .orderBy(xxhash64(col("sv").cast("string")))
+          dump("x27b_ann_ivfpq_gate_after",
+            "r20 pqBuild codebook: ONE pass, NO persist - row_number in " +
+              "per-subspace hash order caps the pull per subspace, the " +
+              "max captured rank subsumes the count pass (rank kCodes+1 " +
+              "survives the cap exactly when a (kCodes+1)-th distinct " +
+              "value exists), and the ordered collect is the same Spark " +
+              "orderBy. The explode+distinct subtree now runs ONCE per " +
+              "build instead of twice.",
+            subsPlain
+              .withColumn("__r", org.apache.spark.sql.functions
+                .row_number().over(wRank))
+              .filter(col("__r") <= 4096)
+              .orderBy(col("sub"), col("sv")))
+          // ---- CC star loop: one round's iterate, r19 vs r20 ----
+          val docs = Tables.documents(spark, sfDir)
+          val pairs = ops.Text.minhashPairs(
+            docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4))
+          val edges = pairs.select(
+              greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+            .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+          val sym = edges.union(
+            edges.select(col("v").as("u"), col("u").as("v")))
+          val nbrMin = sym.groupBy("u")
+            .agg(least(min(col("v")), first(col("u"))).as("m"))
+          val afterLarge = sym.join(nbrMin, "u")
+            .filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .filter(col("u") =!= col("v")).distinct()
+          val mins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+          val part1 = afterLarge.join(mins, "u")
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+          val part2 = mins.select(col("u"), col("m").as("v"))
+          val iter = part1.union(part2).distinct()
+          dump("q41_dedup_clusters_before",
+            "r19 star-loop round: the checkpointed iterate (this plan) " +
+              "PLUS a dedicated convergence-probe job per round - " +
+              "next.exceptAll(edges).union(edges.exceptAll(next))" +
+              ".isEmpty, two wide shuffles over both checkpointed " +
+              "iterates, one full driver round-trip each round.",
+            iter)
+          val obs = org.apache.spark.sql.Observation()
+          val h = xxhash64(col("u"), col("v"))
+          dump("q41_dedup_clusters_after",
+            "r20 star-loop round: the same iterate with the convergence " +
+              "SIGNATURE (sum/bit_xor/count of xxhash64(u,v)) riding the " +
+              "checkpoint job as a pass-through CollectMetrics node " +
+              "(bottom of this plan) - a differing signature proves the " +
+              "edge set changed and the probe job is SKIPPED; the exact " +
+              "exceptAll probe runs at most once, on the candidate final " +
+              "round, and remains the sole arbiter of convergence.",
+            iter.observe(obs, sum(h.cast("decimal(38,0)")).as("__sig_sum"),
+              bit_xor(h).as("__sig_xor"), count(lit(1)).as("__sig_n")))
+          // ---- x29b: the replication arm, r19 vs r20 ----
+          val (t0d, d1, _) = ops.Merge.mergeFixture(spark, sfDir)
+          val tblP = s"${TempRoots.create("graft_probe_plans20_")}/table"
+          def recent(d: DataFrame) = d
+            .filter(year(col("o_orderdate")) >= 1996)
+            .withColumn("yr", year(col("o_orderdate")))
+          graft.sources.GenTable.init(
+            t0d.withColumn("yr", year(col("o_orderdate"))), tblP, "yr")
+          graft.sources.GenTable.merge(spark, tblP, "yr", recent(d1),
+            Seq("o_orderkey"))
+          val pre = graft.sources.GenTable.read(spark, tblP, "yr",
+            asOfGen = Some(0L))
+          val post = graft.sources.GenTable.read(spark, tblP, "yr",
+            asOfGen = Some(1L))
+          val allCols = post.columns.toIndexedSeq.map(col)
+          val diffP = post.withColumn("__w", lit(1L))
+            .unionByName(pre.withColumn("__w", lit(-1L)))
+            .groupBy(allCols: _*).agg(sum(col("__w")).as("__d"))
+          def replOld(side: DataFrame, n: org.apache.spark.sql.Column) =
+            side.withColumn("__i", explode(sequence(lit(1L), n)))
+              .drop("__d", "__i")
+          dump("x29b_stream_gentable_rows_before",
+            "r19 row-diff replication: explode(sequence(1, n)) - an " +
+              "n-element in-memory array per duplicated row group " +
+              "(ADVICE r19 medium: OOM/array-cap on a keyless table " +
+              "with millions of identical rows).",
+            replOld(diffP.filter(col("__d") > 0), col("__d"))
+              .withColumn("_change", lit("insert"))
+              .unionByName(replOld(diffP.filter(col("__d") < 0),
+                -col("__d")).withColumn("_change", lit("delete"))))
+          def replNew(side: DataFrame, n: org.apache.spark.sql.Column) =
+            side
+              .withColumn("__b", explode(sequence(lit(0L),
+                shiftright(n - 1, 16))))
+              .withColumn("__i", explode(sequence(lit(1L),
+                least(lit(1L << 16), n - shiftleft(col("__b"), 16)))))
+              .drop("__d", "__b", "__i")
+          dump("x29b_stream_gentable_rows_after",
+            "r20 row-diff replication: bounded-BLOCK nested explode - " +
+              "every materialized array capped at 2^16 elements, still " +
+              "exactly n rows emitted, same one-shuffle signed-count " +
+              "diff (the ReusedExchange is retained).",
+            replNew(diffP.filter(col("__d") > 0), col("__d"))
+              .withColumn("_change", lit("insert"))
+              .unionByName(replNew(diffP.filter(col("__d") < 0),
+                -col("__d")).withColumn("_change", lit("delete"))))
+          // ---- q92m: the SQL MERGE matched-ness pass, r19 vs r20 ----
+          // (reconstructs GenTableMergeCommand's delta subtree — the
+          // command itself is a commit, not a single explainable plan)
+          val mSrc = recent(d1)
+          val mTarget = graft.sources.GenTable.read(spark, tblP, "yr")
+          val mKeys = Seq("o_orderkey")
+          def mergeDelta(srcKeys: DataFrame): DataFrame = {
+            val keyRows = mTarget.select(mKeys.map(col): _*)
+              .join(srcKeys, mKeys, "left_semi").distinct()
+              .withColumn("__merge_matched", lit(true))
+            val mOp = coalesce(
+              when(expr("_op = 'delete'"), lit("delete")),
+              when(lit(true), lit("upsert")))
+            mSrc.join(keyRows, mKeys, "left")
+              .withColumn("__mergeop",
+                when(col("__merge_matched").isNotNull, mOp)
+                  .otherwise(when(expr("_op <> 'delete'"), lit("upsert"))))
+              .filter(col("__mergeop").isNotNull)
+              .select((mTarget.columns.toIndexedSeq.map(col)
+                :+ col("__mergeop")): _*)
+          }
+          dump("q92m_merge_sql_before",
+            "r19 SQL MERGE matched-ness: the semi join's right side was " +
+              "src.select(keys).distinct() - a redundant " +
+              "exchange+aggregate on EVERY statement (LEFT SEMI already " +
+              "emits each left row at most once regardless of right-side " +
+              "duplicates). Note the extra HashAggregate pair + Exchange " +
+              "under the semi join's right side.",
+            mergeDelta(mSrc.select(mKeys.map(col): _*).distinct()))
+          dump("q92m_merge_sql_after",
+            "r20 SQL MERGE matched-ness (VERDICT r19 #6, guide §2.4): " +
+              "the source's raw key projection feeds the semi join " +
+              "directly - one fewer Exchange + aggregate pair per " +
+              "statement; the semantically required distinct (keyRows, " +
+              "preventing left-join fanout on duplicate target keys) is " +
+              "the sole dedup in the pass.",
+            mergeDelta(mSrc.select(mKeys.map(col): _*)))
         case "q92w" =>
           step("q92w-all") {
             ops.Merge.q92w(spark, sfDir)
