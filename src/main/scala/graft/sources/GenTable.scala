@@ -1472,41 +1472,58 @@ object GenTable {
     * every existing tombstone (revival — the table's standard rule).
     */
   def insertRows(spark: SparkSession, dir: String, partCol: String,
-      rows: DataFrame,
+      rowsIn: DataFrame,
       statsCols: Seq[String] = Nil, zorder: Boolean = false,
       bloomCols: Seq[String] = Nil,
       overlapWaitMs: Long = OverlapWaitMs): Unit = {
-    val touched = rows.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    if (touched.isEmpty) return
-    val tk = GenCommit.newToken()
-    val (snapshot, gen) =
-      claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "insertRows",
-        overlapWaitMs = overlapWaitMs)
+    // The statement evaluates its source twice — touched-partition
+    // enumeration, then the staged write (whose plan carries the
+    // untouched-slice scan on top) — so materialize it once, the MERGE
+    // delta's recipe (optimization r20, VERDICT r19 #4; A/B'd in Probe
+    // q92p_steps: warm insertRows 1.39 → 0.9–1.0 s, sql-insert 1.69 →
+    // 1.30 s). The source is DELTA-sized by contract (the rows being
+    // inserted), so the materialization is bounded — unlike init/
+    // updateWhere, whose table-sized frames stay un-checkpointed (the
+    // r19 DELETE adjudication). Within-statement only: the blocks are
+    // freed in the finally below.
+    val sc = spark.sparkContext
+    val ckptBefore = sc.getPersistentRDDs.keySet.toSet
+    val rows = rowsIn.localCheckpoint()
+    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- ckptBefore
     try {
-      val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
-      val targetCols = cur.columns.toSeq
-      require(targetCols.toSet == rows.columns.toSet,
-        s"insertRows: the rows must carry exactly the table's columns " +
-          s"(${targetCols.mkString(", ")}); got " +
-          s"(${rows.columns.mkString(", ")})")
-      val aligned = rows.select(targetCols.map(c =>
-        col(c).cast(cur.schema(c).dataType).as(c)): _*)
-      val slice = cur.filter(
-        valuesPred(partCol, touched, cur.schema(partCol).dataType))
-      stageData(slice.unionByName(aligned), dir, gen, partCol, tk,
-        statsCols, zorder, bloomCols)
-      writeManifest(spark, dir, gen, touched)
-      GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
-      writeLogCkptIfDue(spark, dir)
-    } catch {
-      case t: Throwable =>
-        val f = fsOf(spark, dir)
-        if (!f.exists(new org.apache.hadoop.fs.Path(
-            s"$dir/data/gen=$gen")))
-          GenCommit.releaseClaim(spark, dir, gen)
-        throw t
-    }
+      val touched = rows.select(col(partCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.isEmpty) return
+      val tk = GenCommit.newToken()
+      val (snapshot, gen) =
+        claimDisjoint(spark, dir, touched.map(enc).toSet, tk, "insertRows",
+          overlapWaitMs = overlapWaitMs)
+      try {
+        val cur = read(spark, dir, partCol, asOfGen = Some(snapshot))
+        val targetCols = cur.columns.toSeq
+        require(targetCols.toSet == rows.columns.toSet,
+          s"insertRows: the rows must carry exactly the table's columns " +
+            s"(${targetCols.mkString(", ")}); got " +
+            s"(${rows.columns.mkString(", ")})")
+        val aligned = rows.select(targetCols.map(c =>
+          col(c).cast(cur.schema(c).dataType).as(c)): _*)
+        val slice = cur.filter(
+          valuesPred(partCol, touched, cur.schema(partCol).dataType))
+        stageData(slice.unionByName(aligned), dir, gen, partCol, tk,
+          statsCols, zorder, bloomCols)
+        writeManifest(spark, dir, gen, touched)
+        GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
+        writeLogCkptIfDue(spark, dir)
+      } catch {
+        case t: Throwable =>
+          val f = fsOf(spark, dir)
+          if (!f.exists(new org.apache.hadoop.fs.Path(
+              s"$dir/data/gen=$gen")))
+            GenCommit.releaseClaim(spark, dir, gen)
+          throw t
+      }
+    } finally ckptIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   /** SCHEMA WIDENING without a merge (r19 — VERDICT r18 #4, the
@@ -1735,6 +1752,13 @@ object GenTable {
     val cur = read(spark, dir, partCol)
     val live = cur.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    // compaction is the z-layout's DRIFT REMEDY (r20): it rewrites the
+    // whole table anyway, so drop the recorded quantile boundaries and
+    // let stageData re-record them over the full current view — one
+    // boundary pass per maintenance window, where per-statement writes
+    // keep reusing the record (see zorderBounds)
+    if (zorder) fsOf(spark, dir).delete(
+      new org.apache.hadoop.fs.Path(s"$dir/zbounds"), false)
     stageData(cur, dir, gen, partCol, tk, statsCols, zorder, bloomCols)
     writeManifest(spark, dir, gen, live)
     GenCommit.publish(spark, dir, gen, DataTable, tk, claimed = true)
