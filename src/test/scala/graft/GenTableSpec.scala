@@ -684,4 +684,90 @@ class GenTableSpec extends SparkSuite {
       Seq((6L, "C", 60.0, "upsert")).toDF("k", "p", "v", "_op"), Seq("k"))
     assert(readSet(dir).contains((6L, "C", 60.0)))
   }
+
+  test("z-order boundary record (r20): recorded once at init, reused " +
+      "byte-identically by later statements, self-repairing on a " +
+      "foreign record, re-recorded by compact") {
+    val dir = s"${TempRoots.create("graft_gt_zb_")}/t"
+    val stats = Seq("v", "k")
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val zb = new org.apache.hadoop.fs.Path(s"$dir/zbounds")
+    def record(): String = {
+      val in = f.open(zb)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    GenTable.init(fixture(), dir, "p", statsCols = stats, zorder = true)
+    assert(f.exists(zb), "init must record the quantile boundaries")
+    val rec0 = record()
+    assert(rec0.split("\n").length == stats.length &&
+      rec0.startsWith("v\t"), s"malformed record: $rec0")
+    // a later z-ordered statement REUSES the record (no re-record: the
+    // per-statement approxQuantile pass is the cost r20 removed)
+    GenTable.merge(spark, dir, "p",
+      Seq((9L, "C", 90.0, "upsert")).toDF("k", "p", "v", "_op"),
+      Seq("k"), statsCols = stats, zorder = true)
+    assert(record() == rec0,
+      "a z-ordered merge must reuse the recorded boundaries verbatim")
+    assert(readSet(dir).contains((9L, "C", 90.0)))
+    // a foreign/corrupt record (column list mismatch) is recomputed and
+    // overwritten, not trusted
+    val out = f.create(zb, true)
+    try out.write("bogus\t1.0,2.0".getBytes("UTF-8")) finally out.close()
+    GenTable.merge(spark, dir, "p",
+      Seq((10L, "C", 95.0, "upsert")).toDF("k", "p", "v", "_op"),
+      Seq("k"), statsCols = stats, zorder = true)
+    val repaired = record()
+    assert(repaired.startsWith("v\t") &&
+      repaired.split("\n").length == stats.length,
+      s"mismatched record must be recomputed, got: $repaired")
+    // compact is the drift remedy: it drops and re-records over the
+    // full current view
+    val stamp = f.getFileStatus(zb).getModificationTime
+    Thread.sleep(1100) // HDFS-local mtime granularity
+    GenTable.compact(spark, dir, "p", statsCols = stats, zorder = true)
+    assert(f.exists(zb) && f.getFileStatus(zb).getModificationTime > stamp,
+      "compact must re-record the boundaries")
+    assert(record().startsWith("v\t"))
+    assert(readSet(dir).contains((9L, "C", 90.0)))
+  }
+
+  test("row-granular diff replication (r20): a duplicate multiplicity " +
+      "above the 2^16 block width replicates to EXACTLY n rows " +
+      "(bounded-block explode, no array-length dependence on n)") {
+    val root = TempRoots.create("graft_gt_rep_")
+    val (dir, ckpt, sink) = (s"$root/t", s"$root/ckpt", s"$root/sink")
+    GenTable.init(Seq((1L, "A", 1.0)).toDF("k", "p", "v"), dir, "p")
+    val n = 70000 // > 65536: spans two replication blocks
+    GenTable.insertRows(spark, dir, "p",
+      spark.range(n).select(lit(9L).as("k"), lit("A").as("p"),
+        lit(9.0).as("v")))
+    val q = spark.readStream.format("gentable")
+      .option("changeGranularity", "row").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+    try q.processAllAvailable() finally q.stop()
+    val log = spark.read.parquet(sink)
+    assert(log.filter(col("_gen") === 1 && col("_change") === "insert" &&
+        col("k") === 9L).count() == n,
+      "the signed-count diff must replicate the duplicate group exactly")
+    // the unchanged row cancels in the bag diff (no spurious pair)
+    assert(log.filter(col("_gen") === 1 && col("k") === 1L).count() == 0)
+  }
+
+  test("row-granular stream REFUSES a schema colliding with the " +
+      "diff's scratch columns (r20 guard: previously silently " +
+      "corrupted the diff)") {
+    val dir = s"${TempRoots.create("graft_gt_scratch_")}/t"
+    GenTable.init(Seq((1L, 5L, "A")).toDF("k", "__w", "p"), dir, "p")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Throwable] {
+      new graft.sources.GenTableStream(spark, dir, "p",
+        rowGranularity = true)
+    }
+    assert(messages(e).exists(_.contains("reserves")),
+      s"expected the reserved-column refusal, got: ${messages(e)}")
+  }
 }

@@ -990,6 +990,21 @@ class GenTableSqlSpec extends SparkSuite {
         "ON t.k = s.k AND t.v < s.v WHEN MATCHED THEN UPDATE SET *")
     }
     assert(e3.getMessage.contains("ON clause"))
+    // a source column named like the translation's scratch columns is
+    // REFUSED (r20 guard: withColumn previously silently replaced it,
+    // silently corrupting matched-ness)
+    Seq((3L, "B", 34.0, "upsert", true))
+      .toDF("k", "p", "v", "_op", "__merge_matched")
+      .createOrReplaceTempView("m_src_scratch")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e4 = intercept[Throwable] {
+      spark.sql(s"MERGE INTO gentable.`$dir` t USING m_src_scratch s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(messages(e4).exists(_.contains("reserved")),
+      s"expected the reserved-name refusal, got: ${messages(e4)}")
   }
 
   test("the stream frontier never skips an in-flight lower id: an " +
