@@ -515,6 +515,17 @@ object Probe {
               ob.future, scala.concurrent.duration.Duration(1, "s")))
             println(s"[probe] obs result: $r")
           }
+          step("ckpt-rddOf") {
+            val ck = spark.range(1000).toDF("id").localCheckpoint()
+            val rdd = Ckpt.rddOf(ck)
+            println(s"[probe] Ckpt.rddOf resolves: ${rdd.isDefined} " +
+              s"persisted-before-free: ${rdd.exists(r =>
+                spark.sparkContext.getPersistentRDDs.contains(r.id))}")
+            Ckpt.free(ck)
+            Thread.sleep(200)
+            println("[probe] persisted-after-free: " + rdd.exists(r =>
+              spark.sparkContext.getPersistentRDDs.contains(r.id)))
+          }
         case "q92w" =>
           step("q92w-all") {
             ops.Merge.q92w(spark, sfDir)

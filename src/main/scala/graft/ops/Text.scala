@@ -1599,11 +1599,12 @@ object Text {
     }
 
   private final class CheckpointTracker(sc: org.apache.spark.SparkContext) {
-    private def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    // ids come from the checkpointed frame's OWN LogicalRDD (review
+    // r20, graft.Ckpt) — the earlier getPersistentRDDs set diff could
+    // sweep up a concurrent caller's checkpoint landing in the window
     def checkpoint(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = persistedIds
       val out = df.localCheckpoint()
-      (out, persistedIds -- before)
+      (out, graft.Ckpt.rddOf(out).map(_.id).toSet)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id =>

@@ -453,11 +453,17 @@ object GenTable {
     val nb = 1 << ZBits
     val recorded = GenCommit.readSmallFile(f, p)
     if (recorded.nonEmpty) {
-      val byCol = recorded.split("\n").toIndexedSeq.map { line =>
-        val parts = line.split("\t", -1)
-        decN(parts(0)) -> parts(1).split(",").filter(_.nonEmpty)
-          .map(java.lang.Double.parseDouble)
-      }
+      // a torn/truncated record (a writer crashed mid-create, or a
+      // concurrent disjoint-partition writer was read mid-write) must
+      // fall through to the recompute-and-overwrite self-repair, never
+      // crash the statement (review r20) — hence the Try around the
+      // whole parse, not just the well-formedness check below
+      val byCol = scala.util.Try(
+        recorded.split("\n").toIndexedSeq.map { line =>
+          val parts = line.split("\t", -1)
+          decN(parts(0)) -> parts(1).split(",").filter(_.nonEmpty)
+            .map(java.lang.Double.parseDouble)
+        }).getOrElse(IndexedSeq.empty)
       // an empty boundary list is legitimate (an all-null column); any
       // other length mismatch means a foreign/corrupt record — recompute
       if (byCol.map(_._1) == statsCols.toIndexedSeq &&
@@ -1476,6 +1482,16 @@ object GenTable {
       statsCols: Seq[String] = Nil, zorder: Boolean = false,
       bloomCols: Seq[String] = Nil,
       overlapWaitMs: Long = OverlapWaitMs): Unit = {
+    // Fail-fast schema check BEFORE any source work (review r20): a
+    // mismatched source must not pay a full materialization first. The
+    // pre-claim column set is advisory (a concurrent evolve could widen
+    // it); the authoritative check re-runs against the claimed snapshot
+    // below.
+    val preCols = read(spark, dir, partCol).columns.toSeq
+    require(preCols.toSet == rowsIn.columns.toSet,
+      s"insertRows: the rows must carry exactly the table's columns " +
+        s"(${preCols.mkString(", ")}); got " +
+        s"(${rowsIn.columns.mkString(", ")})")
     // The statement evaluates its source twice — touched-partition
     // enumeration, then the staged write (whose plan carries the
     // untouched-slice scan on top) — so materialize it once, the MERGE
@@ -1485,11 +1501,10 @@ object GenTable {
     // inserted), so the materialization is bounded — unlike init/
     // updateWhere, whose table-sized frames stay un-checkpointed (the
     // r19 DELETE adjudication). Within-statement only: the blocks are
-    // freed in the finally below.
-    val sc = spark.sparkContext
-    val ckptBefore = sc.getPersistentRDDs.keySet.toSet
+    // freed in the finally below via the frame's OWN LogicalRDD
+    // (review r20 — a global getPersistentRDDs diff would sweep up a
+    // concurrent statement's checkpoint and destroy its only copy).
     val rows = rowsIn.localCheckpoint()
-    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- ckptBefore
     try {
       val touched = rows.select(col(partCol)).distinct()
         .collect().map(_.get(0)).toSeq
@@ -1522,8 +1537,7 @@ object GenTable {
             GenCommit.releaseClaim(spark, dir, gen)
           throw t
       }
-    } finally ckptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    } finally graft.Ckpt.free(rows)
   }
 
   /** SCHEMA WIDENING without a merge (r19 — VERDICT r18 #4, the

@@ -133,8 +133,10 @@ case class GenTableMergeCommand(
     // bench runs, and the checkpointed blocks are freed in the finally
     // below (ADVICE r19 low: a long-lived CDC session issuing many
     // merges would otherwise accumulate cached RDDs until a driver GC).
-    val sc = spark.sparkContext
-    val ckptBefore = sc.getPersistentRDDs.keySet.toSet
+    // Freed via the delta's OWN LogicalRDD (review r20) — a global
+    // getPersistentRDDs diff would sweep up a CONCURRENT statement's
+    // checkpoint landing in the snapshot window and destroy its only
+    // copy.
     val delta = src.join(keyRows, keys, "left")
       .withColumn("__mergeop",
         when(col("__merge_matched").isNotNull, mOp)
@@ -142,7 +144,6 @@ case class GenTableMergeCommand(
       .filter(col("__mergeop").isNotNull)
       .select((payload.map(col) :+ col("__mergeop")): _*)
       .localCheckpoint()
-    val ckptIds = sc.getPersistentRDDs.keySet.toSet -- ckptBefore
     try {
       // statement-written generations inherit the recorded layout (r18 —
       // the q92o rule: SQL writes must not degrade the table's skipping)
@@ -156,8 +157,7 @@ case class GenTableMergeCommand(
       // stored-vs-actual check (non-evolving DML never changes schema)
       if (evolveSchema)
         catalogIdent.foreach(GenTableDml.syncCatalogSchema(spark, _, dir))
-    } finally ckptIds.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    } finally graft.Ckpt.free(delta)
     Seq.empty
   }
 }
